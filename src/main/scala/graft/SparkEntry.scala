@@ -1,13 +1,910 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
+import graft.store.UpsertWriter
+import graft.validate.Validator
+import graft.warehouse.Models
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin) per
+  * operator from SURVEY.md §2 plus the driver-mandated large-scale
+  * extensions (dedup / similarity / text analysis / multimodal / streaming).
+  *
+  * Determinism rules shared by every query and its oracle:
+  *  - identical output column NAMES on both sides (driver sorts columns by
+  *    name before hashing);
+  *  - a total ORDER BY on both sides;
+  *  - double outputs are either exact IEEE-deterministic arithmetic on
+  *    identical inputs (divisions, min/max) or decimal-exact aggregation
+  *    (`sum(cast(x as decimal))`) cast back to double — never a
+  *    float-accumulation whose order could differ between engines;
+  *  - timestamps never leave a query raw (testdata `events.ts` is
+  *    nanosecond precision: DuckDB keeps ns, Spark truncates to µs) —
+  *    only dates / epoch-µs / ids are emitted.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Table loader. `events.ts` is physically INT64 TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects by default — read it as raw nanos
+    * (legacy.parquet.nanosAsLong) and truncate to a µs timestamp, matching
+    * DuckDB's ns→µs truncation when it compares dates/epochs.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = rawTable(s, dir, name)
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def rawTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Synthetic OHLCV price history derived deterministically from `events`
+    * — gives the securities staging models (ffill, rounding) a harness
+    * input with genuine nulls. Mirrored 1:1 by [[phSql]].
+    */
+  private def priceHistory(s: SparkSession, dir: String, fx: Boolean): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sym =
+      if (fx)
+        when(col("event_type") === "click", "USDJPY")
+          .when(col("event_type") === "view", "EURUSD")
+          .when(col("event_type") === "purchase", "GBPUSD")
+          .when(col("event_type") === "signup", "USDCHF")
+          .otherwise("USDCAD")
+      else col("event_type")
+    ev.groupBy(to_date(col("ts")).as("date_stamp"), sym.as("symbol"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("mn"), max("value").as("mx"))
+      .select(
+        col("date_stamp"), col("symbol"),
+        when(col("cnt") % 3 === 0, lit(null)).otherwise(col("mn") / 8).as("open"),
+        (col("mx") / 8).as("high"),
+        (col("mn") / 8).as("low"),
+        when(col("cnt") % 4 === 0, lit(null)).otherwise(col("mx") / 8).as("close"),
+        when(col("cnt") % 5 === 0, lit(null)).otherwise(col("cnt")).as("volume"))
+  }
+
+  private def phSql(fx: Boolean): String = {
+    val sym =
+      if (fx)
+        "CASE event_type WHEN 'click' THEN 'USDJPY' WHEN 'view' THEN 'EURUSD' " +
+          "WHEN 'purchase' THEN 'GBPUSD' WHEN 'signup' THEN 'USDCHF' " +
+          "ELSE 'USDCAD' END"
+      else "event_type"
+    s"""base_ev AS (
+       |  SELECT CAST(ts AS DATE) AS date_stamp, $sym AS symbol,
+       |         count(*) AS cnt, min(value) AS mn, max(value) AS mx
+       |  FROM events GROUP BY 1, 2),
+       |ph AS (
+       |  SELECT date_stamp, symbol,
+       |    CASE WHEN cnt % 3 = 0 THEN NULL ELSE mn / 8 END AS open,
+       |    mx / 8 AS high,
+       |    mn / 8 AS low,
+       |    CASE WHEN cnt % 4 = 0 THEN NULL ELSE mx / 8 END AS close,
+       |    CASE WHEN cnt % 5 = 0 THEN NULL ELSE cnt END AS volume
+       |  FROM ph_src)""".stripMargin.replace("ph_src", "base_ev")
+  }
+
+  /** DuckDB fragments mirroring TextFunctions: tokens / shingles / the
+    * portable 32-bit md5 hash.
+    */
+  private val toksSql =
+    "list_filter(string_split_regex(text, '\\s+'), t -> strlen(t) > 0)"
+  private def shinglesSql(tk: String, n: Int = 3): String =
+    s"list_transform(range(1, greatest(len($tk) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string(list_slice($tk, i, i + ${n - 1}), ' '))"
+  private def pHashSql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  private val ffillFrame =
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+  private def ffillSelectSql: String =
+    s"""SELECT date_stamp, symbol,
+       |  CASE WHEN open IS NULL THEN last_value(close) OVER w ELSE open END AS open,
+       |  CASE WHEN high IS NULL THEN last_value(close) OVER w ELSE high END AS high,
+       |  CASE WHEN low IS NULL THEN last_value(close) OVER w ELSE low END AS low,
+       |  CASE WHEN close IS NULL THEN last_value(close) OVER w ELSE close END AS close,
+       |  CASE WHEN volume IS NULL THEN 0 ELSE volume END AS volume""".stripMargin
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: the securities warehouse pipeline end-to-end on synthetic
+    * price history — staging casts/rounds + forward-fill window + core
+    * UNION ALL (fct_prices). Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val fx = Models.stgFxPrices(priceHistory(spark, dir, fx = true))
+    val st = Models.stgStockPrices(priceHistory(spark, dir, fx = false))
+    Models.fctPrices(fx, st).orderBy("symbol", "date_stamp")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference-parity operators (SURVEY.md §2) ----
+
+    // S5/S6/P14: column-pruned, date-filtered scan
+    "q01_pruned_scan" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(to_date(col("l_shipdate"))
+          .between(lit("1996-03-01").cast(DateType), lit("1996-06-30").cast(DateType)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1/P2/P3: projection + rename
+    "q02_project_rename" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumnsRenamed(Map(
+          "c_custkey" -> "custkey", "c_name" -> "name",
+          "c_mktsegment" -> "segment"))
+        .select("custkey", "name", "segment")
+        .orderBy("custkey")),
+
+    // P4: literal translate; string normalization
+    "q03_string_clean" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          translate(col("p_name"), " ", "-").as("name_slug"),
+          regexp_replace(col("p_brand"), "#", "").as("brand_clean"),
+          lower(col("p_type")).as("type_lower"))
+        .orderBy("p_partkey")),
+
+    // P5: whole-value remap (when/otherwise chain, NOT substring replace)
+    "q04_value_remap" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "O", "OPEN")
+            .when(col("o_orderstatus") === "F", "FINISHED")
+            .when(col("o_orderstatus") === "P", "PARTIAL")
+            .otherwise(col("o_orderstatus")).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")),
+
+    // P6/P7/P8/P10: null fill + casts
+    "q05_null_fill_cast" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          to_date(col("ts")).as("event_date"),
+          col("user_id").cast(IntegerType).as("user_id_int"),
+          coalesce(
+            when(col("event_type") === "error", lit(null)).otherwise(col("value")),
+            lit(0.0)).as("value_filled"))
+        .orderBy("event_id")),
+
+    // P11/P12: conditional decimal rounding
+    "q06_round_conditional" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "A",
+            round((col("l_extendedprice") / 8).cast(DecimalType(38, 9)), 1))
+            .otherwise(
+              round((col("l_extendedprice") / 8).cast(DecimalType(38, 9)), 3))
+            .cast(DoubleType).as("price_rounded"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R1: wide→long unpivot via stack()
+    "q07_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(4, 'quantity', l_quantity, 'extendedprice', " +
+            "l_extendedprice, 'discount', l_discount, 'tax', l_tax) " +
+            "as (measure, val)"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // R2/J1: unionByName with missing columns
+    "q08_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          lit(true).as("is_building"))
+      val b = c.where(col("c_mktsegment") =!= "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("c_custkey")
+    }),
+
+    // A1/A2: distinct
+    "q09_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A3: per-column null/non-null counts (one aggregate pass)
+    "q10_null_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("text")).as("n_text"),
+          count(col("lang")).as("n_lang"),
+          count(col("source")).as("n_source"))),
+
+    // A4/Q2: uniqueness violation check
+    "q11_unique_check" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") > 1)
+        .orderBy("o_custkey")),
+
+    // W1/J2/A5: PK merge (upsert) — anti-join + union form
+    "q12_upsert_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("totalprice"))
+      val updates = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("U").as("status"),
+          (col("o_totalprice") / 2).as("totalprice"))
+      UpsertWriter.mergePlan(target, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F1: the exact ffill_candles window semantics (no ignore-nulls!)
+    "q13_ffill_candles" -> ((s, dir) =>
+      Models.ffillCandles(priceHistory(s, dir, fx = false), "symbol")
+        .orderBy("symbol", "date_stamp")),
+
+    // full stg_stock_prices model: decimal cast + round(2) + ffill
+    "q14_stg_stock_prices" -> ((s, dir) =>
+      Models.stgStockPrices(priceHistory(s, dir, fx = false))
+        .orderBy("symbol", "date_stamp")),
+
+    // full stg_fx_prices model: conditional precision (USDJPY 3dp / else 5dp)
+    "q15_stg_fx_prices" -> ((s, dir) =>
+      Models.stgFxPrices(priceHistory(s, dir, fx = true))
+        .orderBy("symbol", "date_stamp")),
+
+    // J1/P9: dim_symbols UNION ALL with typed null/literal attributes
+    "q16_dim_symbols_union" -> ((s, dir) => {
+      val fxSyms = Models.stgFxSymbols(
+        t(s, dir, "events").select(col("event_type").as("symbol")))
+      val stock = Models.stgStockSymbols(
+        t(s, dir, "nation").select(
+          col("n_name").as("symbol"),
+          lower(col("n_name")).as("name"),
+          concat(lit("R"), col("n_regionkey").cast(StringType)).as("sector"),
+          lit("Missing").as("industry"),
+          (col("n_regionkey") === 0).as("in_sp400"),
+          (col("n_regionkey") === 1).as("in_sp500"),
+          (col("n_regionkey") === 2).as("in_sp600"),
+          lit("2024-01-01").cast(DateType).as("date_stamp")))
+      Models.dimSymbols(fxSyms, stock).orderBy("symbol")
+    }),
+
+    // J3/Q4: referential-integrity anti-join (orphan keys)
+    "q17_referential_orphans" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // hash aggregate with decimal-exact sums (TPC-H Q1 shape)
+    "q18_groupby_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_base"),
+          (sum(col("l_discount").cast(DecimalType(18, 2))).cast(DoubleType)
+            / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // multi-way join: broadcast dims, shuffle-free fact aggregation shape
+    "q19_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // sort + limit (top-k) with deterministic tie-break
+    "q20_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)),
+
+    // window functions: row_number / lag / frame-bounded running agg
+    "q21_window_funcs" -> ((s, dir) => {
+      val seqW = Window.partitionBy("user_id").orderBy("event_id")
+      val frame = seqW.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("value").desc, col("event_id").asc)).as("value_rank"),
+          lag(col("value"), 1).over(seqW).as("prev_value"),
+          (sum(col("value").cast(DecimalType(18, 2))).over(frame)
+            .cast(DoubleType) / count(lit(1)).over(frame)).as("mov_avg3"))
+        .orderBy("event_id")
+    }),
+
+    // gap sessionization (lag + running conditional sum)
+    "q22_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", 1800L)
+        .groupBy("user_id")
+        .agg((max("session_id") + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // as-of join via union + last(ignoreNulls) window (one shuffle, no range join)
+    "q23_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Temporal.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"))
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Q1–Q4: declarative data-quality suite (dbt-test parity)
+    "q24_dq_suite" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      val events = t(s, dir, "events")
+      def labeled(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      labeled("accepted_values_event_type",
+          events.where(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error")
+            || col("event_type").isNull))
+        .unionByName(labeled("not_null_n_name", nation.where(col("n_name").isNull)))
+        .unionByName(labeled("relationships_nation_region",
+          nation.join(broadcast(region.select(col("r_regionkey").as("n_regionkey"))),
+            Seq("n_regionkey"), "left_anti")))
+        .unionByName(labeled("unique_n_nationkey",
+          nation.groupBy("n_nationkey").agg(count(lit(1)).as("c"))
+            .where(col("c") > 1)))
+        .orderBy("check_name")
+    }),
+
+    // Q5: declared-schema validation with coercion (pandera parity)
+    "q25_schema_validate" -> ((s, dir) => {
+      val expected = StructType(Seq(
+        StructField("l_orderkey", LongType, nullable = false),
+        StructField("l_linenumber", LongType, nullable = false), // int → long coerce
+        StructField("l_quantity", DoubleType, nullable = true),
+        StructField("l_returnflag", StringType, nullable = false)))
+      Validator.validateOrThrow(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          expected)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- large-scale pipeline extensions (driver-mandated) ----
+
+    // exact dedup: hash-groupBy on normalized content
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("chash")),
+
+    // minhash signatures (8 lanes, 3-word shingles)
+    "q31_minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // minhash LSH candidate pairs (4 bands × 2 rows)
+    "q32_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")),
+
+    // 16-bit simhash signatures
+    "q33_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // exact n-gram Jaccard near-dup pairs (inverted-index self-join)
+    "q34_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // language-ID by marker-word voting (n-gram heuristic shape)
+    "q35_lang_id" -> ((s, dir) => {
+      val txt = col("text")
+      val hits = Map(
+        "de" -> TextFunctions.langHits(txt, Seq("fast", "slow")),
+        "en" -> TextFunctions.langHits(txt, Seq("the", "a")),
+        "es" -> TextFunctions.langHits(txt, Seq("big", "small")),
+        "fr" -> TextFunctions.langHits(txt, Seq("key", "order")),
+        "zh" -> TextFunctions.langHits(txt, Seq("scan", "merge")))
+      val top = greatest(hits.values.toSeq: _*)
+      val pred = Seq("de", "en", "es", "fr", "zh").foldRight(lit("und")) {
+        (l, acc) => when(hits(l) === top && top > 0, lit(l)).otherwise(acc)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: token/char/stopword stats, all single-pass exprs
+    "q36_text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.nTokens(txt).as("n_tokens"),
+          TextFunctions.subTokenCount(txt).as("n_subtokens"),
+          TextFunctions.meanTokenLen(txt).as("mean_token_len"),
+          TextFunctions.stopwordRatio(txt, Seq("the", "a")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // winnowing-style fingerprint: k-min shingle hashes (order-independent)
+    "q37_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("-", TextFunctions.fingerprint(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // exact cosine top-k (brute force baseline; queries broadcast)
+    "q38_sim_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-bucketed ANN: centroid assign, probe own cell
+    "q39_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), centroids, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // embedding-cosine near-duplicate pairs
+    "q40_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // multimodal: binary payload + typed metadata, payload-pruned summary
+    "q41_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadataSummary(
+        Multimodal.fromDocuments(t(s, dir, "documents")))),
+
+    // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
+    "q42_stream_upsert" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      // raw schema (ts as long nanos): the stream reads the files as-is
+      val schema = rawTable(s, dir, "events").schema
+      graft.streaming.StreamingUpsert.runAvailableNow(
+        s, s"$dir/events.parquet", schema,
+        s"$out/table", s"$out/ckpt", Seq("event_id"))
+      s.read.parquet(s"$out/table")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = {
+    val mhTerms = Dedup.minhashCoeffs(8).zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv * $a + $b) % ${Dedup.MinhashP}) AS mh$i"
+    }.mkString(", ")
+    val shingleCtes =
+      s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")})) AS s
+         |       FROM toks)""".stripMargin
+    val cosSql = "list_dot_product(qv, cv) / " +
+      "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+    Map(
+      "q01_pruned_scan" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+          |  CAST(l_shipdate AS DATE) AS ship_date
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE)
+          |  BETWEEN DATE '1996-03-01' AND DATE '1996-06-30'
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q02_project_rename" ->
+        """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+          |FROM customer ORDER BY custkey""".stripMargin,
+
+      "q03_string_clean" ->
+        """SELECT p_partkey, translate(p_name, ' ', '-') AS name_slug,
+          |  replace(p_brand, '#', '') AS brand_clean,
+          |  lower(p_type) AS type_lower
+          |FROM part ORDER BY p_partkey""".stripMargin,
+
+      "q04_value_remap" ->
+        """SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+          |  WHEN 'P' THEN 'PARTIAL' ELSE o_orderstatus END AS status,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+      "q05_null_fill_cast" ->
+        """SELECT event_id, CAST(ts AS DATE) AS event_date,
+          |  CAST(user_id AS INTEGER) AS user_id_int,
+          |  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0)
+          |    AS value_filled
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q06_round_conditional" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  CASE WHEN l_returnflag = 'A'
+          |    THEN round(CAST(l_extendedprice / 8 AS DECIMAL(38,9)), 1)::DOUBLE
+          |    ELSE round(CAST(l_extendedprice / 8 AS DECIMAL(38,9)), 3)::DOUBLE
+          |  END AS price_rounded
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q07_unpivot" ->
+        """SELECT l_orderkey, l_linenumber, measure, val FROM (
+          |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+          |    l_quantity AS val FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+          |    l_extendedprice FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount
+          |    FROM lineitem
+          |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+          |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+      "q08_union_by_name" ->
+        """SELECT c_custkey, c_mktsegment AS segment, true AS is_building
+          |FROM customer WHERE c_mktsegment = 'BUILDING'
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment, NULL
+          |FROM customer WHERE c_mktsegment <> 'BUILDING'
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q09_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q10_null_counts" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(text) AS BIGINT) AS n_text,
+          |  CAST(count(lang) AS BIGINT) AS n_lang,
+          |  CAST(count(source) AS BIGINT) AS n_source
+          |FROM documents""".stripMargin,
+
+      "q11_unique_check" ->
+        """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          |FROM orders GROUP BY o_custkey HAVING count(*) > 1
+          |ORDER BY o_custkey""".stripMargin,
+
+      "q12_upsert_merge" ->
+        """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice
+          |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+          |UNION ALL
+          |SELECT o_orderkey, 'U', o_totalprice / 2
+          |FROM orders WHERE o_orderkey % 2 = 0
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q13_ffill_candles" ->
+        s"""WITH ${phSql(fx = false)}
+           |$ffillSelectSql
+           |FROM ph
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame)
+           |ORDER BY symbol, date_stamp""".stripMargin,
+
+      "q14_stg_stock_prices" ->
+        s"""WITH ${phSql(fx = false)},
+           |rounded AS (
+           |  SELECT date_stamp, symbol,
+           |    round(CAST(open AS DECIMAL(38,9)), 2)::DOUBLE AS open,
+           |    round(CAST(high AS DECIMAL(38,9)), 2)::DOUBLE AS high,
+           |    round(CAST(low AS DECIMAL(38,9)), 2)::DOUBLE AS low,
+           |    round(CAST(close AS DECIMAL(38,9)), 2)::DOUBLE AS close,
+           |    CAST(volume AS BIGINT) AS volume
+           |  FROM ph)
+           |$ffillSelectSql
+           |FROM rounded
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame)
+           |ORDER BY symbol, date_stamp""".stripMargin,
+
+      "q15_stg_fx_prices" ->
+        s"""WITH ${phSql(fx = true)},
+           |rounded AS (
+           |  SELECT date_stamp, symbol,
+           |    CASE WHEN symbol = 'USDJPY'
+           |      THEN round(CAST(open AS DECIMAL(38,9)), 3)::DOUBLE
+           |      ELSE round(CAST(open AS DECIMAL(38,9)), 5)::DOUBLE END AS open,
+           |    CASE WHEN symbol = 'USDJPY'
+           |      THEN round(CAST(high AS DECIMAL(38,9)), 3)::DOUBLE
+           |      ELSE round(CAST(high AS DECIMAL(38,9)), 5)::DOUBLE END AS high,
+           |    CASE WHEN symbol = 'USDJPY'
+           |      THEN round(CAST(low AS DECIMAL(38,9)), 3)::DOUBLE
+           |      ELSE round(CAST(low AS DECIMAL(38,9)), 5)::DOUBLE END AS low,
+           |    CASE WHEN symbol = 'USDJPY'
+           |      THEN round(CAST(close AS DECIMAL(38,9)), 3)::DOUBLE
+           |      ELSE round(CAST(close AS DECIMAL(38,9)), 5)::DOUBLE END AS close,
+           |    CAST(volume AS BIGINT) AS volume
+           |  FROM ph)
+           |$ffillSelectSql
+           |FROM rounded
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame)
+           |ORDER BY symbol, date_stamp""".stripMargin,
+
+      "q16_dim_symbols_union" ->
+        """SELECT symbol, name, sector, industry, asset_type,
+          |  in_sp400, in_sp500, in_sp600, date_stamp
+          |FROM (
+          |  SELECT symbol, NULL AS name, NULL AS sector, NULL AS industry,
+          |    'FX' AS asset_type, false AS in_sp400, false AS in_sp500,
+          |    false AS in_sp600, CAST(NULL AS DATE) AS date_stamp
+          |  FROM (SELECT DISTINCT event_type AS symbol FROM events)
+          |  UNION ALL
+          |  SELECT n_name, lower(n_name), 'R' || CAST(n_regionkey AS VARCHAR),
+          |    'Missing', 'Stock', n_regionkey = 0, n_regionkey = 1,
+          |    n_regionkey = 2, DATE '2024-01-01'
+          |  FROM nation
+          |) ORDER BY symbol""".stripMargin,
+
+      "q17_referential_orphans" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q18_groupby_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base,
+          |  sum(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_disc,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q19_join_agg" ->
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q20_topk" ->
+        """SELECT o_custkey,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+          |FROM orders GROUP BY o_custkey
+          |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+      "q21_window_funcs" ->
+        """SELECT event_id, user_id, value,
+          |  row_number() OVER (PARTITION BY user_id
+          |    ORDER BY value DESC, event_id) AS value_rank,
+          |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+          |    AS prev_value,
+          |  sum(CAST(value AS DECIMAL(18,2))) OVER w3::DOUBLE
+          |    / count(*) OVER w3 AS mov_avg3
+          |FROM events
+          |WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
+
+      "q22_sessionize" ->
+        """WITH o AS (
+          |  SELECT user_id,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |        ORDER BY ts)) > 1800000000
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM events)
+          |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q23_asof_join" ->
+        """WITH u AS (
+          |  SELECT user_id, ts AS t, 1 AS side, event_id AS l_id,
+          |    CAST(NULL AS BIGINT) AS r_id
+          |  FROM events WHERE event_type = 'purchase'
+          |  UNION ALL
+          |  SELECT user_id, ts, 0, NULL, event_id
+          |  FROM events WHERE event_type = 'click'),
+          |w AS (
+          |  SELECT user_id, side, l_id,
+          |    last_value(r_id IGNORE NULLS) OVER (PARTITION BY user_id
+          |      ORDER BY t, side, r_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+          |  FROM u)
+          |SELECT l_id AS purchase_id, user_id, click_id
+          |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+
+      "q24_dq_suite" ->
+        """SELECT 'accepted_values_event_type' AS check_name,
+          |  CAST(count(*) AS BIGINT) AS violations
+          |FROM events WHERE event_type NOT IN
+          |  ('click','view','purchase','signup','error') OR event_type IS NULL
+          |UNION ALL
+          |SELECT 'not_null_n_name', CAST(count(*) AS BIGINT)
+          |FROM nation WHERE n_name IS NULL
+          |UNION ALL
+          |SELECT 'relationships_nation_region', CAST(count(*) AS BIGINT)
+          |FROM nation WHERE NOT EXISTS
+          |  (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+          |UNION ALL
+          |SELECT 'unique_n_nationkey', CAST(count(*) AS BIGINT) FROM
+          |  (SELECT n_nationkey FROM nation GROUP BY 1 HAVING count(*) > 1)
+          |ORDER BY check_name""".stripMargin,
+
+      "q25_schema_validate" ->
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |  l_quantity, l_returnflag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q30_dedup_exact" ->
+        """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS chash,
+          |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+          |  CAST(count(*) AS BIGINT) AS dup_count
+          |FROM documents GROUP BY 1 ORDER BY chash""".stripMargin,
+
+      "q31_minhash_signatures" ->
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh)
+           |SELECT doc_id, $mhTerms
+           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q32_minhash_lsh_pairs" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q33_simhash" -> {
+        val sums = (0 until 16).map(b =>
+          s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(", ")
+        val assemble = (0 until 16).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+           |  FROM documents),
+           |h AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM toks),
+           |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin
+      },
+
+      "q34_ngram_jaccard" ->
+        s"""WITH $shingleCtes,
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q35_lang_id" -> {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter($toksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        val h = Map(
+          "de" -> hits(Seq("fast", "slow")), "en" -> hits(Seq("the", "a")),
+          "es" -> hits(Seq("big", "small")), "fr" -> hits(Seq("key", "order")),
+          "zh" -> hits(Seq("scan", "merge")))
+        val top = s"greatest(${Seq("de", "en", "es", "fr", "zh").map(l => s"h_$l").mkString(",")})"
+        val pred = Seq("de", "en", "es", "fr", "zh")
+          .map(l => s"WHEN h_$l = $top AND $top > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, lang,
+           |  ${h.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")}
+           |  FROM documents)
+           |SELECT doc_id, lang AS labeled_lang,
+           |  CASE $pred ELSE 'und' END AS pred_lang
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
+
+      "q36_text_quality" ->
+        s"""WITH q AS (SELECT doc_id, $toksSql AS tk, text FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(tk) AS INTEGER) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subtokens,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    list_aggregate(list_transform(tk, x -> strlen(x)), 'sum')::DOUBLE
+           |      / len(tk) END AS mean_token_len,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    len(list_filter(tk, x -> x IN ('the','a')))::DOUBLE / len(tk)
+           |  END AS stopword_ratio
+           |FROM q ORDER BY doc_id""".stripMargin,
+
+      "q37_fingerprint" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |fp AS (SELECT doc_id,
+           |  list_slice(list_sort(list_transform(
+           |    list_distinct(${shinglesSql("tk")}),
+           |    s -> ${pHashSql("s")})), 1, 4) AS f
+           |  FROM toks)
+           |SELECT doc_id, array_to_string(f, '-') AS fingerprint
+           |FROM fp ORDER BY doc_id""".stripMargin,
+
+      "q38_sim_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, sim,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+           |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+      "q39_sim_ivf" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+           |  WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT e.vec_id, e.v, centroid_id,
+           |    list_dot_product(v, cvec) /
+           |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec)))
+           |      AS csim
+           |  FROM e CROSS JOIN cent),
+           |asg AS (SELECT vec_id, v, centroid_id AS cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, centroid_id) AS r FROM scored) WHERE r = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asg
+           |  WHERE vec_id < 10),
+           |pairs AS (
+           |  SELECT query_id, a.vec_id AS neighbor_id, qv, a.v AS cv
+           |  FROM q JOIN asg a USING (cell) WHERE query_id <> a.vec_id),
+           |ranked AS (SELECT query_id, neighbor_id, $cosSql AS sim FROM pairs),
+           |final AS (SELECT query_id, neighbor_id, sim,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, neighbor_id) AS rnk FROM ranked)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, sim
+           |FROM final WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+      "q40_embedding_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    a.v AS qv, b.v AS cv
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, $cosSql AS cos
+           |FROM pairs WHERE $cosSql > 0.4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q41_multimodal_meta" ->
+        """SELECT 'text/plain' AS media_type,
+          |  CAST(count(*) AS BIGINT) AS n_assets,
+          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+          |FROM documents""".stripMargin,
+
+      "q42_stream_upsert" ->
+        """SELECT event_id, user_id, event_type, value
+          |FROM events ORDER BY event_id""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (no reference counterpart — driver-mandated extensions, SURVEY.md §7.9).
+  *
+  * Everything here is built from codegen'd Spark built-ins (split /
+  * regexp / aggregate / filter) — no UDFs — so the whole text pipeline
+  * stays inside WholeStageCodegen and scales linearly with input bytes.
+  *
+  * Portability contract: each function has an exact ANSI-SQL twin runnable
+  * by DuckDB (used as the correctness oracle), so semantics are pinned by
+  * construction, not by convention.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Empty string → empty array (split of "" gives
+    * [""], filtered out).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Portable 32-bit token hash shared with the DuckDB oracle:
+    * first 8 hex digits of md5, parsed as an unsigned int.
+    * Spark: conv(substr(md5(x),1,8),16,10)::long
+    * DuckDB: ('0x'||substr(md5(x),1,8))::bigint
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles (default 3) as space-joined strings; documents
+    * shorter than n yield a single whole-document shingle so they still
+    * participate in dedup.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    // slice truncates at the array end (ANSI-safe, unlike element_at OOB)
+    transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Language-ID by marker-word voting: count hits against small per-language
+    * marker sets; highest count wins, ties broken by language code. A
+    * real pipeline would swap in fastText scores — the n-gram-heuristic
+    * shape (per-language evidence columns → argmax) is what scales.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "ne"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"),
+  )
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Quality signals (length / punctuation / stopword ratios) — the
+    * standard C4/Gopher-style heuristics, all single-pass expressions.
+    */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(t))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+          .cast("double") / length(text))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double")
+        / size(t))
+  }
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, or single
+    * other non-space characters (the usual pre-tokenizer regex shape).
+    */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Winnowing-style document fingerprint: the k minimum shingle hashes,
+    * order-independent (so it needs no ordered aggregate — safe to compute
+    * distributed). Returns array<long> of size ≤ k.
+    */
+  def fingerprint(text: Column, shingleN: Int = 3, k: Int = 4): Column =
+    slice(array_sort(transform(array_distinct(shingles(text, shingleN)),
+      s => portableHash(s))), 1, k)
+
+  /** Content hash for exact dedup: md5 of whitespace-normalized, lowercased
+    * text.
+    */
+  def contentHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Document deduplication at corpus scale (driver-mandated extension —
+  * SURVEY.md §7.9). Five strategies, fastest-to-most-recall:
+  *
+  *  1. exact        — hash-groupBy on normalized content: one shuffle on the
+  *                    16-byte hash; the 100 TB workhorse.
+  *  2. minhashLsh   — shingle → k minhashes → band buckets → bucket join:
+  *                    candidate generation is linear (explode by band),
+  *                    the join shuffles on (band, bandHash) so only
+  *                    colliding docs ever meet; verification Jaccard runs
+  *                    per candidate pair only.
+  *  3. simhash      — 16-bit weighted-bit signature per doc; near-dups are
+  *                    signature collisions (or small Hamming distance).
+  *  4. ngramJaccard — exact Jaccard over shingle sets via a shingle-inverted
+  *                    index self-join; quadratic per shingle bucket, used as
+  *                    ground truth / small-corpus path.
+  *  5. embeddingNearDup — cosine over embeddings above a threshold.
+  *
+  * Every strategy is pure DataFrame ops on deterministic portable hashes
+  * (md5-derived), so each has an exact DuckDB SQL oracle twin.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc id per normalized-content hash.
+    * Returns (keep_id, dup_count) per distinct content.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    docs
+      .select(col(idCol), contentHash(col(textCol)).as("chash"))
+      .groupBy("chash")
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
+
+  /** Deterministic affine minhash family over the portable 32-bit hash:
+    * h_i(x) = (a_i * H(x) + b_i) mod p, with p the largest 31-bit prime.
+    * Coefficients are fixed odd constants so the Spark and DuckDB sides
+    * agree bit-for-bit.
+    */
+  val MinhashP = 2147483647L
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(i => (2L * i + 1001L, 3L * i + 7877L))
+
+  /** MinHash signatures: explode distinct shingles, one narrow pass
+    * computes all k hash lanes, then a single groupBy(doc) takes the mins.
+    * One shuffle total (by doc id), linear in total shingle count.
+    */
+  def minhashSignature(docs: DataFrame, numHashes: Int = 8, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .withColumn("h", portableHash(col("sh")))
+    val lanes = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    sh.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** MinHash + LSH banding: rows-per-band signatures are concatenated into
+    * a band key; docs sharing any band key become candidate pairs; pairs
+    * are de-duplicated across bands. `bands * rowsPerBand` hash lanes.
+    * Returns candidate pairs (id_a < id_b).
+    */
+  def minhashLshPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(docs, k, shingleN, idCol, textCol)
+    val banded = sig.select(col(idCol), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand)
+            .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 16-bit SimHash over token hashes: bit b of the signature is set when
+    * the sum over tokens of ±1 (by bit b of the token hash) is positive.
+    * Duplicate tokens count once (set semantics) so the oracle needs no
+    * ordered aggregation. One explode + one groupBy.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("h", portableHash(col("tok")))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via an inverted shingle index:
+    * |A∩B| from the self-join on shingle, |A|,|B| from per-doc counts.
+    * Shuffles on shingle then on (id_a,id_b); quadratic only within a
+    * shingle's posting list — acceptable as a verifier / small-corpus path
+    * (the LSH path is the scale path).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
+    val inter = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    * All-pairs form — O(n²) compare but each compare is a fused codegen
+    * loop; for corpus scale, pre-bucket with [[Similarity.ivfAssign]] and
+    * join within cells instead.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract
+  * run as partition-local batch functions (driver-mandated extension —
+  * SURVEY.md §7.9).
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container): [[StubDecoder]] produces deterministic fake features from the
+  * bytes. Everything Spark-side is real — the asset schema, the
+  * mapPartitions batching, the output encoder — so swapping in a real
+  * decoder is a one-function change.
+  *
+  * Scale notes: payload bytes stay in Tungsten rows end-to-end (no
+  * collect); decode parallelism = partition count, so `repartition(N)`
+  * before decode sizes the GPU/CPU batch workers; metadata-only queries
+  * never touch the payload column (parquet column pruning drops it at the
+  * scan).
+  */
+object Multimodal {
+
+  /** Canonical multimodal asset schema: payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+    )), nullable = false),
+  ))
+
+  /** Wrap a text corpus as binary assets — the harness's stand-in for real
+    * media ingestion: payload = UTF-8 bytes, metadata = byte length + source.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** A decoded feature batch: fixed-width float features per asset. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false)),
+  ))
+
+  /** Deterministic fake decoder: "features" are byte-histogram moments.
+    * A real implementation would decode the payload (JPEG/WAV/...) here;
+    * the signature — Iterator[Row] → Iterator[Row], batch-local, no driver
+    * round-trip — is the real contract.
+    */
+  object StubDecoder extends Serializable {
+    def decodeBatch(rows: Iterator[Row], dim: Int): Iterator[Row] =
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("asset_id"))
+        val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty)
+        val feat = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          feat(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        Row(id, feat.toSeq)
+      }
+  }
+
+  /** Decode assets to features via mapPartitions (partition-local batches,
+    * the Scala analogue of mapInPandas).
+    */
+  def decodeFeatures(assets: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    val encoder = RowEncoder.encoderFor(featureSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions(rows => StubDecoder.decodeBatch(rows, dim))(encoder)
+  }
+
+  /** Metadata-only projection — must prune the payload column at the scan
+    * (verified in tests via the physical plan's ReadSchema).
+    */
+  def metadataSummary(assets: DataFrame): DataFrame =
+    assets.groupBy(col("media_type"))
+      .agg(count("*").as("n_assets"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+}

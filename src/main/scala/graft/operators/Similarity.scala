@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (driver-mandated extension — SURVEY.md §7.9).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; one narrow pass computes all similarities,
+  *    one shuffle ranks per query. The baseline and the verifier.
+  *  - [[ivfTopK]] — IVF-style: assign every corpus vector to its nearest
+  *    centroid (one narrow pass, centroids broadcast), then probe only the
+  *    query's `nprobe` closest cells. Search cost drops by ~(cells/nprobe)×;
+  *    recall is bounded by cell assignment like any IVF index. At 100 TB the
+  *    assignment doubles as the partition key so each cell is co-located.
+  *
+  * Ranking is deterministic: similarity rounded to 9 dp, ties broken by
+  * neighbor id — the DuckDB oracle ranks identically.
+  */
+object Similarity {
+
+  private def rank(simCol: String, idCol: String) =
+    Window.partitionBy("query_id")
+      .orderBy(col(simCol).desc, col(idCol).asc)
+
+  /** Exact top-k neighbors for each query vector (queries excluded from
+    * their own result). `queries` must be small enough to broadcast — it is
+    * the probe set, not the corpus.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+
+  /** Assign each vector to its highest-cosine centroid. Centroids are a
+    * small broadcast table (centroid_id, vector).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
+      : DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol))))
+      .withColumn("csim", cosine(col(vecCol), col(centroidVecCol)))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col(centroidIdCol).asc)
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
+  }
+
+  /** IVF top-k: probe the query's own cell only (nprobe=1 shape; widen by
+    * unioning more cells per query for higher recall).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val qAssigned = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+    val scored = broadcast(qAssigned)
+      .join(assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+}

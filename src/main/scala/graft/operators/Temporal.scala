@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over event/price streams: as-of join and gap
+  * sessionization. Natural securities extensions (SURVEY.md §2.7 — the
+  * reference has no as-of join; daily bars + PK merge stand in for it).
+  *
+  * Both are implemented with the union-and-window trick rather than a range
+  * join: a range/theta join shuffles BOTH sides and explodes pairs, while
+  * the union form is ONE shuffle by key + ONE sort by time — the same cost
+  * as any window, and robust at 100 TB (the sort is per-key, spillable).
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the most recent right row with
+    * `rightTime <= leftTime`, per key. Right rows at the exact same
+    * timestamp DO match (inclusive).
+    *
+    * Implementation: tag and union both sides, window per key ordered by
+    * (time, side) with right rows first at equal times, carry
+    * `last(right value, ignoreNulls=true)` over the preceding frame
+    * including current, then keep left rows.
+    *
+    * @param rightCarry columns from the right side to carry (renamed as-is
+    *                   onto matched left rows; null when no match).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTime: String, rightTime: String, rightCarry: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged = {
+      val l = left.select(
+        (key.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")) ++
+          leftCols.filterNot(key.contains).map(c => col(c).as(s"__l_$c")) ++
+          rightCarry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+          : _*)
+      val r = right.select(
+        (key.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
+          leftCols.filterNot(key.contains)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+          rightCarry.map(c => col(c).as(s"__r_$c")): _*)
+      l.unionByName(r)
+    }
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCarry.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).select(
+      key.map(col) ++
+        leftCols.filterNot(key.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightCarry.map(c => col(s"__c_$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event (per key) exceeds `gapSeconds`. Returns the input plus
+    * a `session_id` column (0-based per key, ordered by time).
+    * lag + running sum — one shuffle by key, one sort.
+    */
+  def sessionize(events: DataFrame, key: Seq[String], timeCol: String,
+      gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(key.map(col): _*).orderBy(col(timeCol))
+    val prevT: Column = lag(col(timeCol), 1).over(order)
+    val isNew = when(prevT.isNull, 1L)
+      .when(unix_micros(col(timeCol)) - unix_micros(prevT) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val runningW = Window.partitionBy(key.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id", sum(col("__new")).over(runningW) - 1)
+      .drop("__new")
+  }
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <verify_out_dir>/<query> parquet result, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf tables, sorts
+columns by name, and compares row counts + values (exact for non-floats,
+1e-9 relative tolerance reported for floats).
+"""
+import sys, json, glob, math, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def load_result(d):
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    if not files:
+        return None
+    return pq.ParquetDataset(d).read().to_pandas()
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def compare(name, got, exp):
+    got, exp = norm(got), norm(exp)
+    if list(got.columns) != list(exp.columns):
+        return f"SCHEMA cols {list(got.columns)} vs {list(exp.columns)}"
+    if len(got) != len(exp):
+        return f"ROWS {len(got)} vs {len(exp)}"
+    probs = []
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        try:
+            if g.dtype.kind == 'f' or e.dtype.kind == 'f':
+                gn, en = g.isna(), e.isna()
+                if not gn.equals(en):
+                    probs.append(f"{c}: null-mask mismatch")
+                    continue
+                gv, ev = g[~gn].astype(float), e[~en].astype(float)
+                diff = (gv - ev).abs()
+                denom = ev.abs().clip(lower=1.0)
+                rel = (diff / denom).max() if len(gv) else 0.0
+                if rel > 1e-9:
+                    i = (diff / denom).idxmax()
+                    probs.append(f"{c}: maxrel {rel:.2e} at row {i}: {gv[i]!r} vs {ev[i]!r}")
+            else:
+                gs = g.astype(str).where(~g.isna(), "<NULL>")
+                es = e.astype(str).where(~e.isna(), "<NULL>")
+                if not gs.equals(es):
+                    bad = (gs != es)
+                    i = bad.idxmax()
+                    probs.append(f"{c}: {bad.sum()} diffs, first row {i}: {gs[i]!r} vs {es[i]!r}")
+        except Exception as ex:
+            probs.append(f"{c}: compare error {ex}")
+    return "; ".join(probs) if probs else None
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(set(oracles) | {d for d in os.listdir(out_dir)
+                                   if os.path.isdir(os.path.join(out_dir, d))})
+    n_pass = n_fail = 0
+    for name in names:
+        rd = os.path.join(out_dir, name)
+        if not os.path.isdir(rd):
+            print(f"FAIL {name}: no spark result"); n_fail += 1; continue
+        if name not in oracles:
+            print(f"WARN {name}: no oracle (rows-only check)"); continue
+        got = load_result(rd)
+        if got is None:
+            print(f"FAIL {name}: empty result dir"); n_fail += 1; continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL error: {ex}"); n_fail += 1; continue
+        prob = compare(name, got, exp)
+        if prob:
+            print(f"FAIL {name}: {prob}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
