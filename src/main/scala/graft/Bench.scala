@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT the scan/codegen paths so timings measure
+    // steady-state query cost, not first-query JVM warmup.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

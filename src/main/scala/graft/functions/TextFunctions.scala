@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization. Empty string → empty array (split of "" gives
-    * [""], filtered out).
+    * [""], filtered out). Codegen'd kernel ([[TokensExpr]]) — the
+    * filter-HOF form is interpreted per element.
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = TextExpressions.tokens(text)
 
   /** Portable 32-bit token hash shared with the DuckDB oracle:
     * first 8 hex digits of md5, parsed as an unsigned int.
@@ -34,12 +34,8 @@ object TextFunctions {
     * shorter than n yield a single whole-document shingle so they still
     * participate in dedup.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    // slice truncates at the array end (ANSI-safe, unlike element_at OOB)
-    transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    TextExpressions.shingles(text, n)
 
   /** Language-ID by marker-word voting: count hits against small per-language
     * marker sets; highest count wins, ties broken by language code. A

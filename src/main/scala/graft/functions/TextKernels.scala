@@ -1,0 +1,170 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused, codegen'd text kernels for the dedup/minhash pipeline.
+  *
+  * The composable column form ([[TextFunctions]]) builds tokens → shingles →
+  * hashes out of higher-order functions (`filter`/`transform`/`aggregate`),
+  * which Spark evaluates interpreted: one lambda dispatch per element, boxed.
+  * At corpus scale that is the dominant cost (it was ~20 s of the sf0.1
+  * bench). These expressions compute the same values in one primitive pass
+  * per row and participate in whole-stage codegen.
+  *
+  * Semantics are pinned to the DuckDB oracle fragments used by the harness:
+  *  - tokens: split on `\s+`, empties dropped;
+  *  - shingles(n): space-joined n-grams; < n tokens → ONE whole-doc shingle
+  *    (so an empty doc yields the single shingle "");
+  *  - portable hash: first 8 hex digits of md5, as an unsigned 32-bit value;
+  *  - minhash lane i: min over DISTINCT shingles of (h*a_i + b_i) mod p.
+  */
+object TextKernels {
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** First 8 hex digits of md5(bytes) parsed as an unsigned int — identical
+    * to conv(substring(md5(x),1,8),16,10) in Spark and
+    * ('0x'||substr(md5(x),1,8))::BIGINT in DuckDB.
+    */
+  def portableHash(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // first 4 digest bytes = first 8 hex digits
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toString
+    if (s.isEmpty) return Array.empty
+    val raw = s.split("\\s+")
+    // leading separator produces one empty first element; drop it
+    if (raw.nonEmpty && raw(0).isEmpty) raw.drop(1) else raw
+  }
+
+  def tokens(text: UTF8String): ArrayData = {
+    val t = tokenize(text)
+    new GenericArrayData(t.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+
+  def shingleStrings(text: UTF8String, n: Int): Array[String] = {
+    val t = tokenize(text)
+    val count = math.max(t.length - (n - 1), 1)
+    val out = new Array[String](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, t.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(t(j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def shingles(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleStrings(text, n)
+      .map(UTF8String.fromString(_).asInstanceOf[Any]))
+
+  /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
+  def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val sh = shingleStrings(text, n)
+    val seen = new java.util.HashSet[String](sh.length * 2)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val coeffs = Dedup2Coeffs.get(k)
+    var i = 0
+    while (i < sh.length) {
+      if (seen.add(sh(i))) {
+        val h = portableHash(sh(i).getBytes("UTF-8"))
+        var lane = 0
+        while (lane < k) {
+          val v = (h * coeffs(2 * lane) + coeffs(2 * lane + 1)) % 2147483647L
+          if (v < mins(lane)) mins(lane) = v
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(_.asInstanceOf[Any]))
+  }
+}
+
+/** Flattened (a0,b0,a1,b1,…) minhash coefficient cache, matching
+  * [[graft.operators.Dedup.minhashCoeffs]].
+  */
+object Dedup2Coeffs {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def get(k: Int): Array[Long] = cache.computeIfAbsent(k, k => {
+    val out = new Array[Long](2 * k)
+    var i = 0
+    while (i < k) {
+      out(2 * i) = 2L * i + 1001L
+      out(2 * i + 1) = 3L * i + 7877L
+      i += 1
+    }
+    out
+  })
+}
+
+/** tokens(text): array<string> — codegen'd. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.tokens(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokens($c)")
+  override protected def withNewChildInternal(c: Expression): TokensExpr =
+    copy(child = c)
+}
+
+/** shingles(text, n): array<string> — codegen'd. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingles(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
+}
+
+/** minhash_sig(text, k, n): array<long> of the k lane minima — the whole
+  * tokenize→shingle→distinct→hash→min pipeline fused into one map-side
+  * expression; signature computation needs NO shuffle at all.
+  */
+case class MinhashSigExpr(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.minhashLanes(t.asInstanceOf[UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashLanes($c, $k, $n)")
+  override protected def withNewChildInternal(c: Expression): MinhashSigExpr =
+    copy(child = c)
+}
+
+object TextExpressions {
+  def tokens(text: Column): Column =
+    GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
+  def shingles(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(text), n))
+  def minhashSig(text: Column, k: Int, n: Int): Column =
+    GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, n))
+}

@@ -7,18 +7,17 @@ import org.apache.spark.sql.functions._
   * (driver-mandated extension; embeddings.parquet carries 64-d float
   * vectors).
   *
-  * All functions are Spark built-in higher-order expressions
-  * (`zip_with` / `aggregate`) — codegen'd, no UDF, no serialization of the
-  * array off the Tungsten format. Elements are cast to double BEFORE any
-  * arithmetic and accumulated left-to-right, which exactly matches the
-  * DuckDB oracle's list arithmetic, keeping float results comparable.
+  * Backed by the native codegen'd kernels in [[VectorExpressions]] — the
+  * higher-order-function route (`zip_with`/`aggregate`) is interpreted per
+  * element and was the all-pairs-cosine bottleneck. Elements are widened to
+  * double BEFORE any arithmetic and accumulated left-to-right, exactly
+  * matching the DuckDB oracle's `list_dot_product` on `DOUBLE[]` lists, so
+  * results stay hash-comparable.
   */
 object VectorFunctions {
 
   /** Dot product, accumulated in double, sequential over indices. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,11 +28,16 @@ object VectorFunctions {
     when(n === 0.0, lit(null).cast("double")).otherwise(d / n)
   }
 
+  /** Cosine from a precomputed dot and precomputed per-side norms — use on
+    * pair joins so each vector's norm is computed once per ROW, not once
+    * per PAIR. Bit-identical to [[cosine]]: the norms are the same doubles
+    * wherever they are computed.
+    */
+  def cosineWithNorms(d: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    when(n === 0.0, lit(null).cast("double")).otherwise(d / n)
+  }
+
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val diff = x.cast("double") - y.cast("double")
-        diff * diff
-      }),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt(VectorExpressions.l2sq(a, b))
 }

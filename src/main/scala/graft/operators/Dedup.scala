@@ -47,19 +47,20 @@ object Dedup {
   def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map(i => (2L * i + 1001L, 3L * i + 7877L))
 
-  /** MinHash signatures: explode distinct shingles, one narrow pass
-    * computes all k hash lanes, then a single groupBy(doc) takes the mins.
-    * One shuffle total (by doc id), linear in total shingle count.
+  /** MinHash signatures via the fused codegen kernel
+    * ([[graft.functions.MinhashSigExpr]]): tokenize → shingle → distinct →
+    * hash → k lane-minima in ONE map-side pass per document. No explode, no
+    * groupBy — signature computation requires NO shuffle, so it scales as a
+    * pure narrow map over the corpus.
     */
   def minhashSignature(docs: DataFrame, numHashes: Int = 8, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .withColumn("h", portableHash(col("sh")))
-    val lanes = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MinhashP).as(s"mh$i")
-    }
-    sh.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
+    import graft.functions.TextExpressions
+    docs
+      .select(col(idCol),
+        TextExpressions.minhashSig(col(textCol), numHashes, shingleN).as("__sig"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"mh$i")): _*)
   }
 
   /** MinHash + LSH banding: rows-per-band signatures are concatenated into
@@ -116,7 +117,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      explode(array_distinct(
+        graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
     val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
     val inter = sh.toDF("id_a", "sh")
       .join(sh.toDF("id_b", "sh"), Seq("sh"))
@@ -132,16 +134,23 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.
-    * All-pairs form — O(n²) compare but each compare is a fused codegen
-    * loop; for corpus scale, pre-bucket with [[Similarity.ivfAssign]] and
-    * join within cells instead.
+    * All-pairs form — O(n²) compares, but each compare is ONE codegen'd
+    * dot-product kernel: norms are precomputed per row before the join
+    * (n sqrt's, not n²), so the per-pair work is a single 64-float loop.
+    * For corpus scale, pre-bucket with [[Similarity.ivfAssign]] and join
+    * within cells instead.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -34,10 +34,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("qv"), col("cv")), col("qn"), col("cn")))
     scored
       .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
       .where(col("rnk") <= k)
@@ -51,9 +54,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
       : DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol))))
-      .withColumn("csim", cosine(col(vecCol), col(centroidVecCol)))
+    val scored = corpus.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("__vn"))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol),
+        norm(col(centroidVecCol)).as("__cn"))))
+      .withColumn("csim", cosineWithNorms(
+        dot(col(vecCol), col(centroidVecCol)), col("__vn"), col("__cn")))
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col(centroidIdCol).asc)
     scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
@@ -67,12 +73,14 @@ object Similarity {
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     val qAssigned = ivfAssign(queries, centroids, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
     val scored = broadcast(qAssigned)
       .join(assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("cell")), Seq("cell"))
+        col("cell"), norm(col(vecCol)).as("cn")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("qv"), col("cv")), col("qn"), col("cn")))
     scored
       .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
       .where(col("rnk") <= k)

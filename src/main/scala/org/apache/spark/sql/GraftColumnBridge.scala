@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` classic Column↔Expression converters so
+  * graft's native Catalyst expressions (e.g. graft.functions.VecDot) can be
+  * exposed as user-facing `Column`s. Spark 4 hides the Expression-backed
+  * Column constructor behind the connect/classic split; this is the
+  * supported classic-mode path, just not public.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
