@@ -53,15 +53,17 @@ object UpsertWriter {
   ): Unit = {
     require(pk.nonEmpty, "upsert requires a primary key")
     val target = Paths.get(path)
-    if (!Files.exists(target)) {
-      writeAtomic(updates, target, partitionBy)
-      return
-    }
-    val existing = spark.read.parquet(path)
     // Dedup the incoming batch itself on PK (last occurrence wins is not
     // observable in the reference — its batches are PK-unique; we keep an
     // arbitrary-but-deterministic first row like dlt's staged MERGE).
+    // Applies to the CREATE path too: the table must be PK-unique from its
+    // first write.
     val dedupedUpdates = updates.dropDuplicates(pk)
+    if (!Files.exists(target)) {
+      writeAtomic(dedupedUpdates, target, partitionBy)
+      return
+    }
+    val existing = spark.read.parquet(path)
     val updatesSide =
       if (countAtMost(dedupedUpdates, broadcastThresholdRows)) broadcast(dedupedUpdates)
       else dedupedUpdates

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** The fused codegen kernels must agree exactly with their compositional
+  * Spark-builtin equivalents (which in turn are pinned to the DuckDB
+  * oracle fragments).
+  */
+class TextKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): Seq[String] =
+    TextKernels.tokenize(UTF8String.fromString(s)).toSeq
+
+  test("tokenize edge cases match split+filter semantics") {
+    assert(toks("") == Seq())
+    assert(toks("   ") == Seq())
+    assert(toks(" a  b ") == Seq("a", "b"))
+    assert(toks("a\tb\nc") == Seq("a", "b", "c"))
+    assert(toks("one") == Seq("one"))
+  }
+
+  test("shingles: n-grams, short docs collapse to one whole-doc shingle") {
+    def sh(s: String, n: Int = 3) =
+      TextKernels.shingleStrings(UTF8String.fromString(s), n).toSeq
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq("a b"))   // < n tokens -> whole doc
+    assert(sh("") == Seq(""))         // empty doc -> single empty shingle
+  }
+
+  test("portableHash matches Spark's conv(substring(md5(x),1,8),16,10)") {
+    val samples = Seq("", "a", "hello world", "naïve café — ünïcode ✓")
+    val viaSpark = samples.toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaKernel = samples.map(s => TextKernels.portableHash(s.getBytes("UTF-8")))
+    assert(viaKernel == viaSpark)
+  }
+
+  test("minhashLanes equals the explicit explode+groupBy computation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),
+      (3L, ""),
+      (4L, "x y z x y z x y z")).toDF("doc_id", "text")
+    // compositional form: distinct shingles -> hash -> per-lane min
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextExpressions.shingles(col("text"), 3))).as("sh"))
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+    val lanes = graft.operators.Dedup.minhashCoeffs(8).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((col("h") * a + b) % graft.operators.Dedup.MinhashP).as(s"mh$i")
+    }
+    val expected = sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+      .orderBy("doc_id").collect().map(r => (0 until 8).map(i => r.getLong(i + 1)))
+    val got = graft.operators.Dedup.minhashSignature(docs)
+      .orderBy("doc_id").collect().map(r => (0 until 8).map(i => r.getLong(i + 1)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("TokensExpr/ShinglesExpr survive whole-stage codegen paths") {
+    val df = Seq("a b c", "", " x ").toDF("text")
+      .select(TextExpressions.tokens(col("text")).as("t"),
+        TextExpressions.shingles(col("text"), 2).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(rows(0).getSeq[String](1) == Seq("a b", "b c"))
+    assert(rows(1).getSeq[String](0) == Seq())
+    assert(rows(1).getSeq[String](1) == Seq(""))
+    assert(rows(2).getSeq[String](0) == Seq("x"))
+  }
+
+  test("null text propagates null (not a crash) through the kernels") {
+    val df = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextExpressions.tokens(col("text")).as("t"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+}

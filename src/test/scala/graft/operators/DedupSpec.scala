@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  Quick Brown fox jumps over the lazy dog"), // ws/case variant
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (4L, "completely different content here entirely"),
+    (5L, "the quick brown fox jumps over a sleepy dog")   // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content, keeps min id") {
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    // 1 and 3 identical; 2 differs only by case+whitespace -> same after norm
+    assert(out.contains((1L, 3L)))
+    assert(out.map(_._2).sum == 5)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical docs always collide
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // disjoint text
+  }
+
+  test("ngram Jaccard: identical docs = 1.0, near-dups above 0.3, disjoint absent") {
+    val out = Dedup.ngramJaccardPairs(docs, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = out.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 3L)) == 1.0)
+    assert(m.contains((1L, 5L)) && m((1L, 5L)) < 1.0)
+    assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs share a signature; disjoint docs differ") {
+    val sigs = Dedup.simhash(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(3L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("embedding near-dup pairs: above-threshold cosine only, id_a < id_b") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // ~0.995 cosine with 1
+      (3L, Array(0.0f, 1.0f, 0.0f))    // orthogonal to 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+}

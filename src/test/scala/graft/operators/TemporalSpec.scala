@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin takes the most recent right row at or before left time") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 900L),
+      (1L, ts("2024-01-01 11:00:00"), 901L),
+      (1L, ts("2024-01-01 13:00:00"), 902L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"))
+      .orderBy("event_id").select("event_id", "click_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((100L, 900L), (101L, 901L)))
+  }
+
+  test("asOfJoin matches a right row at the EXACT same timestamp (inclusive)") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 10:00:00"), 55L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id")).collect()
+    assert(out(0).getAs[Long]("click_id") == 55L)
+  }
+
+  test("asOfJoin yields null carry when no prior right row exists") {
+    val left = Seq((1L, 7L, ts("2024-01-01 08:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 09:00:00"), 55L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id")).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("click_id")))
+  }
+
+  test("asOfJoin keys partition the match space") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((2L, ts("2024-01-01 09:00:00"), 99L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("click_id")))
+  }
+
+  test("sessionize starts a new session when the gap exceeds the threshold") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),  // 600s gap, within 1800
+      (1L, ts("2024-01-01 11:00:00")),  // 3000s gap -> new session
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val out = Temporal.sessionize(ev, Seq("user_id"), "ts", 1800L)
+      .orderBy("user_id", "ts")
+      .select("user_id", "session_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("sessionize gap is strictly-greater: exactly the gap stays in-session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00"))).toDF("user_id", "ts") // exactly 1800s
+    val out = Temporal.sessionize(ev, Seq("user_id"), "ts", 1800L)
+      .select("session_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L))
+  }
+}

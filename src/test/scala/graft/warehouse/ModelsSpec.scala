@@ -1,0 +1,82 @@
+package graft.warehouse
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+/** Pins the ffill_candles window semantics, including the reference's own
+  * dbt unit-test rows (dw_transformer/models/properties.yml:172-198) and
+  * the SURVEY.md §2.6 trap: NO ignore-nulls, so two consecutive all-null
+  * days fill the first gap day and leave the second null.
+  */
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private def ph(rows: (String, String, Option[Double], Option[Double],
+      Option[Double], Option[Double], Option[Long])*) =
+    rows.toSeq.map { case (ds, sym, o, h, l, c, v) =>
+      (d(ds), sym, o, h, l, c, v)
+    }.toDF("date_stamp", "symbol", "open", "high", "low", "close", "volume")
+
+  test("ffill fills a single all-null day with the previous raw close") {
+    // the dbt unit-test shape: day 2 entirely null -> takes day 1's close
+    val in = ph(
+      ("2024-01-01", "A", Some(1.0), Some(2.0), Some(0.5), Some(1.5), Some(10L)),
+      ("2024-01-02", "A", None, None, None, None, None),
+      ("2024-01-03", "A", Some(2.0), Some(3.0), Some(1.0), Some(2.5), Some(5L)))
+    val out = Models.ffillCandles(in, "symbol")
+      .orderBy("date_stamp")
+      .collect()
+    assert(out(1).getDouble(2) == 1.5) // open <- prev close
+    assert(out(1).getDouble(3) == 1.5) // high
+    assert(out(1).getDouble(4) == 1.5) // low
+    assert(out(1).getDouble(5) == 1.5) // close
+    assert(out(1).getLong(6) == 0L)    // null volume -> 0
+  }
+
+  test("two consecutive all-null days: first fills, second stays null") {
+    val in = ph(
+      ("2024-01-01", "A", Some(1.0), Some(2.0), Some(0.5), Some(1.5), Some(10L)),
+      ("2024-01-02", "A", None, None, None, None, None),
+      ("2024-01-03", "A", None, None, None, None, None))
+    val out = Models.ffillCandles(in, "symbol").orderBy("date_stamp").collect()
+    assert(out(1).getDouble(5) == 1.5)
+    // day 3's previous row's raw close is null -> stays null (no ignoreNulls)
+    assert(out(2).isNullAt(5))
+    assert(out(2).isNullAt(2))
+  }
+
+  test("ffill partitions by symbol: no bleed across symbols") {
+    val in = ph(
+      ("2024-01-01", "A", Some(1.0), Some(1.0), Some(1.0), Some(9.0), Some(1L)),
+      ("2024-01-02", "B", None, None, None, None, None))
+    val out = Models.ffillCandles(in, "symbol")
+      .orderBy("symbol", "date_stamp").collect()
+    assert(out(1).isNullAt(5)) // B has no prior row; A's close must not leak
+  }
+
+  test("stgFxPrices: USDJPY rounds to 3dp, others 5dp") {
+    val in = ph(
+      ("2024-01-01", "USDJPY", Some(1.23456789), Some(1.0), Some(1.0),
+        Some(1.98765432), Some(1L)),
+      ("2024-01-01", "EURUSD", Some(1.23456789), Some(1.0), Some(1.0),
+        Some(1.98765432), Some(1L)))
+    val out = Models.stgFxPrices(in).orderBy("symbol").collect()
+    val eur = out(0); val jpy = out(1)
+    assert(jpy.getDouble(2) == 1.235)
+    assert(eur.getDouble(2) == 1.23457)
+  }
+
+  test("fctPrices is a positional-safe UNION ALL of both staging models") {
+    val fx = ph(("2024-01-01", "EURUSD", Some(1.0), Some(1.0), Some(1.0),
+      Some(1.0), Some(1L)))
+    val st = ph(("2024-01-02", "AAPL", Some(2.0), Some(2.0), Some(2.0),
+      Some(2.0), Some(2L)))
+    val out = Models.fctPrices(fx, st)
+    assert(out.count() == 2)
+    assert(out.columns.toSeq ==
+      Seq("date_stamp", "symbol", "open", "high", "low", "close", "volume"))
+  }
+}
