@@ -397,6 +397,71 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // R1/P16/P5/S8: the FULL wide→long price transform pipeline — validate
+    // (regex columns), drop all-null ticker columns, stack() unpivot keeping
+    // all-null rows, FX suffix strip + whole-value remap
+    "q26_price_transform" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wide = ev.groupBy(to_date(col("ts")).cast(TimestampType).as("Date"))
+        .agg(
+          min(when(col("event_type") === "click", col("value"))).as("Open_AAA"),
+          max(when(col("event_type") === "click", col("value"))).as("High_AAA"),
+          min(when(col("event_type") === "view", col("value"))).as("Low_AAA"),
+          max(when(col("event_type") === "view", col("value"))).as("Close_AAA"),
+          count(when(col("event_type") === "click", lit(1))).as("Volume_AAA"),
+          min(when(col("event_type") === "purchase", col("value"))).as("Open_CHF=X"),
+          max(when(col("event_type") === "purchase", col("value"))).as("High_CHF=X"),
+          min(when(col("event_type") === "signup", col("value"))).as("Low_CHF=X"),
+          max(when(col("event_type") === "signup", col("value"))).as("Close_CHF=X"),
+          count(when(col("event_type") === "purchase", lit(1))).as("Volume_CHF=X"),
+          max(lit(null).cast(DoubleType)).as("Open_DEAD"),
+          max(lit(null).cast(DoubleType)).as("High_DEAD"),
+          max(lit(null).cast(DoubleType)).as("Low_DEAD"),
+          max(lit(null).cast(DoubleType)).as("Close_DEAD"),
+          max(lit(null).cast(LongType)).as("Volume_DEAD"))
+      graft.transform.PriceTransforms.transformPrices(wide, "fx")
+        .orderBy("symbol", "date_stamp")
+    }),
+
+    // P1–P8: the stock-symbol transform — validate, rename map, literal
+    // '.'→'-' fix, null fills, bool casts, date stamp, 8-col projection
+    "q27_symbol_transform" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(
+        concat(col("n_name"), lit(".X")).as("Symbol"),
+        lower(col("n_name")).as("Security"),
+        when(col("n_regionkey") === 0, lit(null).cast(StringType))
+          .otherwise(concat(lit("S"), col("n_regionkey").cast(StringType)))
+          .as("GICS Sector"),
+        lit(null).cast(StringType).as("GICS Sub-Industry"),
+        (col("n_regionkey") === 0).as("in_sp400"),
+        lit(null).cast(BooleanType).as("in_sp500"),
+        (col("n_regionkey") === 2).as("in_sp600"))
+      graft.transform.SymbolTransforms
+        .transformStockSymbols(raw, java.sql.Date.valueOf("2024-06-01"))
+        .orderBy("symbol")
+    }),
+
+    // P17: deterministic hash-based sampling (portable md5 — the
+    // distributed-safe replacement for pandas .sample(n))
+    "q28_hash_sample" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .where(TextFunctions.portableHash(col("c_name")) % 20 === 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // W2: replace (full-overwrite) write semantics — second replace wins
+    "q29_replace_write" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_replace_").toString + "/tbl"
+      UpsertWriter.replace(
+        t(s, dir, "nation").select(col("n_nationkey").as("key"),
+          col("n_name").as("name")), out)
+      UpsertWriter.replace(
+        t(s, dir, "region").select(col("r_regionkey").as("key"),
+          col("r_name").as("name")), out)
+      s.read.parquet(out).orderBy("key")
+    }),
+
     // ---- large-scale pipeline extensions (driver-mandated) ----
 
     // exact dedup: hash-groupBy on normalized content
@@ -483,6 +548,34 @@ object SparkEntry {
       Multimodal.metadataSummary(
         Multimodal.fromDocuments(t(s, dir, "documents")))),
 
+    // simhash near-dups: banded candidate gen (exact for hamming<bands),
+    // popcount verify on candidates only
+    "q44_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 2)
+        .orderBy("id_a", "id_b")),
+
+    // C4/Gopher-style quality filter: signals + keep decision in one pass
+    "q45_quality_filter" -> ((s, dir) => {
+      val txt = col("text")
+      val nt = TextFunctions.nTokens(txt)
+      val mtl = TextFunctions.meanTokenLen(txt)
+      val pr = TextFunctions.punctRatio(txt)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nt.as("n_tokens"), mtl.as("mean_token_len"),
+          pr.as("punct_ratio"),
+          (nt >= 20 && mtl >= 3.0 && mtl <= 10.0 && pr <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // per-language corpus stats (exact decimal-free aggregates)
+    "q46_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.nTokens(col("text")).cast(LongType)).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")),
+
     // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
     "q42_stream_upsert" -> ((s, dir) => {
       val out = java.nio.file.Files
@@ -495,6 +588,18 @@ object SparkEntry {
       s.read.parquet(s"$out/table")
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
+    }),
+
+    // streaming windowed aggregation: watermark + 10-min tumbling windows,
+    // AvailableNow backlog replay == the batch result (complete mode)
+    "q43_stream_windowed" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_streamw_").toString
+      val schema = rawTable(s, dir, "events").schema
+      graft.streaming.StreamingUpsert.runWindowedAvailableNow(
+        s, s"$dir/events.parquet", schema,
+        s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)
+      s.read.parquet(s"$out/table").orderBy("win_start", "event_type")
     }),
   )
 
@@ -510,6 +615,19 @@ object SparkEntry {
          |       FROM toks)""".stripMargin
     val cosSql = "list_dot_product(qv, cv) / " +
       "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+    val simhashCtes = {
+      val sums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val assemble = (0 until 16).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM toks),
+         |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+         |  FROM bits)""".stripMargin
+    }
 
     Map(
       "q01_pruned_scan" ->
@@ -746,6 +864,78 @@ object SparkEntry {
           |  l_quantity, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+      "q26_price_transform" ->
+        """WITH wide AS (
+          |  SELECT CAST(ts AS DATE) AS d,
+          |    min(CASE WHEN event_type='click' THEN value END) AS o_a,
+          |    max(CASE WHEN event_type='click' THEN value END) AS h_a,
+          |    min(CASE WHEN event_type='view' THEN value END) AS l_a,
+          |    max(CASE WHEN event_type='view' THEN value END) AS c_a,
+          |    count(CASE WHEN event_type='click' THEN 1 END) AS v_a,
+          |    min(CASE WHEN event_type='purchase' THEN value END) AS o_c,
+          |    max(CASE WHEN event_type='purchase' THEN value END) AS h_c,
+          |    min(CASE WHEN event_type='signup' THEN value END) AS l_c,
+          |    max(CASE WHEN event_type='signup' THEN value END) AS c_c,
+          |    count(CASE WHEN event_type='purchase' THEN 1 END) AS v_c
+          |  FROM events GROUP BY 1)
+          |SELECT d AS date_stamp, symbol, open, high, low, close, volume FROM (
+          |  SELECT d, 'AAA' AS symbol, o_a AS open, h_a AS high, l_a AS low,
+          |    c_a AS close, v_a AS volume FROM wide
+          |  UNION ALL
+          |  SELECT d, 'USDCHF', o_c, h_c, l_c, c_c, v_c FROM wide)
+          |ORDER BY symbol, date_stamp""".stripMargin,
+
+      "q27_symbol_transform" ->
+        """SELECT translate(n_name || '.X', '.', '-') AS symbol,
+          |  lower(n_name) AS name,
+          |  coalesce(CASE WHEN n_regionkey = 0 THEN NULL
+          |    ELSE 'S' || CAST(n_regionkey AS VARCHAR) END, 'Missing') AS sector,
+          |  'Missing' AS industry,
+          |  n_regionkey = 0 AS in_sp400,
+          |  false AS in_sp500,
+          |  n_regionkey = 2 AS in_sp600,
+          |  DATE '2024-06-01' AS date_stamp
+          |FROM nation ORDER BY symbol""".stripMargin,
+
+      "q28_hash_sample" ->
+        s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE ${pHashSql("c_name")} % 20 = 0
+           |ORDER BY c_custkey""".stripMargin,
+
+      "q29_replace_write" ->
+        """SELECT r_regionkey AS key, r_name AS name FROM region
+          |ORDER BY key""".stripMargin,
+
+      "q43_stream_windowed" ->
+        """SELECT (epoch_us(ts) // 600000000) * 600 AS win_start, event_type,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+      "q45_quality_filter" ->
+        s"""WITH q AS (SELECT doc_id, $toksSql AS tk, text FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(tk) AS INTEGER) AS n_tokens,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    list_aggregate(list_transform(tk, x -> strlen(x)), 'sum')::DOUBLE
+           |      / len(tk) END AS mean_token_len,
+           |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+           |    (strlen(text) - strlen(regexp_replace(text,
+           |      '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / strlen(text)
+           |  END AS punct_ratio
+           |  FROM q)
+           |SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
+           |  n_tokens >= 20 AND mean_token_len >= 3.0
+           |    AND mean_token_len <= 10.0 AND punct_ratio <= 0.2 AS keep
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q46_lang_stats" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
       "q30_dedup_exact" ->
         """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS chash,
           |  CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -773,19 +963,18 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
-      "q33_simhash" -> {
-        val sums = (0 until 16).map(b =>
-          s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-          .mkString(", ")
-        val assemble = (0 until 16).map(b =>
-          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
-           |  FROM documents),
-           |h AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM toks),
-           |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-           |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-           |FROM bits ORDER BY doc_id""".stripMargin
-      },
+      "q33_simhash" ->
+        s"""WITH $simhashCtes
+           |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+      "q44_simhash_neardup" ->
+        s"""WITH $simhashCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM pairs
+           |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
 
       "q34_ngram_jaccard" ->
         s"""WITH $shingleCtes,

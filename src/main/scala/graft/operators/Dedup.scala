@@ -108,6 +108,39 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
+    * EXACT but without the all-pairs join: signatures are cut into `bands`
+    * bit-bands and docs sharing any band become candidates (pigeonhole:
+    * ≤ maxHamming bit flips over `bands` bands leaves ≥ bands−maxHamming
+    * bands intact, so every true pair collides as long as
+    * maxHamming < bands). Candidates shuffle on (band, key) — linear in
+    * corpus size — and only candidates pay the popcount verify.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 2,
+      bits: Int = 16, bands: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < bands, "banding is only exact when maxHamming < bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = simhash(docs, bits, idCol, textCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("id_b"), col("simhash").as("sb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ threshold via an inverted shingle index:
     * |A∩B| from the self-join on shingle, |A|,|B| from per-doc counts.
     * Shuffles on shingle then on (id_a,id_b); quadratic only within a

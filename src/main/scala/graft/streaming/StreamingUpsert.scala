@@ -18,6 +18,20 @@ import graft.store.UpsertWriter
   */
 object StreamingUpsert {
 
+  /** The file-stream source force-sets basePath to the raw path unless it
+    * is a glob — and a file basePath is rejected. For a single parquet file,
+    * turn the filename into an exact-match glob ([e]vents.parquet) and
+    * anchor basePath at the parent directory.
+    */
+  private def globAndBase(sourcePath: String): (String, String) = {
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    if (sourcePath.endsWith(".parquet")) {
+      val n = p.getName
+      (new org.apache.hadoop.fs.Path(
+        p.getParent, s"[${n.head}]${n.tail}").toString, p.getParent.toString)
+    } else (sourcePath, sourcePath)
+  }
+
   /** Stream every file under `sourceDir` into a PK-merged parquet table at
     * `targetPath`. AvailableNow processes the current backlog then stops —
     * the streaming equivalent of one scheduled incremental run; a live
@@ -33,18 +47,7 @@ object StreamingUpsert {
       pk: Seq[String],
       maxFilesPerTrigger: Int = 1000,
   ): Unit = {
-    // sourceDir may be a single parquet file. FileStreamSource force-sets
-    // basePath to the raw path unless it is a glob — and a file basePath is
-    // rejected. Turn the filename into an exact-match glob ([e]vents.parquet)
-    // and anchor basePath at the parent directory.
-    val (src, base) = {
-      val p = new org.apache.hadoop.fs.Path(sourceDir)
-      if (sourceDir.endsWith(".parquet")) {
-        val n = p.getName
-        (new org.apache.hadoop.fs.Path(
-          p.getParent, s"[${n.head}]${n.tail}").toString, p.getParent.toString)
-      } else (sourceDir, sourceDir)
-    }
+    val (src, base) = globAndBase(sourceDir)
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -63,11 +66,56 @@ object StreamingUpsert {
   /** Windowed streaming aggregation with a watermark — the standard
     * late-data-bounded shape (10-minute windows, `lateness` allowed).
     * Returns the streaming DataFrame for the caller to sink.
+    *
+    * sum accumulates in decimal so the result is order-independent and
+    * exact — a double sum would vary with micro-batch boundaries.
     */
   def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,
       windowDuration: String, lateness: String): DataFrame =
     events
       .withWatermark(timeCol, lateness)
       .groupBy(window(col(timeCol), windowDuration), col(keyCol))
-      .agg(count("*").as("n"), sum("value").as("sum_value"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
+  /** Run the windowed aggregation over a parquet backlog with
+    * `Trigger.AvailableNow`, materializing the COMPLETE final state to
+    * `targetPath` (foreachBatch overwrite — every micro-batch rewrites the
+    * aggregate, the last one wins, so the backlog result equals the batch
+    * query). `tsFromNanos` converts a raw INT64-nanos column to a proper
+    * timestamp inside the stream.
+    */
+  def runWindowedAvailableNow(
+      spark: SparkSession,
+      sourceGlob: String,
+      schema: StructType,
+      targetPath: String,
+      checkpointDir: String,
+      timeCol: String,
+      keyCol: String,
+      windowDuration: String = "10 minutes",
+      lateness: String = "10 minutes",
+      tsFromNanos: Boolean = false,
+  ): Unit = {
+    val (src, base) = globAndBase(sourceGlob)
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", base).parquet(src)
+    val withTs =
+      if (tsFromNanos)
+        raw.withColumn(timeCol, expr(s"timestamp_micros($timeCol div 1000)"))
+      else raw
+    val agg = windowedCounts(withTs, timeCol, keyCol, windowDuration, lateness)
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col(keyCol), col("n"), col("sum_value"))
+    val query = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(targetPath)
+      }
+      .start()
+    query.awaitTermination()
+  }
 }
