@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world", "web"),
+    (2L, "", "crawl"),
+    (3L, "binary-ish  content", "web"))
+    .toDF("doc_id", "text", "source")
+
+  test("fromDocuments wraps text as binary payload with typed metadata") {
+    val assets = Multimodal.fromDocuments(docs)
+    assert(assets.schema("payload").dataType.typeName == "binary")
+    val row = assets.where($"asset_id" === 1L).collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+    assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("decodeFeatures is deterministic and partition-count independent") {
+    val assets = Multimodal.fromDocuments(docs)
+    val f1 = Multimodal.decodeFeatures(assets.repartition(1), dim = 4)
+      .orderBy("asset_id").collect().map(_.getSeq[Float](1))
+    val f8 = Multimodal.decodeFeatures(assets.repartition(8), dim = 4)
+      .orderBy("asset_id").collect().map(_.getSeq[Float](1))
+    assert(f1.toSeq == f8.toSeq)
+    assert(f1(0).length == 4)
+    assert(f1(1).forall(_ == 0.0f)) // empty payload -> zero features
+  }
+
+  test("metadata-only query prunes the payload column at the parquet scan") {
+    val dir = Files.createTempDirectory("graft_mm_").toString + "/assets"
+    Multimodal.fromDocuments(docs).write.parquet(dir)
+    val summary = Multimodal.metadataSummary(spark.read.parquet(dir))
+    val physical = summary.queryExecution.executedPlan.toString
+    // ReadSchema must not include the payload bytes
+    assert(physical.contains("ReadSchema"))
+    assert(!physical.contains("payload"),
+      s"payload column not pruned from scan:\n$physical")
+    val row = summary.collect()(0)
+    assert(row.getAs[Long]("n_assets") == 3L)
+  }
+}

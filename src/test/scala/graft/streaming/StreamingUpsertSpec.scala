@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write df as ONE plain parquet FILE (not a directory) so the file
+    * stream source picks it up directly from the source dir.
+    */
+  private def writeFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_w_").toString + "/out"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
+  test("AvailableNow stream merges a parquet backlog by PK exactly once") {
+    val root = Files.createTempDirectory("graft_su_").toString
+    val src = s"$root/src"
+    // two source files with an overlapping PK — merge must keep one row
+    writeFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$src/f1.parquet")
+    writeFile(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), s"$src/f2.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runAvailableNow(spark, src, schema,
+      s"$root/table", s"$root/ckpt", Seq("id"))
+    val got = spark.read.parquet(s"$root/table")
+    assert(got.select("id").distinct().count() == 3)
+    assert(got.count() == 3) // PK-unique regardless of batch boundaries
+  }
+
+  test("restarting the stream over the same checkpoint reprocesses nothing") {
+    val root = Files.createTempDirectory("graft_su2_").toString
+    val src = s"$root/src"
+    writeFile(Seq((1L, "a")).toDF("id", "v"), s"$src/f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runAvailableNow(spark, src, schema,
+      s"$root/table", s"$root/ckpt", Seq("id"))
+    // second run, same checkpoint: no new files -> table unchanged
+    StreamingUpsert.runAvailableNow(spark, src, schema,
+      s"$root/table", s"$root/ckpt", Seq("id"))
+    assert(spark.read.parquet(s"$root/table").count() == 1)
+  }
+
+  test("windowed backlog aggregation equals the equivalent batch query") {
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("graft_sw_").toString
+    val src = s"$root/src"
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:01:00"), "click", 1.5),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), "click", 2.5),
+      (3L, Timestamp.valueOf("2024-01-01 10:15:00"), "view", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    writeFile(ev, s"$src/f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runWindowedAvailableNow(spark, src, schema,
+      s"$root/table", s"$root/ckpt", "ts", "event_type")
+    val got = spark.read.parquet(s"$root/table")
+      .orderBy("win_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // 10:00 window: 2 clicks summing 4.0; 10:10 window: 1 view of 4.0
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val t1 = Timestamp.valueOf("2024-01-01 10:10:00").getTime / 1000
+    assert(got == Seq((t0, "click", 2L, 4.0), (t1, "view", 1L, 4.0)))
+  }
+}
