@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.Models
+
+/** Physical-plan audits: the optimizations the 100 TB design depends on
+  * must actually appear in the executed plan — filter/projection pushdown
+  * to the parquet scan, broadcast joins for dims, a SINGLE window exchange
+  * for the 4-column ffill, and whole-stage codegen around the custom
+  * kernels.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("date filter and projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 10.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      s"filter not pushed:\n$p")
+    // scan must read only the 2 projected columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"column not pruned: $readSchema")
+  }
+
+  test("dim joins broadcast (no shuffle of the fact side)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val n = broadcast(spark.read.parquet(s"$sf/nation.parquet"))
+    val joined = o.join(n, o("o_custkey") % 25 === n("n_nationkey"))
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ffill's four CASE columns share ONE Window (one shuffle, one sort)") {
+    // parquet-backed input: a local relation would be constant-folded away
+    val in = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      col("l_shipdate").cast("date").as("date_stamp"),
+      col("l_returnflag").as("symbol"),
+      col("l_quantity").as("open"), col("l_quantity").as("high"),
+      col("l_quantity").as("low"), col("l_quantity").as("close"),
+      col("l_orderkey").as("volume"))
+    val p = plan(Models.ffillCandles(in, "symbol"))
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected a single WindowExec:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort [")) == 1,
+      s"expected exactly one sort:\n$p")
+  }
+
+  test("custom vector kernel stays inside WholeStageCodegen") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.dot(col("embedding"), col("embedding")).as("d"))
+      .where(col("d") > 0)
+    val p = plan(df)
+    // WholeStageCodegenExec prints as a `*(n)` prefix on fused operators:
+    // both the Project computing vecdot and the Filter must carry it
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("vecdot")),
+      s"vecdot not inside a codegen stage:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("window ranking top-k does not collect to the driver") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+    val df = graft.operators.Similarity.bruteForceTopK(emb, q, k = 3)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    assert(df.count() == 9)
+  }
+}
