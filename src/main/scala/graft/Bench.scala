@@ -10,21 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT the scan/codegen paths so timings measure
-    // steady-state query cost, not first-query JVM warmup.
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      spark.read.parquet(s"$sfDir/documents.parquet").count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Each query runs twice: the first (untimed, recorded as cold) pays
+    // one-shot janino codegen compilation and JIT; the second measures
+    // steady-state execution — the number that scales with data volume.
+    // Both totals are reported; `value` is the steady-state total.
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val cold = time(fn)
+      val warm = time(fn)
+      name -> (cold, warm)
+    }
+    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.map(_._2).sum
+    val coldTotal = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -615,11 +615,11 @@ object SparkEntry {
          |       FROM toks)""".stripMargin
     val cosSql = "list_dot_product(qv, cv) / " +
       "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
-    val simhashCtes = {
-      val sums = (0 until 16).map(b =>
+    def simhashCtes(bits: Int): String = {
+      val sums = (0 until bits).map(b =>
         s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
         .mkString(", ")
-      val assemble = (0 until 16).map(b =>
+      val assemble = (0 until bits).map(b =>
         s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
       s"""toks AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
          |  FROM documents),
@@ -964,11 +964,11 @@ object SparkEntry {
       },
 
       "q33_simhash" ->
-        s"""WITH $simhashCtes
+        s"""WITH ${simhashCtes(16)}
            |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
 
       "q44_simhash_neardup" ->
-        s"""WITH $simhashCtes,
+        s"""WITH ${simhashCtes(32)},
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

@@ -117,9 +117,11 @@ object Dedup {
     * corpus size — and only candidates pay the popcount verify.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 2,
-      bits: Int = 16, bands: Int = 4,
+      bits: Int = 32, bands: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < bands, "banding is only exact when maxHamming < bands")
+    require(bits <= 32, "token hashes are 32-bit; higher simhash bits carry " +
+      "no signal and would collapse every doc into one band bucket")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     val sig = simhash(docs, bits, idCol, textCol)
