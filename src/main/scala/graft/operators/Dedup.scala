@@ -143,25 +143,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via an inverted shingle index:
-    * |A∩B| from the self-join on shingle, |A|,|B| from per-doc counts.
-    * Shuffles on shingle then on (id_a,id_b); quadratic only within a
-    * shingle's posting list — acceptable as a verifier / small-corpus path
-    * (the LSH path is the scale path).
+  /** Exact n-gram Jaccard pairs ≥ threshold, AllPairs-style prefix
+    * filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    * Search" — public literature):
+    *
+    *  1. per doc: sorted distinct shingle array + size (narrow map);
+    *  2. PREFIX index: a pair with jaccard ≥ t must share a shingle within
+    *     the first `|d| - ceil(t·|d|) + 1` shingles of any canonical
+    *     ordering — only the prefix is exploded into the inverted index,
+    *     shrinking the quadratic-in-posting-list candidate join;
+    *  3. LENGTH filter on candidates: jaccard ≥ t forces
+    *     t·|A| ≤ |B| (for |A| ≤ |B|);
+    *  4. exact verify per candidate via `array_intersect` on the two
+    *     shingle arrays (codegen'd, no second shuffle over shingles).
+    *
+    * Same result set as the naive inverted-index join, strictly fewer
+    * candidate pairs; the only shuffles are the prefix-shingle join and
+    * the candidate dedup.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(
+    val base = docs.select(col(idCol).as("id"),
+      array_sort(array_distinct(
         graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
-    val inter = sh.toDF("id_a", "sh")
-      .join(sh.toDF("id_b", "sh"), Seq("sh"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
-      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("sz", size(col("sh")))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val prefix = base.select(col("id"), col("sz"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val cand = prefix.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("s"))
+      .where(col("id_a") < col("id_b") &&
+        // length filter: t*max(szA,szB) <= min(szA,szB) is necessary for j>=t
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -66,13 +66,35 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
   }
 
-  /** IVF top-k: probe the query's own cell only (nprobe=1 shape; widen by
-    * unioning more cells per query for higher recall).
+  /** Assign each vector to its `nprobe` highest-cosine centroids (the
+    * multi-probe generalization of [[ivfAssign]]; one row per probed cell).
+    */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
+      : DataFrame = {
+    val scored = vectors.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("__vn"))
+      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol),
+        norm(col(centroidVecCol)).as("__cn"))))
+      .withColumn("csim", cosineWithNorms(
+        dot(col(vecCol), col(centroidVecCol)), col("__vn"), col("__cn")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col(centroidIdCol).asc)
+    scored.withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
+      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
+  }
+
+  /** IVF top-k: probe the query's `nprobe` closest cells (nprobe=1 = own
+    * cell only). Larger nprobe trades search cost for recall, the standard
+    * IVF knob; the corpus stays partitioned by cell either way, so each
+    * probe touches only co-located data.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    val qAssigned = ivfAssign(queries, centroids, idCol, vecCol)
+    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
         norm(col(vecCol)).as("qn"))
     val scored = broadcast(qAssigned)
