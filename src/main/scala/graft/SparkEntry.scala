@@ -576,6 +576,18 @@ object SparkEntry {
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
         .orderBy("lang")),
 
+    // multimodal decode: partition-local batch feature extraction over
+    // binary payloads (stub decoder; Spark plumbing is real). No SQL
+    // oracle — float accumulation inside the decoder is not expressible
+    // in DuckDB — so the driver records a rows-only check.
+    "q47_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.fromDocuments(t(s, dir, "documents")), dim = 8)
+        .select(col("asset_id"),
+          round(expr("aggregate(feature, 0D, (a, x) -> a + cast(x as double))"), 3)
+            .as("feature_sum"))
+        .orderBy("asset_id")),
+
     // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
     "q42_stream_upsert" -> ((s, dir) => {
       val out = java.nio.file.Files

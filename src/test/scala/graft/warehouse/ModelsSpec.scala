@@ -69,6 +69,42 @@ class ModelsSpec extends SparkSpec {
     assert(eur.getDouble(2) == 1.23457)
   }
 
+  test("reference dbt unit test: forward_fill_nulls_fx_prices, verbatim rows") {
+    // given rows from dw_transformer/models/properties.yml:172-185;
+    // expected from dw_transformer/tests/fixtures/stg_fx_prices_expected.sql
+    val in = ph(
+      ("2025-01-01", "P1", Some(1.10), Some(1.12), Some(1.09), Some(1.11), Some(1000L)),
+      ("2025-01-02", "P1", None, None, None, None, None),
+      ("2025-01-01", "P2", Some(1.20), Some(1.22), Some(1.19), Some(1.21), Some(1000L)),
+      ("2025-01-02", "P2", None, None, None, None, None))
+    val out = Models.stgFxPrices(in).orderBy("symbol", "date_stamp")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      ("2025-01-01", "P1", 1.10, 1.12, 1.09, 1.11, 1000L),
+      ("2025-01-02", "P1", 1.11, 1.11, 1.11, 1.11, 0L),
+      ("2025-01-01", "P2", 1.20, 1.22, 1.19, 1.21, 1000L),
+      ("2025-01-02", "P2", 1.21, 1.21, 1.21, 1.21, 0L)))
+  }
+
+  test("reference dbt unit test: forward_fill_nulls_stock_prices, verbatim rows") {
+    // given rows from dw_transformer/models/properties.yml:187-198;
+    // expected from dw_transformer/tests/fixtures/stg_stock_prices_expected.sql
+    val in = ph(
+      ("2025-01-01", "S1", Some(100.00), Some(102.05), Some(99.98), Some(100.01), Some(1000L)),
+      ("2025-01-02", "S1", None, None, None, None, None),
+      ("2025-01-01", "S2", Some(180.15), Some(189.25), Some(178.95), Some(179.80), Some(1000L)),
+      ("2025-01-02", "S2", None, None, None, None, None))
+    val out = Models.stgStockPrices(in).orderBy("symbol", "date_stamp")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      ("2025-01-01", "S1", 100.00, 102.05, 99.98, 100.01, 1000L),
+      ("2025-01-02", "S1", 100.01, 100.01, 100.01, 100.01, 0L),
+      ("2025-01-01", "S2", 180.15, 189.25, 178.95, 179.80, 1000L),
+      ("2025-01-02", "S2", 179.80, 179.80, 179.80, 179.80, 0L)))
+  }
+
   test("fctPrices is a positional-safe UNION ALL of both staging models") {
     val fx = ph(("2024-01-01", "EURUSD", Some(1.0), Some(1.0), Some(1.0),
       Some(1.0), Some(1L)))
