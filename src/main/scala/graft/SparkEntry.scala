@@ -576,6 +576,17 @@ object SparkEntry {
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
         .orderBy("lang")),
 
+    // JSON property extraction + aggregation (events.props is a JSON blob)
+    "q48_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k").cast(LongType)).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // multimodal decode: partition-local batch feature extraction over
     // binary payloads (stub decoder; Spark plumbing is real). No SQL
     // oracle — float accumulation inside the decoder is not expressible
@@ -947,6 +958,14 @@ object SparkEntry {
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q48_json_extract" ->
+        """SELECT event_type,
+          |  CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+          |  CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS sum_k,
+          |  min(json_extract(props, '$.k')::INTEGER) AS min_k,
+          |  max(json_extract(props, '$.k')::INTEGER) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q30_dedup_exact" ->
         """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS chash,

@@ -100,6 +100,49 @@ object UpsertWriter {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
 
+  /** Partition-scoped PK merge — the 100 TB path. The target is hive-
+    * partitioned by `partitionCol`; only partitions that actually contain
+    * updated keys are read (partition-pruned scan) and rewritten (dynamic
+    * partition overwrite). A daily delta against a 25-year history touches
+    * one day-partition, not the history.
+    *
+    * Mechanics: collect the delta's distinct partition values (small — the
+    * delta is the small side by assumption), scan ONLY those partitions of
+    * the target, merge, stage the merged partitions to a temp dir (Spark
+    * cannot overwrite a path it is reading), then dynamic-overwrite from
+    * the staged copy so untouched partitions' files are never rewritten.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      pk: Seq[String],
+      partitionCol: String,
+  ): Unit = {
+    require(pk.contains(partitionCol) || pk.nonEmpty,
+      "upsertPartitioned requires a primary key")
+    val target = Paths.get(path)
+    val dedup = updates.dropDuplicates(pk)
+    if (!Files.exists(target)) {
+      dedup.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val touched = dedup.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .where(col(partitionCol).isin(touched: _*)) // partition-pruned
+    val merged = existing.join(broadcast(dedup), pk, "left_anti")
+      .unionByName(dedup)
+    val staging = Files.createTempDirectory("graft_upsert_stage_").toString + "/s"
+    merged.write.partitionBy(partitionCol).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    deleteRecursively(Paths.get(staging))
+  }
+
   /** The merge RESULT as a DataFrame (no I/O) — the relational core of W1,
     * used by the harness oracle queries and by foreachBatch streaming sinks.
     */

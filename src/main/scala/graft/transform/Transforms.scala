@@ -98,26 +98,35 @@ object PriceTransforms {
       .filter { case (_, i) => counts.getLong(i) == 0L }.map(_._1).toSet
     val live = validated.drop(dead.toSeq: _*)
 
-    // R1: wide→long. Tickers present = union of suffixes across field cols.
+    // R1: wide→long. Tickers = union of suffixes across field columns;
+    // fields = union of prefixes — extra fields beyond OHLCV (e.g.
+    // "Adj Close") survive the stack exactly like pandas df.stack does
+    // (pandera strict=False lets them through validation).
     val liveCols = live.columns.filter(_ != "Date")
     val tickers = liveCols.map(_.split("_", 2)(1)).distinct.sorted
+    val present = liveCols.map(_.split("_", 2)(0)).distinct
+    val orderedFields =
+      fields.filter(present.contains) ++
+        present.filterNot(fields.contains).sorted
     def cellExpr(field: String, t: String): String =
       if (live.columns.contains(s"${field}_$t"))
         s"cast(`${field}_$t` as ${if (field == "Volume") "bigint" else "double"})"
       else if (field == "Volume") "cast(null as bigint)"
       else "cast(null as double)"
+    val outNames = orderedFields.map(f => s"`${f.toLowerCase}`")
     val stackArgs = tickers.map { t =>
-      (s"'$t'" +: fields.map(f => cellExpr(f, t))).mkString(", ")
+      (s"'$t'" +: orderedFields.map(f => cellExpr(f, t))).mkString(", ")
     }.mkString(", ")
     val stacked = live.select(
       col("Date"),
       expr(s"stack(${tickers.length}, $stackArgs) as " +
-        "(symbol, open, high, low, close, volume)"))
+        s"(symbol, ${outNames.mkString(", ")})"))
 
     val longDf = stacked
       .withColumn("date_stamp", to_date(col("Date")))
       .drop("Date")
-      .select("date_stamp", "symbol", "open", "high", "low", "close", "volume")
+      .select(col("date_stamp") +: col("symbol") +:
+        orderedFields.map(f => col(s"`${f.toLowerCase}`")): _*)
 
     if (assetCategory == "fx")
       longDf.withColumn("symbol", normalizeFxSymbol(col("symbol")))

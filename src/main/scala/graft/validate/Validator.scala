@@ -110,14 +110,19 @@ object Validator {
       .fold(vs => throw SchemaValidationException(vs), identity)
 
   /** Regex-column validation for the wide raw-price frame
-    * (validate.py:54-71): every non-index column must match exactly one
-    * pattern and have (or be coercible to) its type; plus the frame-level
-    * index check.
+    * (validate.py:54-71): columns matching a declared pattern must have (or
+    * be coercible to) its type; plus the frame-level index check.
+    *
+    * `strict = false` reproduces pandera's default: columns matching NO
+    * pattern pass through untouched (the reference's raw CSVs carry
+    * `Adj Close_<ticker>` columns that no pattern declares — they survive
+    * validation and the downstream stack, tests/e2e_test.py:173).
     */
   def validateWide(
       df: DataFrame,
       patterns: Seq[ColumnPattern],
       index: StructField,
+      strict: Boolean = false,
   ): Either[Seq[SchemaViolation], DataFrame] = {
     val errs = Seq.newBuilder[SchemaViolation]
     val compiled = patterns.map(p => (p, p.regex.r))
@@ -134,8 +139,9 @@ object Validator {
     val casts = df.schema.fields.filter(_.name != index.name).flatMap { f =>
       compiled.find { case (_, r) => r.pattern.matcher(f.name).matches() } match {
         case None =>
-          errs += SchemaViolation(f.name, "check_column_index_names",
-            "column matches no declared (Price, Ticker) pattern")
+          if (strict)
+            errs += SchemaViolation(f.name, "check_column_index_names",
+              "column matches no declared (Price, Ticker) pattern")
           None
         case Some((p, _)) if f.dataType == p.dataType => None
         case Some((p, _)) if p.coerce && coercible(f.dataType, p.dataType) =>

@@ -62,6 +62,37 @@ class UpsertWriterSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 1)
   }
 
+  test("partitioned upsert rewrites ONLY the touched partitions") {
+    val p = tmp()
+    UpsertWriter.upsertPartitioned(spark, p,
+      Seq(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+        ("2024-01-02", 3L, "c")).toDF("day", "id", "v"),
+      Seq("day", "id"), "day")
+    // record the untouched partition's file listing before the merge
+    def files(day: String) =
+      new java.io.File(s"$p/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val day1Before = files("2024-01-01")
+    UpsertWriter.upsertPartitioned(spark, p,
+      Seq(("2024-01-02", 3L, "C2"), ("2024-01-03", 4L, "d"))
+        .toDF("day", "id", "v"),
+      Seq("day", "id"), "day")
+    // day=2024-01-01 files untouched byte-for-byte
+    assert(files("2024-01-01") == day1Before)
+    val got = spark.read.parquet(p).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "C2"), (4L, "d")))
+  }
+
+  test("partitioned upsert is idempotent per partition") {
+    val p = tmp()
+    val batch = Seq(("2024-01-01", 1L, "a")).toDF("day", "id", "v")
+    UpsertWriter.upsertPartitioned(spark, p, batch, Seq("day", "id"), "day")
+    UpsertWriter.upsertPartitioned(spark, p, batch, Seq("day", "id"), "day")
+    assert(spark.read.parquet(p).count() == 1)
+  }
+
   test("mergePlan (relational form) matches the writer semantics") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "v")

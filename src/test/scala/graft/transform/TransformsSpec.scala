@@ -70,12 +70,27 @@ class TransformsSpec extends SparkSpec {
     assert(PriceTransforms.transformPrices(empty, "fx").count() == 0)
   }
 
-  test("transformPrices rejects a malformed wide frame via lazy validation") {
-    val bad = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "oops"))
-      .toDF("Date", "Garbage_Column_Name_NoMatch")
+  test("transformPrices rejects a wrong-typed matched column (lazy validation)") {
+    val bad = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), true))
+      .toDF("Date", "Open_AAPL") // boolean is not coercible to double
     val e = intercept[Validator.SchemaValidationException] {
       PriceTransforms.transformPrices(bad, "sp_stocks")
     }
-    assert(e.violations.nonEmpty)
+    assert(e.violations.exists(_.check == "dtype"))
+  }
+
+  test("extra Adj Close columns pass validation and survive the stack") {
+    // pandera strict=False parity: the reference's raw CSVs carry
+    // Adj Close_<ticker> columns no pattern declares (e2e_test.py:173)
+    val wide = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"),
+        Some(1.0), Some(2.0), Some(0.5), Some(1.5), Some(1.4), Some(10L)))
+      .toDF("Date", "Open_AAPL", "High_AAPL", "Low_AAPL", "Close_AAPL",
+        "Adj Close_AAPL", "Volume_AAPL")
+    val out = PriceTransforms.transformPrices(wide, "sp_stocks")
+    assert(out.columns.toSeq ==
+      Seq("date_stamp", "symbol", "open", "high", "low", "close", "volume",
+        "adj close"))
+    assert(out.collect()(0).getAs[Double]("adj close") == 1.4)
   }
 }

@@ -60,7 +60,12 @@ class ValidatorSpec extends SparkSpec {
     val df = Seq(("2024-01-01 00:00:00", 1.0f, 5, "junk"))
       .toDF("ts", "Open_AAPL", "Volume_AAPL", "bogus")
       .selectExpr("cast(ts as timestamp) as Date", "Open_AAPL", "Volume_AAPL", "bogus")
-    val out = Validator.validateWide(df, Schemas.rawPricePatterns, Schemas.rawPriceIndex)
+    // default (pandera strict=False): unmatched columns pass through
+    assert(Validator.validateWide(df, Schemas.rawPricePatterns,
+      Schemas.rawPriceIndex).isRight)
+    // strict mode flags them
+    val out = Validator.validateWide(df, Schemas.rawPricePatterns,
+      Schemas.rawPriceIndex, strict = true)
     assert(out.isLeft)
     assert(out.left.toOption.get.exists(_.column == "bogus"))
 
