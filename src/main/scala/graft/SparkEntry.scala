@@ -576,6 +576,19 @@ object SparkEntry {
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
         .orderBy("lang")),
 
+    // stateful streaming sessionization: flatMapGroupsWithState custom
+    // state (last-ts, session-id) per user; backlog replay == batch result
+    "q49_stateful_sessionize" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_statess_").toString
+      val schema = rawTable(s, dir, "events").schema
+      graft.streaming.StatefulSessionize.runAvailableNow(
+        s, s"$dir/events.parquet", schema,
+        s"$out/table", s"$out/ckpt", gapSeconds = 1800L,
+        maxFilesPerTrigger = 1000, tsFromNanos = true)
+      s.read.parquet(s"$out/table").orderBy("user_id", "ts_us", "session_id")
+    }),
+
     // JSON property extraction + aggregation (events.props is a JSON blob)
     "q48_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -958,6 +971,20 @@ object SparkEntry {
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q49_stateful_sessionize" ->
+        """WITH o AS (
+          |  SELECT user_id, epoch_us(ts) AS ts_us,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+          |SELECT user_id, ts_us,
+          |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+          |    AS session_id
+          |FROM o ORDER BY user_id, ts_us, session_id""".stripMargin,
 
       "q48_json_extract" ->
         """SELECT event_type,

@@ -23,7 +23,7 @@ object StreamingUpsert {
     * turn the filename into an exact-match glob ([e]vents.parquet) and
     * anchor basePath at the parent directory.
     */
-  private def globAndBase(sourcePath: String): (String, String) = {
+  private[streaming] def globAndBase(sourcePath: String): (String, String) = {
     val p = new org.apache.hadoop.fs.Path(sourcePath)
     if (sourcePath.endsWith(".parquet")) {
       val n = p.getName
