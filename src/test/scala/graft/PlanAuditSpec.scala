@@ -72,6 +72,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    o.groupBy("o_custkey").count()
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("cust_counts_bucketed")
+    // disable auto-broadcast to simulate both sides being at-scale tables
+    // (at sf0.001 everything fits the broadcast threshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("cust_counts_bucketed"), "o_custkey")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == o.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("window ranking top-k does not collect to the driver") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)
