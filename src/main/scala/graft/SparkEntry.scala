@@ -576,6 +576,52 @@ object SparkEntry {
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
         .orderBy("lang")),
 
+    // streaming exact dedup: dropDuplicates state across micro-batches —
+    // the same backlog ingested twice (2 files, 1 file per batch) yields
+    // each event exactly once
+    "q50_stream_dedup" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sdedup_").toString
+      val src = java.nio.file.Paths.get(s"$root/src")
+      java.nio.file.Files.createDirectories(src)
+      val ev = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(ev, src.resolve("f1.parquet"))
+      java.nio.file.Files.copy(ev, src.resolve("f2.parquet"))
+      val schema = rawTable(s, dir, "events").schema
+      graft.streaming.StreamingDedup.runAvailableNow(
+        s, src.toString, schema, s"$root/table", s"$root/ckpt",
+        Seq("event_id"))
+      s.read.parquet(s"$root/table")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // binned range join: points-in-interval without an equi key — bin
+    // equi-join + exact containment filter, no cross product
+    "q51_range_join" -> ((s, dir) => {
+      val usExpr = expr("unix_micros(ts)")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), usExpr.as("ts_us"))
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(usExpr).as("start_us"))
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id").as("iv_user"), col("start_us"),
+          (col("start_us") + 3600L * 1000000L).as("end_us"))
+      Temporal.rangeJoinBinned(ev, "ts_us", iv, "start_us", "end_us",
+          binSizeUs = 3600L * 1000000L)
+        .groupBy("iv_user").agg(count(lit(1)).as("n_points"))
+        .orderBy("iv_user")
+    }),
+
+    // Gopher-style repetition signals (dup-token and top-bigram ratios)
+    "q52_text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupTokenRatio(col("text")).as("dup_token_ratio"),
+          TextFunctions.dupBigramRatio(col("text")).as("top_bigram_ratio"))
+        .orderBy("doc_id")),
+
     // stateful streaming sessionization: flatMapGroupsWithState custom
     // state (last-ts, session-id) per user; backlog replay == batch result
     "q49_stateful_sessionize" -> ((s, dir) => {
@@ -971,6 +1017,33 @@ object SparkEntry {
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q50_stream_dedup" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |ORDER BY event_id""".stripMargin,
+
+      "q51_range_join" ->
+        """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+          |iv AS (
+          |  SELECT user_id AS iv_user, min(epoch_us(ts)) AS start_us,
+          |    min(epoch_us(ts)) + 3600000000 AS end_us
+          |  FROM events GROUP BY user_id HAVING user_id % 20 = 0)
+          |SELECT iv_user, CAST(count(*) AS BIGINT) AS n_points
+          |FROM ev JOIN iv ON ts_us BETWEEN start_us AND end_us
+          |GROUP BY iv_user ORDER BY iv_user""".stripMargin,
+
+      "q52_text_repetition" ->
+        s"""WITH q AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |g AS (SELECT doc_id, tk, ${shinglesSql("tk", 2)} AS grams FROM q)
+           |SELECT doc_id,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    1.0 - len(list_distinct(tk))::DOUBLE / len(tk) END
+           |    AS dup_token_ratio,
+           |  CASE WHEN len(tk) < 2 THEN 0.0 ELSE
+           |    list_max(list_transform(list_distinct(grams),
+           |      gg -> len(list_filter(grams, x -> x = gg))))::DOUBLE
+           |      / len(grams) END AS top_bigram_ratio
+           |FROM g ORDER BY doc_id""".stripMargin,
 
       "q49_stateful_sessionize" ->
         """WITH o AS (

@@ -78,6 +78,29 @@ object TextFunctions {
         / size(t))
   }
 
+  /** Gopher-style repetition signal: fraction of tokens that are repeats
+    * of an earlier token (1 − distinct/total). 0 for empty docs.
+    */
+  def dupTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Gopher-style top-bigram fraction: share of all bigram occurrences
+    * taken by the single most frequent bigram. 0 when < 2 tokens.
+    * Computed with aggregate over the shingle array — per-row, no shuffle.
+    */
+  def dupBigramRatio(text: Column): Column = {
+    val grams = shingles(text, 2)
+    val counts = aggregate(
+      array_distinct(grams), lit(0),
+      (mx, g) => greatest(mx, size(filter(grams, x => x === g))))
+    when(size(tokens(text)) < 2, lit(0.0))
+      .otherwise(counts.cast("double") / size(grams))
+  }
+
   /** BPE-ish sub-token count: runs of letters, runs of digits, or single
     * other non-space characters (the usual pre-tokenizer regex shape).
     */

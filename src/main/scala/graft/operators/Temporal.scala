@@ -54,6 +54,31 @@ object Temporal {
         rightCarry.map(c => col(s"__c_$c").as(c)): _*)
   }
 
+  /** Point-in-interval (range) join WITHOUT an equi key, binned: a naive
+    * theta join `p BETWEEN s AND e` is a cross product; instead both sides
+    * map to coarse time bins — points to their bin, intervals to EVERY bin
+    * they overlap — the join becomes an equi-join on bin, and the exact
+    * containment predicate filters within bins. Cost is linear in
+    * points + intervals×(span/binSize) instead of points×intervals; pick
+    * `binSizeUs` near the typical interval span.
+    *
+    * Inputs carry epoch-µs long columns. Output: one row per (point row,
+    * containing interval), exact.
+    */
+  def rangeJoinBinned(points: DataFrame, pointTimeUs: String,
+      intervals: DataFrame, startUs: String, endUs: String,
+      binSizeUs: Long): DataFrame = {
+    // integer `div`: epoch-µs values would lose precision through a
+    // double-typed `/`
+    val p = points.withColumn("__bin", expr(s"`$pointTimeUs` div $binSizeUs"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        expr(s"`$startUs` div $binSizeUs"), expr(s"`$endUs` div $binSizeUs"))))
+    p.join(i, Seq("__bin"))
+      .where(col(pointTimeUs).between(col(startUs), col(endUs)))
+      .drop("__bin")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event (per key) exceeds `gapSeconds`. Returns the input plus
     * a `session_id` column (0-based per key, ordered by time).

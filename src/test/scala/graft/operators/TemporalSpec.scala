@@ -48,6 +48,21 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("click_id")))
   }
 
+  test("rangeJoinBinned equals the naive theta join, incl. boundary points") {
+    val points = Seq((1L, 100L), (2L, 500L), (3L, 1000L), (4L, 1500L),
+      (5L, 2500L)).toDF("pid", "ts_us")
+    val iv = Seq((10L, 100L, 1000L), (20L, 900L, 1600L), (30L, 3000L, 4000L))
+      .toDF("ivid", "start_us", "end_us")
+    val binned = Temporal.rangeJoinBinned(points, "ts_us", iv,
+        "start_us", "end_us", binSizeUs = 700L)
+      .select("pid", "ivid").as[(Long, Long)].collect().toSet
+    val naive = points.join(iv,
+        $"ts_us".between($"start_us", $"end_us"))
+      .select("pid", "ivid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned == Set((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L), (4L, 20L)))
+  }
+
   test("sessionize starts a new session when the gap exceeds the threshold") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),

@@ -46,6 +46,19 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/table").count() == 1)
   }
 
+  test("streaming dedup drops duplicate keys ACROSS micro-batches") {
+    val root = Files.createTempDirectory("graft_sd_").toString
+    val src = s"$root/src"
+    writeFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$src/f1.parquet")
+    writeFile(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), s"$src/f2.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingDedup.runAvailableNow(spark, src, schema,
+      s"$root/table", s"$root/ckpt", Seq("id")) // 1 file per batch
+    val got = spark.read.parquet(s"$root/table").orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L)) // id=2 seen in batch 1, dropped in batch 2
+  }
+
   test("windowed backlog aggregation equals the equivalent batch query") {
     import java.sql.Timestamp
     val root = Files.createTempDirectory("graft_sw_").toString
