@@ -143,25 +143,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold, AllPairs-style prefix
-    * filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
-    * Search" — public literature):
+  /** Exact n-gram Jaccard pairs ≥ threshold via the inverted shingle
+    * index: |A∩B| counted directly from the shingle self-join, |A|,|B|
+    * from per-doc sizes. One shuffle on shingle, one aggregation on the
+    * pair. Quadratic only inside a shingle's posting list — on corpora
+    * with "hub" shingles prefer capping via [[ngramJaccardPairsPrefix]]
+    * or switching to [[minhashLshPairs]].
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
+    val inter = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Same result set via AllPairs-style prefix filtering (Bayardo et al.,
+    * WWW'07 "Scaling Up All Pairs Similarity Search" — public literature):
     *
     *  1. per doc: sorted distinct shingle array + size (narrow map);
     *  2. PREFIX index: a pair with jaccard ≥ t must share a shingle within
     *     the first `|d| - ceil(t·|d|) + 1` shingles of any canonical
-    *     ordering — only the prefix is exploded into the inverted index,
-    *     shrinking the quadratic-in-posting-list candidate join;
+    *     ordering — only the prefix is exploded into the inverted index;
     *  3. LENGTH filter on candidates: jaccard ≥ t forces
     *     t·|A| ≤ |B| (for |A| ≤ |B|);
     *  4. exact verify per candidate via `array_intersect` on the two
     *     shingle arrays (codegen'd, no second shuffle over shingles).
     *
-    * Same result set as the naive inverted-index join, strictly fewer
-    * candidate pairs; the only shuffles are the prefix-shingle join and
-    * the candidate dedup.
+    * Wins when the prefix index is selective (high thresholds, diverse
+    * vocabulary); the plain inverted-index form wins when hub shingles
+    * dominate anyway and counting beats distinct+verify.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+  def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_sort(array_distinct(
@@ -177,11 +201,15 @@ object Dedup {
         least(col("sz_a"), col("sz_b")) >=
           ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
       .select("id_a", "id_b").distinct()
+    // broadcast the per-doc arrays to the candidate stream: candidates
+    // outnumber docs, so shuffling the (heavy, array-carrying) doc table
+    // per candidate pair is the expensive wrong shape. At corpora beyond
+    // broadcast size, hash-partition BOTH sides by id instead.
     cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        col("sz").as("sz_b")), "id_b")
+      .join(broadcast(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b"))), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered Jaccard equals the inverted-index form at several thresholds") {
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(docs, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == plain, s"threshold $t")
+    }
+  }
+
   test("simhash: identical docs share a signature; disjoint docs differ") {
     val sigs = Dedup.simhash(docs).orderBy("doc_id")
       .as[(Long, Long)].collect().toMap
