@@ -47,6 +47,18 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Streaming state cost scales with shuffle partitions (one state-store
+    * instance + delta files per partition per batch); the harness's
+    * streams carry tiny state, so run them at few partitions and restore
+    * the session setting after. The returned DataFrames are plain parquet
+    * reads of the materialized sink, unaffected by the restore.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -588,9 +600,11 @@ object SparkEntry {
       java.nio.file.Files.copy(ev, src.resolve("f1.parquet"))
       java.nio.file.Files.copy(ev, src.resolve("f2.parquet"))
       val schema = rawTable(s, dir, "events").schema
-      graft.streaming.StreamingDedup.runAvailableNow(
-        s, src.toString, schema, s"$root/table", s"$root/ckpt",
-        Seq("event_id"))
+      withShufflePartitions(s, 4) {
+        graft.streaming.StreamingDedup.runAvailableNow(
+          s, src.toString, schema, s"$root/table", s"$root/ckpt",
+          Seq("event_id"))
+      }
       s.read.parquet(s"$root/table")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
@@ -628,10 +642,12 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft_statess_").toString
       val schema = rawTable(s, dir, "events").schema
-      graft.streaming.StatefulSessionize.runAvailableNow(
-        s, s"$dir/events.parquet", schema,
-        s"$out/table", s"$out/ckpt", gapSeconds = 1800L,
-        maxFilesPerTrigger = 1000, tsFromNanos = true)
+      withShufflePartitions(s, 4) {
+        graft.streaming.StatefulSessionize.runAvailableNow(
+          s, s"$dir/events.parquet", schema,
+          s"$out/table", s"$out/ckpt", gapSeconds = 1800L,
+          maxFilesPerTrigger = 1000, tsFromNanos = true)
+      }
       s.read.parquet(s"$out/table").orderBy("user_id", "ts_us", "session_id")
     }),
 
@@ -664,9 +680,11 @@ object SparkEntry {
         .createTempDirectory("graft_stream_").toString
       // raw schema (ts as long nanos): the stream reads the files as-is
       val schema = rawTable(s, dir, "events").schema
-      graft.streaming.StreamingUpsert.runAvailableNow(
-        s, s"$dir/events.parquet", schema,
-        s"$out/table", s"$out/ckpt", Seq("event_id"))
+      withShufflePartitions(s, 4) {
+        graft.streaming.StreamingUpsert.runAvailableNow(
+          s, s"$dir/events.parquet", schema,
+          s"$out/table", s"$out/ckpt", Seq("event_id"))
+      }
       s.read.parquet(s"$out/table")
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -678,9 +696,11 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft_streamw_").toString
       val schema = rawTable(s, dir, "events").schema
-      graft.streaming.StreamingUpsert.runWindowedAvailableNow(
-        s, s"$dir/events.parquet", schema,
-        s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)
+      withShufflePartitions(s, 4) {
+        graft.streaming.StreamingUpsert.runWindowedAvailableNow(
+          s, s"$dir/events.parquet", schema,
+          s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)
+      }
       s.read.parquet(s"$out/table").orderBy("win_start", "event_type")
     }),
   )
