@@ -588,6 +588,44 @@ object SparkEntry {
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
         .orderBy("lang")),
 
+    // ROLLUP hierarchy aggregation (subtotals + grand total)
+    "q53_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // top-k per group with deterministic tie-break (window ranking)
+    "q54_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+          Seq("o_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // per-column data profile (nulls / distincts / bounds) in one pass
+    "q55_profile" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        min(to_date(col("o_orderdate"))).as("date_min"),
+        max(to_date(col("o_orderdate"))).as("date_max"))),
+
     // streaming exact dedup: dropDuplicates state across micro-batches —
     // the same backlog ingested twice (2 files, 1 file per batch) yields
     // each event exactly once
@@ -1037,6 +1075,40 @@ object SparkEntry {
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q53_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q54_topk_per_group" ->
+        """WITH rev AS (
+          |  SELECT c_mktsegment, o_custkey,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY c_mktsegment, o_custkey),
+          |ranked AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+          |    ORDER BY revenue DESC, o_custkey) AS INTEGER) AS rnk
+          |  FROM rev)
+          |SELECT o_custkey, c_mktsegment, revenue, rnk
+          |FROM ranked WHERE rnk <= 3
+          |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+      "q55_profile" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(o_custkey) AS BIGINT) AS custkey_nonnull,
+          |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+          |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+          |  min(o_totalprice) AS price_min,
+          |  max(o_totalprice) AS price_max,
+          |  CAST(min(o_orderdate) AS DATE) AS date_min,
+          |  CAST(max(o_orderdate) AS DATE) AS date_max
+          |FROM orders""".stripMargin,
 
       "q50_stream_dedup" ->
         """SELECT event_id, user_id, event_type FROM events
