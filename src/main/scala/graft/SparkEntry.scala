@@ -555,6 +555,14 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // random-hyperplane LSH near-dup (the linear-candidate scale path for
+    // q40). Signatures use Spark's murmur3 hash — no DuckDB twin, so the
+    // driver records a rows-only check; precision is exact by construction
+    // (verified cosine), recall probabilistic.
+    "q56_embedding_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // multimodal: binary payload + typed metadata, payload-pruned summary
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadataSummary(

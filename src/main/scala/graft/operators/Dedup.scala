@@ -217,6 +217,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Random-hyperplane (SimHash-for-vectors) LSH near-duplicate pairs:
+    * sign-bit signatures from `nBits` deterministic pseudo-random
+    * hyperplanes, banded like minhash; candidates sharing a band verify
+    * with the exact cosine kernel. Linear candidate generation — the
+    * 100 TB path where [[embeddingNearDupPairs]]'s all-pairs form is
+    * infeasible. Recall is probabilistic (raise nBits/bands to trade cost
+    * for recall); verified pairs are exact, so precision is 1.
+    *
+    * Hyperplane components derive from a hash of (bit, dimension) — no
+    * RNG state, so executors and re-runs agree bit-for-bit.
+    */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 16, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    // signature bit b = sign of <v, h_b>, h_b[i] = hash-derived in [-1, 1)
+    def hyperplaneComponent(b: Int): Column =
+      (pmod(hash(lit(b) * 7919 + col("pos")), lit(2000001)).cast("double")
+        - 1000000.0) / 1000000.0
+    val withPos = embeddings.select(col(idCol), col(vecCol),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val dots = (0 until nBits).map(b =>
+      sum(col("x").cast("double") * hyperplaneComponent(b)).as(s"d$b"))
+    val sig = withPos.groupBy(col(idCol))
+      .agg(dots.head, dots.tail: _*)
+      .select(col(idCol),
+        (0 until nBits).map(b =>
+          when(col(s"d$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+          .as("vsig"))
+    val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("vsig"), b * bandBits).bitwiseAND(mask).as("key"))
+    }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
+        Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    cand
+      .join(broadcast(withNorm.select(col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("nrm").as("na"))), "id_a")
+      .join(broadcast(withNorm.select(col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("nrm").as("nb"))), "id_b")
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`.
     * All-pairs form — O(n²) compares, but each compare is ONE codegen'd
     * dot-product kernel: norms are precomputed per row before the join

@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("LSH embedding near-dup: perfect precision, high recall on near-identical vectors") {
+    // 20 base vectors + a near-copy of each (cos > 0.99) + noise vectors
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val copies = bases.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.01f * rng.nextFloat()))
+    }
+    val emb = (bases ++ copies).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(emb, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))              // precision 1 (exact verify)
+    assert(lsh.size >= exact.size * 8 / 10,  // near-identical pairs collide
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("embedding near-dup pairs: above-threshold cosine only, id_a < id_b") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
