@@ -28,7 +28,11 @@ object Temporal {
     *                   onto matched left rows; null when no match).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTime: String, rightTime: String, rightCarry: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightCarry: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val tagged = {
       val l = left.select(
@@ -43,15 +47,34 @@ object Temporal {
           rightCarry.map(c => col(c).as(s"__r_$c")): _*)
       l.unionByName(r)
     }
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col("__t"), col("__side"))
+    // backward: nearest right row at-or-before; forward: at-or-after
+    // (reversed time order). Either way right rows sort before left rows at
+    // equal times (side 0 < 1), keeping the match inclusive.
+    val ord =
+      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
+      else Seq(col("__t").desc, col("__side").asc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCarry.foldLeft(tagged) { (df, c) =>
+    val withMatchT = tagged.withColumn("__m_t",
+      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val carried = rightCarry.foldLeft(withMatchT) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    // tolerance: void matches farther than toleranceUs from the left time
+    def toUs(c: Column): Column = tagged.schema("__t").dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val within = toleranceUs.fold(lit(true)) { tol =>
+      col("__m_t").isNotNull &&
+        abs(toUs(col("__t")) - toUs(col("__m_t"))) <= tol
     }
     carried.where(col("__side") === 1).select(
       key.map(col) ++
         leftCols.filterNot(key.contains).map(c => col(s"__l_$c").as(c)) ++
-        rightCarry.map(c => col(s"__c_$c").as(c)): _*)
+        rightCarry.map(c =>
+          when(within, col(s"__c_$c"))
+            .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)): _*)
   }
 
   /** Point-in-interval (range) join WITHOUT an equi key, binned: a naive

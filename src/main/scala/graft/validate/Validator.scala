@@ -109,6 +109,28 @@ object Validator {
     validate(df, expected, coerce, checkNulls)
       .fold(vs => throw SchemaValidationException(vs), identity)
 
+  /** Row-level quarantine split: rows violating VALUE checks (nulls in
+    * declared non-nullable columns) are routed to the invalid side with a
+    * `__violations` column naming the failed columns, instead of failing
+    * the batch. The 100 TB posture: one bad record must not kill a
+    * multi-hour job — quarantine, continue, inspect later. Structural
+    * violations (missing columns, uncoercible dtypes) still fail fast via
+    * the returned Left — they affect every row.
+    */
+  def quarantine(df: DataFrame, expected: StructType, coerce: Boolean = true)
+      : Either[Seq[SchemaViolation], (DataFrame, DataFrame)] =
+    validate(df, expected, coerce, checkNulls = false).map { coerced =>
+      val nonNullable = expected.fields.filter(!_.nullable).map(_.name)
+        .filter(coerced.columns.contains)
+      val violations = array_compact(array(nonNullable.map(c =>
+        when(col(c).isNull, lit(c)).otherwise(lit(null))): _*))
+      val flagged = coerced.withColumn("__violations", violations)
+      val valid = flagged.where(size(col("__violations")) === 0)
+        .drop("__violations")
+      val invalid = flagged.where(size(col("__violations")) > 0)
+      (valid, invalid)
+    }
+
   /** Regex-column validation for the wide raw-price frame
     * (validate.py:54-71): columns matching a declared pattern must have (or
     * be coercible to) its type; plus the frame-level index check.

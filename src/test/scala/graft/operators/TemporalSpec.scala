@@ -48,6 +48,28 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("click_id")))
   }
 
+  test("asOfJoin forward direction takes the next right row at-or-after") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:00:00"), 900L),
+      (7L, ts("2024-01-01 11:00:00"), 901L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id"), direction = "forward").collect()
+    assert(out(0).getAs[Long]("click_id") == 901L)
+  }
+
+  test("asOfJoin tolerance voids matches outside the window") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 09:30:00"), 55L)).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), toleranceUs = Some(3600L * 1000000L))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("click_id") == 55L)   // 30 min back: within 1h
+    assert(out(1).isNullAt(out(1).fieldIndex("click_id"))) // 2.5h back: voided
+  }
+
   test("rangeJoinBinned equals the naive theta join, incl. boundary points") {
     val points = Seq((1L, 100L), (2L, 500L), (3L, 1000L), (4L, 1500L),
       (5L, 2500L)).toDF("pid", "ts_us")

@@ -62,6 +62,16 @@ class UpsertWriterSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 1)
   }
 
+  test("merge semantics are identical when the broadcast guard rejects") {
+    val p = tmp()
+    UpsertWriter.upsert(spark, p, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    // force the non-broadcast (shuffle join) fallback path
+    UpsertWriter.upsert(spark, p, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), broadcastThresholdRows = 1L)
+    val got = spark.read.parquet(p).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("partitioned upsert rewrites ONLY the touched partitions") {
     val p = tmp()
     UpsertWriter.upsertPartitioned(spark, p,

@@ -1,5 +1,6 @@
 package graft.validate
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -75,6 +76,29 @@ class ValidatorSpec extends SparkSpec {
     val sch = ok.toOption.get.schema
     assert(sch("Open_AAPL").dataType == DoubleType)  // float -> double coerced
     assert(sch("Volume_AAPL").dataType == LongType)  // int -> long coerced
+  }
+
+  test("quarantine splits null-violating rows instead of failing the batch") {
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), null))
+      .toDF("id", "name")
+    val out = Validator.quarantine(df, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false))))
+    assert(out.isRight)
+    val (valid, invalid) = out.toOption.get
+    assert(valid.count() == 1)
+    assert(invalid.count() == 2)
+    val viol = invalid.orderBy(col("name").asc_nulls_last)
+      .select("__violations").collect().map(_.getSeq[String](0))
+    assert(viol(0) == Seq("id"))    // row ("b"): null id
+    assert(viol(1) == Seq("name"))  // row (3): null name sorts last
+  }
+
+  test("quarantine still fails fast on structural violations") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val out = Validator.quarantine(df, StructType(Seq(
+      StructField("ghost", StringType, nullable = false))))
+    assert(out.isLeft)
   }
 
   test("validateWide flags a wrong-typed Date index") {
