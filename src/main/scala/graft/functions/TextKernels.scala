@@ -30,8 +30,6 @@ object TextKernels {
   private val md5Local = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("MD5"))
 
-  private val HEX = "0123456789abcdef".toCharArray
-
   /** First 8 hex digits of md5(bytes) parsed as an unsigned int — identical
     * to conv(substring(md5(x),1,8),16,10) in Spark and
     * ('0x'||substr(md5(x),1,8))::BIGINT in DuckDB.

@@ -66,6 +66,68 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
   }
 
+  /** Deterministic distributed Lloyd's k-means over the embedding column —
+    * the index builder for the IVF path, so ANN needs no external
+    * clustering library. Initial centroids are the k vectors with the
+    * smallest portable hash of their id (deterministic sampling, no RNG);
+    * each iteration is one broadcast-join assignment pass + one groupBy
+    * mean — the centroid set (k × dim doubles) is the only driver state.
+    *
+    * Returns (centroid_id, cvec) ready for [[ivfAssign]]/[[ivfTopK]].
+    */
+  def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus
+      .select(col(idCol), col(vecCol),
+        graft.functions.TextFunctions.portableHash(col(idCol).cast("string"))
+          .as("__h"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .orderBy(col("__h"), col(idCol))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iterations) {
+      val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          centroids.zipWithIndex.map { case (v, i) =>
+            org.apache.spark.sql.Row(i.toLong, v.toSeq)
+          }.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = false)))))
+      val assigned = ivfAssign(corpus, centDf, idCol, vecCol)
+      // per-cell mean, dimension-wise: explode positions, average, rebuild
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("mean"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old) // empty cell keeps its centroid
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v.toSeq)
+        }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+  }
+
   /** Assign each vector to its `nprobe` highest-cosine centroids (the
     * multi-probe generalization of [[ivfAssign]]; one row per probed cell).
     */

@@ -32,12 +32,8 @@ class PropertySpec extends SparkSpec {
         try {
           // PK-unique
           assert(merged.groupBy("id").count().where($"count" > 1).isEmpty)
-          // every update key's value comes from the updates side
           val updKeys = updates.select("id").distinct().as[Long].collect().toSet
-          val fromTarget = merged.join(updates.select("id").distinct(), "id")
-            .join(target.withColumnRenamed("v", "tv"), Seq("id"))
-            .where($"v" === $"tv")
-          // all target keys survive
+          // all target and update keys survive, nothing else
           val mergedKeys = merged.select("id").as[Long].collect().toSet
           val targetKeys = target.select("id").as[Long].collect().toSet
           assert((targetKeys ++ updKeys) == mergedKeys)
