@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinhashSigExpr, ShinglesExpr, TokensExpr, VecDot, VecL2Sq}
+
+/** SQL surface for the native kernels: install with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) and the codegen
+  * expressions become callable from plain SQL:
+  *
+  * {{{
+  *   SELECT vec_dot(a, b), graft_tokens(text),
+  *          graft_shingles(text, 3), minhash_sig(text, 8, 3)
+  * }}}
+  *
+  * Literal-int arguments (k, n) are extracted at resolution time; the
+  * expressions themselves participate in whole-stage codegen like any
+  * built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))),
+    (new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokensExpr].getName, "graft_tokens"),
+      (args: Seq[Expression]) => TokensExpr(args(0))),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        ShinglesExpr(args(0), intLit(args(1), "shingle n"))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinhashSigExpr(args(0),
+        intLit(args(1), "k"), intLit(args(2), "shingle n"))),
+  )
+
+  /** Register on an already-running session (withExtensions only applies
+    * at construction time).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftColumnBridge
+        .registerFunction(spark, id, info, builder)
+    }
+}

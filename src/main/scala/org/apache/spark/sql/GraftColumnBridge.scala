@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-RUNNING session (the
+    * `withExtensions` path only applies at session construction).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: with GraftExtensions installed the native kernels are
+  * callable from plain SQL with results identical to the Column API.
+  * (Uses install-on-running-session; `withExtensions` covers the
+  * spark.sql.extensions config path with the same function list.)
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSpec.session
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("vec_dot / graft_tokens / graft_shingles / minhash_sig work from SQL") {
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), "the quick brown fox"))
+      .toDF("a", "b", "text").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_l2sq(a, b) AS l2,
+        |  graft_tokens(text) AS toks,
+        |  graft_shingles(text, 2) AS sh,
+        |  minhash_sig(text, 4, 2) AS sig
+        |FROM t""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 8.0)
+    assert(row.getSeq[String](2) == Seq("the", "quick", "brown", "fox"))
+    assert(row.getSeq[String](3) ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(row.getSeq[Long](4).length == 4)
+    // SQL result equals the Column-API kernel
+    val viaApi = Seq("the quick brown fox").toDF("text")
+      .select(graft.functions.TextExpressions.minhashSig($"text", 4, 2))
+      .collect()(0).getSeq[Long](0)
+    assert(row.getSeq[Long](4) == viaApi)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('x', 1 + 1, 3)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
