@@ -80,6 +80,35 @@ object TextKernels {
     new GenericArrayData(shingleStrings(text, n)
       .map(UTF8String.fromString(_).asInstanceOf[Any]))
 
+  /** SimHash over DISTINCT tokens: bit b set when the ±1 vote sum over
+    * token-hash bit b is positive. One pass, no shuffle — same values as
+    * the explode + 32-sum-lanes groupBy formulation.
+    */
+  def simhashOf(text: UTF8String, bits: Int): Long = {
+    val toks = tokenize(text)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = portableHash(toks(i).getBytes("UTF-8"))
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
   def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = shingleStrings(text, n)
@@ -158,6 +187,17 @@ case class MinhashSigExpr(child: Expression, k: Int, n: Int)
     copy(child = c)
 }
 
+/** simhash(text, bits): long — codegen'd single pass over distinct tokens. */
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.simhashOf(t.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhashOf($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimhashExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -165,4 +205,6 @@ object TextExpressions {
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(text), n))
   def minhashSig(text: Column, k: Int, n: Int): Column =
     GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, n))
+  def simhash(text: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text), bits))
 }

@@ -87,26 +87,20 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** 16-bit SimHash over token hashes: bit b of the signature is set when
-    * the sum over tokens of ±1 (by bit b of the token hash) is positive.
-    * Duplicate tokens count once (set semantics) so the oracle needs no
-    * ordered aggregation. One explode + one groupBy.
+  /** SimHash over token hashes: bit b of the signature is set when the sum
+    * over DISTINCT tokens of ±1 (by bit b of the token hash) is positive.
+    * Fused codegen kernel ([[graft.functions.SimhashExpr]]) — one map-side
+    * pass per document, no explode, no shuffle; same values as the
+    * explode + per-bit-sum groupBy formulation (pinned in tests).
     */
   def simhash(docs: DataFrame, bits: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .withColumn("h", portableHash(col("tok")))
-    val bitSums = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$b")
-    }
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      // token-less docs have no signature (the aggregate/SQL formulations
+      // produce no row for them) — keep that contract
+      .where(size(graft.functions.TextExpressions.tokens(col(textCol))) > 0)
       .select(col(idCol),
-        (0 until bits).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+        graft.functions.TextExpressions.simhash(col(textCol), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
     * EXACT but without the all-pairs join: signatures are cut into `bands`

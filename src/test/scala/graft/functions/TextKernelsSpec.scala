@@ -61,6 +61,32 @@ class TextKernelsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("SimhashExpr equals the explicit explode+bit-sum computation") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, ""),
+      (3L, "one"),
+      (4L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextExpressions.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val expected = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // token-less docs produce no row in either formulation
+    assert(!got.contains(2L))
+    assert(got == expected)
+  }
+
   test("TokensExpr/ShinglesExpr survive whole-stage codegen paths") {
     val df = Seq("a b c", "", " x ").toDF("text")
       .select(TextExpressions.tokens(col("text")).as("t"),
