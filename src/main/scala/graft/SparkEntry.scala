@@ -563,6 +563,17 @@ object SparkEntry {
       Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // full ANN pipeline: deterministic k-means index build + multi-probe
+    // IVF search (rows-only: the index depends on Spark-hash sampling and
+    // float means with no SQL twin; SimilaritySpec pins the semantics)
+    "q57_ann_kmeans_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeans(emb, k = 8, iterations = 3)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), centroids,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")
+    }),
+
     // multimodal: binary payload + typed metadata, payload-pruned summary
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadataSummary(
