@@ -44,6 +44,25 @@ object Models {
       when(col("volume").isNull, lit(0L)).otherwise(col("volume")).as("volume"))
   }
 
+  /** Incremental ffill for dates ≥ `fromDate` WITHOUT rescanning history:
+    * the frame is `rows between unbounded preceding and 1 preceding` with
+    * `last(close, ignoreNulls=false)` — i.e. each row depends ONLY on the
+    * previous row's raw close — so seeding the window with the single
+    * latest pre-`fromDate` row per symbol reproduces the full computation
+    * exactly. A daily warehouse increment therefore reads 1 day + 1 seed
+    * row per symbol instead of the whole history; pinned equal to the
+    * full recomputation in ModelsSpec.
+    */
+  def ffillCandlesIncremental(df: DataFrame, partitionCol: String,
+      fromDate: java.sql.Date): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(col("date_stamp").desc)
+    val seed = df.where(col("date_stamp") < fromDate)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val seeded = seed.unionByName(df.where(col("date_stamp") >= fromDate))
+    ffillCandles(seeded, partitionCol).where(col("date_stamp") >= fromDate)
+  }
+
   /** Conditional round used by stg_fx_prices (P12): USDJPY quotes carry 3dp,
     * everything else 5dp (models/staging/stg_fx_prices.sql:5-20).
     */

@@ -2,6 +2,8 @@ package graft.warehouse
 
 import java.sql.Date
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pins the ffill_candles window semantics, including the reference's own
@@ -103,6 +105,29 @@ class ModelsSpec extends SparkSpec {
       ("2025-01-02", "S1", 100.01, 100.01, 100.01, 100.01, 0L),
       ("2025-01-01", "S2", 180.15, 189.25, 178.95, 179.80, 1000L),
       ("2025-01-02", "S2", 179.80, 179.80, 179.80, 179.80, 0L)))
+  }
+
+  test("incremental ffill equals full recomputation on the increment range") {
+    // history with nulls straddling the increment boundary — including a
+    // null seed row (the two-consecutive-null trap across the boundary)
+    val in = ph(
+      ("2024-01-01", "A", Some(1.0), Some(2.0), Some(0.5), Some(1.5), Some(10L)),
+      ("2024-01-02", "A", None, None, None, None, None),
+      ("2024-01-03", "A", None, None, None, None, Some(3L)),   // seed row: null close
+      ("2024-01-04", "A", None, None, None, None, None),       // must STAY null
+      ("2024-01-05", "A", Some(9.0), Some(9.0), Some(9.0), Some(9.5), None),
+      ("2024-01-06", "A", None, None, None, None, Some(2L)),   // fills with 9.5
+      ("2024-01-03", "B", Some(5.0), Some(5.0), Some(5.0), Some(5.5), Some(1L)),
+      ("2024-01-04", "B", None, None, None, None, None))
+    val from = d("2024-01-04")
+    val full = Models.ffillCandles(in, "symbol")
+      .where(col("date_stamp") >= from)
+      .orderBy("symbol", "date_stamp").collect().toSeq
+    val inc = Models.ffillCandlesIncremental(in, "symbol", from)
+      .orderBy("symbol", "date_stamp").collect().toSeq
+    assert(inc == full)
+    // and the trap held: 01-04 for A is null (seed row's raw close is null)
+    assert(inc.head.isNullAt(5))
   }
 
   test("fctPrices is a positional-safe UNION ALL of both staging models") {
