@@ -266,6 +266,13 @@ object SparkEntry {
       Models.ffillCandles(priceHistory(s, dir, fx = false), "symbol")
         .orderBy("symbol", "date_stamp")),
 
+    // incremental ffill: seed-row windowing for dates >= cutoff; oracle
+    // computes the FULL window then filters — results must be identical
+    "q58_ffill_incremental" -> ((s, dir) =>
+      Models.ffillCandlesIncremental(priceHistory(s, dir, fx = false),
+          "symbol", java.sql.Date.valueOf("2024-01-15"))
+        .orderBy("symbol", "date_stamp")),
+
     // full stg_stock_prices model: decimal cast + round(2) + ffill
     "q14_stg_stock_prices" -> ((s, dir) =>
       Models.stgStockPrices(priceHistory(s, dir, fx = false))
@@ -876,6 +883,15 @@ object SparkEntry {
            |$ffillSelectSql
            |FROM ph
            |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame)
+           |ORDER BY symbol, date_stamp""".stripMargin,
+
+      "q58_ffill_incremental" ->
+        s"""WITH ${phSql(fx = false)},
+           |filled AS (
+           |$ffillSelectSql
+           |FROM ph
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame))
+           |SELECT * FROM filled WHERE date_stamp >= DATE '2024-01-15'
            |ORDER BY symbol, date_stamp""".stripMargin,
 
       "q14_stg_stock_prices" ->
