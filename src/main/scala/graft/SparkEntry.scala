@@ -367,6 +367,15 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // native session_window aggregation (gap-merged sessions per key)
+    "q59_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "sess_start")),
+
     // as-of join via union + last(ignoreNulls) window (one shuffle, no range join)
     "q23_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -999,6 +1008,24 @@ object SparkEntry {
           |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
           |  CAST(count(*) AS BIGINT) AS n_events
           |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q59_session_window" ->
+        """WITH o AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM o)
+          |SELECT (epoch_us(min(ts)) // 1000000) AS sess_start, user_id,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, sess_start""".stripMargin,
 
       "q23_asof_join" ->
         """WITH u AS (
