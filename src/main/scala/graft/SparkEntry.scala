@@ -227,6 +227,29 @@ object SparkEntry {
       a.unionByName(b, allowMissingColumns = true).orderBy("c_custkey")
     }),
 
+    // long→wide pivot (inverse of the R1 unpivot), explicit value list
+    "q60_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy("l_returnflag")),
+
+    // calendar spine: per-day event counts INCLUDING zero-event days
+    // (sequence-generated dates left-joined to the fact)
+    "q61_date_spine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("event_id"))
+      val bounds = ev.agg(min("d").as("lo"), max("d").as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(ev, Seq("d"), "left")
+        .groupBy("d").agg(count(col("event_id")).as("n_events"))
+        .orderBy("d")
+    }),
+
     // A1/A2: distinct
     "q09_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -862,6 +885,25 @@ object SparkEntry {
           |SELECT c_custkey, c_mktsegment, NULL
           |FROM customer WHERE c_mktsegment <> 'BUILDING'
           |ORDER BY c_custkey""".stripMargin,
+
+      "q60_pivot" ->
+        """SELECT l_returnflag,
+          |  sum(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_f,
+          |  sum(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_o
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
+
+      "q61_date_spine" ->
+        """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+          |  max(CAST(ts AS DATE)) AS hi FROM events),
+          |spine AS (SELECT unnest(generate_series(lo, hi,
+          |  INTERVAL 1 DAY))::DATE AS d FROM b),
+          |ev AS (SELECT CAST(ts AS DATE) AS d, event_id FROM events)
+          |SELECT spine.d AS d, CAST(count(ev.event_id) AS BIGINT) AS n_events
+          |FROM spine LEFT JOIN ev ON spine.d = ev.d
+          |GROUP BY spine.d ORDER BY d""".stripMargin,
 
       "q09_distinct" ->
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
