@@ -1028,8 +1028,8 @@ object SparkEntry {
 
       "q21_window_funcs" ->
         """SELECT event_id, user_id, value,
-          |  row_number() OVER (PARTITION BY user_id
-          |    ORDER BY value DESC, event_id) AS value_rank,
+          |  CAST(row_number() OVER (PARTITION BY user_id
+          |    ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
           |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
           |    AS prev_value,
           |  sum(CAST(value AS DECIMAL(18,2))) OVER w3::DOUBLE

@@ -32,6 +32,22 @@ def compare(name, got, exp):
         return f"SCHEMA cols {list(got.columns)} vs {list(exp.columns)}"
     if len(got) != len(exp):
         return f"ROWS {len(got)} vs {len(exp)}"
+    # exact dtype parity (int32 vs int64 etc.) — the driver checks schema.
+    # DATE columns are equivalent logical types but surface differently in
+    # pandas (object-of-date from pyarrow vs datetime64 from duckdb).
+    import datetime
+    def canon(s):
+        d = str(s.dtype)
+        if d.startswith("datetime64"):
+            return "date"
+        if d == "object" and s.dropna().map(
+                lambda x: isinstance(x, datetime.date)).all():
+            return "date"
+        return d
+    dt = [f"{c}: {got[c].dtype} vs {exp[c].dtype}" for c in got.columns
+          if canon(got[c]) != canon(exp[c])]
+    if dt:
+        return "DTYPE " + "; ".join(dt)
     probs = []
     for c in got.columns:
         g, e = got[c], exp[c]
