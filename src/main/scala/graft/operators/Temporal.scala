@@ -47,33 +47,40 @@ object Temporal {
           rightCarry.map(c => col(c).as(s"__r_$c")): _*)
       l.unionByName(r)
     }
+    // The match is carried as ONE struct per right row — atomic, so every
+    // output column comes from the SAME matched right row, nulls inside
+    // the matched row are preserved (not back-filled from older rows),
+    // and ties at equal (key, time) break deterministically on the struct
+    // itself (greatest carry values win, matching the oracle's ordering).
+    val matchStruct = when(col("__side") === 0,
+      struct(col("__t").as("__mt") +:
+        rightCarry.map(c => col(s"__r_$c").as(c)): _*))
     // backward: nearest right row at-or-before; forward: at-or-after
-    // (reversed time order). Either way right rows sort before left rows at
-    // equal times (side 0 < 1), keeping the match inclusive.
+    // (reversed time order). Either way right rows sort before left rows
+    // at equal times (side 0 < 1), keeping the match inclusive.
     val ord =
-      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
-      else Seq(col("__t").desc, col("__side").asc)
+      if (direction == "backward")
+        Seq(col("__t").asc, col("__side").asc, col("__m").asc_nulls_first)
+      else
+        Seq(col("__t").desc, col("__side").asc, col("__m").asc_nulls_first)
     val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatchT = tagged.withColumn("__m_t",
-      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-    val carried = rightCarry.foldLeft(withMatchT) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = tagged.withColumn("__m", matchStruct)
+      .withColumn("__c", last(col("__m"), ignoreNulls = true).over(w))
     // tolerance: void matches farther than toleranceUs from the left time
     def toUs(c: Column): Column = tagged.schema("__t").dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(c)
       case _ => c.cast("long")
     }
-    val within = toleranceUs.fold(lit(true)) { tol =>
-      col("__m_t").isNotNull &&
-        abs(toUs(col("__t")) - toUs(col("__m_t"))) <= tol
+    val within = toleranceUs.fold(col("__c").isNotNull) { tol =>
+      col("__c").isNotNull &&
+        abs(toUs(col("__t")) - toUs(col("__c.__mt"))) <= tol
     }
     carried.where(col("__side") === 1).select(
       key.map(col) ++
         leftCols.filterNot(key.contains).map(c => col(s"__l_$c").as(c)) ++
         rightCarry.map(c =>
-          when(within, col(s"__c_$c"))
+          when(within, col(s"__c.$c"))
             .otherwise(lit(null).cast(right.schema(c).dataType)).as(c)): _*)
   }
 

@@ -104,19 +104,21 @@ object Flow {
       }
     }
 
-    // O3: promote lake→warehouse even on partial failure, THEN raise
+    // O3: promote lake→warehouse even on partial failure, THEN raise.
+    // A promotion error must not be masked by the partial-failure signal —
+    // it propagates with the symbol failures attached as suppressed.
     val allFailed = failed.result()
     try {
       promote(spark, symbolsPath, s"$warehouseRoot/symbols_$assetCategory",
         if (assetCategory == "sp_stocks") Some(Seq("symbol", "date_stamp")) else None)
       promote(spark, pricesPath, s"$warehouseRoot/price_history_$assetCategory",
         Some(Seq("date_stamp", "symbol")), dateRange = Some((s, e)))
-    } finally {
-      if (allFailed.nonEmpty && allFailed.size < universe.size)
-        throw PartialFailure(allFailed)
+    } catch {
+      case e: Throwable =>
+        if (allFailed.nonEmpty) e.addSuppressed(PartialFailure(allFailed))
+        throw e
     }
-    if (allFailed.size >= universe.size && universe.nonEmpty)
-      throw PartialFailure(allFailed)
+    if (allFailed.nonEmpty) throw PartialFailure(allFailed)
   }
 
   /** S3→DW promotion (orchestration.py:122-152): pruned + date-filtered

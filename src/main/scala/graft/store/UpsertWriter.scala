@@ -119,8 +119,12 @@ object UpsertWriter {
       pk: Seq[String],
       partitionCol: String,
   ): Unit = {
-    require(pk.contains(partitionCol) || pk.nonEmpty,
-      "upsertPartitioned requires a primary key")
+    require(pk.nonEmpty, "upsertPartitioned requires a primary key")
+    // the PK must pin the partition: otherwise an update whose key lives in
+    // an untouched partition would be inserted rather than replace it,
+    // silently duplicating the key
+    require(pk.contains(partitionCol),
+      s"primary key $pk must contain partition column $partitionCol")
     val target = Paths.get(path)
     val dedup = updates.dropDuplicates(pk)
     if (!Files.exists(target)) {
