@@ -589,28 +589,51 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // embedding-cosine near-duplicate pairs
+    // embedding-cosine near-duplicate pairs; the registered entry is the
+    // size-switched form (exact all-pairs under the row limit — which these
+    // SFs are — IVF-cell-bucketed candidates above it, PlanAuditSpec pins
+    // the large-path plan shape)
     "q40_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      Dedup.embeddingNearDupPairsAuto(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
     // random-hyperplane LSH near-dup (the linear-candidate scale path for
-    // q40). Signatures use Spark's murmur3 hash — no DuckDB twin, so the
-    // driver records a rows-only check; precision is exact by construction
-    // (verified cosine), recall probabilistic.
-    "q56_embedding_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4)
-        .orderBy("id_a", "id_b")),
+    // q40), gated against the exact all-pairs ground truth IN-QUERY:
+    // precision is 1 by construction (candidates verify with the exact
+    // cosine kernel, so found ⊆ exact) and the banding parameters are sized
+    // for ≥0.9 recall (measured 1.0 @ sf0.01, 0.995 @ sf0.1) — both facts
+    // surface as oracle-checked booleans, integer arithmetic only.
+    "q56_embedding_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
+        .agg(count(lit(1)).as("n_pairs_exact"))
+      val found = Dedup.embeddingNearDupPairsLsh(emb, threshold = 0.4,
+          nBits = 60, bands = 20)
+        .agg(count(lit(1)).as("n_pairs_found"))
+      exact.crossJoin(found).select(
+        col("n_pairs_exact"),
+        (col("n_pairs_found") * 10 >= col("n_pairs_exact") * 9).as("recall_ok"),
+        (col("n_pairs_found") <= col("n_pairs_exact")).as("precision_ok"))
+    }),
 
     // full ANN pipeline: deterministic k-means index build + multi-probe
-    // IVF search (rows-only: the index depends on Spark-hash sampling and
-    // float means with no SQL twin; SimilaritySpec pins the semantics)
+    // IVF search, recall@5 gated IN-QUERY against the exact brute-force
+    // baseline over a 50-query probe set (measured 0.964 @ sf0.01,
+    // 0.932 @ sf0.1 at cells=16 nprobe=12; gate 0.9). The driver's
+    // rows/hash check thus certifies the ANN index actually finds near
+    // neighbors — not merely that rows came back.
     "q57_ann_kmeans_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = Similarity.kmeans(emb, k = 8, iterations = 3)
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), centroids,
-          k = 5, nprobe = 2)
-        .orderBy("query_id", "rnk")
+      val probes = emb.where(col("vec_id") < 50)
+      val centroids = Similarity.kmeans(emb, k = 16, iterations = 3)
+      val ann = Similarity.ivfTopK(emb, probes, centroids, k = 5, nprobe = 12)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).select(
+        col("n_exact"),
+        (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
     }),
 
     // multimodal: binary payload + typed metadata, payload-pruned summary
@@ -759,15 +782,18 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // multimodal decode: partition-local batch feature extraction over
-    // binary payloads (stub decoder; Spark plumbing is real). No SQL
-    // oracle — float accumulation inside the decoder is not expressible
-    // in DuckDB — so the driver records a rows-only check.
+    // binary payloads (stub decoder; Spark plumbing is real). Lane
+    // features are integer byte sums represented as float — summing them
+    // back is exact integer arithmetic, and the single final divide is one
+    // IEEE op both engines agree on, so a DuckDB twin exists.
     "q47_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.fromDocuments(t(s, dir, "documents")), dim = 8)
         .select(col("asset_id"),
-          round(expr("aggregate(feature, 0D, (a, x) -> a + cast(x as double))"), 3)
-            .as("feature_sum"))
+          expr("aggregate(feature, 0L, (a, x) -> a + cast(x as long))")
+            .as("byte_sum"),
+          size(col("feature")).as("n_lanes"))
+        .withColumn("feature_norm", col("byte_sum").cast(DoubleType) / 255.0)
         .orderBy("asset_id")),
 
     // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
@@ -798,6 +824,69 @@ object SparkEntry {
           s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)
       }
       s.read.parquet(s"$out/table").orderBy("win_start", "event_type")
+    }),
+
+    // salted two-phase aggregation: result must equal the plain groupBy —
+    // the salt only reshapes the shuffle (hot key fans out over 16
+    // reducers before the per-key merge)
+    "q62_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAgg(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_orderkey"), saltBuckets = 16)(
+        partials = Seq(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q")),
+        finals = Seq(sum(col("n")).as("n_rows"),
+          sum(col("q")).cast(DoubleType).as("sum_qty")))
+        .orderBy("l_returnflag")),
+
+    // salted replicated join: result must equal the plain equi-join — the
+    // right side replicates 8×, the skewed left picks a deterministic salt
+    "q63_salted_join" -> ((s, dir) => {
+      val left = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("cust_key"), col("o_totalprice"))
+      val right = t(s, dir, "customer").select(
+        col("c_custkey").as("cust_key"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(left, right, Seq("cust_key"),
+          col("o_orderkey"), factor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // versioned-lake time travel: commit v0, PK-upsert v1 (every status
+    // overwritten), then read AS OF v0 — the oracle is the plain v0
+    // snapshot, so a reader that sees v1 (broken isolation) hash-fails
+    "q64_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vt_").toString + "/tbl"
+      val orders = t(s, dir, "orders")
+      val v0 = orders.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.store.VersionedTable.write(v0, root)
+      val updates = orders
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.store.VersionedTable.upsert(s, root, updates, Seq("o_orderkey"))
+      graft.store.VersionedTable.read(s, root, asOf = Some(0L))
+        .orderBy("o_orderkey")
+    }),
+
+    // as-of join, FORWARD direction with tolerance: nearest click at-or-
+    // after each purchase per user, voided when farther than 24 h (DuckDB
+    // proves it with a native ASOF JOIN + tolerance CASE)
+    "q65_asof_forward_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Temporal.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), direction = "forward",
+          toleranceUs = Some(86400L * 1000000L))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"))
+        .orderBy("purchase_id")
     }),
   )
 
@@ -1411,6 +1500,65 @@ object SparkEntry {
            |FROM pairs WHERE $cosSql > 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "q62_salted_agg" ->
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
+
+      "q63_salted_join" ->
+        """SELECT c.c_mktsegment, count(*) AS n_orders,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+      "q64_time_travel" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderkey % 2 = 0
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q65_asof_forward_tolerance" ->
+        """WITH j AS (
+          |  SELECT p.event_id AS purchase_id, p.user_id,
+          |    p.ts AS pts, c.ts AS cts, c.event_id AS cid
+          |  FROM (SELECT event_id, user_id, ts FROM events
+          |        WHERE event_type = 'purchase') p
+          |  ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+          |        WHERE event_type = 'click') c
+          |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+          |SELECT purchase_id, user_id,
+          |  CASE WHEN cts IS NOT NULL
+          |    AND epoch_us(cts) - epoch_us(pts) <= 86400000000
+          |    THEN cid END AS click_id
+          |FROM j ORDER BY purchase_id""".stripMargin,
+
+      // the gates are integer-arithmetic booleans: recall_ok/precision_ok
+      // are TRUE by parameter sizing (see the query comments), n_pairs_exact
+      // is the same count q40's oracle computes
+      "q56_embedding_neardup_lsh" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+           |x AS (SELECT count(*) AS n_pairs_exact FROM pairs
+           |  WHERE $cosSql > 0.4)
+           |SELECT n_pairs_exact, TRUE AS recall_ok, TRUE AS precision_ok
+           |FROM x""".stripMargin,
+
+      "q57_ann_kmeans_ivf" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
+
       "q41_multimodal_meta" ->
         """SELECT 'text/plain' AS media_type,
           |  CAST(count(*) AS BIGINT) AS n_assets,
@@ -1421,6 +1569,22 @@ object SparkEntry {
       "q42_stream_upsert" ->
         """SELECT event_id, user_id, event_type, value
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // byte_sum = total UTF-8 byte sum (integer-exact through the lane
+      // features); feature_norm = ONE final IEEE divide, identical on both
+      // engines
+      "q47_multimodal_decode" ->
+        """WITH b AS (
+          |  SELECT doc_id AS asset_id, encode(text) AS payload FROM documents),
+          |s AS (SELECT asset_id,
+          |  CAST(COALESCE(list_aggregate(list_transform(
+          |    range(1, octet_length(payload) + 1),
+          |    i -> ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT), 'sum'),
+          |    0) AS BIGINT) AS byte_sum
+          |  FROM b)
+          |SELECT asset_id, byte_sum, CAST(8 AS INTEGER) AS n_lanes,
+          |  byte_sum::DOUBLE / 255.0::DOUBLE AS feature_norm
+          |FROM s ORDER BY asset_id""".stripMargin,
     )
   }
 }

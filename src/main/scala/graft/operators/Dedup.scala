@@ -145,7 +145,8 @@ object Dedup {
     * or switching to [[minhashLshPairs]].
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(array_distinct(
         graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
@@ -154,9 +155,13 @@ object Dedup {
       .join(sh.toDF("id_b", "sh"), Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
+    // per-doc sizes broadcast only when the doc table is provably small;
+    // a 10⁹-doc corpus falls back to hash-partitioned joins on id
+    val bc = Sizing.countAtMost(docs, broadcastRowLimit)
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     inter
-      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
-      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .join(side(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(side(sizes.toDF("id_b", "sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -180,7 +185,8 @@ object Dedup {
     * dominate anyway and counting beats distinct+verify.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double, shingleN: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_sort(array_distinct(
         graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
@@ -195,14 +201,18 @@ object Dedup {
         least(col("sz_a"), col("sz_b")) >=
           ceil(greatest(col("sz_a"), col("sz_b")) * threshold))
       .select("id_a", "id_b").distinct()
-    // broadcast the per-doc arrays to the candidate stream: candidates
-    // outnumber docs, so shuffling the (heavy, array-carrying) doc table
-    // per candidate pair is the expensive wrong shape. At corpora beyond
-    // broadcast size, hash-partition BOTH sides by id instead.
+    // broadcast the per-doc arrays to the candidate stream when the corpus
+    // is provably small: candidates outnumber docs, so shipping the (heavy,
+    // array-carrying) doc table to candidates beats shuffling candidates.
+    // Beyond broadcast size both sides hash-partition by id instead — the
+    // shuffle is linear in candidates and never materializes the corpus on
+    // one node.
+    val bc = Sizing.countAtMost(base, broadcastRowLimit)
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     cand
-      .join(broadcast(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      .join(side(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      .join(side(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("sz").as("sz_b"))), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
@@ -224,7 +234,8 @@ object Dedup {
     */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       nBits: Int = 16, bands: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
     // signature bit b = sign of <v, h_b>, h_b[i] = hash-derived in [-1, 1)
@@ -253,10 +264,15 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val withNorm = embeddings.select(col(idCol), col(vecCol),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
+    // verify step: broadcast the embedding table to the candidate stream
+    // only when provably small; otherwise hash-partition both sides by id —
+    // a corpus-scale verify must never collect the embeddings to one node
+    val bc = Sizing.countAtMost(embeddings, broadcastRowLimit)
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     cand
-      .join(broadcast(withNorm.select(col(idCol).as("id_a"),
+      .join(side(withNorm.select(col(idCol).as("id_a"),
         col(vecCol).as("va"), col("nrm").as("na"))), "id_a")
-      .join(broadcast(withNorm.select(col(idCol).as("id_b"),
+      .join(side(withNorm.select(col(idCol).as("id_b"),
         col(vecCol).as("vb"), col("nrm").as("nb"))), "id_b")
       .withColumn("cos", VectorFunctions.cosineWithNorms(
         VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
@@ -284,5 +300,40 @@ object Dedup {
         VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Size-switched embedding near-dup — the registered default. Below
+    * `allPairsRowLimit` rows the exact all-pairs form runs (it IS the
+    * ground truth, and n² of a small n is cheap). Above it, candidates come
+    * from an IVF cell equi-join: a deterministic k-means index assigns each
+    * vector to its `nprobe` nearest cells, pairs sharing a cell verify with
+    * the exact cosine kernel — candidate generation is linear in corpus ×
+    * nprobe and shuffles on the cell key, never a nested-loop join. Recall
+    * is bounded by cell assignment (near-identical vectors land in the same
+    * cells with overwhelming probability — the near-DUP regime, unlike
+    * generic ANN search); precision stays 1 (exact verify).
+    */
+  def embeddingNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allPairsRowLimit: Long = 100000, cells: Int = 256, nprobe: Int = 2)
+      : DataFrame = {
+    if (Sizing.countAtMost(embeddings, allPairsRowLimit))
+      embeddingNearDupPairs(embeddings, threshold, idCol, vecCol)
+    else {
+      val cent = Similarity.kmeans(embeddings, cells, 2, idCol, vecCol)
+      val asg = Similarity.ivfAssignN(embeddings, cent, nprobe, idCol, vecCol)
+        .withColumn("nrm", VectorFunctions.norm(col(vecCol)))
+      val a = asg.select(col("cell"), col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("nrm").as("na"))
+      val b = asg.select(col("cell"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", VectorFunctions.cosineWithNorms(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
+        .where(col("cos") > threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .distinct()
+    }
   }
 }

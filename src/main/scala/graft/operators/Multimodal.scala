@@ -53,9 +53,13 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType, containsNull = false)),
   ))
 
-  /** Deterministic fake decoder: "features" are byte-histogram moments.
-    * A real implementation would decode the payload (JPEG/WAV/...) here;
-    * the signature — Iterator[Row] → Iterator[Row], batch-local, no driver
+  /** Deterministic fake decoder: "features" are per-lane byte histograms
+    * (lane j = sum of payload bytes at positions ≡ j mod dim). Sums are
+    * accumulated in integer arithmetic and only REPRESENTED as float at the
+    * end — exact for payloads below 2²⁴/255 ≈ 65 KB per lane — so every
+    * downstream aggregate is decimal-exact and oracle-checkable. A real
+    * implementation would decode the payload (JPEG/WAV/...) here; the
+    * signature — Iterator[Row] → Iterator[Row], batch-local, no driver
     * round-trip — is the real contract.
     */
   object StubDecoder extends Serializable {
@@ -63,13 +67,13 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(r.fieldIndex("asset_id"))
         val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty)
-        val feat = new Array[Float](dim)
+        val lanes = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
-          feat(i % dim) += (bytes(i) & 0xff) / 255.0f
+          lanes(i % dim) += (bytes(i) & 0xff)
           i += 1
         }
-        Row(id, feat.toSeq)
+        Row(id, lanes.map(_.toFloat).toSeq)
       }
   }
 

@@ -139,6 +139,27 @@ object Flow {
     }
   }
 
+  /** S9 variant of [[promote]]: the warehouse is a JDBC database (the
+    * reference selects Postgres/Snowflake via config, load.py:126-137).
+    * Same pruned + date-filtered lake scan; merge (pk given) runs as a
+    * server-side MERGE from a staged table, replace recreates the table.
+    */
+  def promoteJdbc(spark: SparkSession, lakePath: String, url: String,
+      table: String, pk: Option[Seq[String]],
+      props: java.util.Properties,
+      dateRange: Option[(LocalDate, LocalDate)] = None): Unit = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lakePath))) return
+    val scan0 = spark.read.parquet(lakePath)
+    val scan = dateRange.fold(scan0) { case (s, e) =>
+      scan0.where(col("date_stamp").between(Date.valueOf(s), Date.valueOf(e)))
+    }
+    pk match {
+      case Some(keys) =>
+        graft.store.JdbcWarehouse.upsert(spark, scan, url, table, keys, props)
+      case None => graft.store.JdbcWarehouse.replace(scan, url, table, props)
+    }
+  }
+
   /** O5: the dbt stage — run the 6 models in topo order, then the declared
     * data-test suite (orchestration.py:261-274).
     */

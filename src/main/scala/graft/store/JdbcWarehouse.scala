@@ -1,0 +1,101 @@
+package graft.store
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC warehouse I/O (S9/W3): the reference's load step targets a JDBC
+  * database — Postgres or Snowflake selected by config
+  * (py_pipeline/load.py:126-137) — with merge or replace dispositions
+  * (tests/load_test.py:81-157). This engine speaks the same contract through
+  * Spark's JDBC source; the in-process Derby engine stands in for the remote
+  * database in tests (same JDBC surface, zero network).
+  *
+  * Scale shape: writes stream partition-wise over JDBC (`df.write.jdbc`
+  * opens one connection per partition — `numPartitions`/`batchsize` are the
+  * knobs), and the PK merge runs SERVER-side via `MERGE INTO` from a staged
+  * table, so the existing warehouse rows never round-trip through Spark.
+  * That matches warehouse practice (stage + MERGE) rather than re-reading
+  * the target into the cluster.
+  */
+object JdbcWarehouse {
+
+  /** W2 disposition: drop-and-recreate the table from `df`. */
+  def replace(df: DataFrame, url: String, table: String,
+      props: Properties): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .options(optionMap(props))
+      .jdbc(url, table, props)
+
+  /** W1/W3 disposition: PK merge. New keys insert, existing keys update —
+    * load_test.py:81-157 semantics (duplicate keys within `updates`
+    * collapse first; untouched rows survive).
+    *
+    * Mechanics: stage the (deduplicated) delta via a partition-parallel
+    * JDBC write, then one server-side `MERGE INTO target USING stage`, then
+    * drop the stage. First write just creates the table.
+    */
+  def upsert(spark: SparkSession, updates: DataFrame, url: String,
+      table: String, pk: Seq[String], props: Properties): Unit = {
+    require(pk.nonEmpty, "upsert requires a primary key")
+    val deduped = updates.dropDuplicates(pk)
+    if (!tableExists(url, table, props)) {
+      deduped.write.mode(SaveMode.ErrorIfExists)
+        .options(optionMap(props)).jdbc(url, table, props)
+      return
+    }
+    val stage = s"${table}_stage"
+    deduped.write.mode(SaveMode.Overwrite)
+      .options(optionMap(props)).jdbc(url, stage, props)
+    val cols = deduped.columns.toSeq
+    val nonPk = cols.filterNot(pk.contains)
+    def q(c: String) = "\"" + c + "\""
+    val on = pk.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ")
+    val setClause = nonPk.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    val merge =
+      s"""MERGE INTO $table t USING $stage s ON $on
+         |${if (nonPk.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause" else ""}
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+        .stripMargin
+    withConnection(url, props) { conn =>
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(merge)
+        st.executeUpdate(s"DROP TABLE $stage")
+      } finally st.close()
+    }
+  }
+
+  /** Read a warehouse table back (load_test.py reads via read_sql_table). */
+  def read(spark: SparkSession, url: String, table: String,
+      props: Properties): DataFrame =
+    spark.read.options(optionMap(props)).jdbc(url, table, props)
+
+  def tableExists(url: String, table: String, props: Properties): Boolean =
+    withConnection(url, props) { conn =>
+      // Derby folds unquoted identifiers to uppercase; Spark's JDBC writer
+      // quotes, preserving case — probe both forms
+      val meta = conn.getMetaData
+      Seq(table, table.toUpperCase(java.util.Locale.ROOT)).exists { t =>
+        val rs = meta.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    }
+
+  private def withConnection[A](url: String, props: Properties)
+      (body: Connection => A): A = {
+    Option(props.getProperty("driver"))
+      .foreach(d => Class.forName(d))
+    val conn = DriverManager.getConnection(url, props)
+    try body(conn) finally conn.close()
+  }
+
+  private def optionMap(props: Properties): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala
+      .map(k => k -> props.getProperty(k)).toMap
+  }
+}

@@ -32,6 +32,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(1).forall(_ == 0.0f)) // empty payload -> zero features
   }
 
+  test("stub features are integer-exact lane byte sums") {
+    val f = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs), dim = 4)
+      .where($"asset_id" === 1L).collect()(0).getSeq[Float](1)
+    val bytes = "hello world".getBytes("UTF-8").map(_ & 0xff)
+    val expect = Array.tabulate(4)(j =>
+      bytes.zipWithIndex.collect { case (b, i) if i % 4 == j => b }.sum.toFloat)
+    assert(f.toArray.sameElements(expect))
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_mm_").toString + "/assets"
     Multimodal.fromDocuments(docs).write.parquet(dir)
