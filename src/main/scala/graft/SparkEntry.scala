@@ -50,12 +50,20 @@ object SparkEntry {
   /** Streaming state cost scales with shuffle partitions (one state-store
     * instance + delta files per partition per batch); the harness's
     * streams carry tiny state, so run them at few partitions and restore
-    * the session setting after. The returned DataFrames are plain parquet
-    * reads of the materialized sink, unaffected by the restore.
+    * the session setting after. Retention/maintenance knobs are dialed
+    * down likewise — these AvailableNow backlog runs live for 1-2 batches,
+    * so deep checkpoint history and background maintenance buy nothing.
+    * The default HDFS-backed state store beats RocksDB here: RocksDB's
+    * per-query native-db init dwarfs a few KB of state (it earns its keep
+    * at state sizes that pressure the executor heap). The returned
+    * DataFrames are plain parquet reads of the materialized sink,
+    * unaffected by the restore.
     */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -719,7 +727,7 @@ object SparkEntry {
       java.nio.file.Files.copy(ev, src.resolve("f1.parquet"))
       java.nio.file.Files.copy(ev, src.resolve("f2.parquet"))
       val schema = rawTable(s, dir, "events").schema
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 2) {
         graft.streaming.StreamingDedup.runAvailableNow(
           s, src.toString, schema, s"$root/table", s"$root/ckpt",
           Seq("event_id"))
@@ -761,7 +769,7 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft_statess_").toString
       val schema = rawTable(s, dir, "events").schema
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 2) {
         graft.streaming.StatefulSessionize.runAvailableNow(
           s, s"$dir/events.parquet", schema,
           s"$out/table", s"$out/ckpt", gapSeconds = 1800L,
@@ -802,7 +810,7 @@ object SparkEntry {
         .createTempDirectory("graft_stream_").toString
       // raw schema (ts as long nanos): the stream reads the files as-is
       val schema = rawTable(s, dir, "events").schema
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 2) {
         graft.streaming.StreamingUpsert.runAvailableNow(
           s, s"$dir/events.parquet", schema,
           s"$out/table", s"$out/ckpt", Seq("event_id"))
@@ -818,7 +826,7 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft_streamw_").toString
       val schema = rawTable(s, dir, "events").schema
-      withShufflePartitions(s, 4) {
+      withShufflePartitions(s, 2) {
         graft.streaming.StreamingUpsert.runWindowedAvailableNow(
           s, s"$dir/events.parquet", schema,
           s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)

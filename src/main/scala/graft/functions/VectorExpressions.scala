@@ -34,6 +34,35 @@ object VecOps {
     s
   }
 
+  /** Random-hyperplane sign-bit signature in ONE pass over the vector —
+    * the narrow-map replacement for a posexplode + nBits-aggregate groupBy
+    * (which shuffles rows×dim elements). Hyperplane component (b, i)
+    * derives from the same murmur3-of-int family Spark's `hash()` uses
+    * (seed 42), mapped to [-1, 1): no RNG state, executors and re-runs
+    * agree bit-for-bit.
+    */
+  def hyperplaneSig(v: ArrayData, nBits: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    val sums = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var b = 0
+      while (b < nBits) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashInt(b * 7919 + i, 42)
+        val m = ((h % 2000001) + 2000001) % 2000001
+        sums(b) += x * ((m - 1000000).toDouble / 1000000.0)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Sequential-double squared-L2 distance. */
   def l2sq(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -92,7 +121,33 @@ case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass random-hyperplane signature over an embedding column. */
+case class VecHyperplaneSig(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits > 0 && nBits <= 63, "signature must fit a long")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneSig(v.asInstanceOf[ArrayData], nBits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecOps.hyperplaneSig($v, $nBits, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : VecHyperplaneSig = copy(child = newChild)
+}
+
 object VectorExpressions {
+  def hyperplaneSig(v: Column, nBits: Int): Column =
+    GraftColumnBridge.column(
+      VecHyperplaneSig(GraftColumnBridge.expression(v), nBits))
+
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -229,8 +229,10 @@ object Dedup {
     * infeasible. Recall is probabilistic (raise nBits/bands to trade cost
     * for recall); verified pairs are exact, so precision is 1.
     *
-    * Hyperplane components derive from a hash of (bit, dimension) — no
-    * RNG state, so executors and re-runs agree bit-for-bit.
+    * Signatures come from the fused codegen kernel
+    * ([[graft.functions.VecHyperplaneSig]]): one narrow pass per vector, no
+    * explode, no shuffle — hyperplane components derive from a hash of
+    * (bit, dimension), so executors and re-runs agree bit-for-bit.
     */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       nBits: Int = 16, bands: Int = 4,
@@ -238,20 +240,9 @@ object Dedup {
       broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
-    // signature bit b = sign of <v, h_b>, h_b[i] = hash-derived in [-1, 1)
-    def hyperplaneComponent(b: Int): Column =
-      (pmod(hash(lit(b) * 7919 + col("pos")), lit(2000001)).cast("double")
-        - 1000000.0) / 1000000.0
-    val withPos = embeddings.select(col(idCol), col(vecCol),
-      posexplode(col(vecCol)).as(Seq("pos", "x")))
-    val dots = (0 until nBits).map(b =>
-      sum(col("x").cast("double") * hyperplaneComponent(b)).as(s"d$b"))
-    val sig = withPos.groupBy(col(idCol))
-      .agg(dots.head, dots.tail: _*)
-      .select(col(idCol),
-        (0 until nBits).map(b =>
-          when(col(s"d$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-          .as("vsig"))
+    val sig = embeddings.select(col(idCol),
+      graft.functions.VectorExpressions.hyperplaneSig(col(vecCol), nBits)
+        .as("vsig"))
     val banded = sig.select(col(idCol), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("vsig"), b * bandBits).bitwiseAND(mask).as("key"))

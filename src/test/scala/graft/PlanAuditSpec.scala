@@ -94,6 +94,66 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("size-guarded LSH verify: over-limit corpus hash-partitions, same result") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    withNoAutoBroadcast {
+      val guarded = graft.operators.Dedup.embeddingNearDupPairsLsh(
+        emb, 0.4, nBits = 16, bands = 4, broadcastRowLimit = 10)
+      val p = plan(guarded)
+      assert(!p.contains("BroadcastExchange"),
+        s"large-corpus verify must not broadcast the embedding table:\n$p")
+      val fast = graft.operators.Dedup.embeddingNearDupPairsLsh(
+        emb, 0.4, nBits = 16, bands = 4)
+      assert(guarded.collect().toSet == fast.collect().toSet)
+    }
+  }
+
+  test("size-guarded jaccard: over-limit corpus hash-partitions, same result") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    withNoAutoBroadcast {
+      val guarded = graft.operators.Dedup.ngramJaccardPairs(
+        docs, 0.2, broadcastRowLimit = 10)
+      val p = plan(guarded)
+      assert(!p.contains("BroadcastExchange"),
+        s"large-corpus sizes join must not broadcast:\n$p")
+      val prefix = graft.operators.Dedup.ngramJaccardPairsPrefix(
+        docs, 0.2, broadcastRowLimit = 10)
+      assert(!plan(prefix).contains("BroadcastExchange"))
+      val fast = graft.operators.Dedup.ngramJaccardPairs(docs, 0.2)
+      assert(guarded.collect().toSet == fast.collect().toSet)
+    }
+  }
+
+  test("embeddingNearDupPairsAuto large path: cell equi-join, no nested loop") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bucketed = graft.operators.Dedup.embeddingNearDupPairsAuto(
+      emb, 0.4, allPairsRowLimit = 10, cells = 4, nprobe = 2)
+    val p = plan(bucketed)
+    // the centroid-scoring join (corpus × k broadcast centroids) is a
+    // legitimate BroadcastNestedLoopJoin over a k-row build side; what must
+    // NOT appear is an all-pairs join of the corpus with itself — the pair
+    // generation has to be an equi-join on the cell key
+    assert(!p.contains("CartesianProduct"),
+      s"bucketed near-dup must not be an all-pairs join:\n$p")
+    assert(p.contains("Join [cell"),
+      s"pair generation must equi-join on the cell key:\n$p")
+    val pairs = bucketed.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Dedup.embeddingNearDupPairs(emb, 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), "bucketed pairs must verify exactly")
+    assert(pairs.nonEmpty)
+  }
+
   test("window ranking top-k does not collect to the driver") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)

@@ -58,4 +58,26 @@ class VectorExpressionsSpec extends SparkSpec {
     val got = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
     assert(got(0).isNullAt(0))
   }
+
+  test("hyperplaneSig: deterministic, partition-independent, sign-sensible") {
+    val vs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+    val df = vs.toDF("id", "v")
+    def sigs(parts: Int): Seq[(Long, Long)] = df.repartition(parts)
+      .select(col("id"), VectorExpressions.hyperplaneSig(col("v"), 16).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sigs(1) == sigs(8))
+    // a vector and its negation flip every non-zero-dot sign bit
+    val pair = Seq((1L, Array(1.0f, 2.0f, -3.0f)),
+      (2L, Array(-1.0f, -2.0f, 3.0f))).toDF("id", "v")
+      .select(VectorExpressions.hyperplaneSig(col("v"), 16))
+      .collect().map(_.getLong(0))
+    assert(pair(0) != pair(1))
+    // identical vectors share every band of the signature
+    val same = Seq((1L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.25f)))
+      .toDF("id", "v")
+      .select(VectorExpressions.hyperplaneSig(col("v"), 16))
+      .collect().map(_.getLong(0))
+    assert(same(0) == same(1))
+  }
 }
