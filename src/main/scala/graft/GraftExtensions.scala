@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashSigExpr, ShinglesExpr, TokensExpr, VecDot, VecL2Sq}
+import graft.functions.{MinhashSigExpr, ShinglesExpr, SimhashExpr, TokensExpr, VecDot, VecHyperplaneSig, VecL2Sq}
 
 /** SQL surface for the native kernels: install with
   * `.withExtensions(new GraftExtensions)` (or
@@ -51,6 +51,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinhashSigExpr(args(0),
         intLit(args(1), "k"), intLit(args(2), "shingle n"))),
+    (new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash"),
+      (args: Seq[Expression]) => SimhashExpr(args(0), intLit(args(1), "bits"))),
+    (new FunctionIdentifier("vec_hyperplane_sig"),
+      new ExpressionInfo(classOf[VecHyperplaneSig].getName, "vec_hyperplane_sig"),
+      (args: Seq[Expression]) =>
+        VecHyperplaneSig(args(0), intLit(args(1), "nBits"))),
   )
 
   /** Register on an already-running session (withExtensions only applies

@@ -880,6 +880,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // symmetric int8 absmax quantization of the embedding column (the
+    // 4×-storage lever): emitted aggregates are integer-exact, the scale
+    // divide + floor(+0.5) rounding is IEEE-identical on both engines
+    "q66_quantize_int8" -> ((s, dir) =>
+      graft.operators.Corpus.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          expr("aggregate(qvec, 0L, (a, x) -> a + cast(x as long))")
+            .as("q_sum"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"))
+        .orderBy("vec_id")),
+
+    // training-mixture construction: per-language deterministic sampling
+    // rates (downweight en, upweight the rest) via stratum-salted portable
+    // hash — a pure narrow filter, reproducible across runs/executors
+    "q67_stratified_sample" -> ((s, dir) =>
+      graft.operators.Corpus.stratifiedSample(t(s, dir, "documents"),
+          "lang", "doc_id",
+          Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // token-budget sequence packing (pretraining batch layout): docs cut
+    // into ≤2048-token packs per language by cumulative offset — one
+    // shuffle + one per-shard sort
+    "q68_pack_sequences" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(t(s, dir, "documents"),
+          "lang", "doc_id", TextFunctions.nTokens(col("text")),
+          tokenBudget = 2048)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")),
+
     // as-of join, FORWARD direction with tolerance: nearest click at-or-
     // after each purchase per user, voided when farther than 24 h (DuckDB
     // proves it with a native ASOF JOIN + tolerance CASE)
@@ -1525,6 +1558,43 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q66_quantize_int8" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+          |    AS qscale FROM e),
+          |qq AS (SELECT vec_id,
+          |  list_transform(v, x ->
+          |    CAST(floor(x * 127.0 / qscale + 0.5) AS INTEGER)) AS qvec
+          |  FROM q)
+          |SELECT vec_id,
+          |  CAST(COALESCE(list_aggregate(qvec, 'sum'), 0) AS BIGINT) AS q_sum,
+          |  CAST(list_min(qvec) AS INTEGER) AS q_min,
+          |  CAST(list_max(qvec) AS INTEGER) AS q_max
+          |FROM qq ORDER BY vec_id""".stripMargin,
+
+      "q67_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+          |    1, 8))::BIGINT % 100 <
+          |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
+          |    ELSE 50 END
+          |ORDER BY doc_id""".stripMargin,
+
+      "q68_pack_sequences" ->
+        s"""WITH d AS (SELECT doc_id, lang,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d),
+           |p AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id, n_tokens
+           |  FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
       "q65_asof_forward_tolerance" ->
         """WITH j AS (

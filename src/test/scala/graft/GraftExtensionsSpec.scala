@@ -39,6 +39,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](4) == viaApi)
   }
 
+  test("simhash / vec_hyperplane_sig work from SQL and match the Column API") {
+    import spark.implicits._
+    Seq((Array(1.0f, -2.0f, 0.5f), "the quick brown fox"))
+      .toDF("v", "text").createOrReplaceTempView("t2")
+    val row = spark.sql(
+      "SELECT simhash(text, 16) AS sh, vec_hyperplane_sig(v, 16) AS hs FROM t2")
+      .collect()(0)
+    val viaApi = Seq((Array(1.0f, -2.0f, 0.5f), "the quick brown fox"))
+      .toDF("v", "text")
+      .select(
+        graft.functions.TextExpressions.simhash($"text", 16),
+        graft.functions.VectorExpressions.hyperplaneSig($"v", 16))
+      .collect()(0)
+    assert(row.getLong(0) == viaApi.getLong(0))
+    assert(row.getLong(1) == viaApi.getLong(1))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('x', 1 + 1, 3)").collect()
