@@ -880,6 +880,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // multimodal resize: batch-local transcode contract (stub truncation),
+    // metadata tracks the new size; byte sums prove the payload transform
+    "q69_multimodal_resize" -> ((s, dir) => {
+      val resized = Multimodal.resizeStub(
+        Multimodal.fromDocuments(t(s, dir, "documents")), targetBytes = 500)
+      val feats = Multimodal.decodeFeatures(resized, dim = 1)
+        .select(col("asset_id"),
+          col("feature").getItem(0).cast(LongType).as("byte_sum"))
+      resized.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"))
+        .join(feats, "asset_id")
+        .orderBy("asset_id")
+    }),
+
+    // multimodal frame sampling: payload cut into 256-byte frames, every
+    // 2nd kept, exploded batch-locally to a flat relational table
+    "q70_multimodal_framesample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.fromDocuments(t(s, dir, "documents")),
+          frameBytes = 256, everyN = 2)
+        .select(col("asset_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"),
+          expr("aggregate(transform(sequence(1, octet_length(frame)), " +
+            "i -> cast(conv(substring(hex(frame), 2*i-1, 2), 16, 10) as long))" +
+            ", 0L, (a, x) -> a + x)").as("byte_sum"))
+        .orderBy("asset_id", "frame_idx")),
+
     // symmetric int8 absmax quantization of the embedding column (the
     // 4×-storage lever): emitted aggregates are integer-exact, the scale
     // divide + floor(+0.5) rounding is IEEE-identical on both engines
@@ -1558,6 +1584,32 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q69_multimodal_resize" ->
+        """WITH b AS (SELECT doc_id AS asset_id,
+          |  substr(hex(encode(text)), 1, 1000) AS hx FROM documents)
+          |SELECT asset_id, CAST(strlen(hx) // 2 AS BIGINT) AS n_bytes,
+          |  CAST(COALESCE(list_aggregate(list_transform(
+          |    range(1, strlen(hx) // 2 + 1),
+          |    i -> ('0x' || substr(hx, 2*i-1, 2))::BIGINT), 'sum'), 0)
+          |    AS BIGINT) AS byte_sum
+          |FROM b ORDER BY asset_id""".stripMargin,
+
+      "q70_multimodal_framesample" ->
+        """WITH b AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+          |  octet_length(encode(text)) AS n FROM documents),
+          |idx AS (SELECT asset_id, hx,
+          |  unnest(range(0, (n + 255) // 256)) AS frame_idx FROM b),
+          |f AS (SELECT asset_id, frame_idx,
+          |  substr(hx, CAST(frame_idx * 512 + 1 AS INTEGER), 512) AS fhx
+          |  FROM idx WHERE frame_idx % 2 = 0)
+          |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  CAST(strlen(fhx) // 2 AS INTEGER) AS frame_bytes,
+          |  CAST(COALESCE(list_aggregate(list_transform(
+          |    range(1, strlen(fhx) // 2 + 1),
+          |    i -> ('0x' || substr(fhx, 2*i-1, 2))::BIGINT), 'sum'), 0)
+          |    AS BIGINT) AS byte_sum
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
       "q66_quantize_int8" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -87,6 +87,54 @@ object Multimodal {
       .mapPartitions(rows => StubDecoder.decodeBatch(rows, dim))(encoder)
   }
 
+  /** Resize assets to at most `targetBytes` of payload via mapPartitions —
+    * the batch-local transcode contract (a real implementation decodes,
+    * resamples, re-encodes here; the stub truncates deterministically so
+    * the plumbing is oracle-checkable). Metadata tracks the new size;
+    * payloads never visit the driver.
+    */
+  def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame = {
+    val schema = assets.schema
+    val encoder = RowEncoder.encoderFor(schema)
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty)
+        val resized = payload.take(targetBytes)
+        val meta = r.getAs[Row]("meta")
+        Row(r.getAs[Long]("asset_id"), r.getAs[String]("media_type"), resized,
+          Row(resized.length.toLong, meta.getAs[String]("source")))
+      }
+    }(encoder)
+  }
+
+  /** One row per sampled frame: the payload is cut into fixed-size
+    * `frameBytes` frames and every `everyN`-th frame is kept — the
+    * video-frame-sampling shape (a real decoder yields actual frames; the
+    * fixed-byte cut is the deterministic stand-in). Exploding inside
+    * mapPartitions keeps the codec batch-local while the output stays a
+    * flat relational table downstream ops can join/aggregate.
+    */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+  ))
+
+  def frameSample(assets: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val encoder = RowEncoder.encoderFor(frameSchema)
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty)
+        payload.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 =>
+            Row(id, idx.toLong, frame)
+        }
+      }
+    }(encoder)
+  }
+
   /** Metadata-only projection — must prune the payload column at the scan
     * (verified in tests via the physical plan's ReadSchema).
     */

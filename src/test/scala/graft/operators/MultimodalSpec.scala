@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toArray.sameElements(expect))
   }
 
+  test("resizeStub truncates payloads and updates metadata, keeping schema") {
+    val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
+    assert(resized.schema == Multimodal.fromDocuments(docs).schema)
+    val r = resized.where($"asset_id" === 1L).collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello")
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") == 5L)
+    // empty payload survives as empty
+    val e = resized.where($"asset_id" === 2L).collect()(0)
+    assert(e.getAs[Array[Byte]]("payload").isEmpty)
+  }
+
+  test("frameSample cuts fixed-size frames and keeps every Nth") {
+    val assets = Multimodal.fromDocuments(
+      Seq((9L, "abcdefghij", "web")).toDF("doc_id", "text", "source"))
+    val frames = Multimodal.frameSample(assets, frameBytes = 3, everyN = 2)
+      .orderBy("frame_idx").collect()
+    // 10 bytes -> frames of 3,3,3,1 at idx 0..3; keep idx 0 and 2
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8") == "abc")
+    assert(new String(frames(1).getAs[Array[Byte]]("frame"), "UTF-8") == "ghi")
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_mm_").toString + "/assets"
     Multimodal.fromDocuments(docs).write.parquet(dir)
