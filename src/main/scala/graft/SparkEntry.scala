@@ -880,6 +880,34 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // benchmark decontamination: drop training docs sharing any 3-gram
+    // with the held-out eval slice (doc_id % 50 == 0) — the test-set
+    // leakage guard every pretraining corpus needs
+    "q71_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), shingleN = 3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing over deterministic synthetic contact strings (emails
+    // derived from customer names): replace + count, identical Java/RE2
+    // regex subset on both engines
+    "q72_pii_scrub" -> ((s, dir) => {
+      val raw = concat(lit("contact "),
+        lower(translate(col("c_name"), "# ", "_.")), lit("@example.com"),
+        lit(" or call 555-0123 ref "), col("c_custkey").cast(StringType))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          TextFunctions.scrubPii(col("raw")).as("scrubbed"),
+          regexp_count(col("raw"), lit(TextFunctions.EmailRe)).as("n_emails"),
+          regexp_count(col("raw"), lit(TextFunctions.PhoneRe)).as("n_phones"))
+        .orderBy("c_custkey")
+    }),
+
     // multimodal resize: batch-local transcode contract (stub truncation),
     // metadata tracks the new size; byte sums prove the payload transform
     "q69_multimodal_resize" -> ((s, dir) => {
@@ -1584,6 +1612,34 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q71_decontaminate" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM toks),
+           |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+           |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s))
+           |SELECT d.doc_id, d.lang FROM documents d
+           |WHERE d.doc_id % 50 <> 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q72_pii_scrub" ->
+        """WITH r AS (SELECT c_custkey,
+          |  'contact ' || lower(translate(c_name, '# ', '_.')) ||
+          |  '@example.com or call 555-0123 ref ' ||
+          |  CAST(c_custkey AS VARCHAR) AS raw
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  regexp_replace(regexp_replace(raw,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+          |    'g'), '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+          |  CAST(len(regexp_extract_all(raw,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |    AS INTEGER) AS n_emails,
+          |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b'))
+          |    AS INTEGER) AS n_phones
+          |FROM r ORDER BY c_custkey""".stripMargin,
 
       "q69_multimodal_resize" ->
         """WITH b AS (SELECT doc_id AS asset_id,

@@ -120,4 +120,18 @@ object TextFunctions {
     */
   def contentHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII scrubbing patterns, deliberately inside the regex subset Java
+    * (Spark) and RE2 (DuckDB) interpret identically, so the oracle can
+    * apply the very same expressions.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Replace emails / phone patterns with placeholder tokens — the
+    * standard pre-training privacy pass; a pure narrow map.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }

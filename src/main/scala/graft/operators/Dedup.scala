@@ -293,6 +293,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Benchmark decontamination: drop every training doc that shares ANY
+    * word `shingleN`-gram with the evaluation set — the standard guard
+    * against test-set leakage into pretraining corpora. Shape: the eval
+    * set's distinct shingles form the (comparatively tiny) right side of a
+    * left-semi shingle join; contaminated doc ids then anti-join the
+    * training corpus. Cost is one shuffle over training shingles — linear,
+    * same profile as [[ngramJaccardPairs]]'s index build — and the eval
+    * shingle set is usually small enough that Spark broadcasts the semi
+    * join automatically.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextExpressions.shingles(col(textCol), shingleN))).as("sh"))
+    val evalShingles = sh(eval).select("sh").distinct()
+    val contaminated = sh(train)
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Size-switched embedding near-dup — the registered default. Below
     * `allPairsRowLimit` rows the exact all-pairs form runs (it IS the
     * ground truth, and n² of a small n is cheap). Above it, candidates come

@@ -74,6 +74,35 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" w/ eval
+      (2L, "completely different words here"),
+      (3L, "lazy dogs sleep all day")      // shares "lazy dogs sleep" w/ eval
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a quick brown fox appeared"),
+      (101L, "lazy dogs sleep often")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval, shingleN = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+    // disjoint eval removes nothing
+    val none = Dedup.decontaminate(train,
+      Seq((200L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), shingleN = 3)
+    assert(none.count() == 3)
+  }
+
+  test("scrubPii masks emails and phone patterns, counts preserved text") {
+    val df = Seq(
+      "write to a.b+c@test-mail.org or call 555-0199 today",
+      "no pii at all 12345-678901").toDF("text")
+    val out = df.select(
+      graft.functions.TextFunctions.scrubPii($"text").as("s")).as[String]
+      .collect()
+    assert(out(0) == "write to <EMAIL> or call <PHONE> today")
+    assert(out(1) == "no pii at all 12345-678901") // \b guards partial hits
+  }
+
   test("embedding near-dup pairs: above-threshold cosine only, id_a < id_b") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
