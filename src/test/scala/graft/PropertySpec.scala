@@ -88,6 +88,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin equals a brute-force reference for every direction/tolerance") {
+    // (key, time-offset, side): coarse offsets force plenty of exact-time
+    // ties, the edge the window tie-break must resolve deterministically
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L), Gen.oneOf(0, 1)))
+    val base = 1700000000000000L
+    forAllSampled(gen, n = 6) { evs =>
+      val lefts = evs.zipWithIndex.collect {
+        case ((k, t, 1), i) => (i.toLong, k, base + t * 1000000L)
+      }
+      val rights = evs.zipWithIndex.collect {
+        case ((k, t, 0), i) => (k, base + t * 1000000L, i.toLong)
+      }
+      if (lefts.nonEmpty && rights.nonEmpty) {
+        val l = lefts.toDF("lid", "k", "t")
+        val r = rights.toDF("k", "t", "rid")
+        for (dir <- Seq("backward", "forward");
+             tol <- Seq(None, Some(5L * 1000000L))) {
+          val got = graft.operators.Temporal
+            .asOfJoin(l, r, Seq("k"), "t", "t", Seq("rid"), dir, tol)
+            .select("lid", "rid").collect()
+            .map(row => row.getLong(0) ->
+              (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+          val expect = lefts.map { case (lid, k, lt) =>
+            val cands = rights.filter(_._1 == k).filter { case (_, rt, _) =>
+              if (dir == "backward") rt <= lt else rt >= lt
+            }
+            // nearest time wins; exact-time ties break on the GREATEST
+            // carried struct (documented contract)
+            val best =
+              if (dir == "backward") cands.sortBy(c => (c._2, c._3)).lastOption
+              else cands.sortBy(c => (-c._2, c._3)).lastOption
+            val withinTol = best.filter { case (_, rt, _) =>
+              tol.forall(t => math.abs(lt - rt) <= t)
+            }
+            lid -> withinTol.map(_._3)
+          }.toMap
+          assert(got == expect, s"direction=$dir tolerance=$tol")
+        }
+      }
+    }
+  }
+
   test("minhash lanes are permutation-invariant over document word order") {
     forAllSampled(Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta")), n = 5) { ws =>
       if (ws.nonEmpty) {
