@@ -248,18 +248,25 @@ object Dedup {
         shiftright(col("vsig"), b * bandBits).bitwiseAND(mask).as("key"))
     }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
-    val cand = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val rawCand = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
         Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val withNorm = embeddings.select(col(idCol), col(vecCol),
-      VectorFunctions.norm(col(vecCol)).as("nrm"))
+      .select("id_a", "id_b")
     // verify step: broadcast the embedding table to the candidate stream
     // only when provably small; otherwise hash-partition both sides by id —
-    // a corpus-scale verify must never collect the embeddings to one node
+    // a corpus-scale verify must never collect the embeddings to one node.
+    // Candidate dedup placement follows the same switch: with a broadcast
+    // verify the per-duplicate cost is one codegen dot product, cheaper
+    // than shuffling the full candidate stream through a distinct — so
+    // dedup AFTER the threshold filter (survivors are few). On the
+    // hash-partitioned path duplicates would inflate the join shuffle, so
+    // dedup first.
     val bc = Sizing.countAtMost(embeddings, broadcastRowLimit)
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    val cand = if (bc) rawCand else rawCand.distinct()
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
     cand
       .join(side(withNorm.select(col(idCol).as("id_a"),
         col(vecCol).as("va"), col("nrm").as("na"))), "id_a")
@@ -269,6 +276,7 @@ object Dedup {
         VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.
