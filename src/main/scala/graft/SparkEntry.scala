@@ -880,6 +880,37 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // incremental streaming near-dup: two id-ordered backlog files, one
+    // per micro-batch; batch 2's docs are rejected against the band-key
+    // HISTORY accumulated from batch 1 (and lower ids within-batch), so
+    // the final table equals the global lower-id band-collision rule the
+    // oracle computes
+    "q73_stream_neardup" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snd_").toString
+      val src = java.nio.file.Paths.get(s"$root/src")
+      java.nio.file.Files.createDirectories(src)
+      val docs = rawTable(s, dir, "documents")
+      val mid = docs.count() / 2
+      def writeHalf(df: DataFrame, name: String): Unit = {
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, src.resolve(name))
+      }
+      writeHalf(docs.where(col("doc_id") < mid), "f1.parquet")
+      writeHalf(docs.where(col("doc_id") >= mid), "f2.parquet")
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingNearDup.runAvailableNow(
+          s, src.toString, docs.schema,
+          s"$root/table", s"$root/hist", s"$root/ckpt")
+      }
+      s.read.parquet(s"$root/table")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // benchmark decontamination: drop training docs sharing any 3-gram
     // with the held-out eval slice (doc_id % 50 == 0) — the test-set
     // leakage guard every pretraining corpus needs
@@ -1612,6 +1643,22 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q73_stream_neardup" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |rej AS (SELECT DISTINCT b.doc_id FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT d.doc_id, d.lang FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "q71_decontaminate" ->
         s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
