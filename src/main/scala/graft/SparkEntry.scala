@@ -880,6 +880,45 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // exact quantiles per group (sort-based percentile with linear
+    // interpolation — the same definition as DuckDB's quantile_cont)
+    "q74_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_quantity, 0.9)").as("q90"))
+        .orderBy("l_returnflag")),
+
+    // moment-exact statistics: mean/stddev/corr derived from DECIMAL-exact
+    // power sums (sum x, x², y, y², xy), so the only float ops are the
+    // final identical expressions on identical inputs — unlike the
+    // built-in corr/stddev whose float accumulation order varies
+    "q75_moment_stats" -> ((s, dir) => {
+      // operands enter DECIMAL before multiplying: the products and sums
+      // are exact, so no float accumulation order can leak in
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      def dsum(c: Column) = sum(c).cast(DoubleType)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(q).as("sq"), dsum(q * q).as("sq2"),
+          dsum(p).as("sp"), dsum(p * p).as("sp2"),
+          dsum(q * p).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sq") / col("n")).as("mean_qty"),
+          sqrt((col("sq2") - col("sq") * col("sq") / col("n"))
+            / (col("n") - 1)).as("std_qty"),
+          ((col("n") * col("sqp") - col("sq") * col("sp"))
+            / sqrt((col("n") * col("sq2") - col("sq") * col("sq"))
+              * (col("n") * col("sp2") - col("sp") * col("sp"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // incremental streaming near-dup: two id-ordered backlog files, one
     // per micro-batch; batch 2's docs are rejected against the band-key
     // HISTORY accumulated from batch 1 (and lower ids within-batch), so
@@ -1643,6 +1682,34 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q74_quantiles" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.25) AS q25,
+          |  quantile_cont(l_quantity, 0.5) AS q50,
+          |  quantile_cont(l_quantity, 0.75) AS q75,
+          |  quantile_cont(l_quantity, 0.9) AS q90
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
+
+      "q75_moment_stats" ->
+        """WITH m AS (SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(qd) AS DOUBLE) AS sq,
+          |  CAST(sum(qd * qd) AS DOUBLE) AS sq2,
+          |  CAST(sum(pd) AS DOUBLE) AS sp,
+          |  CAST(sum(pd * pd) AS DOUBLE) AS sp2,
+          |  CAST(sum(qd * pd) AS DOUBLE) AS sqp
+          |  FROM (SELECT l_returnflag,
+          |    CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+          |    CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+          |    FROM lineitem) GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          |  sq / n AS mean_qty,
+          |  sqrt((sq2 - sq * sq / n) / (n - 1)) AS std_qty,
+          |  (n * sqp - sq * sp) /
+          |    sqrt((n * sq2 - sq * sq) * (n * sp2 - sp * sp))
+          |    AS corr_qty_price
+          |FROM m ORDER BY l_returnflag""".stripMargin,
 
       "q73_stream_neardup" -> {
         val bandKeys = (0 until 4).map { b =>
