@@ -82,7 +82,7 @@ object UpsertWriter {
     * (not one atomic op) — acceptable under the single-writer assumption,
     * and crash-recoverable: `<path>__old` retains the previous version.
     */
-  private def writeAtomic(df: DataFrame, target: Path, partitionBy: Seq[String]): Unit = {
+  private[store] def writeAtomic(df: DataFrame, target: Path, partitionBy: Seq[String]): Unit = {
     val tmp = Paths.get(target.toString + "__tmp")
     val old = Paths.get(target.toString + "__old")
     deleteRecursively(tmp); deleteRecursively(old)
