@@ -880,6 +880,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // 5-row moving average per key: the windowed sum runs over DECIMAL
+    // (exact, associative — safe against DuckDB's segment-tree window
+    // evaluation order), one final double divide
+    "q76_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType) / count(lit(1)).over(w)).as("ma5"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // per-key period-over-period returns: lag + elementwise arithmetic,
+    // IEEE-identical on both engines
+    "q77_returns" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val prev = lag(col("value"), 1).over(w)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          ((col("value") - prev) / prev).as("ret"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // exact quantiles per group (sort-based percentile with linear
     // interpolation — the same definition as DuckDB's quantile_cont)
     "q74_quantiles" -> ((s, dir) =>
@@ -1682,6 +1706,22 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q76_moving_avg" ->
+        """SELECT user_id, event_id,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+          |    count(*) OVER w AS ma5
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin,
+
+      "q77_returns" ->
+        """SELECT user_id, event_id,
+          |  (value - lag(value) OVER w) / lag(value) OVER w AS ret
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+          |ORDER BY user_id, event_id""".stripMargin,
 
       "q74_quantiles" ->
         """SELECT l_returnflag,
