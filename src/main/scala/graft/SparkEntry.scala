@@ -894,13 +894,14 @@ object SparkEntry {
     }),
 
     // per-key period-over-period returns: lag + elementwise arithmetic,
-    // IEEE-identical on both engines
+    // IEEE-identical on both engines; zero/missing base yields NULL (ANSI
+    // division would error, DuckDB would emit inf — NULL is the contract)
     "q77_returns" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       val prev = lag(col("value"), 1).over(w)
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          ((col("value") - prev) / prev).as("ret"))
+          when(prev =!= 0.0, (col("value") - prev) / prev).as("ret"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -1718,7 +1719,9 @@ object SparkEntry {
 
       "q77_returns" ->
         """SELECT user_id, event_id,
-          |  (value - lag(value) OVER w) / lag(value) OVER w AS ret
+          |  CASE WHEN lag(value) OVER w <> 0
+          |    THEN (value - lag(value) OVER w) / lag(value) OVER w
+          |  END AS ret
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
           |ORDER BY user_id, event_id""".stripMargin,
