@@ -880,6 +880,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // near-dup cluster assignment: connected components over the minhash
+    // LSH pair graph (smallest reachable doc id = cluster root) — the
+    // canonical-representative step after pairwise detection
+    "q78_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupClusters(docs, Dedup.minhashLshPairs(docs))
+        .orderBy("doc_id")
+    }),
+
     // 5-row moving average per key: the windowed sum runs over DECIMAL
     // (exact, associative — safe against DuckDB's segment-tree window
     // evaluation order), one final double divide
@@ -1707,6 +1716,28 @@ object SparkEntry {
         """SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM orders WHERE o_orderkey % 2 = 0
           |ORDER BY o_orderkey""".stripMargin,
+
+      "q78_neardup_clusters" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+           |SELECT src AS doc_id, min(dst) AS root FROM reach
+           |GROUP BY src ORDER BY doc_id""".stripMargin
+      },
 
       "q76_moving_avg" ->
         """SELECT user_id, event_id,

@@ -301,6 +301,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Connected-component cluster assignment over a near-duplicate pair
+    * set: every doc is labeled with the smallest doc id reachable through
+    * the pair graph — the canonical-representative selection that turns
+    * pairwise near-dup detection into "keep one per cluster". Iterative
+    * min-label propagation (label ← min(label, neighbors' labels)) to a
+    * fixpoint; each round is one join + one aggregate, the standard
+    * large-graph CC shape without a graph library. Near-dup clusters are
+    * shallow, so rounds ≈ a small constant; `localCheckpoint` cuts the
+    * iterative lineage so plans stay flat.
+    */
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol), col(idCol).as("root"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col(idCol).as("b"), col("root")), "b")
+        .groupBy(col("a").as(idCol)).agg(min("root").as("nroot"))
+      val next = labels.withColumnRenamed("root", "old")
+        .join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol), col("old"),
+          least(col("old"), coalesce(col("nroot"), col("old"))).as("root"))
+        .localCheckpoint(true)
+      converged = next.where(col("root") =!= col("old")).head(1).isEmpty
+      labels = next.select(col(idCol), col("root"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Benchmark decontamination: drop every training doc that shares ANY
     * word `shingleN`-gram with the evaluation set — the standard guard
     * against test-set leakage into pretraining corpora. Shape: the eval

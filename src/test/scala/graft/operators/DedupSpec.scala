@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("nearDupClusters: chained pairs collapse to the smallest reachable id") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, isolated 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val roots = Dedup.nearDupClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // long chain exercises multi-round propagation
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids10 = (1L to 10L).map(Tuple1(_)).toDF("doc_id")
+    val cr = Dedup.nearDupClusters(ids10, chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cr.toSeq == Seq(1L))
+  }
+
   test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" w/ eval
