@@ -131,10 +131,13 @@ object Dedup {
       col(idCol).as("id_b"), col("simhash").as("sb"))
     a.join(b, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sa", "sb").distinct()
+      // popcount verify BEFORE the distinct: the per-candidate bit_count is
+      // a single instruction while the distinct is a shuffle — filtering
+      // first shrinks the shuffle to true pairs only
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold via the inverted shingle

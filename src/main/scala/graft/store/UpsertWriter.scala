@@ -50,6 +50,7 @@ object UpsertWriter {
       pk: Seq[String],
       partitionBy: Seq[String] = Nil,
       broadcastThresholdRows: Long = 4000000L,
+      allowNewColumns: Boolean = false,
   ): Unit = {
     require(pk.nonEmpty, "upsert requires a primary key")
     val target = Paths.get(path)
@@ -68,7 +69,13 @@ object UpsertWriter {
       if (countAtMost(dedupedUpdates, broadcastThresholdRows)) broadcast(dedupedUpdates)
       else dedupedUpdates
     val survivors = existing.join(updatesSide, pk, "left_anti")
-    val merged = survivors.unionByName(dedupedUpdates, allowMissingColumns = false)
+    // schema evolution: with allowNewColumns a delta may carry columns the
+    // table lacks (and vice versa) — surviving rows get typed nulls for the
+    // new columns, the table schema widens on this write. Default is
+    // strict (schema drift fails loudly), matching the validated-schema
+    // discipline of the W4 gate.
+    val merged = survivors.unionByName(dedupedUpdates,
+      allowMissingColumns = allowNewColumns)
     writeAtomic(merged, target, partitionBy)
   }
 

@@ -103,6 +103,24 @@ class UpsertWriterSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 1)
   }
 
+  test("schema evolution: a delta with a NEW column widens the table") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    // strict default fails loudly on drift
+    intercept[Exception] {
+      UpsertWriter.upsert(spark, path,
+        Seq((3L, "c", 9.9)).toDF("id", "v", "extra"), Seq("id"))
+    }
+    // evolving merge widens: survivors get a typed null for `extra`
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "B", 9.9)).toDF("id", "v", "extra"), Seq("id"),
+      allowNewColumns = true)
+    val got = spark.read.parquet(path)
+      .orderBy("id").as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "B", Some(9.9))))
+  }
+
   test("mergePlan (relational form) matches the writer semantics") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
