@@ -336,6 +336,11 @@ object Dedup {
       labels = next.select(col(idCol), col("root"))
       iter += 1
     }
+    // propagation needs ~graph-diameter rounds; an unconverged result is
+    // WRONG, not just slow — fail loudly rather than return partial labels
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within $maxIters rounds — the pair "
+        + "graph's diameter exceeds it; raise maxIters")
     labels
   }
 

@@ -88,6 +88,10 @@ class DedupSpec extends SparkSpec {
     val cr = Dedup.nearDupClusters(ids10, chain)
       .collect().map(r => r.getLong(1)).distinct
     assert(cr.toSeq == Seq(1L))
+    // a diameter beyond maxIters must fail loudly, never return partial labels
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(ids10, chain, maxIters = 3)
+    }
   }
 
   test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
