@@ -60,11 +60,17 @@ object SparkEntry {
     * unaffected by the restore.
     */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.minBatchesToRetain",
+      "spark.sql.streaming.stateStore.maintenanceInterval")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     s.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   // ---------------------------------------------------------------- helpers
@@ -245,16 +251,19 @@ object SparkEntry {
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy("l_returnflag")),
 
-    // calendar spine: per-day event counts INCLUDING zero-event days
-    // (sequence-generated dates left-joined to the fact)
+    // calendar spine: per-day event counts INCLUDING zero-event days.
+    // Aggregate the fact FIRST, then left-join the tiny daily aggregate to
+    // the sequence-generated spine — the raw events never pass through the
+    // join, so the join inputs are O(days) regardless of fact size
     "q61_date_spine" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(to_date(col("ts")).as("d"), col("event_id"))
-      val bounds = ev.agg(min("d").as("lo"), max("d").as("hi"))
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("cnt"))
+      val bounds = daily.agg(min("d").as("lo"), max("d").as("hi"))
       val spine = bounds.select(
         explode(sequence(col("lo"), col("hi"))).as("d"))
-      spine.join(ev, Seq("d"), "left")
-        .groupBy("d").agg(count(col("event_id")).as("n_events"))
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("cnt"), lit(0L)).as("n_events"))
         .orderBy("d")
     }),
 
@@ -975,6 +984,14 @@ object SparkEntry {
       }
       writeHalf(docs.where(col("doc_id") < mid), "f1.parquet")
       writeHalf(docs.where(col("doc_id") >= mid), "f2.parquet")
+      // FileStreamSource orders the backlog by modification time; the
+      // oracle's history-based rejection assumes f1 (low doc ids) lands
+      // first, so pin distinct, increasing mtimes — two moves inside the
+      // same mtime granularity could otherwise tie and flip the order
+      java.nio.file.Files.setLastModifiedTime(src.resolve("f1.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+      java.nio.file.Files.setLastModifiedTime(src.resolve("f2.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000001000L))
       withShufflePartitions(s, 2) {
         graft.streaming.StreamingNearDup.runAvailableNow(
           s, src.toString, docs.schema,

@@ -159,7 +159,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count("*").as("inter"))
     // per-doc sizes broadcast only when the doc table is provably small;
-    // a 10⁹-doc corpus falls back to hash-partitioned joins on id
+    // a 10⁹-doc corpus falls back to hash-partitioned joins on id. The
+    // broadcast side is (id, count) — fixed-width rows — so the row cap
+    // alone bounds its bytes; no byte probe needed here.
     val bc = Sizing.countAtMost(docs, broadcastRowLimit)
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     inter
@@ -210,7 +212,7 @@ object Dedup {
     // Beyond broadcast size both sides hash-partition by id instead — the
     // shuffle is linear in candidates and never materializes the corpus on
     // one node.
-    val bc = Sizing.countAtMost(base, broadcastRowLimit)
+    val bc = Sizing.fitsBroadcast(base, broadcastRowLimit)
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     cand
       .join(side(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
@@ -265,7 +267,7 @@ object Dedup {
     // dedup AFTER the threshold filter (survivors are few). On the
     // hash-partitioned path duplicates would inflate the join shuffle, so
     // dedup first.
-    val bc = Sizing.countAtMost(embeddings, broadcastRowLimit)
+    val bc = Sizing.fitsBroadcast(embeddings, broadcastRowLimit)
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     val cand = if (bc) rawCand else rawCand.distinct()
     val withNorm = embeddings.select(col(idCol), col(vecCol),

@@ -47,24 +47,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
   }
 
-  /** Assign each vector to its highest-cosine centroid. Centroids are a
-    * small broadcast table (centroid_id, vector).
+  /** Collect a (centroid_id, cvec) table to driver arrays, id-ascending.
+    * Centroids are index state — k×dim values, a few KB — so the collect is
+    * O(metadata); widening float→double is exact, keeping the kernel's
+    * arithmetic bit-identical to the float-array join form.
+    */
+  private def collectCentroids(centroids: DataFrame,
+      centroidIdCol: String, centroidVecCol: String)
+      : (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col(centroidIdCol).cast("long"), col(centroidVecCol))
+      .collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.asInstanceOf[Number].doubleValue()
+        }.toArray
+      }
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Assign each vector to its highest-cosine centroid. Centroids are
+    * driver state (k×dim), so assignment is a NARROW projection — the
+    * [[graft.functions.VecNearestCentroids]] kernel computes the argmax
+    * map-side with zero Exchange between the corpus scan and the cell
+    * column (the broadcast-join + per-vector window form shuffled the
+    * whole corpus on vec_id once per pass).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
       : DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol),
-        norm(col(vecCol)).as("__vn"))
-      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol),
-        norm(col(centroidVecCol)).as("__cn"))))
-      .withColumn("csim", cosineWithNorms(
-        dot(col(vecCol), col(centroidVecCol)), col("__vn"), col("__cn")))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("csim").desc, col(centroidIdCol).asc)
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
-      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
+    val (ids, cvecs) = collectCentroids(centroids, centroidIdCol, centroidVecCol)
+    ivfAssignArrays(corpus, ids, cvecs, idCol, vecCol)
   }
+
+  /** [[ivfAssign]] over already-collected centroid arrays (`ids` sorted
+    * ascending) — the form `kmeans` uses per iteration, skipping the
+    * DataFrame round-trip.
+    */
+  private def ivfAssignArrays(corpus: DataFrame, ids: Array[Long],
+      cvecs: Array[Array[Double]], idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      graft.functions.VectorExpressions
+        .nearestCentroids(col(vecCol), ids, cvecs, 1)
+        .getItem(0).as("cell"))
 
   /** Deterministic distributed Lloyd's k-means over the embedding column —
     * the index builder for the IVF path, so ANN needs no external
@@ -88,18 +117,12 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iterations) {
-      val centDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          centroids.zipWithIndex.map { case (v, i) =>
-            org.apache.spark.sql.Row(i.toLong, v.toSeq)
-          }.toSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("centroid_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cvec",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType, containsNull = false)))))
-      val assigned = ivfAssign(corpus, centDf, idCol, vecCol)
+      // narrow assignment straight off the driver arrays — each Lloyd
+      // iteration costs one scan + one (cell,pos) partial-agg, never a
+      // corpus-wide shuffle on vec_id
+      val assigned = ivfAssignArrays(corpus,
+        centroids.indices.map(_.toLong).toArray,
+        centroids.map(_.map(_.toDouble)), idCol, vecCol)
       // per-cell mean, dimension-wise: explode positions, average, rebuild
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -130,21 +153,17 @@ object Similarity {
 
   /** Assign each vector to its `nprobe` highest-cosine centroids (the
     * multi-probe generalization of [[ivfAssign]]; one row per probed cell).
+    * Same narrow kernel: one array of cell ids per vector, exploded — no
+    * join, no window.
     */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
       : DataFrame = {
-    val scored = vectors.select(col(idCol), col(vecCol),
-        norm(col(vecCol)).as("__vn"))
-      .join(broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol),
-        norm(col(centroidVecCol)).as("__cn"))))
-      .withColumn("csim", cosineWithNorms(
-        dot(col(vecCol), col(centroidVecCol)), col("__vn"), col("__cn")))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("csim").desc, col(centroidIdCol).asc)
-    scored.withColumn("r", row_number().over(w)).where(col("r") <= nprobe)
-      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
+    val (ids, cvecs) = collectCentroids(centroids, centroidIdCol, centroidVecCol)
+    vectors.select(col(idCol), col(vecCol),
+      explode(graft.functions.VectorExpressions
+        .nearestCentroids(col(vecCol), ids, cvecs, nprobe)).as("cell"))
   }
 
   /** IVF top-k: probe the query's `nprobe` closest cells (nprobe=1 = own

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Size-guarded broadcast decisions (the `countAtMost` probe pattern from
   * [[graft.store.UpsertWriter]], shared by the dedup/similarity operators).
@@ -11,6 +12,12 @@ import org.apache.spark.sql.functions.broadcast
   * holds a full copy. These helpers keep the broadcast fast-path for
   * provably-small inputs and fall back to a plain (hash-partitioned
   * shuffle) join otherwise — the 100 TB-safe default.
+  *
+  * Row count alone is NOT a safe proxy when rows carry arrays (shingle
+  * lists, embeddings): 1M rows × multi-KB arrays still blows the broadcast
+  * budget. [[fitsBroadcast]] therefore also estimates BYTES — one probe job
+  * computes the capped row count and a schema-driven per-row size estimate
+  * together, and both must pass.
   */
 object Sizing {
 
@@ -20,15 +27,64 @@ object Sizing {
     */
   val DefaultBroadcastRows: Long = 1L << 20
 
+  /** Default byte cap for a broadcast side: 256 MB — far below Spark's 8 GB
+    * broadcast hard limit, small enough to replicate to every executor.
+    */
+  val DefaultBroadcastBytes: Long = 256L << 20
+
   /** Cheap "has at most n rows" probe without a full count:
     * limit(n+1).count() stops scanning once n+1 rows are found.
     */
   def countAtMost(df: DataFrame, n: Long): Boolean =
     df.limit((math.min(n, Int.MaxValue - 1L) + 1).toInt).count() <= n
 
-  /** Hint `df` for broadcast only when provably at most `rowLimit` rows;
-    * otherwise return it unhinted so the join shuffles both sides by key.
+  /** Schema-driven estimate of one row's in-memory bytes: variable-width
+    * columns (strings, binary, arrays, maps, structs of them) measured per
+    * row, fixed-width from the type's default size. Underestimates JVM
+    * object overhead, so the byte cap should stay conservative.
     */
-  def maybeBroadcast(df: DataFrame, rowLimit: Long): DataFrame =
-    if (countAtMost(df, rowLimit)) broadcast(df) else df
+  private[graft] def approxRowBytes(schema: StructType): Column = {
+    def bytesOf(dt: DataType, c: Column): Column = dt match {
+      case StringType => coalesce(octet_length(c), lit(0)).cast(LongType) + lit(16L)
+      case BinaryType => coalesce(octet_length(c), lit(0)).cast(LongType) + lit(16L)
+      case ArrayType(StringType | BinaryType, _) =>
+        // sum of element lengths + per-element overhead
+        coalesce(aggregate(c, lit(0L),
+          (acc, x) => acc + coalesce(octet_length(x), lit(0)).cast(LongType) + lit(16L)),
+          lit(0L)) + lit(16L)
+      case ArrayType(et, _) =>
+        coalesce(size(c), lit(0)).cast(LongType) * lit(et.defaultSize.toLong) + lit(16L)
+      case st: StructType =>
+        st.fields.map(f => bytesOf(f.dataType, c.getField(f.name)))
+          .reduceOption(_ + _).getOrElse(lit(8L))
+      case other => lit(other.defaultSize.toLong)
+    }
+    schema.fields.map(f => bytesOf(f.dataType, col(f.name)))
+      .reduceOption(_ + _).getOrElse(lit(8L))
+  }
+
+  /** True when `df` provably fits a broadcast: at most `rowLimit` rows AND
+    * estimated at most `byteLimit` bytes. One probe job over at most
+    * rowLimit+1 rows computes both; an over-cap row count short-circuits
+    * to false without looking at bytes.
+    */
+  def fitsBroadcast(df: DataFrame,
+      rowLimit: Long = DefaultBroadcastRows,
+      byteLimit: Long = DefaultBroadcastBytes): Boolean = {
+    val cap = (math.min(rowLimit, Int.MaxValue - 1L) + 1).toInt
+    val probe = df.limit(cap)
+      .agg(count(lit(1)).as("n"), sum(approxRowBytes(df.schema)).as("b"))
+      .head()
+    val n = probe.getLong(0)
+    val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    n <= rowLimit && bytes <= byteLimit
+  }
+
+  /** Hint `df` for broadcast only when provably at most `rowLimit` rows AND
+    * `byteLimit` estimated bytes; otherwise return it unhinted so the join
+    * shuffles both sides by key.
+    */
+  def maybeBroadcast(df: DataFrame, rowLimit: Long,
+      byteLimit: Long = DefaultBroadcastBytes): DataFrame =
+    if (fitsBroadcast(df, rowLimit, byteLimit)) broadcast(df) else df
 }

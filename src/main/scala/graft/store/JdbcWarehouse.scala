@@ -39,6 +39,12 @@ object JdbcWarehouse {
   def upsert(spark: SparkSession, updates: DataFrame, url: String,
       table: String, pk: Seq[String], props: Properties): Unit = {
     require(pk.nonEmpty, "upsert requires a primary key")
+    // Spark's JDBC writer interpolates the table name UNQUOTED into its
+    // DDL, so the server case-folds it; our MERGE/DROP must use the same
+    // unquoted form to resolve to the same object. That contract only
+    // holds for plain identifiers (optionally schema-qualified) — reject
+    // anything else loudly instead of emitting inconsistent SQL.
+    requirePlainIdentifier(table)
     val deduped = updates.dropDuplicates(pk)
     if (!tableExists(url, table, props)) {
       deduped.write.mode(SaveMode.ErrorIfExists)
@@ -46,6 +52,8 @@ object JdbcWarehouse {
       return
     }
     val stage = s"${table}_stage"
+    // a failed earlier upsert may have stranded the stage; clear it first
+    dropIfExists(url, stage, props)
     deduped.write.mode(SaveMode.Overwrite)
       .options(optionMap(props)).jdbc(url, stage, props)
     val cols = deduped.columns.toSeq
@@ -62,12 +70,29 @@ object JdbcWarehouse {
         .stripMargin
     withConnection(url, props) { conn =>
       val st = conn.createStatement()
-      try {
-        st.executeUpdate(merge)
-        st.executeUpdate(s"DROP TABLE $stage")
-      } finally st.close()
+      // the stage is scratch state: drop it whether or not the MERGE
+      // succeeded, and let the MERGE's exception (if any) propagate
+      try st.executeUpdate(merge)
+      finally {
+        try st.executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     }
   }
+
+  private def requirePlainIdentifier(name: String): Unit =
+    require(name.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"table name must be a plain (optionally schema-qualified) SQL " +
+        s"identifier, got: $name")
+
+  private def dropIfExists(url: String, table: String,
+      props: Properties): Unit =
+    if (tableExists(url, table, props))
+      withConnection(url, props) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+      }
 
   /** Read a warehouse table back (load_test.py reads via read_sql_table). */
   def read(spark: SparkSession, url: String, table: String,

@@ -154,6 +154,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("IVF cell assignment is narrow: no Exchange between scan and cell") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = graft.operators.Similarity.kmeans(emb, k = 4, iterations = 1)
+    val assigned = graft.operators.Similarity.ivfAssign(emb, centroids)
+    val p = plan(assigned)
+    assert(!p.contains("Exchange"),
+      s"cell assignment must be a narrow map over the scan:\n$p")
+    assert(!p.contains("Join"), s"no join either — centroids are driver state:\n$p")
+    assert(assigned.select("cell").distinct().count() > 1)
+  }
+
   test("window ranking top-k does not collect to the driver") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)
