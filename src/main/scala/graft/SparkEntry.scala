@@ -142,6 +142,60 @@ object SparkEntry {
        |  CASE WHEN close IS NULL THEN last_value(close) OVER w ELSE close END AS close,
        |  CASE WHEN volume IS NULL THEN 0 ELSE volume END AS volume""".stripMargin
 
+  /** Deterministic [[graft.pipeline.RawSource]] over the events-derived
+    * price history — the fixture standing in for the reference's network
+    * sources (py_pipeline/extract.py:45-64,125-137) so the FULL flow is
+    * oracle-checkable: the wide frames it serves round-trip through the
+    * price transform back to exactly [[priceHistory]], which [[phSql]]
+    * mirrors. FX tickers are served in their raw Yahoo "=X" forms so the
+    * transform's strip/remap path is exercised.
+    */
+  private final class PhFixtureSource(dir: String)
+      extends graft.pipeline.RawSource {
+    private val fxRaw = Map(
+      "EURUSD" -> "EURUSD=X", "GBPUSD" -> "GBPUSD=X",
+      "USDJPY" -> "JPY=X", "USDCHF" -> "CHF=X", "USDCAD" -> "CAD=X")
+
+    override def fetchSymbols(s: SparkSession, cat: String): DataFrame = {
+      import s.implicits._
+      if (cat == "sp_stocks") {
+        val types = t(s, dir, "events").select("event_type").distinct()
+          .orderBy("event_type").collect().map(_.getString(0)).toSeq
+        types.map(et => (et, et + " Inc", Option.empty[String],
+            Option.empty[String], Option.empty[Boolean], Option(true),
+            Option.empty[Boolean]))
+          .toDF("Symbol", "Security", "GICS Sector", "GICS Sub-Industry",
+            "in_sp400", "in_sp500", "in_sp600")
+      } else fxRaw.values.toSeq.sorted.toDF("Symbol")
+    }
+
+    override def fetchPrices(s: SparkSession, symbols: Seq[String],
+        start: java.time.LocalDate, end: java.time.LocalDate)
+        : (DataFrame, Seq[String]) = {
+      val fx = symbols.exists(_.endsWith("=X"))
+      val raw = if (fx) fxRaw else symbols.map(x => x -> x).toMap
+      val syms = raw.keys.toSeq.sorted
+      val ph = priceHistory(s, dir, fx)
+        .where(col("date_stamp").between(
+          java.sql.Date.valueOf(start), java.sql.Date.valueOf(end)))
+      // one row per (date, symbol) → yfinance-shaped wide Field_RawTicker
+      val wide = ph.groupBy("date_stamp").pivot("symbol", syms)
+        .agg(first("open").as("Open"), first("high").as("High"),
+          first("low").as("Low"), first("close").as("Close"),
+          first("volume").as("Volume"))
+      val renamed = wide.columns.foldLeft(wide) { (df, c) =>
+        c.split("_", 2) match {
+          case Array(sym, field) if raw.contains(sym) =>
+            df.withColumnRenamed(c, s"${field}_${raw(sym)}")
+          case _ => df
+        }
+      }
+      (renamed
+        .withColumn("Date", col("date_stamp").cast(TimestampType))
+        .drop("date_stamp"), Seq.empty)
+    }
+  }
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship: the securities warehouse pipeline end-to-end on synthetic
@@ -896,6 +950,114 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.nearDupClusters(docs, Dedup.minhashLshPairs(docs))
         .orderBy("doc_id")
+    }),
+
+    // the composed corpus-construction pipeline, end-to-end: exact-dedup →
+    // near-dup cluster representatives → decontaminate vs the eval slice →
+    // quality-filter → stratified mixture → sequence packing. Every stage
+    // is individually oracle-gated (q30/q78/q71/q45/q67/q68); this entry
+    // gates the COMPOSITION — the column contracts between stages and the
+    // combined plan — the LLM-corpus analogue of the reference's chained
+    // etl_flow (py_pipeline/orchestration.py:155-209)
+    "q79_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val reps = Dedup.nearDupClusters(kept, Dedup.minhashLshPairs(kept))
+        .where(col("doc_id") === col("root")).select("doc_id")
+      val repDocs = kept.join(reps, Seq("doc_id"), "left_semi")
+      val clean = Dedup.decontaminate(
+        repDocs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), shingleN = 3)
+      val txt = col("text")
+      val quality = clean.where(
+        TextFunctions.nTokens(txt) >= 20 &&
+          TextFunctions.meanTokenLen(txt) >= 3.0 &&
+          TextFunctions.meanTokenLen(txt) <= 10.0 &&
+          TextFunctions.punctRatio(txt) <= 0.2)
+      val mixed = graft.operators.Corpus.stratifiedSample(quality,
+        "lang", "doc_id",
+        Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
+      graft.operators.Corpus.packSequences(mixed, "lang", "doc_id",
+          TextFunctions.nTokens(col("text")), tokenBudget = 2048)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // bucketed fact-fact join: both sides written bucketed on the join key
+    // (16 buckets) so the sort-merge join consumes bucket-local data with
+    // ZERO exchange (PlanAuditSpec pins the no-shuffle plan); the oracle
+    // twin is the PLAIN join — bucketing must not change a single row
+    "q80_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q80_").toString
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val items = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+      orders.write.mode("overwrite").option("path", s"$tmp/o")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("q80_orders_b")
+      items.write.mode("overwrite").option("path", s"$tmp/i")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("q80_items_b")
+      s.table("q80_orders_b")
+        .join(s.table("q80_items_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "sum_qty", "n_items")
+        .orderBy("o_orderkey")
+    }),
+
+    // small-file compaction: fragment a table to 40 files, compact to 1,
+    // and emit measured file counts + content aggregates — the oracle's
+    // constants and the source table prove rows survived byte-identically
+    "q81_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q81_")
+        .toString + "/t"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      orders.repartition(40).write.mode("overwrite").parquet(tmp)
+      val before = graft.store.Compactor.dataFileCount(tmp)
+      graft.store.Compactor.compact(s, tmp, targetFileBytes = 1L << 30)
+      val after = graft.store.Compactor.dataFileCount(tmp)
+      s.read.parquet(tmp).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
+        .select("files_before", "files_after", "n_rows", "sum_price",
+          "min_key", "max_key")
+    }),
+
+    // O1-O5 end-to-end: the FULL orchestration path — etlFlow (symbols
+    // ETL, chunked price ETL with PK merge, lake→warehouse promotion) for
+    // both asset categories over the deterministic fixture source, then
+    // the dbt stage (runModels) and the declared DQ suite. Output =
+    // fct_prices + the suite's total violation count; a green row proves
+    // the composed path, not just its pieces (the reference's CI runs the
+    // whole flow, .github/workflows/ci_cd.yml:55-61)
+    "q82_flow_e2e" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q82_").toString
+      val (lake, dw) = (s"$root/lake", s"$root/dw")
+      val src = new PhFixtureSource(dir)
+      val start = java.time.LocalDate.parse("2024-01-01")
+      val end = java.time.LocalDate.parse("2024-02-01")
+      graft.pipeline.Flow.etlFlow(s, src, lake, dw, "sp_stocks",
+        Some(start), Some(end), today = end)
+      graft.pipeline.Flow.etlFlow(s, src, lake, dw, "fx",
+        Some(start), Some(end), today = end)
+      graft.pipeline.Flow.runModels(s, dw)
+      val violations =
+        graft.pipeline.Flow.runDataTests(s, dw).map(_.violations).sum
+      s.read.parquet(s"$dw/fct_prices")
+        .withColumn("dq_violations", lit(violations))
+        .orderBy("symbol", "date_stamp")
     }),
 
     // 5-row moving average per key: the windowed sum runs over DECIMAL
@@ -1754,6 +1916,130 @@ object SparkEntry {
            |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
            |SELECT src AS doc_id, min(dst) AS root FROM reach
            |GROUP BY src ORDER BY doc_id""".stripMargin
+      },
+
+      "q79_corpus_pipeline" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE
+           |ch AS (SELECT doc_id,
+           |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS chash
+           |  FROM documents),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM ch GROUP BY chash),
+           |kd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+           |ktoks AS (SELECT doc_id, $toksSql AS tk FROM kd),
+           |ksh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM ktoks),
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM ksh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM kd
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+           |reps AS (SELECT src AS doc_id FROM reach
+           |  GROUP BY src HAVING min(dst) = src),
+           |rd AS (SELECT kd.* FROM kd JOIN reps USING (doc_id)),
+           |ttoks AS (SELECT doc_id, $toksSql AS tk FROM rd
+           |  WHERE doc_id % 50 <> 0),
+           |tsh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM ttoks),
+           |etoks AS (SELECT doc_id, $toksSql AS tk FROM documents
+           |  WHERE doc_id % 50 = 0),
+           |esh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM etoks),
+           |cont AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (s)),
+           |clean AS (SELECT * FROM rd WHERE doc_id % 50 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+           |qm AS (SELECT doc_id, lang, text, $toksSql AS tk FROM clean),
+           |qf AS (SELECT doc_id, lang,
+           |  CAST(len(tk) AS INTEGER) AS n_tokens,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    list_aggregate(list_transform(tk, x -> strlen(x)), 'sum')::DOUBLE
+           |      / len(tk) END AS mtl,
+           |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+           |    (strlen(text) - strlen(regexp_replace(text,
+           |      '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / strlen(text)
+           |  END AS pr
+           |  FROM qm),
+           |q AS (SELECT doc_id, lang, n_tokens FROM qf
+           |  WHERE n_tokens >= 20 AND mtl >= 3.0 AND mtl <= 10.0
+           |    AND pr <= 0.2),
+           |mx AS (SELECT doc_id, lang, n_tokens FROM q
+           |  WHERE ('0x' || substr(md5(lang || '|' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+           |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30
+           |      WHEN 'fr' THEN 30 ELSE 50 END),
+           |c AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM mx),
+           |p AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id, n_tokens
+           |  FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+      },
+
+      "q80_bucketed_join" ->
+        """WITH i AS (SELECT l_orderkey,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+          |  count(*) AS n_items
+          |  FROM lineitem GROUP BY l_orderkey)
+          |SELECT o_orderkey, o_custkey, o_totalprice, sum_qty, n_items
+          |FROM orders JOIN i ON o_orderkey = l_orderkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q81_compaction" ->
+        """SELECT CAST(40 AS BIGINT) AS files_before,
+          |  CAST(1 AS BIGINT) AS files_after,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
+          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+          |FROM orders""".stripMargin,
+
+      "q82_flow_e2e" -> {
+        val fxPh = phSql(fx = true)
+          .replace("base_ev", "bevf").replace("ph AS", "phf AS")
+        val stPh = phSql(fx = false)
+          .replace("base_ev", "bevs").replace("ph AS", "phs AS")
+        def fxRound(c: String) =
+          s"CASE WHEN symbol = 'USDJPY' " +
+            s"THEN round(CAST($c AS DECIMAL(38,9)), 3)::DOUBLE " +
+            s"ELSE round(CAST($c AS DECIMAL(38,9)), 5)::DOUBLE END AS $c"
+        def stRound(c: String) =
+          s"round(CAST($c AS DECIMAL(38,9)), 2)::DOUBLE AS $c"
+        s"""WITH $fxPh,
+           |$stPh,
+           |fxr AS (SELECT date_stamp, symbol,
+           |  ${fxRound("open")}, ${fxRound("high")},
+           |  ${fxRound("low")}, ${fxRound("close")},
+           |  CAST(volume AS BIGINT) AS volume FROM phf),
+           |str AS (SELECT date_stamp, symbol,
+           |  ${stRound("open")}, ${stRound("high")},
+           |  ${stRound("low")}, ${stRound("close")},
+           |  CAST(volume AS BIGINT) AS volume FROM phs),
+           |fxs AS (
+           |$ffillSelectSql
+           |FROM fxr
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame)),
+           |sts AS (
+           |$ffillSelectSql
+           |FROM str
+           |WINDOW w AS (PARTITION BY symbol ORDER BY date_stamp $ffillFrame))
+           |SELECT date_stamp, symbol, open, high, low, close, volume,
+           |  CAST(0 AS BIGINT) AS dq_violations
+           |FROM (SELECT * FROM fxs UNION ALL SELECT * FROM sts)
+           |ORDER BY symbol, date_stamp""".stripMargin
       },
 
       "q76_moving_avg" ->

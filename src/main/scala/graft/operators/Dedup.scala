@@ -309,41 +309,70 @@ object Dedup {
   /** Connected-component cluster assignment over a near-duplicate pair
     * set: every doc is labeled with the smallest doc id reachable through
     * the pair graph — the canonical-representative selection that turns
-    * pairwise near-dup detection into "keep one per cluster". Iterative
-    * min-label propagation (label ← min(label, neighbors' labels)) to a
-    * fixpoint; each round is one join + one aggregate, the standard
-    * large-graph CC shape without a graph library. Near-dup clusters are
-    * shallow, so rounds ≈ a small constant; `localCheckpoint` cuts the
-    * iterative lineage so plans stay flat.
+    * pairwise near-dup detection into "keep one per cluster".
+    *
+    * Alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    * literature): large-star links every neighbor larger than the center
+    * to the center's minimum, small-star links the center and its smaller
+    * neighbors to their minimum. The edge set contracts to a star forest
+    * centered at each component's minimum in O(log n) rounds regardless of
+    * graph DIAMETER — plain min-label propagation needs one round per
+    * diameter hop, which a 100 TB dup graph with chain-shaped components
+    * cannot afford. Each round is groupBy-min + a co-partitioned join
+    * back; `localCheckpoint` cuts the iterative lineage so plans stay
+    * flat. Convergence is verified with an exact set comparison (both
+    * `except` directions), never a fingerprint, and a non-converged
+    * result throws rather than returning partial labels.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      idCol: String = "doc_id", maxIters: Int = 30): DataFrame = {
+    // canonical undirected edges, u < v
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol), col(idCol).as("root"))
-      .localCheckpoint(true)
+    var converged = edges.head(1).isEmpty
     var iter = 0
-    var converged = false
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col(idCol).as("b"), col("root")), "b")
-        .groupBy(col("a").as(idCol)).agg(min("root").as("nroot"))
-      val next = labels.withColumnRenamed("root", "old")
-        .join(neighborMin, Seq(idCol), "left")
-        .select(col(idCol), col("old"),
-          least(col("old"), coalesce(col("nroot"), col("old"))).as("root"))
+      // ---- large-star: for each center u, every neighbor v > u links to
+      // min(Γ(u) ∪ {u}) — splits high-degree hubs without losing
+      // connectivity
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLs = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // ---- small-star: orient edges large→small; the center and all its
+      // smaller neighbors link to the minimum among them
+      val sym2 = afterLs.select(col("v").as("u"), col("u").as("v"))
+      val mins2 = sym2.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = sym2.join(mins2, "u")
+      val next = joined
+        .select(col("m").as("u"), col("v")).where(col("u") =!= col("v"))
+        .union(joined.select(col("m").as("u"), col("u").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      converged = next.where(col("root") =!= col("old")).head(1).isEmpty
-      labels = next.select(col(idCol), col("root"))
+      converged = next.except(edges).head(1).isEmpty &&
+        edges.except(next).head(1).isEmpty
+      edges = next
       iter += 1
     }
-    // propagation needs ~graph-diameter rounds; an unconverged result is
-    // WRONG, not just slow — fail loudly rather than return partial labels
     if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge within $maxIters rounds — the pair "
-        + "graph's diameter exceeds it; raise maxIters")
-    labels
+      s"nearDupClusters did not converge within $maxIters rounds — " +
+        "alternating-star contraction is O(log n) rounds, so this means a " +
+        "pathological edge set; raise maxIters")
+    // fixpoint = star forest: roots only ever appear as u, every non-root
+    // appears as v with its root as u
+    val rootOf = edges.groupBy(col("v").as(idCol)).agg(min("u").as("root"))
+    ids.select(col(idCol))
+      .join(rootOf, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("root"))
   }
 
   /** Benchmark decontamination: drop every training doc that shares ANY

@@ -82,15 +82,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
-    // long chain exercises multi-round propagation
-    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ids10 = (1L to 10L).map(Tuple1(_)).toDF("doc_id")
-    val cr = Dedup.nearDupClusters(ids10, chain)
-      .collect().map(r => r.getLong(1)).distinct
-    assert(cr.toSeq == Seq(1L))
-    // a diameter beyond maxIters must fail loudly, never return partial labels
+    // a 200-hop chain is the worst case for diameter-bound propagation
+    // (plain min-label needs 200 rounds); alternating large-star/small-star
+    // must collapse it within the O(log n) default budget
+    val n = 200L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val idsN = (1L to n).map(Tuple1(_)).toDF("doc_id")
+    val cr = Dedup.nearDupClusters(idsN, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cr.length == n)
+    assert(cr.forall(_._2 == 1L), "every chain node must label to the min id")
+    // an exhausted round budget must fail loudly, never return partial labels
     intercept[IllegalStateException] {
-      Dedup.nearDupClusters(ids10, chain, maxIters = 3)
+      Dedup.nearDupClusters(idsN, chain, maxIters = 1)
     }
   }
 
