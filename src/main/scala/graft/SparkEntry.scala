@@ -997,10 +997,14 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n_items"))
-      orders.write.mode("overwrite").option("path", s"$tmp/o")
+      // repartition by the bucket key first: each write task owns exactly
+      // one bucket, so the table is 16 files, not tasks×buckets shards
+      orders.repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$tmp/o")
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("q80_orders_b")
-      items.write.mode("overwrite").option("path", s"$tmp/i")
+      items.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$tmp/i")
         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("q80_items_b")
       s.table("q80_orders_b")
@@ -1048,13 +1052,18 @@ object SparkEntry {
       val src = new PhFixtureSource(dir)
       val start = java.time.LocalDate.parse("2024-01-01")
       val end = java.time.LocalDate.parse("2024-02-01")
-      graft.pipeline.Flow.etlFlow(s, src, lake, dw, "sp_stocks",
-        Some(start), Some(end), today = end)
-      graft.pipeline.Flow.etlFlow(s, src, lake, dw, "fx",
-        Some(start), Some(end), today = end)
-      graft.pipeline.Flow.runModels(s, dw)
-      val violations =
+      // the flow's tables are O(symbols×days) rows — run its many small
+      // stages at few shuffle partitions (a real deployment sizes
+      // partitions to data; 32 empty tasks per tiny stage is pure
+      // scheduler overhead), restored after
+      val violations = withShufflePartitions(s, 4) {
+        graft.pipeline.Flow.etlFlow(s, src, lake, dw, "sp_stocks",
+          Some(start), Some(end), today = end)
+        graft.pipeline.Flow.etlFlow(s, src, lake, dw, "fx",
+          Some(start), Some(end), today = end)
+        graft.pipeline.Flow.runModels(s, dw)
         graft.pipeline.Flow.runDataTests(s, dw).map(_.violations).sum
+      }
       s.read.parquet(s"$dw/fct_prices")
         .withColumn("dq_violations", lit(violations))
         .orderBy("symbol", "date_stamp")

@@ -358,8 +358,11 @@ object Dedup {
         .union(joined.select(col("m").as("u"), col("u").as("v")))
         .distinct()
         .localCheckpoint(true)
-      converged = next.except(edges).head(1).isEmpty &&
-        edges.except(next).head(1).isEmpty
+      // both sides are distinct sets, so equal counts + (next \ edges) = ∅
+      // ⇒ set equality — one cheap count on the checkpointed RDD replaces
+      // the second except's distinct-shuffle
+      converged = next.count() == edges.count() &&
+        next.except(edges).head(1).isEmpty
       edges = next
       iter += 1
     }
