@@ -1069,6 +1069,101 @@ object SparkEntry {
         .orderBy("symbol", "date_stamp")
     }),
 
+    // exact token top-k: one map-side-combined shuffle on the token, then
+    // TakeOrdered for the k rows — the top-k itself never materializes the
+    // full distribution on the driver
+    "q83_token_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50)),
+
+    // Misra-Gries heavy hitters with the theory gate run IN-QUERY: the
+    // sketch (k=64 counters per aggregation buffer, shuffle traffic
+    // independent of corpus size) must contain EVERY token whose exact
+    // count exceeds N/(k+1) — the mergeable-summaries guarantee, which a
+    // broken reduce/merge would violate immediately. Output is the exact
+    // totals plus the two gate booleans, all engine-independent.
+    "q84_heavy_hitters" -> ((s, dir) => {
+      val k = 64
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sketch = toks
+        .agg(graft.operators.Sketches.heavyHitterSketch(k)(col("token")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("token"))
+      val totals = toks.agg(count(lit(1)).as("n_total"))
+      val heavy = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(totals) // 1-row gate assembly
+        .where(col("cnt") * (k + 1) > col("n_total"))
+      val missed = heavy.join(sketch, Seq("token"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val nHeavy = heavy.agg(count(lit(1)).as("n_heavy"))
+      val nCand = sketch.agg(count(lit(1)).as("n_cand"))
+      totals.crossJoin(nHeavy).crossJoin(missed).crossJoin(nCand)
+        .select(col("n_total"), col("n_heavy"),
+          (col("n_missed") === 0).as("superset_ok"),
+          (col("n_cand") <= k).as("bounded_ok"))
+    }),
+
+    // GDPR-erasure: delete every order of the sampled "erasure request"
+    // customers from a written lake table (one anti-join, atomic swap),
+    // then read the table back — the oracle twin is the equivalent
+    // NOT IN filter over the source
+    "q85_targeted_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q85_").toString + "/t"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(tmp)
+      val erasure = t(s, dir, "customer")
+        .where(pmod(TextFunctions.portableHash(col("c_name")), lit(20)) === 0)
+        .select(col("c_custkey").as("o_custkey"))
+      UpsertWriter.delete(s, tmp, erasure, Seq("o_custkey"))
+      s.read.parquet(tmp).orderBy("o_orderkey")
+    }),
+
+    // tokenizer vocabulary: frequency-filtered, size-capped, dense ids by
+    // (count desc, token asc) — the rank window runs on the vocab-sized
+    // top cut, never the corpus-sized distribution
+    "q86_vocab_build" -> ((s, dir) =>
+      graft.operators.Corpus.buildVocab(t(s, dir, "documents"), "text",
+        minCount = 5, maxSize = 200).orderBy("token_id")),
+
+    // temperature-reweighted language mixture (T=2): integer fixed-point
+    // thresholds from exact domain counts, hash-filtered rows — fully
+    // deterministic, reproduced bit-for-bit by the SQL twin
+    "q87_temperature_mix" -> ((s, dir) =>
+      graft.operators.Corpus.temperatureSample(t(s, dir, "documents"),
+          "lang", "doc_id", fracPct = 30)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // deterministic exact-k per-group sample (the distributed reservoir):
+    // hash-ranked window, k rows per language
+    "q88_group_sample" -> ((s, dir) =>
+      graft.operators.Corpus.samplePerGroup(t(s, dir, "documents"),
+          "lang", "doc_id", k = 40)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // z-order layout: Morton-interleave (l_partkey, l_suppkey), range-
+    // partition into 16 files (ZOrderSpec proves both-column file
+    // pruning), read back and emit rows + recomputed z — the twin's plain
+    // scan must agree row-for-row, proving the layout loses nothing
+    "q89_zorder_layout" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q89_").toString + "/t"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      graft.store.ZOrder.layout(li, "l_partkey", "l_suppkey", tmp,
+        numFiles = 16)
+      s.read.parquet(tmp)
+        .withColumn("z", graft.store.ZOrder.zValue(
+          col("l_partkey"), col("l_suppkey")))
+        .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
+    }),
+
     // 5-row moving average per key: the windowed sum runs over DECIMAL
     // (exact, associative — safe against DuckDB's segment-tree window
     // evaluation order), one final double divide
@@ -2049,6 +2144,70 @@ object SparkEntry {
            |  CAST(0 AS BIGINT) AS dq_violations
            |FROM (SELECT * FROM fxs UNION ALL SELECT * FROM sts)
            |ORDER BY symbol, date_stamp""".stripMargin
+      },
+
+      "q83_token_topk" ->
+        s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents)
+           |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+      "q84_heavy_hitters" ->
+        s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk),
+           |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+           |SELECT n_total,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c, tot
+           |     WHERE cnt * 65 > n_total) AS n_heavy,
+           |  TRUE AS superset_ok, TRUE AS bounded_ok
+           |FROM tot""".stripMargin,
+
+      "q85_targeted_delete" ->
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders
+           |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+           |  WHERE ${pHashSql("c_name")} % 20 = 0)
+           |ORDER BY o_orderkey""".stripMargin,
+
+      "q86_vocab_build" ->
+        s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk
+           |  GROUP BY token HAVING count(*) >= 5
+           |  ORDER BY cnt DESC, token LIMIT 200)
+           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+           |    AS INTEGER) AS token_id, token, cnt
+           |FROM c ORDER BY token_id""".stripMargin,
+
+      "q87_temperature_mix" ->
+        s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY lang),
+           |w AS (SELECT lang, n,
+           |  CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+           |  FROM c),
+           |agg AS (SELECT SUM(wt) AS s, SUM(n) AS total FROM w),
+           |thr AS (SELECT lang,
+           |  LEAST((1000000 * wt * ((total * 30) // 100)) // (s * n),
+           |    1000000) AS t
+           |  FROM w, agg)
+           |SELECT d.doc_id, d.lang, d.source
+           |FROM documents d JOIN thr ON d.lang = thr.lang
+           |WHERE ${pHashSql("d.lang || '|' || CAST(d.doc_id AS VARCHAR)")}
+           |  % 1000000 < thr.t
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q88_group_sample" ->
+        s"""WITH r AS (SELECT doc_id, lang,
+           |  row_number() OVER (PARTITION BY lang ORDER BY
+           |    ${pHashSql("lang || '|' || CAST(doc_id AS VARCHAR)")},
+           |    doc_id) AS rk
+           |  FROM documents)
+           |SELECT doc_id, lang FROM r WHERE rk <= 40
+           |ORDER BY doc_id""".stripMargin,
+
+      "q89_zorder_layout" -> {
+        val z = graft.store.ZOrder.zValueSql("l_partkey", "l_suppkey")
+        s"""SELECT l_orderkey, l_partkey, l_suppkey, $z AS z
+           |FROM lineitem
+           |ORDER BY z, l_orderkey, l_partkey, l_suppkey""".stripMargin
       },
 
       "q76_moving_avg" ->

@@ -56,6 +56,94 @@ object Corpus {
         floor(v.cast("double") * 127.0 / col("qscale") + 0.5).cast("int")))
   }
 
+  /** Deterministic exact-k per-group sample (the distributed reservoir):
+    * within each group, rows are ranked by the portable hash of their
+    * group-salted id (a fixed random-but-reproducible order) and the first
+    * `k` kept. One shuffle on the group key + a per-group top-k window —
+    * the same cost as any ranked window, and because the rank order is a
+    * HASH order, the result is a uniform-without-replacement sample that
+    * every run, engine, and executor layout agrees on (a true reservoir's
+    * output depends on partition visit order; this one's never does).
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(TextFunctions.portableHash(
+        concat(col(groupCol), lit("|"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Temperature-reweighted mixture sampling (the multilingual-corpus
+    * standard: p_d ∝ n_d^(1/T), T > 1 flattens the domain distribution so
+    * low-resource domains are up-weighted relative to their share).
+    * Returns the sampled rows.
+    *
+    * Determinism contract: domain weights are computed driver-side from
+    * EXACT domain counts (an O(#domains) collect — metadata, not data)
+    * with `floor(1e6·n^(1/T))` fixed-point arithmetic, and every
+    * subsequent step — weight sum, per-domain keep threshold
+    * `(1e6·w_d·M)/(S·n_d)` in BigInt, hash-vs-threshold row filter — is
+    * integer-exact, so an ANSI-SQL twin reproduces the sample bit-for-bit
+    * (for T=2 the weight is `sqrt`, correctly rounded IEEE in any engine).
+    * The row filter itself is a pure narrow predicate: no RNG state, no
+    * shuffle, safe at any scale.
+    *
+    * @param fracPct overall sample size as a percent of the corpus;
+    *   per-domain expected take is M·p_d (capped at the domain size).
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      fracPct: Int, temperature: Double = 2.0): DataFrame = {
+    require(fracPct >= 0 && fracPct <= 100, "fracPct must be in [0,100]")
+    val counts = df.groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val invT = 1.0 / temperature
+    val weights = counts.map { case (d, n) =>
+      // sqrt for the T=2 default: correctly-rounded IEEE everywhere, so
+      // the fixed-point weight is cross-engine exact (pow is not)
+      val w = if (temperature == 2.0) math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, invT)
+      d -> math.floor(1e6 * w).toLong
+    }
+    val s = weights.values.map(BigInt(_)).sum
+    val total = counts.values.sum
+    val m = BigInt(total) * fracPct / 100
+    val thresholds = counts.map { case (d, n) =>
+      val thr = BigInt(1000000) * weights(d) * m / (s * n)
+      d -> thr.min(BigInt(1000000)).toLong
+    }
+    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (d, thr)) =>
+      when(col(domainCol) === d, lit(thr)).otherwise(acc)
+    }
+    val bucket = pmod(TextFunctions.portableHash(
+      concat(col(domainCol), lit("|"), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.where(bucket < thrCol)
+  }
+
+  /** Vocabulary construction: distinct-token counts over the corpus,
+    * frequency-filtered (`minCount`), capped at `maxSize`, each surviving
+    * token assigned a dense id by (count desc, token asc) — the id order
+    * every tokenizer expects. The count is one shuffle with map-side
+    * partial aggregation; the rank window runs AFTER the top-`maxSize`
+    * cut, so it orders at most `maxSize` rows (vocab-sized, not
+    * corpus-sized) and the single-partition window is O(vocab), never a
+    * corpus-wide sort.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long,
+      maxSize: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(maxSize)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("token_id", row_number().over(w).cast("int"))
+      .select("token_id", "token", "cnt")
+  }
+
   /** Token-budget sequence packing: within each shard (e.g. language),
     * docs are laid out in deterministic id order and cut into packs of at
     * most `tokenBudget` tokens by cumulative offset — pack_id =

@@ -79,6 +79,82 @@ object UpsertWriter {
     writeAtomic(merged, target, partitionBy)
   }
 
+  /** Targeted key deletion — the GDPR-erasure / right-to-be-forgotten
+    * write: every row whose `keyCols` tuple appears in `keys` is removed,
+    * everything else survives byte-identically. The relational core is one
+    * LEFT ANTI join with the (small, broadcast-guarded) key set — the
+    * target is scanned once, never shuffled — followed by the same atomic
+    * write-audit-publish swap the merge path uses. `keyCols` need not be a
+    * primary key: deleting by `user_id` removes ALL of a user's rows.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      broadcastThresholdRows: Long = 4000000L,
+  ): Unit = {
+    require(keyCols.nonEmpty, "delete requires key columns")
+    val target = Paths.get(path)
+    require(Files.exists(target), s"delete target $path does not exist")
+    val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val keysSide =
+      if (countAtMost(keySet, broadcastThresholdRows)) broadcast(keySet)
+      else keySet
+    val existing = spark.read.parquet(path)
+    // the using-join hoists key columns to the front — restore the
+    // table's own column order so a delete never changes its schema
+    val survivors = existing.join(keysSide, keyCols, "left_anti")
+      .select(existing.columns.map(col): _*)
+    writeAtomic(survivors, target, partitionBy)
+  }
+
+  /** Partition-scoped deletion — the 100 TB path, mirroring
+    * [[upsertPartitioned]]: only partitions that actually contain doomed
+    * keys are read (partition-pruned scan) and rewritten (dynamic
+    * partition overwrite). The deletion key set must carry the partition
+    * column so untouched partitions are provably key-free.
+    */
+  def deletePartitioned(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+  ): Unit = {
+    require(keyCols.contains(partitionCol),
+      s"deletion keys $keyCols must contain partition column $partitionCol " +
+        "so untouched partitions are provably unaffected")
+    val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val touched = keySet.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val pruned = spark.read.parquet(path)
+      .where(col(partitionCol).isin(touched: _*)) // partition-pruned
+    val survivors = pruned.join(broadcast(keySet), keyCols, "left_anti")
+      .select(pruned.columns.map(col): _*)
+    // dynamic overwrite only replaces partitions PRESENT in the staged
+    // data — a partition the delete fully emptied writes no rows, so its
+    // stale files must be dropped explicitly afterwards. Computed BEFORE
+    // the staged write: an all-empty staging dir has no readable schema.
+    val surviving = survivors.select(partitionCol)
+      .distinct().collect().map(_.get(0)).toSet
+    val staging = Files.createTempDirectory("graft_delete_stage_").toString + "/s"
+    if (surviving.nonEmpty) {
+      survivors.write.partitionBy(partitionCol).parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+    touched.filterNot(surviving).foreach { v =>
+      deleteRecursively(Paths.get(path, s"$partitionCol=$v"))
+    }
+    deleteRecursively(Paths.get(staging))
+  }
+
   /** Cheap "is it small enough to broadcast" probe without a full count:
     * limit(n+1).count() stops scanning once n+1 rows are found.
     */

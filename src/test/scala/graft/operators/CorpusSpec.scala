@@ -44,6 +44,65 @@ class CorpusSpec extends SparkSpec {
     assert(q(1).getSeq[Int](q(1).fieldIndex("qvec")) == Seq(0, 0, 0))
   }
 
+  test("samplePerGroup keeps exactly k rows per group, reproducibly") {
+    val docs = (0 until 900)
+      .map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
+      .toDF("doc_id", "lang")
+    val s1 = Corpus.samplePerGroup(docs, "lang", "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.samplePerGroup(docs.repartition(7), "lang", "doc_id", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash-rank sample must not depend on partitioning")
+    assert(s1.size == 75)
+    Seq(0, 1, 2).foreach { g => assert(s1.count(_ % 3 == g) == 25) }
+    // a group smaller than k keeps all its rows
+    val tiny = Corpus.samplePerGroup(
+      docs.where(col("doc_id") < 9), "lang", "doc_id", 25)
+    assert(tiny.count() == 9)
+  }
+
+  test("temperatureSample flattens the domain distribution deterministically") {
+    // 4000 en vs 250 de: with T=2 the de share of the sample should rise
+    // well above its 1/17 corpus share
+    val docs = ((0 until 4000).map(i => (i.toLong, "en")) ++
+      (4000 until 4250).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val s1 = Corpus.temperatureSample(docs, "lang", "doc_id", fracPct = 20)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.temperatureSample(docs.repartition(5), "lang", "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "temperature sample must not depend on partitioning")
+    val de = s1.count(_ >= 4000).toDouble
+    val en = s1.count(_ < 4000).toDouble
+    // weights sqrt(4000)≈63.2, sqrt(250)≈15.8 -> de gets ~20% of the
+    // sample vs 5.9% of the corpus; expected takes: M=850, de≈170, en≈680
+    assert(de > 120 && de < 220, s"de take $de should be near 170")
+    assert(en > 560 && en < 800, s"en take $en should be near 680")
+    // fracPct=100: the small domain caps at keep-all (thr > 1e6) while
+    // the large one still downsamples (~85%) — that asymmetry IS the
+    // temperature reweighting
+    val full = Corpus.temperatureSample(docs, "lang", "doc_id", 100)
+    val fullIds = full.collect().map(_.getLong(0)).toSet
+    assert(fullIds.count(_ >= 4000) == 250, "small domain keeps all rows")
+    val enFull = fullIds.count(_ < 4000)
+    assert(enFull > 3200 && enFull < 3600, s"en take $enFull should be near 3400")
+  }
+
+  test("buildVocab assigns dense ids by count desc, token asc") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a a b d"),
+      (3L, "e")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=1, d=1, e=1
+    val v = Corpus.buildVocab(docs, "text", minCount = 1, maxSize = 4)
+      .orderBy("token_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((1, "a", 4L), (2, "b", 4L), (3, "c", 1L), (4, "d", 1L)))
+    // minCount filters the tail before the cap
+    val v2 = Corpus.buildVocab(docs, "text", minCount = 2, maxSize = 10)
+      .collect().map(_.getString(1)).toSet
+    assert(v2 == Set("a", "b"))
+  }
+
   test("packSequences fills packs to the token budget in id order") {
     val docs = (0 until 10).map(i => (i.toLong, "en", "w " * 30))
       .toDF("doc_id", "lang", "text") // 30 tokens each

@@ -121,6 +121,43 @@ class UpsertWriterSpec extends SparkSpec {
     assert(got == Seq((1L, "a", None), (2L, "B", Some(9.9))))
   }
 
+  test("delete removes every row for the given keys, others survive") {
+    val p = tmp()
+    UpsertWriter.upsert(spark, p,
+      Seq((1L, "u1", "a"), (2L, "u1", "b"), (3L, "u2", "c"), (4L, "u3", "d"))
+        .toDF("id", "user", "v"), Seq("id"))
+    // delete by NON-unique key: all of u1's rows go
+    UpsertWriter.delete(spark, p, Seq("u1").toDF("user"), Seq("user"))
+    val got = spark.read.parquet(p).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((3L, "u2", "c"), (4L, "u3", "d")))
+    // deleting an absent key is a no-op
+    UpsertWriter.delete(spark, p, Seq("nope").toDF("user"), Seq("user"))
+    assert(spark.read.parquet(p).count() == 2)
+  }
+
+  test("deletePartitioned prunes to touched partitions and drops emptied ones") {
+    val p = tmp()
+    val rows = Seq(
+      ("d1", 1L, "a"), ("d1", 2L, "b"),
+      ("d2", 3L, "c"), ("d3", 4L, "d"), ("d3", 5L, "e"))
+      .toDF("day", "id", "v")
+    rows.write.partitionBy("day").parquet(p)
+    val d1File = java.nio.file.Paths.get(p, "day=d1")
+    val d1Mtime = Files.getLastModifiedTime(d1File)
+    // empty d2 entirely, delete one of d3's two rows; d1 untouched
+    UpsertWriter.deletePartitioned(spark, p,
+      Seq(("d2", 3L), ("d2", 99L), ("d3", 5L)).toDF("day", "id"),
+      Seq("day", "id"), "day")
+    assert(!Files.exists(java.nio.file.Paths.get(p, "day=d2")),
+      "fully-emptied partition directory must be dropped")
+    assert(Files.getLastModifiedTime(d1File) == d1Mtime,
+      "untouched partition must not be rewritten")
+    val got = spark.read.parquet(p).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "a", "d1"), (2L, "b", "d1"), (4L, "d", "d3")))
+  }
+
   test("mergePlan (relational form) matches the writer semantics") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
