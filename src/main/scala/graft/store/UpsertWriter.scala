@@ -98,16 +98,25 @@ object UpsertWriter {
     require(keyCols.nonEmpty, "delete requires key columns")
     val target = Paths.get(path)
     require(Files.exists(target), s"delete target $path does not exist")
+    val survivors = deletePlan(spark.read.parquet(path), keys, keyCols,
+      broadcastThresholdRows)
+    writeAtomic(survivors, target, partitionBy)
+  }
+
+  /** The delete RESULT as a DataFrame (no I/O) — the relational core of
+    * [[delete]], exposed for plan audits and composition: one broadcast-
+    * guarded LEFT ANTI join, target never shuffled.
+    */
+  def deletePlan(target: DataFrame, keys: DataFrame, keyCols: Seq[String],
+      broadcastThresholdRows: Long = 4000000L): DataFrame = {
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val keysSide =
       if (countAtMost(keySet, broadcastThresholdRows)) broadcast(keySet)
       else keySet
-    val existing = spark.read.parquet(path)
     // the using-join hoists key columns to the front — restore the
     // table's own column order so a delete never changes its schema
-    val survivors = existing.join(keysSide, keyCols, "left_anti")
-      .select(existing.columns.map(col): _*)
-    writeAtomic(survivors, target, partitionBy)
+    target.join(keysSide, keyCols, "left_anti")
+      .select(target.columns.map(col): _*)
   }
 
   /** Partition-scoped deletion — the 100 TB path, mirroring

@@ -165,6 +165,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("delete is a broadcast anti-join: the target is never shuffled") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val doomed = orders.where(col("o_custkey") % 7 === 0).select("o_custkey")
+    val p = plan(graft.store.UpsertWriter.deletePlan(
+      orders, doomed, Seq("o_custkey")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast LEFT ANTI join:\n$p")
+    // the key-set side dedups behind the BroadcastExchange (small, fine);
+    // the TARGET branch — printed with the ':' tree prefix — must go scan →
+    // join with no Exchange
+    val targetBranch = p.linesIterator
+      .filter(l => l.trim.startsWith(":")).mkString("\n")
+    assert(!targetBranch.contains("Exchange"),
+      s"the target side of a delete must not shuffle:\n$p")
+  }
+
+  test("heavy-hitter sketch aggregates partially map-side") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val sk = toks.agg(
+      graft.operators.Sketches.heavyHitterSketch(8)(col("token")))
+    val p = plan(sk)
+    // typed-Aggregator UDAF plans as ObjectHashAggregate: a partial node
+    // below the exchange (k counters per partition travel, not the tokens)
+    // and a merge node above it
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"only the k-counter sketches should converge on one partition:\n$p")
+  }
+
+  test("z-order layout costs exactly one range exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val laid = li
+      .withColumn("__z", graft.store.ZOrder.zValue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("__z"))
+      .sortWithinPartitions("__z")
+    val p = plan(laid)
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
+      s"expected a single range exchange:\n$p")
+    // the interleave is built-in arithmetic — no UDF node may appear
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"z-value must stay codegen'd:\n$p")
+  }
+
   test("window ranking top-k does not collect to the driver") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)
