@@ -1147,6 +1147,45 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // HLL approximate distinct with the error gate run in-query: the
+    // sketch (fixed bytes per partition, merge order-independent →
+    // deterministic) must land within 5% of the exact distinct count —
+    // the reason to ship it is that at 100 TB the exact count shuffles
+    // every distinct key and the sketch shuffles ~kilobytes
+    "q90_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      li.agg(countDistinct(col("l_partkey")).as("exact"))
+        .crossJoin(approx) // 1-row gate assembly
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact")
+            <= 0.05).as("within_tol"))
+    }),
+
+    // CDC over the versioned lake: write v0 (even keys), PK-merge an
+    // update batch (every 3rd key, status rewritten), then snapshotDiff
+    // v0→v1 classifies every key as insert/update/unchanged — the twin
+    // derives the same classes from key arithmetic alone
+    "q91_snapshot_diff" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q91_").toString + "/tbl"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.store.VersionedTable.write(
+        orders.where(col("o_orderkey") % 2 === 0), root)
+      graft.store.VersionedTable.upsert(s, root,
+        orders.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+        Seq("o_orderkey"))
+      graft.store.VersionedTable
+        .snapshotDiff(s, root, from = 0L, to = 1L, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("change_type")
+    }),
+
     // z-order layout: Morton-interleave (l_partkey, l_suppkey), range-
     // partition into 16 files (ZOrderSpec proves both-column file
     // pruning), read back and emit rows + recomputed z — the twin's plain
@@ -2202,6 +2241,22 @@ object SparkEntry {
            |  FROM documents)
            |SELECT doc_id, lang FROM r WHERE rk <= 40
            |ORDER BY doc_id""".stripMargin,
+
+      "q90_approx_distinct" ->
+        """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,
+          |  TRUE AS within_tol
+          |FROM lineitem""".stripMargin,
+
+      "q91_snapshot_diff" ->
+        """WITH c AS (
+          |  SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'insert'
+          |              WHEN o_orderkey % 3 = 0 THEN 'update'
+          |              ELSE 'unchanged' END AS change_type,
+          |    o_orderkey
+          |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+          |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+          |FROM c GROUP BY change_type ORDER BY change_type""".stripMargin,
 
       "q89_zorder_layout" -> {
         val z = graft.store.ZOrder.zValueSql("l_partkey", "l_suppkey")

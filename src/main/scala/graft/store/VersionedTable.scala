@@ -71,6 +71,35 @@ object VersionedTable {
     spark.read.parquet(versionDir(root, v).toString)
   }
 
+  /** CDC between two committed versions: every key classified as
+    * `insert` (only in `to`), `delete` (only in `from`), `update` (in
+    * both, any non-key column changed) or `unchanged`. Change detection
+    * compares an md5 fingerprint of the non-key columns (null-safe,
+    * field-separated), so the join carries pk + 16 bytes per row instead
+    * of full rows. Cost: one shuffle of each snapshot on the pk — the
+    * same join a single merge pays; at 100 TB write versions bucketed by
+    * pk and the diff is co-located.
+    */
+  def snapshotDiff(spark: SparkSession, root: String, from: Long, to: Long,
+      pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, asOf = Some(from))
+    val b = read(spark, root, asOf = Some(to))
+    require(a.columns.sameElements(b.columns),
+      s"snapshotDiff needs identical schemas, got ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val nonKey = a.columns.filterNot(pk.contains)
+    def fp(df: DataFrame, as: String) = df.select(
+      pk.map(col) :+ md5(concat_ws("\u0001",
+        nonKey.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
+    fp(a, "__fp_a").join(fp(b, "__fp_b"), pk, "full_outer")
+      .withColumn("change_type",
+        when(col("__fp_a").isNull, lit("insert"))
+          .when(col("__fp_b").isNull, lit("delete"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .select(pk.map(col) :+ col("change_type"): _*)
+  }
+
   /** Roll the pointer back to an existing older version. */
   def rollback(root: String, to: Long): Unit = {
     require(Files.exists(versionDir(root, to)), s"version $to does not exist")

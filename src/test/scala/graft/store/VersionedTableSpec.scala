@@ -34,6 +34,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, r, asOf = Some(0L)).count() == 2)
   }
 
+  test("snapshotDiff classifies insert/update/delete/unchanged between versions") {
+    val r = root()
+    VersionedTable.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, null, 4.0))
+        .toDF("id", "v", "x"), r)
+    // v1: 2 updated, 3 deleted, 5 inserted, 1 unchanged, 4 null→"" edge
+    VersionedTable.write(
+      Seq((1L, "a", 1.0), (2L, "B", 2.0), (5L, "e", 5.0), (4L, "", 4.0))
+        .toDF("id", "v", "x"), r)
+    val got = VersionedTable.snapshotDiff(spark, r, 0L, 1L, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "update"), (3L, "delete"),
+      (4L, "update"), (5L, "insert")))
+  }
+
   test("rollback repoints; vacuum keeps the pointed version") {
     val r = root()
     VersionedTable.write(Seq((1L, "v0")).toDF("id", "v"), r)
