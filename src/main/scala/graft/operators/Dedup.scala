@@ -333,7 +333,8 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var converged = edges.head(1).isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIters) {
       // ---- large-star: for each center u, every neighbor v > u links to
@@ -359,11 +360,14 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // both sides are distinct sets, so equal counts + (next \ edges) = ∅
-      // ⇒ set equality — one cheap count on the checkpointed RDD replaces
-      // the second except's distinct-shuffle
-      converged = next.count() == edges.count() &&
+      // ⇒ set equality — one count on the checkpointed RDD (the previous
+      // round's is carried over) plus one except replaces two
+      // except-distinct shuffles
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.except(edges).head(1).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
