@@ -1147,6 +1147,51 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // approximate quantiles (Greenwald-Khanna style sketch) with the
+    // error gate run in-query: at accuracy 10000 the rank error is
+    // n/10000, so each approx quantile must land within 1% of the value
+    // RANGE of its exact counterpart — emitted values are the EXACT ones
+    // (decimal-deterministic), the sketch only has to pass the gate
+    "q92_approx_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val exact = li.agg(
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.9)").as("p90"),
+        expr("percentile(x, 0.99)").as("p99"),
+        min("x").as("lo"), max("x").as("hi"))
+      val approx = li.agg(
+        expr("approx_percentile(x, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"))
+      exact.crossJoin(approx) // 1-row gate assembly
+        .select(col("p50"), col("p90"), col("p99"),
+          (greatest(
+            abs(col("ap")(0) - col("p50")),
+            abs(col("ap")(1) - col("p90")),
+            abs(col("ap")(2) - col("p99"))) / (col("hi") - col("lo")) <= 0.01)
+            .as("within_tol"))
+    }),
+
+    // incremental aggregate maintenance (the materialized-view merge): a
+    // pre-cut aggregate STATE (count + decimal sum per key) merges with
+    // the delta's state by re-aggregating the union — associativity means
+    // the merged result must equal a full recompute, which is exactly
+    // what the twin computes. At 100 TB this is the pattern that turns a
+    // daily full-table groupBy into a delta-sized one.
+    "q93_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def state(df: DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      val cut = "1997-01-01"
+      val base = state(orders.where(col("o_orderdate") < lit(cut)))
+      val delta = state(orders.where(col("o_orderdate") >= lit(cut)))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n").as("n"), sum("total").as("total"))
+        .select(col("o_custkey"), col("n"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("o_custkey")
+    }),
+
     // HLL approximate distinct with the error gate run in-query: the
     // sketch (fixed bytes per partition, merge order-independent →
     // deterministic) must land within 5% of the exact distinct count —
@@ -2241,6 +2286,18 @@ object SparkEntry {
            |  FROM documents)
            |SELECT doc_id, lang FROM r WHERE rk <= 40
            |ORDER BY doc_id""".stripMargin,
+
+      "q92_approx_quantiles" ->
+        """SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+          |  quantile_cont(l_extendedprice, 0.9) AS p90,
+          |  quantile_cont(l_extendedprice, 0.99) AS p99,
+          |  TRUE AS within_tol
+          |FROM lineitem""".stripMargin,
+
+      "q93_incremental_agg" ->
+        """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
       "q90_approx_distinct" ->
         """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,
