@@ -131,6 +131,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries guarantee holds for arbitrary streams and merge orders") {
+    val streamGen = Gen.listOfN(400,
+      Gen.frequency(
+        3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        5 -> Gen.choose(0, 50).map(i => s"t$i")))
+    forAllSampled(Gen.zip(streamGen, Gen.choose(2, 12)), n = 8) {
+      case (stream, k) =>
+        if (stream.nonEmpty) {
+          val mg = new graft.operators.Sketches.MisraGries(k)
+          // split at arbitrary points and merge pairwise — any merge tree
+          // must preserve the bound
+          val parts = stream.grouped(math.max(stream.size / 3, 1)).toSeq
+          val sketch = parts
+            .map(p => p.foldLeft(mg.zero)(mg.reduce))
+            .reduce(mg.merge)
+          assert(sketch.size <= k)
+          val n = stream.size.toDouble
+          val counts = stream.groupBy(identity).map { case (t, v) => t -> v.size }
+          counts.filter(_._2 > n / (k + 1)).keys.foreach { heavy =>
+            assert(sketch.contains(heavy),
+              s"k=$k n=$n: heavy '$heavy' (${counts(heavy)}) missing")
+          }
+          // estimates are lower bounds within n/(k+1)
+          sketch.foreach { case (t, est) =>
+            assert(est <= counts(t) && counts(t) - est <= n / (k + 1) + 1)
+          }
+        }
+    }
+  }
+
   test("minhash lanes are permutation-invariant over document word order") {
     forAllSampled(Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta")), n = 5) { ws =>
       if (ws.nonEmpty) {
