@@ -24,22 +24,41 @@ object ZOrder {
     * expression stays in whole-stage codegen and has an exact ANSI-SQL
     * twin (`zValueSql`).
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1,31]")
-    val xs = x.cast("long"); val ys = y.cast("long")
-    (0 until bits).map { i =>
-      (shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-column round-robin interleave: bit i of column j lands at position
+    * i·n + j, so every layout column contributes equally to every z-value
+    * prefix (the OPTIMIZE ZORDER BY (a, b, c) generalization). Total bits
+    * (`bits × n`) must fit a signed long.
+    */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, "zValueN needs at least two columns")
+    require(bits >= 1 && bits * n <= 63, s"bits*$n must fit a signed long")
+    val longs = cols.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
+      .reduce(_ + _)
   }
 
   /** The identical computation as an ANSI-SQL fragment (DuckDB-compatible:
     * `>>`, `&`, integer multiply/add) — the oracle twin of [[zValue]].
     */
   def zValueSql(x: String, y: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
-    }.mkString("(", " + ", ")")
+    zValueNSql(Seq(x, y), bits)
+
+  /** SQL twin of [[zValueN]]. */
+  def zValueNSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) * ${1L << (i * n + j)})")
+      .mkString("(", " + ", ")")
+  }
 
   /** Write `df` z-ordered on `(xCol, yCol)` into `numFiles` files: range-
     * partition on the z-value (one shuffle, same cost as a global sort),
@@ -48,8 +67,13 @@ object ZOrder {
     * columns become selective.
     */
   def layout(df: DataFrame, xCol: String, yCol: String, path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    layoutN(df, Seq(xCol, yCol), path, numFiles, bits)
+
+  /** N-column z-order layout (`OPTIMIZE ZORDER BY (c1, …, cn)` shape). */
+  def layoutN(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit = {
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    df.withColumn("__z", zValueN(cols.map(col), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

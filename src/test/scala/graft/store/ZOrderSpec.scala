@@ -26,6 +26,28 @@ class ZOrderSpec extends SparkSpec {
     assert(diag == diag.sorted && diag.distinct.size == 16)
   }
 
+  test("zValueN round-robins bits across N columns") {
+    // n=3, values (1,1,1): bit 0 of each lands at positions 0,1,2 -> 7
+    val df3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+    val z3 = df3.select(ZOrder.zValueN(
+      Seq(col("a"), col("b"), col("c")), bits = 4)).collect()(0).getLong(0)
+    assert(z3 == 7L)
+    // (2,0,1): a bit1 -> pos 3 (8); c bit0 -> pos 2 (4)
+    val z312 = Seq((2L, 0L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), bits = 4))
+      .collect()(0).getLong(0)
+    assert(z312 == 12L)
+    // 2-column zValueN equals zValue
+    val both = Seq((5L, 3L)).toDF("x", "y").select(
+      ZOrder.zValue(col("x"), col("y"), 4).as("z2"),
+      ZOrder.zValueN(Seq(col("x"), col("y")), 4).as("zn")).collect()(0)
+    assert(both.getLong(0) == both.getLong(1))
+    // bit budget guard: 16 bits x 4 cols = 64 > 63 must be rejected
+    intercept[IllegalArgumentException] {
+      ZOrder.zValueN(Seq(col("a"), col("b"), col("c"), col("a")), bits = 16)
+    }
+  }
+
   test("z-order layout prunes files on BOTH columns; linear sort only on one") {
     // 64x64 grid of (a, b) points, 16 files either way
     val grid = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
