@@ -153,10 +153,18 @@ object VecTypeCheck {
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     })
-    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$exprName requires array<float> or array<double> arguments, got " +
-        bad.map(_.dataType.simpleString).mkString(", "))
+    if (bad.nonEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$exprName requires array<float> or array<double> arguments, got " +
+          bad.map(_.dataType.simpleString).mkString(", "))
+    else if (children.map(_.dataType.asInstanceOf[ArrayType].elementType)
+        .distinct.size > 1)
+      // the kernels pick float-vs-double reads from the FIRST argument, so
+      // mixed widths would silently misread the other side
+      TypeCheckResult.TypeCheckFailure(
+        s"$exprName requires all arguments to share one element type, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    else TypeCheckResult.TypeCheckSuccess
   }
 }
 

@@ -96,10 +96,20 @@ object Corpus {
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
       fracPct: Int, temperature: Double = 2.0): DataFrame = {
     require(fracPct >= 0 && fracPct <= 100, "fracPct must be in [0,100]")
+    require(df.schema(domainCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"temperatureSample needs a string domain column, got " +
+        df.schema(domainCol).dataType.simpleString)
     val counts = df.groupBy(domainCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // a null domain would neither match a threshold nor hash — reject
+    // loudly instead of silently excluding those rows from every sample
+    require(!counts.contains(None),
+      s"temperatureSample: $domainCol contains nulls — coalesce them to " +
+        "a sentinel domain first")
+    val named = counts.map { case (d, n) => d.get -> n }
     val invT = 1.0 / temperature
-    val weights = counts.map { case (d, n) =>
+    val weights = named.map { case (d, n) =>
       // sqrt for the T=2 default: correctly-rounded IEEE everywhere, so
       // the fixed-point weight is cross-engine exact (pow is not)
       val w = if (temperature == 2.0) math.sqrt(n.toDouble)
@@ -107,19 +117,23 @@ object Corpus {
       d -> math.floor(1e6 * w).toLong
     }
     val s = weights.values.map(BigInt(_)).sum
-    val total = counts.values.sum
+    val total = named.values.sum
     val m = BigInt(total) * fracPct / 100
-    val thresholds = counts.map { case (d, n) =>
+    val thresholds = named.map { case (d, n) =>
       val thr = BigInt(1000000) * weights(d) * m / (s * n)
       d -> thr.min(BigInt(1000000)).toLong
     }
-    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (d, thr)) =>
-      when(col(domainCol) === d, lit(thr)).otherwise(acc)
-    }
+    // thresholds join as a broadcast dim rather than an O(#domains)-deep
+    // when/otherwise chain — flat plan at any domain cardinality
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thrDf = thresholds.toSeq.toDF(domainCol, "__thr")
     val bucket = pmod(TextFunctions.portableHash(
       concat(col(domainCol), lit("|"), col(idCol).cast("string"))),
       lit(1000000L))
-    df.where(bucket < thrCol)
+    df.join(broadcast(thrDf), domainCol)
+      .where(bucket < col("__thr"))
+      .select(df.columns.map(col): _*)
   }
 
   /** Vocabulary construction: distinct-token counts over the corpus,

@@ -327,8 +327,16 @@ object Dedup {
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 30): DataFrame = {
+    // restrict the pair graph to the given universe: a pair endpoint
+    // absent from `ids` (stale pair table, superset corpus) must not
+    // become a cluster root, or the standard keep-one-per-cluster
+    // `where(id === root)` step would silently drop the whole cluster
+    val universe = ids.select(col(idCol))
+    val scoped = pairs
+      .join(universe.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(universe.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
     // canonical undirected edges, u < v
-    var edges = pairs
+    var edges = scoped
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()

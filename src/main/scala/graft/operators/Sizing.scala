@@ -52,11 +52,17 @@ object Sizing {
         coalesce(aggregate(c, lit(0L),
           (acc, x) => acc + coalesce(octet_length(x), lit(0)).cast(LongType) + lit(16L)),
           lit(0L)) + lit(16L)
+      case ArrayType(_: ArrayType | _: MapType | _: StructType, _) =>
+        // nested containers: measure the serialized form rather than
+        // guessing a per-element constant
+        coalesce(octet_length(to_json(c)), lit(0)).cast(LongType) + lit(16L)
       case ArrayType(et, _) =>
         coalesce(size(c), lit(0)).cast(LongType) * lit(et.defaultSize.toLong) + lit(16L)
       case st: StructType =>
         st.fields.map(f => bytesOf(f.dataType, c.getField(f.name)))
           .reduceOption(_ + _).getOrElse(lit(8L))
+      case _: MapType =>
+        coalesce(octet_length(to_json(c)), lit(0)).cast(LongType) + lit(16L)
       case other => lit(other.defaultSize.toLong)
     }
     schema.fields.map(f => bytesOf(f.dataType, col(f.name)))
@@ -70,15 +76,18 @@ object Sizing {
     */
   def fitsBroadcast(df: DataFrame,
       rowLimit: Long = DefaultBroadcastRows,
-      byteLimit: Long = DefaultBroadcastBytes): Boolean = {
-    val cap = (math.min(rowLimit, Int.MaxValue - 1L) + 1).toInt
-    val probe = df.limit(cap)
-      .agg(count(lit(1)).as("n"), sum(approxRowBytes(df.schema)).as("b"))
-      .head()
-    val n = probe.getLong(0)
-    val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    n <= rowLimit && bytes <= byteLimit
-  }
+      byteLimit: Long = DefaultBroadcastBytes): Boolean =
+    // rows first: the count-only probe is column-pruned (heavy/computed
+    // columns are never materialized), so an over-cap input fails cheaply;
+    // the byte probe then scans at most rowLimit fully-materialized rows
+    countAtMost(df, rowLimit) && {
+      val cap = (math.min(rowLimit, Int.MaxValue - 1L) + 1).toInt
+      val probe = df.limit(cap)
+        .agg(sum(approxRowBytes(df.schema)).as("b"))
+        .head()
+      val bytes = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+      bytes <= byteLimit
+    }
 
   /** Hint `df` for broadcast only when provably at most `rowLimit` rows AND
     * `byteLimit` estimated bytes; otherwise return it unhinted so the join

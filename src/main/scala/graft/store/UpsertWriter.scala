@@ -110,9 +110,10 @@ object UpsertWriter {
   def deletePlan(target: DataFrame, keys: DataFrame, keyCols: Seq[String],
       broadcastThresholdRows: Long = 4000000L): DataFrame = {
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
-    val keysSide =
-      if (countAtMost(keySet, broadcastThresholdRows)) broadcast(keySet)
-      else keySet
+    // byte-aware guard (not just rows): wide multi-column key tuples can
+    // be byte-heavy under the row cap
+    val keysSide = graft.operators.Sizing
+      .maybeBroadcast(keySet, broadcastThresholdRows)
     // the using-join hoists key columns to the front — restore the
     // table's own column order so a delete never changes its schema
     target.join(keysSide, keyCols, "left_anti")
@@ -138,6 +139,11 @@ object UpsertWriter {
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val touched = keySet.select(partitionCol).distinct().collect()
       .map(_.get(0)).toSeq
+    // a null partition value would silently match nothing in the isin
+    // prune below — fail loudly instead of reporting a successful no-op
+    require(!touched.contains(null),
+      s"deletePartitioned: null $partitionCol in the deletion keys — " +
+        "null-partition rows must be deleted with the unpartitioned delete")
     if (touched.isEmpty) return
     val pruned = spark.read.parquet(path)
       .where(col(partitionCol).isin(touched: _*)) // partition-pruned
@@ -158,10 +164,36 @@ object UpsertWriter {
         .partitionBy(partitionCol)
         .parquet(path)
     }
-    touched.filterNot(surviving).foreach { v =>
-      deleteRecursively(Paths.get(path, s"$partitionCol=$v"))
-    }
+    // match emptied partitions against the ACTUAL directory names (Spark
+    // hive-escapes special chars in partition paths — ':' writes as %3A —
+    // so reconstructing "col=value" from the raw value would miss them)
+    val emptied = touched.filterNot(surviving).map(String.valueOf).toSet
+    if (emptied.nonEmpty && Files.exists(Paths.get(path)))
+      Files.list(Paths.get(path)).iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(s"$partitionCol=") &&
+            emptied.contains(unescapePathName(
+              name.stripPrefix(s"$partitionCol="))))
+          deleteRecursively(p)
+      }
     deleteRecursively(Paths.get(staging))
+  }
+
+  /** Inverse of Hive/Spark partition-path escaping: %XX hex sequences
+    * decode back to the original character.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Cheap "is it small enough to broadcast" probe without a full count:

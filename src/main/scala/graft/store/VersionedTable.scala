@@ -74,9 +74,9 @@ object VersionedTable {
   /** CDC between two committed versions: every key classified as
     * `insert` (only in `to`), `delete` (only in `from`), `update` (in
     * both, any non-key column changed) or `unchanged`. Change detection
-    * compares an md5 fingerprint of the non-key columns (null-safe,
-    * field-separated), so the join carries pk + 16 bytes per row instead
-    * of full rows. Cost: one shuffle of each snapshot on the pk — the
+    * compares an md5 over prefix-free per-column digests of the non-key
+    * columns, so the join carries pk + 16 bytes per row instead of full
+    * rows and no value can alias another row's fingerprint. Cost: one shuffle of each snapshot on the pk — the
     * same join a single merge pays; at 100 TB write versions bucketed by
     * pk and the diff is co-located.
     */
@@ -88,9 +88,13 @@ object VersionedTable {
     require(a.columns.sameElements(b.columns),
       s"snapshotDiff needs identical schemas, got ${a.columns.toSeq} vs ${b.columns.toSeq}")
     val nonKey = a.columns.filterNot(pk.contains)
+    // prefix-free per-field encoding ("N" for null, "V"+md5(value) else):
+    // no separator a value could inject, no null/empty ambiguity -- the
+    // concatenation is injective over the per-column digests
     def fp(df: DataFrame, as: String) = df.select(
-      pk.map(col) :+ md5(concat_ws("\u0001",
-        nonKey.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(as): _*)
+      pk.map(col) :+ md5(concat(nonKey.map(c =>
+        when(col(c).isNull, lit("N"))
+          .otherwise(concat(lit("V"), md5(col(c).cast("string"))))): _*)).as(as): _*)
     fp(a, "__fp_a").join(fp(b, "__fp_b"), pk, "full_outer")
       .withColumn("change_type",
         when(col("__fp_a").isNull, lit("insert"))

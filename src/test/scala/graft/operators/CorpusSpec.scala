@@ -85,6 +85,13 @@ class CorpusSpec extends SparkSpec {
     assert(fullIds.count(_ >= 4000) == 250, "small domain keeps all rows")
     val enFull = fullIds.count(_ < 4000)
     assert(enFull > 3200 && enFull < 3600, s"en take $enFull should be near 3400")
+    // null domains fail loudly — a silent drop would skew every other
+    // domain's share while reporting success
+    val withNull = docs.union(Seq((9999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang"))
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(withNull, "lang", "doc_id", 20)
+    }
   }
 
   test("buildVocab assigns dense ids by count desc, token asc") {

@@ -96,6 +96,14 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.nearDupClusters(idsN, chain, maxIters = 1)
     }
+    // pairs mentioning ids OUTSIDE the universe (stale pair table,
+    // superset corpus) must not leak foreign roots: id 0 is the pair-graph
+    // minimum but absent from ids, so the 1-2-3 cluster still roots at 1
+    val stale = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val scoped = Dedup.nearDupClusters(ids, stale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scoped(1L) == 1L && scoped(2L) == 1L && scoped(3L) == 1L,
+      s"foreign id must not become a cluster root: $scoped")
   }
 
   test("decontaminate drops exactly the train docs sharing an n-gram with eval") {

@@ -158,6 +158,25 @@ class UpsertWriterSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "d1"), (2L, "b", "d1"), (4L, "d", "d3")))
   }
 
+  test("deletePartitioned handles hive-escaped partition values and rejects nulls") {
+    val p = tmp()
+    // ':' is hive-escaped to %3A in the partition directory name
+    Seq(("d:1", 1L, "a"), ("d:1", 2L, "b"), ("d2", 3L, "c"))
+      .toDF("day", "id", "v").write.partitionBy("day").parquet(p)
+    UpsertWriter.deletePartitioned(spark, p,
+      Seq(("d:1", 1L), ("d:1", 2L)).toDF("day", "id"), Seq("day", "id"), "day")
+    val dirs = new java.io.File(p).list().toSeq
+    assert(dirs.exists(_.startsWith("day=")), s"sanity: $dirs")
+    assert(!dirs.exists(_.contains("d%3A1")),
+      s"escaped emptied-partition dir must be dropped, saw $dirs")
+    assert(spark.read.parquet(p).count() == 1)
+    // null partition value in the key set fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      UpsertWriter.deletePartitioned(spark, p,
+        Seq((Option.empty[String], 3L)).toDF("day", "id"), Seq("day", "id"), "day")
+    }
+  }
+
   test("mergePlan (relational form) matches the writer semantics") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
