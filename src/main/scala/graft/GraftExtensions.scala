@@ -58,7 +58,30 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VecHyperplaneSig].getName, "vec_hyperplane_sig"),
       (args: Seq[Expression]) =>
         VecHyperplaneSig(args(0), intLit(args(1), "nBits"))),
+    // zvalue(c1, ..., cn, bits): N-column Morton interleave, composed from
+    // built-in shift/and/multiply/add nodes so it codegens like any
+    // arithmetic (mirrors graft.store.ZOrder.zValueN)
+    (new FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zvalue"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 3,
+          "zvalue needs at least two columns and a bits literal")
+        zValueExpr(args.init, intLit(args.last, "bits"))
+      }),
   )
+
+  private def zValueExpr(cols: Seq[Expression], bits: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val n = cols.size
+    require(bits >= 1 && bits * n <= 63, s"bits*$n must fit a signed long")
+    val longs = cols.map(c => Cast(c, org.apache.spark.sql.types.LongType))
+    val terms: Seq[Expression] = for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield Multiply(BitwiseAnd(ShiftRight(c, Literal(i)), Literal(1L)),
+      Literal(1L << (i * n + j)))
+    terms.reduce(Add(_, _))
+  }
 
   /** Register on an already-running session (withExtensions only applies
     * at construction time).

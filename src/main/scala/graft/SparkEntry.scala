@@ -1231,21 +1231,22 @@ object SparkEntry {
         .orderBy("change_type")
     }),
 
-    // z-order layout: Morton-interleave (l_partkey, l_suppkey), range-
-    // partition into 16 files (ZOrderSpec proves both-column file
-    // pruning), read back and emit rows + recomputed z — the twin's plain
-    // scan must agree row-for-row, proving the layout loses nothing
+    // z-order layout: 3-column Morton interleave (l_partkey, l_suppkey,
+    // l_linenumber), range-partition into 16 files (ZOrderSpec proves
+    // multi-column file pruning), read back and emit rows + recomputed z —
+    // the twin's plain scan must agree row-for-row, proving the layout
+    // loses nothing and pinning the N-column interleave bit-for-bit
     "q89_zorder_layout" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_q89_").toString + "/t"
       val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey")
-      graft.store.ZOrder.layout(li, "l_partkey", "l_suppkey", tmp,
-        numFiles = 16)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      graft.store.ZOrder.layoutN(li,
+        Seq("l_partkey", "l_suppkey", "l_linenumber"), tmp, numFiles = 16)
       s.read.parquet(tmp)
-        .withColumn("z", graft.store.ZOrder.zValue(
-          col("l_partkey"), col("l_suppkey")))
-        .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
+        .withColumn("z", graft.store.ZOrder.zValueN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))))
+        .orderBy("z", "l_orderkey", "l_linenumber")
     }),
 
     // 5-row moving average per key: the windowed sum runs over DECIMAL
@@ -2316,10 +2317,11 @@ object SparkEntry {
           |FROM c GROUP BY change_type ORDER BY change_type""".stripMargin,
 
       "q89_zorder_layout" -> {
-        val z = graft.store.ZOrder.zValueSql("l_partkey", "l_suppkey")
-        s"""SELECT l_orderkey, l_partkey, l_suppkey, $z AS z
+        val z = graft.store.ZOrder.zValueNSql(
+          Seq("l_partkey", "l_suppkey", "l_linenumber"))
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $z AS z
            |FROM lineitem
-           |ORDER BY z, l_orderkey, l_partkey, l_suppkey""".stripMargin
+           |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
       },
 
       "q76_moving_avg" ->

@@ -56,6 +56,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == viaApi.getLong(1))
   }
 
+  test("zvalue works from SQL and matches the ZOrder Column API") {
+    import spark.implicits._
+    Seq((5L, 3L, 1L)).toDF("x", "y", "w").createOrReplaceTempView("t3")
+    val viaSql = spark.sql(
+      "SELECT zvalue(x, y, 4) AS z2, zvalue(x, y, w, 4) AS z3 FROM t3")
+      .collect()(0)
+    val viaApi = Seq((5L, 3L, 1L)).toDF("x", "y", "w").select(
+      graft.store.ZOrder.zValue($"x", $"y", 4).as("z2"),
+      graft.store.ZOrder.zValueN(Seq($"x", $"y", $"w"), 4).as("z3"))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('x', 1 + 1, 3)").collect()
