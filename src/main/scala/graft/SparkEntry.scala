@@ -183,13 +183,23 @@ object SparkEntry {
         .agg(first("open").as("Open"), first("high").as("High"),
           first("low").as("Low"), first("close").as("Close"),
           first("volume").as("Volume"))
+      // pivot columns are "<sym>_<Field>"; strip the EXACT known-symbol
+      // prefix (longest match first, so a symbol containing '_' — e.g. a
+      // future "page_view" event type — still renames correctly) instead
+      // of splitting at the first underscore
+      val bySymLen = syms.sortBy(-_.length)
+      val fields = Seq("Open", "High", "Low", "Close", "Volume")
       val renamed = wide.columns.foldLeft(wide) { (df, c) =>
-        c.split("_", 2) match {
-          case Array(sym, field) if raw.contains(sym) =>
-            df.withColumnRenamed(c, s"${field}_${raw(sym)}")
-          case _ => df
+        bySymLen.find(sym => c.startsWith(sym + "_")) match {
+          case Some(sym) =>
+            df.withColumnRenamed(c, s"${c.substring(sym.length + 1)}_${raw(sym)}")
+          case None => df
         }
       }
+      val expected = for { sym <- syms; f <- fields } yield s"${f}_${raw(sym)}"
+      val missing = expected.filterNot(renamed.columns.contains)
+      require(missing.isEmpty,
+        s"PhFixtureSource: pivot rename missed columns $missing")
       (renamed
         .withColumn("Date", col("date_stamp").cast(TimestampType))
         .drop("date_stamp"), Seq.empty)
@@ -1087,13 +1097,21 @@ object SparkEntry {
     // totals plus the two gate booleans, all engine-independent.
     "q84_heavy_hitters" -> ((s, dir) => {
       val k = 64
-      val toks = t(s, dir, "documents")
+      // ONE corpus scan: the exact per-token counts feed the weighted
+      // sketch (each (token,cnt) row is an exact singleton summary, so the
+      // N/(k+1) mergeable-summaries bound is unchanged), the exact totals,
+      // AND the exact heavy set. The persist is distinct-token-sized, not
+      // corpus-sized.
+      val cnts = t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-      val sketch = toks
-        .agg(graft.operators.Sketches.heavyHitterSketch(k)(col("token")).as("sk"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val sketch = cnts
+        .agg(graft.operators.Sketches
+          .heavyHitterSketchWeighted(k)(col("token"), col("cnt")).as("sk"))
         .select(explode(map_keys(col("sk"))).as("token"))
-      val totals = toks.agg(count(lit(1)).as("n_total"))
-      val heavy = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val totals = cnts.agg(sum("cnt").as("n_total"))
+      val heavy = cnts
         .crossJoin(totals) // 1-row gate assembly
         .where(col("cnt") * (k + 1) > col("n_total"))
       val missed = heavy.join(sketch, Seq("token"), "left_anti")
@@ -1454,6 +1472,58 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("click_id"))
         .orderBy("purchase_id")
+    }),
+
+    // span-level exact dedup (Lee et al. 2022, fixed-shingle ExactSubstr):
+    // maximal per-doc extents of 8-token windows that occur more than once
+    // anywhere in the corpus — the verbatim-boilerplate catcher that
+    // whole-doc hash (q30) and near-dup banding (q32/q44) both miss
+    "q94_span_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpans(t(s, dir, "documents"), 8)
+        .orderBy("doc_id", "span_start")),
+
+    // CDC-maintained incremental view over the versioned lake: v0 = even
+    // keys; v1 merges a custkey-migrating update batch (every 3rd key);
+    // v2 merges a price-doubling batch (every 5th key). The per-custkey
+    // (count, decimal-sum) state is bootstrapped from v0 and maintained
+    // ONLY from the two signed change feeds — never recomputed — and the
+    // in-query gate joins it against the full recompute of v2: `ok` is
+    // exact (decimal) agreement per group, which any sign/retraction bug
+    // flips to false
+    "q95_cdc_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q95_").toString + "/tbl"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.store.VersionedTable.write(
+        orders.where(col("o_orderkey") % 2 === 0), root)
+      graft.store.VersionedTable.upsert(s, root,
+        orders.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 7),
+        Seq("o_orderkey"))
+      graft.store.VersionedTable.upsert(s, root,
+        orders.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      import graft.store.{IncrementalView, VersionedTable}
+      val s0 = IncrementalView.state(
+        VersionedTable.read(s, root, Some(0L)), "o_custkey", "o_totalprice")
+      val s1 = IncrementalView.applyFeed(s0,
+        VersionedTable.changeFeed(s, root, 0L, 1L, Seq("o_orderkey")),
+        "o_custkey", "o_totalprice")
+      val s2 = IncrementalView.applyFeed(s1,
+        VersionedTable.changeFeed(s, root, 1L, 2L, Seq("o_orderkey")),
+        "o_custkey", "o_totalprice")
+      val full = IncrementalView.state(
+        VersionedTable.read(s, root), "o_custkey", "o_totalprice")
+      val inc = s2.select(col("o_custkey"),
+        col("n").as("n_inc"), col("total").as("total_inc"))
+      full.join(inc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n"),
+          col("total").cast(DoubleType).as("total"),
+          (col("n") <=> col("n_inc") &&
+            col("total") <=> col("total_inc")).as("ok"))
+        .orderBy("o_custkey")
     }),
   )
 
@@ -2270,8 +2340,9 @@ object SparkEntry {
            |  FROM c),
            |agg AS (SELECT SUM(wt) AS s, SUM(n) AS total FROM w),
            |thr AS (SELECT lang,
-           |  LEAST((1000000 * wt * ((total * 30) // 100)) // (s * n),
-           |    1000000) AS t
+           |  CAST(LEAST((CAST(1000000 AS HUGEINT) * wt
+           |      * ((CAST(total AS HUGEINT) * 30) // 100)) // (CAST(s AS HUGEINT) * n),
+           |    1000000) AS BIGINT) AS t
            |  FROM w, agg)
            |SELECT d.doc_id, d.lang, d.source
            |FROM documents d JOIN thr ON d.lang = thr.lang
@@ -2299,6 +2370,42 @@ object SparkEntry {
         """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
           |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+      "q94_span_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh0 AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) - 8 + 2),
+           |      i -> struct_pack(pos := i - 1,
+           |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS sp
+           |  FROM tk WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM sh0),
+           |dup AS (SELECT doc_id, pos FROM
+           |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM sh)
+           |  WHERE c > 1),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+           |      THEN 1 ELSE 0 END AS brk FROM dup),
+           |grp AS (SELECT doc_id, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS dup_tokens
+           |FROM grp GROUP BY doc_id, g
+           |ORDER BY doc_id, span_start""".stripMargin,
+
+      "q95_cdc_incremental" ->
+        """WITH fin AS (
+          |  SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey
+          |         WHEN o_orderkey % 3 = 0 THEN o_custkey + 7
+          |         ELSE o_custkey END AS ck,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN 2 * o_totalprice
+          |         ELSE o_totalprice END AS price
+          |  FROM orders
+          |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)
+          |SELECT ck AS o_custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(price AS DECIMAL(18,2)))::DOUBLE AS total, TRUE AS ok
+          |FROM fin GROUP BY ck ORDER BY o_custkey""".stripMargin,
 
       "q90_approx_distinct" ->
         """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,

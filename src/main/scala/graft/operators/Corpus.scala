@@ -87,6 +87,10 @@ object Corpus {
     * `(1e6·w_d·M)/(S·n_d)` in BigInt, hash-vs-threshold row filter — is
     * integer-exact, so an ANSI-SQL twin reproduces the sample bit-for-bit
     * (for T=2 the weight is `sqrt`, correctly rounded IEEE in any engine).
+    * The Scala side computes the threshold in BigInt; a twin must match
+    * that width — the intermediate `1e6·w_d·M` product exceeds 64 bits
+    * once the corpus passes ~1e5 rows, so e.g. DuckDB needs the product
+    * computed in HUGEINT (see the q87 oracle) rather than BIGINT.
     * The row filter itself is a pure narrow predicate: no RNG state, no
     * shuffle, safe at any scale.
     *

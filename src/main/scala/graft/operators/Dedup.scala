@@ -446,4 +446,86 @@ object Dedup {
         .distinct()
     }
   }
+
+  /** Span-level exact dedup — the fixed-length-shingle variant of
+    * ExactSubstr from Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022): every k-token window whose text
+    * occurs more than once ANYWHERE in the corpus (other documents or
+    * elsewhere in the same one) marks its tokens as duplicated, and
+    * overlapping-or-adjacent marked windows merge into maximal per-document
+    * span extents (gaps-and-islands). Catches long verbatim spans —
+    * boilerplate, licenses, quoted passages — that whole-document hashing
+    * ([[exact]]) and near-dup banding ([[minhashLshPairs]]/[[simhash]])
+    * both miss because the surrounding text differs.
+    *
+    * Returns one row per maximal duplicated span:
+    * `(doc_id, span_start, span_end, dup_tokens)`, token positions 0-based
+    * inclusive.
+    *
+    * Scale shape: shingle occurrences are corpus-token-scale but the plan
+    * is LINEAR — one shuffle on the 128-bit shingle digest (a window
+    * count, never a self-join, so no candidate pair materializes), one
+    * shuffle on the doc id for the extent merge; the islands groupBy
+    * reuses the doc partitioning. Unlike the paper's suffix array this is
+    * two ordinary exchanges at any corpus size, at the cost of fixing the
+    * match length to k.
+    */
+  def duplicatedSpans(docs: DataFrame, shingleK: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shingleK >= 1, "duplicatedSpans needs a positive shingle length")
+    // documents shorter than k tokens cannot contain a k-token span
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleK)
+    val sh = toks.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - shingleK),
+        i => md5(array_join(slice(col("__toks"), i + 1, shingleK), " "))))
+        .as(Seq("pos", "h")))
+    val dup = sh
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__c") > 1)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    // islands: a new span starts when this window no longer overlaps nor
+    // adjoins the union of previous windows (all windows have length k, so
+    // the running max end is lag(pos)+k-1; strictly-greater than lag+k
+    // means a genuine gap). First row per doc: lag is null → no break.
+    val wDoc = Window.partitionBy(idCol).orderBy("pos")
+    val spans = dup
+      .withColumn("__brk",
+        when(col("pos") > lag("pos", 1).over(wDoc) + shingleK, 1L)
+          .otherwise(0L))
+      .withColumn("__g", sum("__brk").over(wDoc))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min("pos").as("span_start"), max("pos").as("__maxp"))
+    spans.select(col(idCol), col("span_start"),
+        (col("__maxp") + shingleK - 1).as("span_end"),
+        (col("__maxp") + shingleK - col("span_start")).as("dup_tokens"))
+  }
+
+  /** Excise every duplicated span found by [[duplicatedSpans]]: rebuild the
+    * text keeping only tokens no span covers. Conservative variant — ALL
+    * occurrences of a duplicated window are removed, not all-but-one (an
+    * engine with no global order has no canonical "first" occurrence; at
+    * corpus scale reproducibility beats keeping one copy of boilerplate).
+    * Documents with no duplicated span pass through untouched, including
+    * their original whitespace.
+    */
+  def exciseDuplicatedSpans(docs: DataFrame, shingleK: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, shingleK, idCol, textCol)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(tokens(col(textCol)), (t, i) =>
+              !exists(col("__spans"), sp =>
+                i.cast("long").between(sp.getField("s"), sp.getField("e")))),
+            " ")))
+      .drop("__spans")
+  }
 }

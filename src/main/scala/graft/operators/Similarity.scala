@@ -75,13 +75,20 @@ object Similarity {
     * map-side with zero Exchange between the corpus scan and the cell
     * column (the broadcast-join + per-vector window form shuffled the
     * whole corpus on vec_id once per pass).
+    *
+    * Null contract: rows with a null embedding have no meaningful cell and
+    * are EXCLUDED from the assignment output — explicitly, with a filter,
+    * so the drop is visible in the plan rather than an artifact of how the
+    * kernel happens to treat nulls (the exploded multi-probe form would
+    * otherwise drop them silently while the scalar form emitted a null
+    * cell; both now agree).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
       : DataFrame = {
     val (ids, cvecs) = collectCentroids(centroids, centroidIdCol, centroidVecCol)
-    ivfAssignArrays(corpus, ids, cvecs, idCol, vecCol)
+    ivfAssignArrays(corpus.where(col(vecCol).isNotNull), ids, cvecs, idCol, vecCol)
   }
 
   /** [[ivfAssign]] over already-collected centroid arrays (`ids` sorted
@@ -154,16 +161,18 @@ object Similarity {
   /** Assign each vector to its `nprobe` highest-cosine centroids (the
     * multi-probe generalization of [[ivfAssign]]; one row per probed cell).
     * Same narrow kernel: one array of cell ids per vector, exploded — no
-    * join, no window.
+    * join, no window. Null embeddings are excluded, same contract as
+    * [[ivfAssign]].
     */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id", centroidVecCol: String = "cvec")
       : DataFrame = {
     val (ids, cvecs) = collectCentroids(centroids, centroidIdCol, centroidVecCol)
-    vectors.select(col(idCol), col(vecCol),
-      explode(graft.functions.VectorExpressions
-        .nearestCentroids(col(vecCol), ids, cvecs, nprobe)).as("cell"))
+    vectors.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        explode(graft.functions.VectorExpressions
+          .nearestCentroids(col(vecCol), ids, cvecs, nprobe)).as("cell"))
   }
 
   /** IVF top-k: probe the query's `nprobe` closest cells (nprobe=1 = own

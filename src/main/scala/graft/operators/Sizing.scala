@@ -70,24 +70,26 @@ object Sizing {
   }
 
   /** True when `df` provably fits a broadcast: at most `rowLimit` rows AND
-    * estimated at most `byteLimit` bytes. One probe job over at most
-    * rowLimit+1 rows computes both; an over-cap row count short-circuits
-    * to false without looking at bytes.
+    * estimated at most `byteLimit` bytes. ONE probe job over at most
+    * rowLimit+1 rows computes both bounds together (the common small-input
+    * path pays a single scan, not a count job plus a byte job). Columns
+    * are renamed positionally before measuring, so duplicate or dotted
+    * column names cannot AnalysisException the guard into neither path —
+    * the probe works on any schema and the fallback stays the shuffle
+    * join.
     */
   def fitsBroadcast(df: DataFrame,
       rowLimit: Long = DefaultBroadcastRows,
-      byteLimit: Long = DefaultBroadcastBytes): Boolean =
-    // rows first: the count-only probe is column-pruned (heavy/computed
-    // columns are never materialized), so an over-cap input fails cheaply;
-    // the byte probe then scans at most rowLimit fully-materialized rows
-    countAtMost(df, rowLimit) && {
-      val cap = (math.min(rowLimit, Int.MaxValue - 1L) + 1).toInt
-      val probe = df.limit(cap)
-        .agg(sum(approxRowBytes(df.schema)).as("b"))
-        .head()
-      val bytes = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-      bytes <= byteLimit
-    }
+      byteLimit: Long = DefaultBroadcastBytes): Boolean = {
+    val cap = (math.min(rowLimit, Int.MaxValue - 1L) + 1).toInt
+    val safe = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+    val probe = safe.limit(cap)
+      .agg(count(lit(1)).as("n"), sum(approxRowBytes(safe.schema)).as("b"))
+      .head()
+    val n = probe.getLong(0)
+    val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    n <= rowLimit && bytes <= byteLimit
+  }
 
   /** Hint `df` for broadcast only when provably at most `rowLimit` rows AND
     * `byteLimit` estimated bytes; otherwise return it unhinted so the join

@@ -18,53 +18,171 @@ import org.apache.spark.sql.functions.udaf
   * superset of the true heavy hitters, which one cheap exact pass over ≤ k
   * candidates then confirms. Shuffle traffic: k counters per partition,
   * independent of corpus size.
+  *
+  * Buffer representation: two parallel arrays (token, lower-bound count)
+  * of fixed capacity k plus a fill pointer, mutated in place and encoded
+  * with a plain product encoder — no per-token persistent-map allocation
+  * and no Kryo on the partial→final exchange. For the k ≤ a-few-hundred
+  * regime this sketch targets, a linear array probe beats a hash map
+  * (cache-resident, branch-predictable) and the decrement path is a
+  * single compaction sweep.
   */
 object Sketches {
 
-  /** Misra-Gries heavy-hitter summary as a typed [[Aggregator]] usable as
-    * a DataFrame aggregate via [[heavyHitterSketch]]. Buffer = at most `k`
-    * (token → lower-bound count) counters.
-    *
-    *  - reduce: increment a held counter, insert when a slot is free, else
-    *    decrement all (the classic k-counter step).
-    *  - merge: sum counterpart counters, then subtract the (k+1)-th
-    *    largest count and drop non-positives (Mergeable Summaries, §3.1) —
-    *    keeps ≤ k counters and preserves the error bound
-    *    `true − estimate ≤ N/(k+1)` across arbitrary merge trees, which is
-    *    exactly what a distributed partial aggregate needs.
+  /** Misra-Gries aggregation buffer: parallel (token, count) arrays of
+    * capacity k, `used` live entries in slots [0, used). Slots at and
+    * beyond `used` are null/stale and ignored; the product encoder
+    * round-trips them harmlessly.
+    */
+  final case class MGBuffer(keys: Array[String], vals: Array[Long], var used: Int)
+
+  object MGBuffer {
+    def empty(k: Int): MGBuffer =
+      MGBuffer(new Array[String](k), new Array[Long](k), 0)
+  }
+
+  /** Weighted counter insert — the classic k-counter step generalized to
+    * weight c (equals the textbook algorithm at c = 1): if the token is
+    * held, add; if a slot is free, insert; else subtract
+    * `cut = min(held counts, c)` from everything (including the
+    * incoming counter) and keep the positives. Equivalent to merging a
+    * singleton summary, so the mergeable-summaries bound applies with N =
+    * total inserted WEIGHT. Mutates and returns `b`.
+    */
+  private[operators] def addWeighted(b: MGBuffer, k: Int, tok: String, c: Long): MGBuffer = {
+    if (c <= 0) return b
+    var i = 0
+    while (i < b.used) {
+      if (b.keys(i) == tok) { b.vals(i) += c; return b }
+      i += 1
+    }
+    if (b.used < k) {
+      b.keys(b.used) = tok
+      b.vals(b.used) = c
+      b.used += 1
+      b
+    } else {
+      // full: cut = (k+1)-th largest of the k held counts plus c, which is
+      // simply the minimum of them all
+      var cut = c
+      i = 0
+      while (i < b.used) { if (b.vals(i) < cut) cut = b.vals(i); i += 1 }
+      var w = 0
+      i = 0
+      while (i < b.used) {
+        val nc = b.vals(i) - cut
+        if (nc > 0) { b.keys(w) = b.keys(i); b.vals(w) = nc; w += 1 }
+        i += 1
+      }
+      if (c > cut) { b.keys(w) = tok; b.vals(w) = c - cut; w += 1 }
+      i = w
+      while (i < b.used) { b.keys(i) = null; i += 1 } // drop stale refs
+      b.used = w
+      b
+    }
+  }
+
+  /** Merge `y` into `x` (Mergeable Summaries §3.1): sum matching counters,
+    * then if more than k remain subtract the (k+1)-th largest count and
+    * drop non-positives — keeps ≤ k counters and preserves
+    * `true − estimate ≤ N/(k+1)` across arbitrary merge trees, which is
+    * exactly what a distributed partial aggregate needs. Mutates and
+    * returns `x` (scratch arrays sized x.used + y.used, allocated once per
+    * merge, not per token).
+    */
+  private[operators] def mergeBuf(x: MGBuffer, y: MGBuffer, k: Int): MGBuffer = {
+    if (y.used == 0) return x
+    if (x.used == 0) return y
+    val cap = x.used + y.used
+    val tk = new Array[String](cap)
+    val tv = new Array[Long](cap)
+    System.arraycopy(x.keys, 0, tk, 0, x.used)
+    System.arraycopy(x.vals, 0, tv, 0, x.used)
+    var n = x.used
+    var i = 0
+    while (i < y.used) {
+      val tok = y.keys(i)
+      var j = 0
+      var found = false
+      while (j < n && !found) {
+        if (tk(j) == tok) { tv(j) += y.vals(i); found = true }
+        j += 1
+      }
+      if (!found) { tk(n) = tok; tv(n) = y.vals(i); n += 1 }
+      i += 1
+    }
+    var m = n
+    if (n > k) {
+      val sorted = java.util.Arrays.copyOfRange(tv, 0, n)
+      java.util.Arrays.sort(sorted)
+      val cut = sorted(n - 1 - k) // (k+1)-th largest
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (tv(i) > cut) { tk(w) = tk(i); tv(w) = tv(i) - cut; w += 1 }
+        i += 1
+      }
+      m = w
+    }
+    System.arraycopy(tk, 0, x.keys, 0, m)
+    System.arraycopy(tv, 0, x.vals, 0, m)
+    i = m
+    while (i < x.used) { x.keys(i) = null; i += 1 }
+    x.used = m
+    x
+  }
+
+  private[operators] def bufToMap(b: MGBuffer): Map[String, Long] = {
+    val builder = Map.newBuilder[String, Long]
+    var i = 0
+    while (i < b.used) { builder += (b.keys(i) -> b.vals(i)); i += 1 }
+    builder.result()
+  }
+
+  /** Misra-Gries heavy-hitter summary over raw token rows as a typed
+    * [[Aggregator]], usable as a DataFrame aggregate via
+    * [[heavyHitterSketch]].
     */
   final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, MGBuffer, Map[String, Long]] {
     require(k >= 1, "MisraGries needs at least one counter")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: MGBuffer = MGBuffer.empty(k)
 
-    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-      b.get(tok) match {
-        case Some(c) => b.updated(tok, c + 1)
-        case None if b.size < k => b.updated(tok, 1L)
-        case None =>
-          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
-      }
+    override def reduce(b: MGBuffer, tok: String): MGBuffer =
+      addWeighted(b, k, tok, 1L)
 
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val combined = y.foldLeft(x) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
-      }
-      if (combined.size <= k) combined
-      else {
-        // subtract the (k+1)-th largest count from everything, keep positives
-        val cut = combined.valuesIterator.toArray.sortBy(-_).apply(k)
-        combined.flatMap { case (t, c) =>
-          if (c > cut) Some(t -> (c - cut)) else None
-        }
-      }
-    }
+    override def merge(x: MGBuffer, y: MGBuffer): MGBuffer = mergeBuf(x, y, k)
 
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def finish(b: MGBuffer): Map[String, Long] = bufToMap(b)
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.product[MGBuffer]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Weighted Misra-Gries over pre-aggregated (token, count) rows. Each
+    * input row is an EXACT singleton summary of `count` occurrences, and
+    * merging exact summaries preserves the N/(k+1) bound with N = the
+    * total weight — so sketching `groupBy(token).count()` output yields
+    * the same guarantee as sketching the raw stream while letting the
+    * caller reuse ONE corpus scan for both the sketch and the exact gate
+    * (see q84).
+    */
+  final class MisraGriesWeighted(k: Int)
+      extends Aggregator[(String, Long), MGBuffer, Map[String, Long]] {
+    require(k >= 1, "MisraGries needs at least one counter")
+
+    override def zero: MGBuffer = MGBuffer.empty(k)
+
+    override def reduce(b: MGBuffer, row: (String, Long)): MGBuffer =
+      addWeighted(b, k, row._1, row._2)
+
+    override def merge(x: MGBuffer, y: MGBuffer): MGBuffer = mergeBuf(x, y, k)
+
+    override def finish(b: MGBuffer): Map[String, Long] = bufToMap(b)
+
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.product[MGBuffer]
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
@@ -74,4 +192,10 @@ object Sketches {
     */
   def heavyHitterSketch(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGries(k))
+
+  /** Weighted form over (token, count) columns:
+    * `cnts.agg(heavyHitterSketchWeighted(k)(col("token"), col("cnt")))`.
+    */
+  def heavyHitterSketchWeighted(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGriesWeighted(k))
 }

@@ -51,9 +51,13 @@ object JdbcWarehouse {
         .options(optionMap(props)).jdbc(url, table, props)
       return
     }
-    val stage = s"${table}_stage"
-    // a failed earlier upsert may have stranded the stage; clear it first
-    dropIfExists(url, stage, props)
+    // per-invocation nonce: the stage name can never collide with a real
+    // user table named "<table>_stage" (which Overwrite would destroy) nor
+    // with a concurrent upsert's stage on the same target; a stage
+    // stranded by a crashed JVM is uniquely named scratch, not a
+    // correctness hazard
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val stage = s"${table}_stage_$nonce"
     deduped.write.mode(SaveMode.Overwrite)
       .options(optionMap(props)).jdbc(url, stage, props)
     val cols = deduped.columns.toSeq
@@ -85,14 +89,6 @@ object JdbcWarehouse {
     require(name.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"table name must be a plain (optionally schema-qualified) SQL " +
         s"identifier, got: $name")
-
-  private def dropIfExists(url: String, table: String,
-      props: Properties): Unit =
-    if (tableExists(url, table, props))
-      withConnection(url, props) { conn =>
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $table") finally st.close()
-      }
 
   /** Read a warehouse table back (load_test.py reads via read_sql_table). */
   def read(spark: SparkSession, url: String, table: String,

@@ -83,18 +83,9 @@ object VersionedTable {
   def snapshotDiff(spark: SparkSession, root: String, from: Long, to: Long,
       pk: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = read(spark, root, asOf = Some(from))
-    val b = read(spark, root, asOf = Some(to))
-    require(a.columns.sameElements(b.columns),
-      s"snapshotDiff needs identical schemas, got ${a.columns.toSeq} vs ${b.columns.toSeq}")
-    val nonKey = a.columns.filterNot(pk.contains)
-    // prefix-free per-field encoding ("N" for null, "V"+md5(value) else):
-    // no separator a value could inject, no null/empty ambiguity -- the
-    // concatenation is injective over the per-column digests
+    val (a, b, nonKey) = diffSides(spark, root, from, to, pk)
     def fp(df: DataFrame, as: String) = df.select(
-      pk.map(col) :+ md5(concat(nonKey.map(c =>
-        when(col(c).isNull, lit("N"))
-          .otherwise(concat(lit("V"), md5(col(c).cast("string"))))): _*)).as(as): _*)
+      pk.map(col) :+ rowFingerprint(nonKey).as(as): _*)
     fp(a, "__fp_a").join(fp(b, "__fp_b"), pk, "full_outer")
       .withColumn("change_type",
         when(col("__fp_a").isNull, lit("insert"))
@@ -102,6 +93,65 @@ object VersionedTable {
           .when(col("__fp_a") =!= col("__fp_b"), lit("update"))
           .otherwise(lit("unchanged")))
       .select(pk.map(col) :+ col("change_type"): _*)
+  }
+
+  /** Signed CDC row feed between two committed versions — the form a
+    * downstream incremental view consumes (see
+    * [[graft.store.IncrementalView]]): one `__sign = +1` row per inserted
+    * key and per update's NEW image, one `__sign = -1` row per deleted key
+    * and per update's OLD image; unchanged keys emit nothing. Any
+    * sign-weighted aggregate (count, sum, and anything built from them)
+    * maintained with this feed equals the same aggregate recomputed from
+    * the `to` snapshot.
+    *
+    * Cost: the same single pk-shuffle full-outer join as [[snapshotDiff]]
+    * (both images project off one join; Spark reuses the exchange), never
+    * a full-table recompute — at 100 TB the feed is delta-sized while the
+    * snapshots stay on disk.
+    */
+  def changeFeed(spark: SparkSession, root: String, from: Long, to: Long,
+      pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (a, b, nonKey) = diffSides(spark, root, from, to, pk)
+    val aw = a.select(pk.map(col)
+      ++ nonKey.map(c => col(c).as(s"__a_$c"))
+      :+ rowFingerprint(nonKey).as("__fp_a"): _*)
+    val bw = b.select(pk.map(col)
+      ++ nonKey.map(c => col(c).as(s"__b_$c"))
+      :+ rowFingerprint(nonKey).as("__fp_b"): _*)
+    val changed = aw.join(bw, pk, "full_outer")
+      .where(col("__fp_a").isNull || col("__fp_b").isNull ||
+        col("__fp_a") =!= col("__fp_b"))
+    val olds = changed.where(col("__fp_a").isNotNull)
+      .select(pk.map(col)
+        ++ nonKey.map(c => col(s"__a_$c").as(c))
+        :+ lit(-1L).as("__sign"): _*)
+    val news = changed.where(col("__fp_b").isNotNull)
+      .select(pk.map(col)
+        ++ nonKey.map(c => col(s"__b_$c").as(c))
+        :+ lit(1L).as("__sign"): _*)
+    olds.unionByName(news)
+  }
+
+  private def diffSides(spark: SparkSession, root: String, from: Long,
+      to: Long, pk: Seq[String]): (DataFrame, DataFrame, Seq[String]) = {
+    val a = read(spark, root, asOf = Some(from))
+    val b = read(spark, root, asOf = Some(to))
+    require(a.columns.sameElements(b.columns),
+      s"snapshot diff needs identical schemas, got ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    (a, b, a.columns.filterNot(pk.contains).toSeq)
+  }
+
+  /** Prefix-free per-field row digest ("N" for null, "V"+md5(value) else):
+    * no separator a value could inject, no null/empty ambiguity — the
+    * concatenation is injective over the per-column digests, so the join
+    * carries pk + 16 bytes instead of full rows.
+    */
+  private def rowFingerprint(nonKey: Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    md5(concat(nonKey.map(c =>
+      when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("V"), md5(col(c).cast("string"))))): _*))
   }
 
   /** Roll the pointer back to an existing older version. */

@@ -143,9 +143,9 @@ class PropertySpec extends SparkSpec {
           // split at arbitrary points and merge pairwise — any merge tree
           // must preserve the bound
           val parts = stream.grouped(math.max(stream.size / 3, 1)).toSeq
-          val sketch = parts
+          val sketch = mg.finish(parts
             .map(p => p.foldLeft(mg.zero)(mg.reduce))
-            .reduce(mg.merge)
+            .reduce(mg.merge))
           assert(sketch.size <= k)
           val n = stream.size.toDouble
           val counts = stream.groupBy(identity).map { case (t, v) => t -> v.size }

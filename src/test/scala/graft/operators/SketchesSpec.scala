@@ -40,15 +40,41 @@ class SketchesSpec extends SparkSpec {
 
   test("MisraGries reduce and merge keep at most k counters") {
     val mg = new Sketches.MisraGries(3)
+    def counts(seq: Seq[String]) =
+      mg.finish(seq.foldLeft(mg.zero)(mg.reduce))
     val b = Seq("a", "b", "c", "d", "a", "a").foldLeft(mg.zero)(mg.reduce)
-    assert(b.size <= 3)
-    assert(b("a") >= 1) // the dominant token survives decrements
+    assert(mg.finish(b).size <= 3)
+    assert(mg.finish(b)("a") >= 1) // the dominant token survives decrements
     val other = Seq("x", "y", "z", "x").foldLeft(mg.zero)(mg.reduce)
-    val merged = mg.merge(b, other)
+    val merged = mg.finish(mg.merge(b, other))
     assert(merged.size <= 3)
-    // merge of disjoint maps subtracts the (k+1)-th largest count (here
-    // the 4th largest = 1) and drops non-positives
-    val m2 = mg.merge(Map("a" -> 5L, "b" -> 3L), Map("c" -> 2L, "d" -> 1L))
+    // merge of disjoint buffers subtracts the (k+1)-th largest count (here
+    // the 4th largest = 1) and drops non-positives; exact-count buffers
+    // built by folding fewer than k distinct tokens
+    val x = Seq.fill(5)("a").++(Seq.fill(3)("b")).foldLeft(mg.zero)(mg.reduce)
+    val y = Seq.fill(2)("c").++(Seq.fill(1)("d")).foldLeft(mg.zero)(mg.reduce)
+    assert(counts(Seq.fill(5)("a") ++ Seq.fill(3)("b")) == Map("a" -> 5L, "b" -> 3L))
+    val m2 = mg.finish(mg.merge(x, y))
     assert(m2 == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("weighted sketch over pre-aggregated counts keeps the superset bound") {
+    val toks = stream.toDF("token")
+    val n = stream.size.toLong
+    val k = 16
+    val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val sketch = cnts.repartition(7)
+      .agg(Sketches.heavyHitterSketchWeighted(k)(col("token"), col("cnt")).as("s"))
+      .collect()(0).getMap[String, Long](0)
+    assert(sketch.size <= k)
+    val threshold = n.toDouble / (k + 1)
+    val trueHeavy = stream.groupBy(identity)
+      .map { case (t, v) => t -> v.size }
+      .filter(_._2 > threshold).keySet
+    assert((trueHeavy -- sketch.keySet).isEmpty)
+    sketch.foreach { case (t, est) =>
+      val truth = stream.count(_ == t).toLong
+      assert(est <= truth && truth - est <= threshold + 1)
+    }
   }
 }
