@@ -481,7 +481,7 @@ object Dedup {
     val sh = toks.select(col(idCol),
       posexplode(transform(
         sequence(lit(0), size(col("__toks")) - shingleK),
-        i => md5(array_join(slice(col("__toks"), i + 1, shingleK), " "))))
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(shingleK)), " "))))
         .as(Seq("pos", "h")))
     val dup = sh
       .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))

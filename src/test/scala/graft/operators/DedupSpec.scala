@@ -145,4 +145,44 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L)))
   }
+
+  test("duplicatedSpans: cross-doc shared windows merge into maximal extents") {
+    val spanDocs = Seq(
+      // c-block (4 tokens) and z-block (4 tokens) shared by 10/11, with a
+      // gap of unique tokens between them in 10
+      (10L, "c1 c2 c3 c4 u1 u2 u3 u4 u5 z1 z2 z3 z4"),
+      (11L, "c1 c2 c3 c4 v z1 z2 z3 z4"),
+      // same-doc repetition: window "m n o p" occurs at pos 0 and 4;
+      // adjacent windows merge into ONE whole-doc span
+      (12L, "m n o p m n o p"),
+      (13L, "totally unrelated words that appear nowhere else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, shingleK = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 0L, 3L, 4L), (10L, 9L, 12L, 4L),
+      (11L, 0L, 3L, 4L), (11L, 5L, 8L, 4L),
+      (12L, 0L, 7L, 8L)))
+  }
+
+  test("duplicatedSpans ignores docs shorter than the shingle length") {
+    val d = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(d, shingleK = 4).count() == 0)
+  }
+
+  test("exciseDuplicatedSpans removes covered tokens, leaves clean docs verbatim") {
+    val spanDocs = Seq(
+      (10L, "c1 c2 c3 c4 u1 u2 u3 u4 u5 z1 z2 z3 z4"),
+      (11L, "c1 c2 c3 c4 v z1 z2 z3 z4"),
+      (13L, "totally  unrelated words   that appear nowhere else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicatedSpans(spanDocs, shingleK = 4)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (10L, "u1 u2 u3 u4 u5"),
+      (11L, "v"),
+      // untouched docs keep their original whitespace
+      (13L, "totally  unrelated words   that appear nowhere else at all")))
+  }
 }

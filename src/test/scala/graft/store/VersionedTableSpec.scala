@@ -49,6 +49,46 @@ class VersionedTableSpec extends SparkSpec {
       (4L, "update"), (5L, "insert")))
   }
 
+  test("changeFeed emits signed old/new images; unchanged keys emit nothing") {
+    val r = root()
+    VersionedTable.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "v", "x"), r)
+    // v1: 2 updated, 3 deleted, 5 inserted, 1 unchanged
+    VersionedTable.write(
+      Seq((1L, "a", 1.0), (2L, "B", 9.0), (5L, "e", 5.0)).toDF("id", "v", "x"), r)
+    val feed = VersionedTable.changeFeed(spark, r, 0L, 1L, Seq("id"))
+      .orderBy("id", "__sign").as[(Long, String, Double, Long)].collect().toSeq
+    assert(feed == Seq(
+      (2L, "b", 2.0, -1L), (2L, "B", 9.0, 1L), // update: old image out, new in
+      (3L, "c", 3.0, -1L), // delete
+      (5L, "e", 5.0, 1L))) // insert
+  }
+
+  test("feed-maintained aggregate state equals a full recompute") {
+    val r = root()
+    // group key g, value x; v0 -> v1 exercises insert, update (value and
+    // GROUP migration), and delete; v1 -> v2 empties group 20 entirely
+    VersionedTable.write(
+      Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0)).toDF("id", "g", "x"), r)
+    VersionedTable.write(
+      Seq((1L, 10L, 6.0), (2L, 20L, 7.0), (4L, 30L, 9.0)).toDF("id", "g", "x"), r)
+    VersionedTable.write(
+      Seq((1L, 10L, 6.0), (4L, 30L, 2.0)).toDF("id", "g", "x"), r)
+    var state = IncrementalView.state(
+      VersionedTable.read(spark, r, Some(0L)), "g", "x")
+    for (v <- 0L to 1L)
+      state = IncrementalView.applyFeed(state,
+        VersionedTable.changeFeed(spark, r, v, v + 1, Seq("id")), "g", "x")
+    val got = state.orderBy("g")
+      .selectExpr("g", "n", "CAST(total AS DOUBLE)")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1L, 6.0), (30L, 1L, 2.0))) // group 20 vanished
+    val full = IncrementalView.state(VersionedTable.read(spark, r), "g", "x")
+      .orderBy("g").selectExpr("g", "n", "CAST(total AS DOUBLE)")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == full)
+  }
+
   test("rollback repoints; vacuum keeps the pointed version") {
     val r = root()
     VersionedTable.write(Seq((1L, "v0")).toDF("id", "v"), r)
