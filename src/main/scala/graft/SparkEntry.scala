@@ -47,6 +47,20 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Scratch directory for queries that materialize intermediate tables or
+    * streaming checkpoints. Defaults to the system temp dir; the bench
+    * harness points the `graft.scratch` system property at tmpfs so
+    * per-micro-batch WAL/commit fsync constants measure memory writes
+    * instead of disk — query semantics identical either way.
+    */
+  private def scratch(prefix: String): String = {
+    val base = sys.props.get("graft.scratch")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Streaming state cost scales with shuffle partitions (one state-store
     * instance + delta files per partition per batch); the harness's
     * streams carry tiny state, so run them at few partitions and restore
@@ -583,8 +597,7 @@ object SparkEntry {
 
     // W2: replace (full-overwrite) write semantics — second replace wins
     "q29_replace_write" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_replace_").toString + "/tbl"
+      val out = scratch("graft_replace_") + "/tbl"
       UpsertWriter.replace(
         t(s, dir, "nation").select(col("n_nationkey").as("key"),
           col("n_name").as("name")), out)
@@ -792,8 +805,7 @@ object SparkEntry {
     // the same backlog ingested twice (2 files, 1 file per batch) yields
     // each event exactly once
     "q50_stream_dedup" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sdedup_").toString
+      val root = scratch("graft_sdedup_")
       val src = java.nio.file.Paths.get(s"$root/src")
       java.nio.file.Files.createDirectories(src)
       val ev = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -839,8 +851,7 @@ object SparkEntry {
     // stateful streaming sessionization: flatMapGroupsWithState custom
     // state (last-ts, session-id) per user; backlog replay == batch result
     "q49_stateful_sessionize" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_statess_").toString
+      val out = scratch("graft_statess_")
       val schema = rawTable(s, dir, "events").schema
       withShufflePartitions(s, 2) {
         graft.streaming.StatefulSessionize.runAvailableNow(
@@ -879,8 +890,7 @@ object SparkEntry {
 
     // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
     "q42_stream_upsert" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_stream_").toString
+      val out = scratch("graft_stream_")
       // raw schema (ts as long nanos): the stream reads the files as-is
       val schema = rawTable(s, dir, "events").schema
       withShufflePartitions(s, 2) {
@@ -896,8 +906,7 @@ object SparkEntry {
     // streaming windowed aggregation: watermark + 10-min tumbling windows,
     // AvailableNow backlog replay == the batch result (complete mode)
     "q43_stream_windowed" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_streamw_").toString
+      val out = scratch("graft_streamw_")
       val schema = rawTable(s, dir, "events").schema
       withShufflePartitions(s, 2) {
         graft.streaming.StreamingUpsert.runWindowedAvailableNow(
@@ -939,8 +948,7 @@ object SparkEntry {
     // overwritten), then read AS OF v0 — the oracle is the plain v0
     // snapshot, so a reader that sees v1 (broken isolation) hash-fails
     "q64_time_travel" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_vt_").toString + "/tbl"
+      val root = scratch("graft_vt_") + "/tbl"
       val orders = t(s, dir, "orders")
       val v0 = orders.where(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -1000,7 +1008,7 @@ object SparkEntry {
     // ZERO exchange (PlanAuditSpec pins the no-shuffle plan); the oracle
     // twin is the PLAIN join — bucketing must not change a single row
     "q80_bucketed_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q80_").toString
+      val tmp = scratch("graft_q80_")
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val items = t(s, dir, "lineitem").groupBy("l_orderkey")
@@ -1029,8 +1037,7 @@ object SparkEntry {
     // and emit measured file counts + content aggregates — the oracle's
     // constants and the source table prove rows survived byte-identically
     "q81_compaction" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q81_")
-        .toString + "/t"
+      val tmp = scratch("graft_q81_") + "/t"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       orders.repartition(40).write.mode("overwrite").parquet(tmp)
@@ -1057,7 +1064,7 @@ object SparkEntry {
     // the composed path, not just its pieces (the reference's CI runs the
     // whole flow, .github/workflows/ci_cd.yml:55-61)
     "q82_flow_e2e" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q82_").toString
+      val root = scratch("graft_q82_")
       val (lake, dw) = (s"$root/lake", s"$root/dw")
       val src = new PhFixtureSource(dir)
       val start = java.time.LocalDate.parse("2024-01-01")
@@ -1129,8 +1136,7 @@ object SparkEntry {
     // then read the table back — the oracle twin is the equivalent
     // NOT IN filter over the source
     "q85_targeted_delete" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q85_").toString + "/t"
+      val tmp = scratch("graft_q85_") + "/t"
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .write.parquet(tmp)
@@ -1231,8 +1237,7 @@ object SparkEntry {
     // v0→v1 classifies every key as insert/update/unchanged — the twin
     // derives the same classes from key arithmetic alone
     "q91_snapshot_diff" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q91_").toString + "/tbl"
+      val root = scratch("graft_q91_") + "/tbl"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.store.VersionedTable.write(
@@ -1255,8 +1260,7 @@ object SparkEntry {
     // the twin's plain scan must agree row-for-row, proving the layout
     // loses nothing and pinning the N-column interleave bit-for-bit
     "q89_zorder_layout" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q89_").toString + "/t"
+      val tmp = scratch("graft_q89_") + "/t"
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       graft.store.ZOrder.layoutN(li,
@@ -1337,8 +1341,7 @@ object SparkEntry {
     // the final table equals the global lower-id band-collision rule the
     // oracle computes
     "q73_stream_neardup" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_snd_").toString
+      val root = scratch("graft_snd_")
       val src = java.nio.file.Paths.get(s"$root/src")
       java.nio.file.Files.createDirectories(src)
       val docs = rawTable(s, dir, "documents")
@@ -1491,8 +1494,7 @@ object SparkEntry {
     // exact (decimal) agreement per group, which any sign/retraction bug
     // flips to false
     "q95_cdc_incremental" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q95_").toString + "/tbl"
+      val root = scratch("graft_q95_") + "/tbl"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       graft.store.VersionedTable.write(

@@ -53,31 +53,68 @@ object DataTests {
   final case class Relationships(column: String, parent: DataFrame,
       parentKey: String) extends Check { val name = "relationships" }
 
-  def run(table: String, df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
-    checks.map { c =>
-      val viol = c match {
-        case NotNull(col0) => notNull(df, col0)
-        case Unique(col0) => unique(df, col0)
-        case AcceptedValues(col0, vs) => acceptedValues(df, col0, vs)
-        case Relationships(col0, parent, pk) => relationships(df, col0, parent, pk)
-      }
-      CheckResult(table, c.name, c.column, viol.count())
+  /** One 1-row frame holding every check's violation count, columns
+    * `<prefix><index>`. The row-predicate checks (not_null,
+    * accepted_values) FUSE into a single aggregate over one scan of the
+    * table; each shuffling check (unique's groupBy, relationships'
+    * anti-join) contributes its own 1-row count; all pieces cross-join
+    * into one row, so an entire table's suite — any number of checks —
+    * materializes in ONE Spark action instead of one job per check (dbt
+    * runs its generated tests one statement at a time; there is no reason
+    * for a Spark suite to pay that serialization).
+    */
+  private def checksFrame(df: DataFrame, checks: Seq[Check],
+      prefix: String): DataFrame = {
+    // count(when(cond, 1)) rather than sum: count is never null on an
+    // empty table
+    val narrow = checks.zipWithIndex.collect {
+      case (NotNull(c), i) =>
+        count(when(col(c).isNull, 1)).as(s"$prefix$i")
+      case (AcceptedValues(c, vs), i) =>
+        count(when(!col(c).isin(vs: _*) || col(c).isNull, 1)).as(s"$prefix$i")
     }
+    val shuffling = checks.zipWithIndex.collect {
+      case (Unique(c), i) =>
+        unique(df, c).agg(count(lit(1)).as(s"$prefix$i"))
+      case (Relationships(c, parent, pk), i) =>
+        relationships(df, c, parent, pk).agg(count(lit(1)).as(s"$prefix$i"))
+    }
+    val pieces =
+      (if (narrow.isEmpty) Nil
+       else Seq(df.agg(narrow.head, narrow.tail: _*))) ++ shuffling
+    require(pieces.nonEmpty, "empty check suite")
+    pieces.reduce(_.crossJoin(_)) // all 1-row
+  }
+
+  private def extract(row: org.apache.spark.sql.Row, table: String,
+      checks: Seq[Check], prefix: String): Seq[CheckResult] =
+    checks.zipWithIndex.map { case (c, i) =>
+      CheckResult(table, c.name, c.column, row.getAs[Long](s"$prefix$i"))
+    }
+
+  def run(table: String, df: DataFrame, checks: Seq[Check]): Seq[CheckResult] =
+    extract(checksFrame(df, checks, "v").head(), table, checks, "v")
 
   /** The reference's full declared suite over the two core models
     * (properties.yml:96-160), both directions of the dim↔fct relationship
-    * included.
+    * included. Both tables' frames cross-join, so the WHOLE suite — ten
+    * checks over two tables — is one Spark action.
     */
-  def coreModelSuite(dimSymbols: DataFrame, fctPrices: DataFrame): Seq[CheckResult] =
-    run("dim_symbols", dimSymbols, Seq(
+  def coreModelSuite(dimSymbols: DataFrame, fctPrices: DataFrame): Seq[CheckResult] = {
+    val dimChecks = Seq[Check](
       NotNull("symbol"), Unique("symbol"),
       AcceptedValues("asset_type", Seq("FX", "Stock")),
       AcceptedValues("in_sp400", Seq(true, false)),
       AcceptedValues("in_sp500", Seq(true, false)),
       AcceptedValues("in_sp600", Seq(true, false)),
-      Relationships("symbol", fctPrices, "symbol"),
-    )) ++ run("fct_prices", fctPrices, Seq(
+      Relationships("symbol", fctPrices, "symbol"))
+    val fctChecks = Seq[Check](
       NotNull("date_stamp"), NotNull("symbol"),
-      Relationships("symbol", dimSymbols, "symbol"),
-    ))
+      Relationships("symbol", dimSymbols, "symbol"))
+    val row = checksFrame(dimSymbols, dimChecks, "d")
+      .crossJoin(checksFrame(fctPrices, fctChecks, "f"))
+      .head()
+    extract(row, "dim_symbols", dimChecks, "d") ++
+      extract(row, "fct_prices", fctChecks, "f")
+  }
 }

@@ -78,4 +78,36 @@ class ZOrderSpec extends SparkSpec {
     val zA = candidates(zPath, "a", 0, 8)
     assert(zA <= 8, s"z-order should prune most files on a, saw $zA/16")
   }
+
+  test("3-column z-order layout prunes on EVERY column; linear sort on neither trailing one") {
+    // 16x16x16 grid, 16 files: each z-contiguous file is a box of
+    // 8x8x4 cells (low 8 of 12 interleaved bits: a,b get 3, c gets 2), so
+    // footer min/max pruning works on all three axes
+    val grid = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    val df = grid.toDF("a", "b", "c")
+    val zPath = Files.createTempDirectory("graft_z3_").toString + "/t"
+    val linPath = Files.createTempDirectory("graft_z3_").toString + "/t"
+    ZOrder.layoutN(df, Seq("a", "b", "c"), zPath, numFiles = 16, bits = 4)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linPath)
+    def candidates(path: String, c: String, lo: Long, hi: Long): Int = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).collect()(0)
+        r.getLong(0) < hi && r.getLong(1) >= lo
+      }
+    }
+    // the a-sorted layout has zero selectivity on b and c
+    assert(candidates(linPath, "b", 0, 4) == 16)
+    assert(candidates(linPath, "c", 0, 4) == 16)
+    // the z-order layout prunes on every single-column predicate,
+    // including the two the linear sort cannot touch
+    val (zA, zB, zC) = (candidates(zPath, "a", 0, 4),
+      candidates(zPath, "b", 0, 4), candidates(zPath, "c", 0, 4))
+    assert(zA <= 8, s"expected a-pruning, saw $zA/16")
+    assert(zB <= 8, s"expected b-pruning, saw $zB/16")
+    assert(zC <= 8, s"expected c-pruning, saw $zC/16")
+  }
 }
