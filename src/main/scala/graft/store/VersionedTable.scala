@@ -104,10 +104,14 @@ object VersionedTable {
     * maintained with this feed equals the same aggregate recomputed from
     * the `to` snapshot.
     *
-    * Cost: the same single pk-shuffle full-outer join as [[snapshotDiff]]
-    * (both images project off one join; Spark reuses the exchange), never
-    * a full-table recompute — at 100 TB the feed is delta-sized while the
-    * snapshots stay on disk.
+    * Cost: ONE pk full-outer join — the same single shuffle
+    * [[snapshotDiff]] pays — then a narrow explode that emits each joined
+    * row's 0-2 signed images. (A union of two filtered projections over
+    * the join would let Catalyst split it into a LeftOuter + RightOuter
+    * pair, doubling the snapshot shuffles at scale; the explode keeps the
+    * join single, which PlanAuditSpec pins.) Never a full-table
+    * recompute — at 100 TB the feed is delta-sized while the snapshots
+    * stay on disk.
     */
   def changeFeed(spark: SparkSession, root: String, from: Long, to: Long,
       pk: Seq[String]): DataFrame = {
@@ -122,15 +126,18 @@ object VersionedTable {
     val changed = aw.join(bw, pk, "full_outer")
       .where(col("__fp_a").isNull || col("__fp_b").isNull ||
         col("__fp_a") =!= col("__fp_b"))
-    val olds = changed.where(col("__fp_a").isNotNull)
+    val oldImg = struct(nonKey.map(c => col(s"__a_$c").as(c))
+      :+ lit(-1L).as("__sign"): _*)
+    val newImg = struct(nonKey.map(c => col(s"__b_$c").as(c))
+      :+ lit(1L).as("__sign"): _*)
+    changed
+      .select(pk.map(col) :+ explode(filter(array(
+          when(col("__fp_a").isNotNull, oldImg),
+          when(col("__fp_b").isNotNull, newImg)),
+        x => x.isNotNull)).as("__img"): _*)
       .select(pk.map(col)
-        ++ nonKey.map(c => col(s"__a_$c").as(c))
-        :+ lit(-1L).as("__sign"): _*)
-    val news = changed.where(col("__fp_b").isNotNull)
-      .select(pk.map(col)
-        ++ nonKey.map(c => col(s"__b_$c").as(c))
-        :+ lit(1L).as("__sign"): _*)
-    olds.unionByName(news)
+        ++ nonKey.map(c => col("__img").getField(c).as(c))
+        :+ col("__img").getField("__sign").as("__sign"): _*)
   }
 
   private def diffSides(spark: SparkSession, root: String, from: Long,

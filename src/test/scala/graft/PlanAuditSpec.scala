@@ -220,4 +220,56 @@ class PlanAuditSpec extends SparkSpec {
       s"query side should broadcast:\n$p")
     assert(df.count() == 9)
   }
+
+  test("span dedup is linear: two hash exchanges, no join anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.operators.Dedup.duplicatedSpans(docs, 8))
+    // one exchange on the shingle digest (window count), one on the doc id
+    // (extent merge); the islands groupBy must REUSE the doc partitioning
+    // rather than add a third
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly two hash exchanges:\n$p")
+    // duplicated shingles come from a window count, never a self-join — no
+    // candidate pair may materialize
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"span dedup must not join:\n$p")
+  }
+
+  test("q84 caches the token counts so the corpus is scanned once") {
+    val df = SparkEntry.queries("q84_heavy_hitters")(spark, sf)
+    val p = plan(df)
+    // the exact counts frame persists and feeds the weighted sketch, the
+    // totals, and the heavy set — the documents table itself must appear
+    // behind the cache, not as three separate scans
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"expected the token-count frame to be cached:\n$p")
+    assert(df.collect()(0).getBoolean(2) && df.collect()(0).getBoolean(3))
+  }
+
+  test("changeFeed pays exactly ONE pk join; images explode off it narrowly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cf_audit_").toString + "/t"
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.store.VersionedTable.write(
+      base.where(col("o_orderkey") % 2 === 0), root)
+    graft.store.VersionedTable.write(
+      base.where(col("o_orderkey") % 3 === 0), root)
+    val feed = graft.store.VersionedTable
+      .changeFeed(spark, root, 0L, 1L, Seq("o_orderkey"))
+    val p = plan(feed)
+    // a union-of-filtered-projections formulation lets Catalyst split the
+    // full-outer into a LeftOuter + RightOuter pair (each snapshot
+    // scanned and shuffled twice at scale); the explode form must keep it
+    // to a single join and a single Generate
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      s"expected exactly one join:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"expected one explode of the signed images:\n$p")
+    // correctness unchanged: update old/new, delete, insert all present
+    val rows = feed.groupBy("__sign").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(-1L, 1L) && rows(-1L) > 0 && rows(1L) > 0)
+  }
 }
