@@ -1527,6 +1527,43 @@ object SparkEntry {
             col("total") <=> col("total_inc")).as("ok"))
         .orderBy("o_custkey")
     }),
+
+    // Bloom-prefiltered decontamination (the 100 TB path): a driver-built
+    // bloom over the eval shingles probes the corpus in a NARROW codegen'd
+    // filter — no corpus-wide shingle explode/shuffle; only candidate
+    // survivors pay the exact semi-join verify. Bloom filters have no
+    // false negatives, so the oracle is the EXACT decontamination result
+    "q96_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+          docs.where(col("doc_id") % 40 =!= 0),
+          docs.where(col("doc_id") % 40 === 0), shingleN = 3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Count-Min point-estimate gates: the weighted CMS builds off the SAME
+    // exact counts frame (one corpus scan total), and for the exact top-20
+    // tokens the in-query gates re-prove the sketch theory every run —
+    // estimates never undercount, and overcount stays within eps·N
+    "q97_cms_topk_gate" -> ((s, dir) => {
+      val eps = 0.0005
+      val cnts = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val cms = graft.operators.Sketches
+        .countMinOfCounts(cnts, "token", "cnt", eps, 0.99, 42)
+      val totals = cnts.agg(sum("cnt").as("n_total"))
+      val est = graft.functions.SketchExpressions.cmsEstimate(col("token"), cms)
+      cnts.orderBy(col("cnt").desc, col("token")).limit(20)
+        .crossJoin(totals) // 1-row gate assembly
+        .select(col("token"), col("cnt"),
+          (est >= col("cnt")).as("lower_ok"),
+          (est <= col("cnt") + ceil(lit(eps) * col("n_total")).cast("long"))
+            .as("upper_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2408,6 +2445,24 @@ object SparkEntry {
           |SELECT ck AS o_custkey, CAST(count(*) AS BIGINT) AS n,
           |  sum(CAST(price AS DECIMAL(18,2)))::DOUBLE AS total, TRUE AS ok
           |FROM fin GROUP BY ck ORDER BY o_custkey""".stripMargin,
+
+      "q96_decontaminate_bloom" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM toks),
+           |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
+           |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s))
+           |SELECT d.doc_id, d.lang FROM documents d
+           |WHERE d.doc_id % 40 <> 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q97_cms_topk_gate" ->
+        s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tk
+           |  GROUP BY token)
+           |SELECT token, cnt, TRUE AS lower_ok, TRUE AS upper_ok
+           |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
       "q90_approx_distinct" ->
         """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact,

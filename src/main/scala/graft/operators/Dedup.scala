@@ -412,6 +412,43 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Scale path for [[decontaminate]]: a driver-built Bloom filter over
+    * the eval shingles (eval/benchmark sets are small BY DEFINITION — the
+    * guard refuses loudly otherwise) broadcasts inside a codegen'd
+    * membership expression, so the corpus-wide pass is a NARROW filter —
+    * no corpus explode, no corpus shuffle. Only the candidate survivors
+    * (true contaminated docs plus the fpp false-positive sliver) pay the
+    * exact shingle semi-join verify. Bloom filters have NO false
+    * negatives, so the result EQUALS [[decontaminate]]'s exactly — which
+    * is what the q96 oracle asserts.
+    *
+    * At 100 TB this is the difference between exploding 10¹² shingle rows
+    * through a shuffle (exact path) and streaming the corpus once through
+    * a few hundred KB of broadcast bits.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, shingleN: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01, maxEvalShingles: Long = 10000000L): DataFrame = {
+    def shArr(c: Column) =
+      array_distinct(graft.functions.TextExpressions.shingles(c, shingleN))
+    val evalShingles = eval
+      .select(explode(shArr(col(textCol))).as("sh")).distinct()
+    val n = evalShingles.count()
+    if (n == 0) return train // nothing to leak against — exact no-op
+    require(n <= maxEvalShingles,
+      s"decontaminateBloom: eval set has $n distinct shingles — the bloom " +
+        s"is driver state, capped at $maxEvalShingles; shard the eval set " +
+        "or use the exact decontaminate()")
+    val bloom = evalShingles.stat.bloomFilter("sh", n, fpp)
+    val candidates = train.where(exists(shArr(col(textCol)),
+      s => graft.functions.SketchExpressions.mightContain(s, bloom)))
+    val contaminated = candidates
+      .select(col(idCol), explode(shArr(col(textCol))).as("sh"))
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Size-switched embedding near-dup — the registered default. Below
     * `allPairsRowLimit` rows the exact all-pairs form runs (it IS the
     * ground truth, and n² of a small n is cheap). Above it, candidates come

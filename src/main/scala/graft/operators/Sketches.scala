@@ -198,4 +198,42 @@ object Sketches {
     */
   def heavyHitterSketchWeighted(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGriesWeighted(k))
+
+  /** Distributed WEIGHTED Count-Min build over pre-aggregated
+    * (token, count) rows — `df.stat.countMinSketch` replays one add per
+    * occurrence, which would force a second corpus scan when the exact
+    * counts already exist; `CountMinSketch.add(item, count)` folds a whole
+    * token in O(depth). One sketch per partition, merged pairwise — the
+    * same mergeable-summaries shape as the Misra-Gries aggregate, shuffle
+    * traffic = one ~eps⁻¹·depth table per partition. Deterministic for a
+    * fixed seed regardless of partitioning (cell updates commute).
+    */
+  def countMinOfCounts(cnts: org.apache.spark.sql.DataFrame,
+      tokenCol: String, cntCol: String, eps: Double, confidence: Double,
+      seed: Int): org.apache.spark.util.sketch.CountMinSketch = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = cnts.sparkSession
+    import spark.implicits._
+    def toBytes(s: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      bos.toByteArray
+    }
+    def fromBytes(b: Array[Byte]): CountMinSketch =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    val parts = cnts
+      .select(col(tokenCol).cast("string"), col(cntCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val s = CountMinSketch.create(eps, confidence, seed)
+        it.foreach { case (t, c) => s.add(t, c) }
+        Iterator(toBytes(s))
+      }
+    fromBytes(parts.reduce { (a, b) =>
+      val sa = fromBytes(a)
+      sa.mergeInPlace(fromBytes(b))
+      toBytes(sa)
+    })
+  }
 }

@@ -124,6 +124,26 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different words here"),
+      (3L, "lazy dogs sleep all day")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a quick brown fox appeared"),
+      (101L, "lazy dogs sleep often")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, eval, shingleN = 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val bloomed = Dedup.decontaminateBloom(train, eval, shingleN = 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(bloomed == exact && exact == Seq(2L))
+    // empty eval set: nothing to leak against — exact no-op
+    assert(Dedup.decontaminateBloom(train,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), shingleN = 3)
+      .count() == 3)
+  }
+
   test("scrubPii masks emails and phone patterns, counts preserved text") {
     val df = Seq(
       "write to a.b+c@test-mail.org or call 555-0199 today",

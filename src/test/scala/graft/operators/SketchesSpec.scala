@@ -38,6 +38,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("weighted count-min equals the per-occurrence build; never undercounts") {
+    val toks = stream.toDF("token")
+    val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val weighted = Sketches.countMinOfCounts(cnts, "token", "cnt",
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val raw = toks.stat.countMinSketch("token", 0.001, 0.99, 42)
+    val n = stream.size.toLong
+    for (t <- Seq("hh_0", "hh_5", "tail_3", "absent_token")) {
+      val exact = stream.count(_ == t).toLong
+      assert(weighted.estimateCount(t) == raw.estimateCount(t),
+        s"weighted and per-occurrence builds disagree on '$t'")
+      assert(weighted.estimateCount(t) >= exact)
+      assert(weighted.estimateCount(t) <= exact + math.ceil(0.001 * n).toLong)
+    }
+  }
+
   test("MisraGries reduce and merge keep at most k counters") {
     val mg = new Sketches.MisraGries(3)
     def counts(seq: Seq[String]) =
