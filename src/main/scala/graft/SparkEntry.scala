@@ -1074,10 +1074,18 @@ object SparkEntry {
       // partitions to data; 32 empty tasks per tiny stage is pure
       // scheduler overhead), restored after
       val violations = withShufflePartitions(s, 4) {
-        graft.pipeline.Flow.etlFlow(s, src, lake, dw, "sp_stocks",
-          Some(start), Some(end), today = end)
-        graft.pipeline.Flow.etlFlow(s, src, lake, dw, "fx",
-          Some(start), Some(end), today = end)
+        // the two asset flows touch disjoint lake/warehouse paths — run
+        // them CONCURRENTLY (what a real orchestrator does with
+        // independent DAG branches); Spark schedules both flows' small
+        // jobs into the idle cores the serial version wasted
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val flows = Seq("sp_stocks", "fx").map(cat => Future {
+          graft.pipeline.Flow.etlFlow(s, src, lake, dw, cat,
+            Some(start), Some(end), today = end)
+        })
+        flows.foreach(Await.result(_, Duration.Inf))
         graft.pipeline.Flow.runModels(s, dw)
         graft.pipeline.Flow.runDataTests(s, dw).map(_.violations).sum
       }
