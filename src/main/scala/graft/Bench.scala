@@ -8,8 +8,13 @@ object Bench {
     // tables + streaming checkpoints go to tmpfs so the ~6 streaming
     // queries' per-micro-batch WAL/commit fsyncs measure memory writes,
     // not disk latency; retain the minimum checkpoint history.
-    if (new java.io.File("/dev/shm").isDirectory)
+    if (new java.io.File("/dev/shm").isDirectory) {
+      // tmpfs is RAM: wipe leftovers from prior runs BEFORE pointing the
+      // scratch property at it, else every bench invocation's per-query
+      // temp tables + streaming checkpoints accumulate until reboot
+      deleteRecursively(new java.io.File("/dev/shm/graft_bench"))
       System.setProperty("graft.scratch", "/dev/shm/graft_bench")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,5 +43,12 @@ object Bench {
     val coldTotal = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
+      deleteRecursively(new java.io.File("/dev/shm/graft_bench"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

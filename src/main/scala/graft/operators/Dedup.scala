@@ -440,10 +440,15 @@ object Dedup {
         s"is driver state, capped at $maxEvalShingles; shard the eval set " +
         "or use the exact decontaminate()")
     val bloom = evalShingles.stat.bloomFilter("sh", n, fpp)
-    val candidates = train.where(exists(shArr(col(textCol)),
-      s => graft.functions.SketchExpressions.mightContain(s, bloom)))
-    val contaminated = candidates
-      .select(col(idCol), explode(shArr(col(textCol))).as("sh"))
+    // ONE shingle-array evaluation per corpus row: bloom-filter the array's
+    // ELEMENTS and explode only the hit sliver (a clean doc emits zero
+    // rows from the Generate — the pass stays narrow and shuffle-free).
+    // A separate candidate `where(exists(...))` + verify explode would
+    // recompute the array for every surviving row.
+    val hitShingles = train.select(col(idCol),
+      explode(filter(shArr(col(textCol)),
+        s => graft.functions.SketchExpressions.mightContain(s, bloom))).as("sh"))
+    val contaminated = hitShingles
       .join(evalShingles, Seq("sh"), "left_semi")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")

@@ -55,7 +55,10 @@ object JdbcWarehouse {
     // user table named "<table>_stage" (which Overwrite would destroy) nor
     // with a concurrent upsert's stage on the same target; a stage
     // stranded by a crashed JVM is uniquely named scratch, not a
-    // correctness hazard
+    // correctness hazard — but it is also never reclaimed automatically
+    // (dropping <table>_stage_% here could kill a CONCURRENT upsert's live
+    // stage). Call [[dropStrandedStages]] from a maintenance window when no
+    // upserts are in flight to reclaim them.
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val stage = s"${table}_stage_$nonce"
     deduped.write.mode(SaveMode.Overwrite)
@@ -82,6 +85,33 @@ object JdbcWarehouse {
         catch { case _: java.sql.SQLException => () }
         st.close()
       }
+    }
+  }
+
+  /** Reclaim stage tables stranded by JVMs that crashed between the stage
+    * write and its DROP. Stage names are `<table>_stage_<8-hex-nonce>` per
+    * [[upsert]]; this drops every table matching that shape for `table`.
+    * ONLY call when no upsert against `table` is in flight — a live
+    * concurrent stage matches the same pattern and would be destroyed.
+    * Returns the names dropped.
+    */
+  def dropStrandedStages(url: String, table: String,
+      props: Properties): Seq[String] = {
+    requirePlainIdentifier(table)
+    val bare = table.split('.').last
+    val pattern = s"(?i)${java.util.regex.Pattern.quote(bare)}_stage_[0-9a-f]{8}".r
+    withConnection(url, props) { conn =>
+      val meta = conn.getMetaData
+      val rs = meta.getTables(null, null, "%", Array("TABLE"))
+      val stages = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME"))
+        .filter(pattern.pattern.matcher(_).matches()).toList
+      rs.close()
+      val st = conn.createStatement()
+      try stages.filter { sName =>
+        try { st.executeUpdate(s"DROP TABLE $sName"); true }
+        catch { case _: java.sql.SQLException => false }
+      } finally st.close()
     }
   }
 

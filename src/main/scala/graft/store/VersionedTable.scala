@@ -146,6 +146,15 @@ object VersionedTable {
     val b = read(spark, root, asOf = Some(to))
     require(a.columns.sameElements(b.columns),
       s"snapshot diff needs identical schemas, got ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    // the diff/feed plumbing claims these names for itself: a source column
+    // named __sign would collide with the feed's sign field inside the image
+    // struct, and __a_/__b_/__fp_ prefixes would clash with the join-side
+    // aliases — fail loudly instead of producing an ambiguous/corrupt feed
+    val reserved = a.columns.filter(c => c == "__sign" ||
+      c.startsWith("__a_") || c.startsWith("__b_") || c.startsWith("__fp_"))
+    require(reserved.isEmpty,
+      s"column names ${reserved.toSeq} collide with reserved change-feed " +
+        "names (__sign, __a_*, __b_*, __fp_*); rename them before diffing")
     (a, b, a.columns.filterNot(pk.contains).toSeq)
   }
 

@@ -236,14 +236,17 @@ class PlanAuditSpec extends SparkSpec {
       s"span dedup must not join:\n$p")
   }
 
-  test("q84 caches the token counts so the corpus is scanned once") {
+  test("q84 checkpoints the token counts so the corpus is scanned once") {
     val df = SparkEntry.queries("q84_heavy_hitters")(spark, sf)
     val p = plan(df)
-    // the exact counts frame persists and feeds the weighted sketch, the
-    // totals, and the heavy set — the documents table itself must appear
-    // behind the cache, not as three separate scans
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"expected the token-count frame to be cached:\n$p")
+    // the exact counts frame is local-checkpointed (the one corpus scan
+    // happens there) and feeds the weighted sketch, the totals, and the
+    // heavy set — the returned plan must read the checkpointed RDD, never
+    // rescan documents.parquet
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the token-count frame to be checkpointed:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"corpus must not be rescanned after the checkpoint:\n$p")
     assert(df.collect()(0).getBoolean(2) && df.collect()(0).getBoolean(3))
   }
 
