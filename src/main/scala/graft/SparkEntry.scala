@@ -1596,6 +1596,14 @@ object SparkEntry {
             .as("upper_ok"))
         .orderBy(col("cnt").desc, col("token"))
     }),
+
+    // variable-length matched spans: per document pair, every maximal run
+    // of verbatim-shared tokens with its TRUE length (a 200-token quote is
+    // one row, match_len 200) — the pairwise complement of q94's per-doc
+    // extents, k-gram seeds extended along join diagonals
+    "q98_matched_spans" -> ((s, dir) =>
+      graft.operators.Dedup.maximalMatchedSpans(t(s, dir, "documents"), 8)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2463,6 +2471,36 @@ object SparkEntry {
            |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS dup_tokens
            |FROM grp GROUP BY doc_id, g
            |ORDER BY doc_id, span_start""".stripMargin,
+
+      "q98_matched_spans" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh0 AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) - 8 + 2),
+           |      i -> struct_pack(pos := i - 1,
+           |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS sp
+           |  FROM tk WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM sh0),
+           |occ AS (SELECT doc_id, pos, h FROM
+           |  (SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS c FROM sh)
+           |  WHERE c > 1 AND c <= 1000),
+           |seeds AS (SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db,
+           |    b.pos AS pb, a.pos - b.pos AS diag
+           |  FROM occ a JOIN occ b ON a.h = b.h
+           |    AND (a.doc_id < b.doc_id
+           |      OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+           |isl AS (SELECT da, db, pa, pb, diag,
+           |    CASE WHEN pa > lag(pa)
+           |        OVER (PARTITION BY da, db, diag ORDER BY pa) + 1
+           |      THEN 1 ELSE 0 END AS brk FROM seeds),
+           |grp AS (SELECT da, db, pa, pb, diag,
+           |    sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa) AS g
+           |  FROM isl)
+           |SELECT da AS doc_a, db AS doc_b,
+           |  CAST(min(pa) AS BIGINT) AS a_start,
+           |  CAST(min(pb) AS BIGINT) AS b_start,
+           |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS match_len
+           |FROM grp GROUP BY da, db, diag, g
+           |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
       "q95_cdc_incremental" ->
         """WITH fin AS (

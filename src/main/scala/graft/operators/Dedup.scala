@@ -546,6 +546,70 @@ object Dedup {
         (col("__maxp") + shingleK - col("span_start")).as("dup_tokens"))
   }
 
+  /** Variable-length maximal matched spans — the pairwise complement of
+    * [[duplicatedSpans]], closing its fixed-k limitation: where
+    * `duplicatedSpans` reports per-document extents of "covered by SOME
+    * duplicated k-window" (windows may each match a different partner),
+    * this reports, per document PAIR, every maximal run of tokens the two
+    * documents share verbatim — a 200-token quote is one row with
+    * `match_len = 200`, the Lee et al. (ACL 2022) suffix-array semantics
+    * recovered from k-gram seeds.
+    *
+    * Extension trick: if windows (a,i)~(b,j) and (a,i+2)~(b,j+2) match,
+    * the intermediate (a,i+1)~(b,j+1) provably matches too (its tokens are
+    * covered by the two flanking equalities), so maximal matches are
+    * exactly the CONSECUTIVE runs of seed matches along a (doc_a, doc_b,
+    * i−j) diagonal — a gaps-and-islands pass over the seed join, no
+    * iterative doubling needed.
+    *
+    * Returns `(doc_a, doc_b, a_start, b_start, match_len)`, positions
+    * 0-based token indices, `doc_a < doc_b` (or `doc_a = doc_b` with
+    * `a_start < b_start` for internal repetition).
+    *
+    * Scale shape: one shuffle on the 128-bit shingle digest seeds the
+    * join; a hash occurring c times yields c(c−1)/2 seed pairs, so
+    * `maxShingleFreq` drops ubiquitous-boilerplate hub shingles (freq >
+    * cap) before they go quadratic — those belong to [[duplicatedSpans]]/
+    * [[exciseDuplicatedSpans]], which never pairs. One further shuffle on
+    * (doc_a, doc_b, diagonal) merges the islands. Both exchanges are
+    * candidate-sized, never corpus²: at 100 TB the plan is linear in
+    * matched content.
+    */
+  def maximalMatchedSpans(docs: DataFrame, shingleK: Int = 8,
+      maxShingleFreq: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shingleK >= 1, "maximalMatchedSpans needs a positive shingle length")
+    require(maxShingleFreq >= 2, "maxShingleFreq < 2 would drop every match")
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleK)
+    val sh = toks.select(col(idCol).as("__id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - shingleK),
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(shingleK)), " "))))
+        .as(Seq("pos", "h")))
+    val occ = sh
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__c") > 1 && col("__c") <= maxShingleFreq)
+      .select(col("__id"), col("pos").cast("long").as("pos"), col("h"))
+    val left = occ.select(col("h"), col("__id").as("doc_a"), col("pos").as("pa"))
+    val right = occ.select(col("h"), col("__id").as("doc_b"), col("pos").as("pb"))
+    val seeds = left.join(right, Seq("h"))
+      .where(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pa") < col("pb")))
+      .withColumn("__diag", col("pa") - col("pb"))
+    val w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pa")
+    seeds
+      .withColumn("__brk",
+        when(col("pa") > lag("pa", 1).over(w) + 1, 1L).otherwise(0L))
+      .withColumn("__g", sum("__brk").over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("__diag"), col("__g"))
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (max("pa") - min("pa") + shingleK).as("match_len"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+  }
+
   /** Excise every duplicated span found by [[duplicatedSpans]]: rebuild the
     * text keeping only tokens no span covers. Conservative variant — ALL
     * occurrences of a duplicated window are removed, not all-but-one (an

@@ -144,6 +144,36 @@ class DedupSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("maximalMatchedSpans reports a long shared quote as ONE true-length span") {
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ") // 20-token verbatim quote
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),
+      (2L, s"unrelated prefix words here $quote and a different tail"),
+      (3L, "no shared content in this document at all whatsoever")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.maximalMatchedSpans(docs, shingleK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // one pair row, not 13 separate k-window rows: seeds chain along the
+    // diagonal into a single maximal match of the quote's true length
+    assert(spans.toSeq == Seq((1L, 2L, 3L, 4L, 20L)))
+  }
+
+  test("maximalMatchedSpans splits distinct matches on different diagonals") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a filler1 filler2 filler3 $b"),
+      (2L, s"$b other1 other2 other3 other4 other5 $a")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.maximalMatchedSpans(docs, shingleK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // the two 10-token blocks match at different relative offsets — two
+    // rows, each with its own start pair, never merged across diagonals
+    assert(spans == Set((1L, 2L, 0L, 15L, 10L), (1L, 2L, 13L, 0L, 10L)))
+  }
+
   test("scrubPii masks emails and phone patterns, counts preserved text") {
     val df = Seq(
       "write to a.b+c@test-mail.org or call 555-0199 today",
