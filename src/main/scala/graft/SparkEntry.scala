@@ -115,6 +115,30 @@ object SparkEntry {
       root
     })
 
+  /** q99's input: a DELETE-bearing version chain (v0 = even orderkeys;
+    * v1 upserts a price-doubling batch for every 3rd key — inserting the
+    * odd multiples of 3; v2 deletes every 7th key). Memoized like
+    * [[q95Fixture]] and for the same reason.
+    */
+  private val q99FixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q99Fixture(s: SparkSession, dir: String): String =
+    q99FixtureCache.computeIfAbsent(dir, _ => {
+      val root = scratch("graft_q99_") + "/tbl"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.store.VersionedTable.write(
+        orders.where(col("o_orderkey") % 2 === 0), root)
+      graft.store.VersionedTable.upsert(s, root,
+        orders.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      graft.store.VersionedTable.delete(s, root,
+        orders.where(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      root
+    })
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -1604,6 +1628,37 @@ object SparkEntry {
     "q98_matched_spans" -> ((s, dir) =>
       graft.operators.Dedup.maximalMatchedSpans(t(s, dir, "documents"), 8)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+
+    // incremental maintenance of NON-invertible aggregates: the per-group
+    // (count, sum, min, max) state folds two change feeds — an update
+    // batch and a DELETE batch — where min/max re-scan only the groups
+    // whose deleted rows touched the current extremum. The gate joins the
+    // maintained state against a full recompute of the final version:
+    // any missed dirty group or bad extremum algebra flips ok to false
+    "q99_incremental_minmax" -> ((s, dir) => {
+      val root = q99Fixture(s, dir)
+      import graft.store.{IncrementalView, VersionedTable}
+      val s0 = IncrementalView.stateMinMax(
+        VersionedTable.read(s, root, Some(0L)), "o_custkey", "o_totalprice")
+      val s1 = IncrementalView.applyFeedMinMax(s0,
+        VersionedTable.changeFeed(s, root, 0L, 1L, Seq("o_orderkey")),
+        VersionedTable.read(s, root, Some(1L)), "o_custkey", "o_totalprice")
+      val s2 = IncrementalView.applyFeedMinMax(s1,
+        VersionedTable.changeFeed(s, root, 1L, 2L, Seq("o_orderkey")),
+        VersionedTable.read(s, root, Some(2L)), "o_custkey", "o_totalprice")
+      val full = IncrementalView.stateMinMax(
+        VersionedTable.read(s, root), "o_custkey", "o_totalprice")
+      val inc = s2.select(col("o_custkey"), col("n").as("n_i"),
+        col("total").as("t_i"), col("lo").as("lo_i"), col("hi").as("hi_i"))
+      full.join(inc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n"),
+          col("total").cast(DoubleType).as("total"),
+          col("lo").cast(DoubleType).as("lo"),
+          col("hi").cast(DoubleType).as("hi"),
+          (col("n") <=> col("n_i") && col("total") <=> col("t_i") &&
+            col("lo") <=> col("lo_i") && col("hi") <=> col("hi_i")).as("ok"))
+        .orderBy("o_custkey")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2501,6 +2556,21 @@ object SparkEntry {
            |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS match_len
            |FROM grp GROUP BY da, db, diag, g
            |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+      "q99_incremental_minmax" ->
+        """WITH fin AS (
+          |  SELECT o_orderkey, o_custkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN 2 * o_totalprice
+          |         ELSE o_totalprice END AS price
+          |  FROM orders
+          |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+          |    AND o_orderkey % 7 <> 0)
+          |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(price AS DECIMAL(18,2)))::DOUBLE AS total,
+          |  min(CAST(price AS DECIMAL(18,2)))::DOUBLE AS lo,
+          |  max(CAST(price AS DECIMAL(18,2)))::DOUBLE AS hi,
+          |  TRUE AS ok
+          |FROM fin GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
       "q95_cdc_incremental" ->
         """WITH fin AS (

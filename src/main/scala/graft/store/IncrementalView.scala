@@ -54,4 +54,66 @@ object IncrementalView {
       .agg(sum("n").as("n"), sum("total").cast(DecimalType(28, 2)).as("total"))
       .where(col("n") > 0)
   }
+
+  /** Bootstrap the (n, total, lo, hi) state per group — [[state]] extended
+    * with the NON-invertible extrema, for [[applyFeedMinMax]].
+    */
+  def stateMinMax(snapshot: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame =
+    snapshot.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast(DecimalType(18, 2)))
+        .cast(DecimalType(28, 2)).as("total"),
+      min(col(valueCol).cast(DecimalType(18, 2))).as("lo"),
+      max(col(valueCol).cast(DecimalType(18, 2))).as("hi"))
+
+  /** Fold one signed feed into a min/max-bearing state. count/sum stay
+    * sign-weighted (invertible); min/max are NOT invertible — a retraction
+    * can only be absorbed when it provably misses the extremum:
+    *
+    *  - inserts tighten monotonically: `lo' = least(lo, min(inserted))`
+    *  - a delete strictly above `lo` (below `hi`) leaves the extremum's
+    *    witness row in place — still O(delta)
+    *  - a delete AT the extremum makes the group DIRTY: the survivor set
+    *    alone determines the new min/max, so exactly those groups re-scan
+    *    their own rows in `newSnapshot` (the standard lakehouse
+    *    recompute-only-affected-groups pattern)
+    *
+    * At 100 TB the re-scan is a semi-join on the dirty group keys — with
+    * the lake partitioned/z-ordered by group it touches only their files,
+    * and a delete-free or extremum-missing refresh stays delta-sized.
+    */
+  def applyFeedMinMax(state: DataFrame, feed: DataFrame,
+      newSnapshot: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val delta = feed.groupBy(groupCol).agg(
+      sum(col("__sign")).as("__dn"),
+      sum(col("__sign") * v).as("__dtotal"),
+      min(when(col("__sign") === 1, v)).as("__ins_lo"),
+      max(when(col("__sign") === 1, v)).as("__ins_hi"),
+      min(when(col("__sign") === -1, v)).as("__del_lo"),
+      max(when(col("__sign") === -1, v)).as("__del_hi"))
+    val merged = state.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("total").cast(DecimalType(28, 2)), lit(0).cast(DecimalType(28, 2)))
+          + coalesce(col("__dtotal").cast(DecimalType(28, 2)), lit(0).cast(DecimalType(28, 2))))
+          .cast(DecimalType(28, 2)).as("total"),
+        col("lo"), col("hi"),
+        col("__ins_lo"), col("__ins_hi"), col("__del_lo"), col("__del_hi"))
+      .where(col("n") > 0)
+    // a null comparison (no deletes / new group) is not dirty
+    val dirtyCond = (col("__del_lo") <= col("lo")) <=> lit(true) ||
+      (col("__del_hi") >= col("hi")) <=> lit(true)
+    val rescan = newSnapshot
+      .join(merged.where(dirtyCond).select(groupCol), Seq(groupCol), "left_semi")
+      .groupBy(groupCol).agg(min(v).as("__r_lo"), max(v).as("__r_hi"))
+    merged.join(rescan, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("__r_lo").isNotNull, col("__r_lo"))
+          .otherwise(least(col("lo"), col("__ins_lo"))).as("lo"),
+        when(col("__r_hi").isNotNull, col("__r_hi"))
+          .otherwise(greatest(col("hi"), col("__ins_hi"))).as("hi"))
+  }
 }

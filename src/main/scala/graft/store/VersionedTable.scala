@@ -64,6 +64,18 @@ object VersionedTable {
         write(UpsertWriter.mergePlan(read(spark, root), updates, pk), root)
     }
 
+  /** Anti-join delete of `keys`, committed as a new version — the GDPR
+    * pattern of [[UpsertWriter.delete]] with history retained: older
+    * versions still contain the rows (vacuum to actually purge them).
+    */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+      pk: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    write(read(spark, root)
+      .join(keys.select(pk.map(col): _*).dropDuplicates(pk), pk, "left_anti"),
+      root)
+  }
+
   /** Read the latest snapshot, or `asOf` a specific version (time travel). */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(root)).getOrElse(

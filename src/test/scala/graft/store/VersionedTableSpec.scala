@@ -89,6 +89,48 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("feed-maintained min/max: extremum deletes rescan, others stay O(delta)") {
+    val r = root()
+    // group 10: min=1 max=9; group 20: min=2 mid=6 max=8
+    VersionedTable.write(
+      Seq((1L, 10L, 1.0), (2L, 10L, 5.0), (3L, 10L, 9.0),
+        (4L, 20L, 2.0), (5L, 20L, 8.0), (8L, 20L, 6.0)).toDF("id", "g", "x"), r)
+    // v1: DELETE group 10's min witness (dirty: rescan must find lo=5),
+    // delete group 20's MIDDLE row (clean: extrema survive),
+    // insert a new group-30 row and a new group-20 max (clean tighten)
+    VersionedTable.write(
+      Seq((2L, 10L, 5.0), (3L, 10L, 9.0),
+        (4L, 20L, 2.0), (5L, 20L, 8.0), (6L, 20L, 11.0), (7L, 30L, 4.0))
+        .toDF("id", "g", "x"), r)
+    val s0 = IncrementalView.stateMinMax(
+      VersionedTable.read(spark, r, Some(0L)), "g", "x")
+    val s1 = IncrementalView.applyFeedMinMax(s0,
+      VersionedTable.changeFeed(spark, r, 0L, 1L, Seq("id")),
+      VersionedTable.read(spark, r, Some(1L)), "g", "x")
+    val got = s1.orderBy("g")
+      .selectExpr("g", "n", "CAST(total AS DOUBLE)",
+        "CAST(lo AS DOUBLE)", "CAST(hi AS DOUBLE)")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 14.0, 5.0, 9.0),  // deleted min → rescanned lo
+      (20L, 3L, 21.0, 2.0, 11.0), // survivor min kept, inserted max adopted
+      (30L, 1L, 4.0, 4.0, 4.0)))  // new group entirely from inserts
+    val full = IncrementalView.stateMinMax(VersionedTable.read(spark, r), "g", "x")
+      .orderBy("g").selectExpr("g", "n", "CAST(total AS DOUBLE)",
+        "CAST(lo AS DOUBLE)", "CAST(hi AS DOUBLE)")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == full)
+  }
+
+  test("versioned delete commits an anti-joined snapshot, history intact") {
+    val r = root()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), r)
+    VersionedTable.delete(spark, r, Seq(2L).toDF("id"), Seq("id"))
+    assert(VersionedTable.read(spark, r).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (3L, "c")))
+    assert(VersionedTable.read(spark, r, asOf = Some(0L)).count() == 3)
+  }
+
   test("rollback repoints; vacuum keeps the pointed version") {
     val r = root()
     VersionedTable.write(Seq((1L, "v0")).toDF("id", "v"), r)
