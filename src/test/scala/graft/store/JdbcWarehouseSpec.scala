@@ -43,6 +43,41 @@ class JdbcWarehouseSpec extends SparkSpec {
       ("MSFT", 21.5), ("NVDA", 40.0)))
   }
 
+  test("dropStrandedStages reclaims only <table>_stage_<nonce> tables") {
+    val (url, props) = derby()
+    val v0 = Seq(("AAPL", 10.0)).toDF("symbol", "close")
+    JdbcWarehouse.upsert(spark, v0, url, "prices", Seq("symbol"), props)
+    // simulate a JVM that crashed between the stage write and its DROP:
+    // two stranded stages for `prices`, plus look-alikes that must survive —
+    // a user table named like a stage but with the wrong nonce shape, a
+    // stage for a DIFFERENT target, and the target itself
+    for (t <- Seq("prices_stage_0123abcd", "prices_stage_deadbeef",
+        "prices_stage_notanonce", "prices_stage_0123abcd9", "other_stage_0123abcd")) {
+      import scala.jdk.CollectionConverters._
+      val opts = props.stringPropertyNames().asScala
+        .map(k => k -> props.getProperty(k)).toMap
+      v0.write.options(opts).jdbc(url, t, props)
+    }
+    val dropped = JdbcWarehouse.dropStrandedStages(url, "prices", props)
+    assert(dropped.map(_.toLowerCase).toSet ==
+      Set("prices_stage_0123abcd", "prices_stage_deadbeef"))
+    assert(JdbcWarehouse.tableExists(url, "prices", props))
+    assert(JdbcWarehouse.tableExists(url, "prices_stage_notanonce", props))
+    assert(JdbcWarehouse.tableExists(url, "prices_stage_0123abcd9", props))
+    assert(JdbcWarehouse.tableExists(url, "other_stage_0123abcd", props))
+    assert(!JdbcWarehouse.tableExists(url, "prices_stage_0123abcd", props))
+    assert(!JdbcWarehouse.tableExists(url, "prices_stage_deadbeef", props))
+    // a second reclaim finds nothing — idempotent
+    assert(JdbcWarehouse.dropStrandedStages(url, "prices", props).isEmpty)
+    // the target still upserts normally after reclaim
+    JdbcWarehouse.upsert(spark,
+      Seq(("AAPL", 11.0)).toDF("symbol", "close"),
+      url, "prices", Seq("symbol"), props)
+    val got = JdbcWarehouse.read(spark, url, "prices", props)
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("AAPL", 11.0)))
+  }
+
   test("replace recreates the table with exactly the new rows") {
     val (url, props) = derby()
     JdbcWarehouse.replace(
