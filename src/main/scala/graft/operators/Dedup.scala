@@ -467,26 +467,75 @@ object Dedup {
     */
   def embeddingNearDupPairsAuto(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      allPairsRowLimit: Long = 100000, cells: Int = 256, nprobe: Int = 2)
-      : DataFrame = {
+      allPairsRowLimit: Long = 100000, cells: Int = 256, nprobe: Int = 2,
+      maxCellRows: Long = 4096): DataFrame = {
     if (Sizing.countAtMost(embeddings, allPairsRowLimit))
       embeddingNearDupPairs(embeddings, threshold, idCol, vecCol)
     else {
       val cent = Similarity.kmeans(embeddings, cells, 2, idCol, vecCol)
       val asg = Similarity.ivfAssignN(embeddings, cent, nprobe, idCol, vecCol)
         .withColumn("nrm", VectorFunctions.norm(col(vecCol)))
-      val a = asg.select(col("cell"), col(idCol).as("id_a"),
-        col(vecCol).as("va"), col("nrm").as("na"))
-      val b = asg.select(col("cell"), col(idCol).as("id_b"),
-        col(vecCol).as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("cell"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("cos", VectorFunctions.cosineWithNorms(
-          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
-        .where(col("cos") > threshold)
-        .select(col("id_a"), col("id_b"), col("cos"))
-        .distinct()
+      boundedCellPairs(asg, threshold, maxCellRows, idCol, vecCol)
     }
+  }
+
+  /** Attach block ids for the bounded within-cell self-join: each cell is
+    * split into `ceil(cell_rows / maxCellRows)` deterministic hash blocks.
+    * Cell row counts are index metadata (≤ cells × nprobe rows), aggregated
+    * once and broadcast back, so the blocking costs one extra narrow pass
+    * over the assignment — never a corpus-sized shuffle. Exposed at package
+    * visibility so tests can pin the per-block bound directly.
+    */
+  private[graft] def withCellBlocks(asg: DataFrame, maxCellRows: Long,
+      idCol: String): DataFrame = {
+    require(maxCellRows >= 1, "maxCellRows must be positive")
+    val counts = asg.groupBy("cell").agg(count(lit(1)).as("__cnt"))
+    asg.join(broadcast(counts), Seq("cell"))
+      .withColumn("__nblk",
+        ceil(col("__cnt").cast("double") / maxCellRows).cast("int"))
+      .withColumn("__blk",
+        pmod(xxhash64(col(idCol)), col("__nblk").cast("long")).cast("int"))
+      .drop("__cnt")
+  }
+
+  /** Within-cell pair generation with a per-task size bound — the fix for
+    * the clustered-corpus scale-killer where one hot k-means cell holds
+    * O(n) vectors and a naive cell self-join goes quadratic on a single
+    * straggler task. Cells at or under `maxCellRows` behave exactly as the
+    * plain cell equi-join (one block). Oversized cells decompose into the
+    * standard all-pairs triangle over hash blocks: a row in block `b`
+    * serves as the LO side of block-pair keys (b, hi≥b) and the HI side of
+    * keys (lo≤b, b), so every unordered block pair — including (b, b) —
+    * meets under exactly one `(cell, lo, hi)` join key. Each key carries at
+    * most ~2·maxCellRows rows (hash-balanced), so the quadratic work is
+    * spread over B(B+1)/2 bounded tasks instead of one. Replication factor
+    * is (B+1)/2 per side — linear in corpus size for a fixed cap — and the
+    * pair SET is exactly the plain join's: no recall is traded away, unlike
+    * cell re-clustering, which can separate true near-duplicates.
+    */
+  private[graft] def boundedCellPairs(asg: DataFrame, threshold: Double,
+      maxCellRows: Long, idCol: String, vecCol: String): DataFrame = {
+    val blocked = withCellBlocks(asg, maxCellRows, idCol)
+    val lo = blocked
+      .withColumn("__hi", explode(sequence(col("__blk"), col("__nblk") - 1)))
+      .select(col("cell"), col("__blk").as("__lo"), col("__hi"),
+        col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val hi = blocked
+      .withColumn("__lo", explode(sequence(lit(0), col("__blk"))))
+      .select(col("cell"), col("__lo"), col("__blk").as("__hi"),
+        col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    lo.join(hi, Seq("cell", "__lo", "__hi"))
+      // cross-block keys pair each row exactly once with roles fixed by
+      // block, so the canonical id order is restored AFTER the (symmetric)
+      // cosine; the diagonal (lo = hi) key needs the id filter to halve its
+      // symmetric duplicates
+      .where(col("__lo") < col("__hi") || col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cos") > threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      .distinct()
   }
 
   /** Span-level exact dedup — the fixed-length-shingle variant of
