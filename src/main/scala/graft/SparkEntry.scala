@@ -1077,6 +1077,38 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // q79 with the span-excision stage wired in: … → decontaminate →
+    // EXCISE duplicated spans (boilerplate removal — the Lee et al. ACL'22
+    // step) → quality-filter over the EXCISED text → mix → pack. Excision
+    // changes texts, so the quality gate and token budgets downstream see
+    // the cleaned corpus — the composition contract this entry gates
+    "q79b_pipeline_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val reps = Dedup.nearDupClusters(kept, Dedup.minhashLshPairs(kept))
+        .where(col("doc_id") === col("root")).select("doc_id")
+      val repDocs = kept.join(reps, Seq("doc_id"), "left_semi")
+      val clean = Dedup.decontaminate(
+        repDocs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), shingleN = 3)
+      val excised = Dedup.exciseDuplicatedSpans(clean, shingleK = 8)
+      val txt = col("text")
+      val quality = excised.where(
+        TextFunctions.nTokens(txt) >= 20 &&
+          TextFunctions.meanTokenLen(txt) >= 3.0 &&
+          TextFunctions.meanTokenLen(txt) <= 10.0 &&
+          TextFunctions.punctRatio(txt) <= 0.2)
+      val mixed = graft.operators.Corpus.stratifiedSample(quality,
+        "lang", "doc_id",
+        Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
+      graft.operators.Corpus.packSequences(mixed, "lang", "doc_id",
+          TextFunctions.nTokens(col("text")), tokenBudget = 2048)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // bucketed fact-fact join: both sides written bucketed on the join key
     // (16 buckets) so the sort-merge join consumes bucket-local data with
     // ZERO exchange (PlanAuditSpec pins the no-shuffle plan); the oracle
@@ -1673,6 +1705,14 @@ object SparkEntry {
             col("lo") <=> col("lo_i") && col("hi") <=> col("hi_i")).as("ok"))
         .orderBy("o_custkey")
     }),
+
+    // hub-shingle diagnostic for span pairing: how many 8-token windows the
+    // q98 frequency cap would exclude from pairing (here cap=2, sized to
+    // this corpus's max shingle frequency of 3 so the gate exercises a
+    // nonzero hub set) — one shuffle on the shingle digest, scalar output
+    "q100_hub_shingles" -> ((s, dir) =>
+      graft.operators.Dedup.hubShingleStats(t(s, dir, "documents"),
+        shingleK = 8, maxShingleFreq = 2)),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2397,6 +2437,111 @@ object SparkEntry {
            |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
       },
 
+      "q79b_pipeline_excise" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE
+           |ch AS (SELECT doc_id,
+           |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS chash
+           |  FROM documents),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM ch GROUP BY chash),
+           |kd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+           |ktoks AS (SELECT doc_id, $toksSql AS tk FROM kd),
+           |ksh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM ktoks),
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM ksh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM kd
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+           |reps AS (SELECT src AS doc_id FROM reach
+           |  GROUP BY src HAVING min(dst) = src),
+           |rd AS (SELECT kd.* FROM kd JOIN reps USING (doc_id)),
+           |ttoks AS (SELECT doc_id, $toksSql AS tk FROM rd
+           |  WHERE doc_id % 50 <> 0),
+           |tsh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM ttoks),
+           |etoks AS (SELECT doc_id, $toksSql AS tk FROM documents
+           |  WHERE doc_id % 50 = 0),
+           |esh AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql("tk")}))
+           |  AS s FROM etoks),
+           |cont AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (s)),
+           |clean AS (SELECT * FROM rd WHERE doc_id % 50 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+           |ctk AS (SELECT doc_id, lang, text, $toksSql AS toks FROM clean),
+           |ssh0 AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) - 8 + 2),
+           |      i -> struct_pack(pos := i - 1,
+           |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS sp
+           |  FROM ctk WHERE len(toks) >= 8),
+           |ssh AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM ssh0),
+           |sdup AS (SELECT doc_id, pos FROM
+           |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM ssh)
+           |  WHERE c > 1),
+           |sisl AS (SELECT doc_id, pos,
+           |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+           |      THEN 1 ELSE 0 END AS brk FROM sdup),
+           |sgrp AS (SELECT doc_id, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM sisl),
+           |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           |  FROM sgrp GROUP BY doc_id, g),
+           |pt0 AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) + 1),
+           |      i -> struct_pack(pos := i - 1, tok := toks[i]))) AS pt
+           |  FROM ctk),
+           |pt AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM pt0),
+           |keptt AS (SELECT p.doc_id, p.pos, p.tok FROM pt p
+           |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+           |    WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e)),
+           |rebuilt AS (SELECT doc_id,
+           |    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS ntext
+           |  FROM keptt GROUP BY doc_id),
+           |exc AS (SELECT c.doc_id, c.lang,
+           |    CASE WHEN EXISTS (SELECT 1 FROM spans sp
+           |        WHERE sp.doc_id = c.doc_id)
+           |      THEN coalesce(r.ntext, '') ELSE c.text END AS text
+           |  FROM clean c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id),
+           |qm AS (SELECT doc_id, lang, text, $toksSql AS tk FROM exc),
+           |qf AS (SELECT doc_id, lang,
+           |  CAST(len(tk) AS INTEGER) AS n_tokens,
+           |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    list_aggregate(list_transform(tk, x -> strlen(x)), 'sum')::DOUBLE
+           |      / len(tk) END AS mtl,
+           |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+           |    (strlen(text) - strlen(regexp_replace(text,
+           |      '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / strlen(text)
+           |  END AS pr
+           |  FROM qm),
+           |q AS (SELECT doc_id, lang, n_tokens FROM qf
+           |  WHERE n_tokens >= 20 AND mtl >= 3.0 AND mtl <= 10.0
+           |    AND pr <= 0.2),
+           |mx AS (SELECT doc_id, lang, n_tokens FROM q
+           |  WHERE ('0x' || substr(md5(lang || '|' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+           |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30
+           |      WHEN 'fr' THEN 30 ELSE 50 END),
+           |c AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM mx),
+           |p AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id, n_tokens
+           |  FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+      },
+
       "q80_bucketed_join" ->
         """WITH i AS (SELECT l_orderkey,
           |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
@@ -2570,6 +2715,21 @@ object SparkEntry {
            |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS match_len
            |FROM grp GROUP BY da, db, diag, g
            |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+      "q100_hub_shingles" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh0 AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks) - 8 + 2),
+           |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS h
+           |  FROM tk WHERE len(toks) >= 8),
+           |c AS (SELECT h, count(*) AS c FROM sh0 GROUP BY h)
+           |SELECT CAST(sum(c) AS BIGINT) AS total_occurrences,
+           |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           |    AS dup_occurrences,
+           |  CAST(count(CASE WHEN c > 2 THEN 1 END) AS BIGINT) AS hub_shingles,
+           |  CAST(coalesce(sum(CASE WHEN c > 2 THEN c END), 0) AS BIGINT)
+           |    AS hub_occurrences
+           |FROM c""".stripMargin,
 
       "q99_incremental_minmax" ->
         """WITH fin AS (

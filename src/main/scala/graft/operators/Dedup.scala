@@ -619,7 +619,8 @@ object Dedup {
     * join; a hash occurring c times yields c(c−1)/2 seed pairs, so
     * `maxShingleFreq` drops ubiquitous-boilerplate hub shingles (freq >
     * cap) before they go quadratic — those belong to [[duplicatedSpans]]/
-    * [[exciseDuplicatedSpans]], which never pairs. One further shuffle on
+    * [[exciseDuplicatedSpans]], which never pairs; [[hubShingleStats]]
+    * reports how much mass the cap excluded. One further shuffle on
     * (doc_a, doc_b, diagonal) merges the islands. Both exchanges are
     * candidate-sized, never corpus²: at 100 TB the plan is linear in
     * matched content.
@@ -657,6 +658,47 @@ object Dedup {
       .agg(min("pa").as("a_start"), min("pb").as("b_start"),
         (max("pa") - min("pa") + shingleK).as("match_len"))
       .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+  }
+
+  /** Hub-shingle diagnostic for [[maximalMatchedSpans]]: the span pairing
+    * silently drops shingles occurring more than `maxShingleFreq` times
+    * (ubiquitous boilerplate whose c(c−1)/2 seed pairs would go quadratic)
+    * — correct for scale, but at 100 TB a user needs to SEE how much
+    * content was excluded from pairing. One row:
+    *
+    *  - `total_occurrences`  — every k-token window in the corpus;
+    *  - `dup_occurrences`    — windows whose text occurs more than once
+    *                           (the universe span pairing draws from);
+    *  - `hub_shingles`       — distinct window texts above the frequency
+    *                           cap (excluded from pairing);
+    *  - `hub_occurrences`    — windows those hub texts account for (the
+    *                           excluded mass).
+    *
+    * Cost: the SAME single shuffle on the shingle digest the span operators
+    * pay, then a scalar aggregate over per-digest counts — safe to run
+    * alongside them at any corpus size.
+    */
+  def hubShingleStats(docs: DataFrame, shingleK: Int = 8,
+      maxShingleFreq: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shingleK >= 1, "hubShingleStats needs a positive shingle length")
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleK)
+    val sh = toks.select(
+      explode(transform(
+        sequence(lit(0), size(col("__toks")) - shingleK),
+        i => md5(array_join(slice(col("__toks"), i + 1, lit(shingleK)), " "))))
+        .as("h"))
+    sh.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(
+        sum("c").as("total_occurrences"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("dup_occurrences"),
+        count(when(col("c") > maxShingleFreq, lit(1)))
+          .as("hub_shingles"),
+        coalesce(sum(when(col("c") > maxShingleFreq, col("c"))), lit(0L))
+          .as("hub_occurrences"))
   }
 
   /** Excise every duplicated span found by [[duplicatedSpans]]: rebuild the

@@ -221,6 +221,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(d, shingleK = 4).count() == 0)
   }
 
+  test("hubShingleStats reports the mass the span-pairing frequency cap drops") {
+    // window "a b c d" occurs 4× (docs 20,21,22 + twice nowhere else),
+    // window "b c d e" occurs 2×, singletons fill the rest
+    val d = Seq(
+      (20L, "a b c d e x1 x2 x3"), // windows: abcd, bcde, cdex1, ...
+      (21L, "a b c d e y1 y2 y3"), // abcd, bcde again
+      (22L, "a b c d z1 z2 z3"),   // abcd again
+      (23L, "a b c d w1 w2 w3")    // abcd again -> freq 4
+    ).toDF("doc_id", "text")
+    // per doc: len 8 -> 5 windows (docs 20,21), len 7 -> 4 windows (22,23)
+    // total = 5 + 5 + 4 + 4 = 18
+    // "a b c d" freq 4; "b c d e" freq 2; all others singletons
+    val got = Dedup.hubShingleStats(d, shingleK = 4, maxShingleFreq = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((18L, 6L, 1L, 4L)),
+      s"(total, dup, hub_shingles, hub_occ) was $got")
+    // cap high enough -> nothing is a hub, dup mass unchanged
+    val none = Dedup.hubShingleStats(d, shingleK = 4, maxShingleFreq = 100)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(none == ((18L, 6L, 0L, 0L)))
+  }
+
   test("exciseDuplicatedSpans removes covered tokens, leaves clean docs verbatim") {
     val spanDocs = Seq(
       (10L, "c1 c2 c3 c4 u1 u2 u3 u4 u5 z1 z2 z3 z4"),
