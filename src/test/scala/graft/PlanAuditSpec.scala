@@ -154,6 +154,73 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  private def withConfs[A](confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the hub band-key partition in the banded LSH pair joins") {
+    import spark.implicits._
+    // hub fixture: 600 of 800 docs share identical text, so ONE (band, key)
+    // bucket holds 600 banded rows per band and the pair join's sort-merge
+    // task for that bucket dwarfs the median partition — the skew shape a
+    // boilerplate-heavy corpus produces at 100 TB
+    val docsLocal = ((0L until 600L).map(i =>
+        (i, "common boiler plate text shared by every hub document here")) ++
+      (600L until 800L).map(i =>
+        (i, s"unique text number $i with alpha beta gamma delta epsilon")))
+      .toDF("doc_id", "text")
+    // parquet-backed input: a local relation would be constant-folded away
+    // and sized at zero bytes, starving the skew detector of statistics
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_skew_audit_").toString + "/docs"
+    docsLocal.write.parquet(tmp)
+    val docs = spark.read.parquet(tmp)
+    val skewConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ path
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // enough reduce partitions that the hub (band,key) buckets land in a
+      // few of them while the median partition stays near-empty — the shape
+      // skew detection (size > max(threshold, factor·median)) keys on
+      "spark.sql.shuffle.partitions" -> "16",
+      // the fixture's shuffle is KB-scale; scale the skew thresholds down
+      // from their MB-scale production defaults (256 MB / 64 MB)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b")
+    def pairSets(extra: (String, String)*)
+        : (Set[(Long, Long)], Set[(Long, Long)], String, String) =
+      withConfs(skewConfs ++ extra: _*) {
+        val mh = graft.operators.Dedup.minhashLshPairs(docs)
+        val sh = graft.operators.Dedup.simhashNearDupPairs(docs, maxHamming = 2)
+        // collect the SAME DataFrame instance that gets plan-inspected: a
+        // .select() spawns a fresh QueryExecution and the original's
+        // adaptive plan would stay isFinalPlan=false (never executed)
+        val mhSet = mh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val shSet = sh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // executedPlan AFTER the action = AQE's final adaptive plan
+        (mhSet, shSet, plan(mh), plan(sh))
+      }
+    val (mhSkew, shSkew, mhPlan, shPlan) = pairSets()
+    assert(mhPlan.contains("skew=true"),
+      s"AQE skew-join did not fire on the minhash band join:\n$mhPlan")
+    assert(shPlan.contains("skew=true"),
+      s"AQE skew-join did not fire on the simhash band join:\n$shPlan")
+    // mitigation must not change a single pair
+    val (mhPlain, shPlain, _, _) =
+      pairSets("spark.sql.adaptive.skewJoin.enabled" -> "false")
+    assert(mhSkew == mhPlain && shSkew == shPlain)
+    // sanity: the hub clique is actually found
+    assert(mhSkew.contains((0L, 1L)) && shSkew.contains((0L, 1L)))
+  }
+
   test("IVF cell assignment is narrow: no Exchange between scan and cell") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = graft.operators.Similarity.kmeans(emb, k = 4, iterations = 1)
