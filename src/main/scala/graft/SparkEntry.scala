@@ -1713,6 +1713,20 @@ object SparkEntry {
     "q100_hub_shingles" -> ((s, dir) =>
       graft.operators.Dedup.hubShingleStats(t(s, dir, "documents"),
         shingleK = 8, maxShingleFreq = 2)),
+
+    // soft dedup: near-dup clusters thin to ~2 docs each (min-id
+    // representative guaranteed + hash-deterministic extras) instead of
+    // hard keep-one — the training-mixture trade that lets popular
+    // content retain some extra mass; twin replays the q78 recursive-CTE
+    // clusters and the same integer hash rule
+    "q101_cluster_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, Dedup.minhashLshPairs(docs))
+      graft.operators.Corpus
+        .clusterWeightedSample(docs, clusters, targetPerCluster = 2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2363,6 +2377,35 @@ object SparkEntry {
            |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
            |SELECT src AS doc_id, min(dst) AS root FROM reach
            |GROUP BY src ORDER BY doc_id""".stripMargin
+      },
+
+      "q101_cluster_weighted_sample" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+           |cr AS (SELECT src AS doc_id, min(dst) AS root FROM reach
+           |  GROUP BY src),
+           |sz AS (SELECT root, count(*) AS csz FROM cr GROUP BY root),
+           |kp AS (SELECT cr.doc_id FROM cr JOIN sz USING (root)
+           |  WHERE cr.doc_id = cr.root OR
+           |    ${pHashSql("CAST(root AS VARCHAR) || '|' || " +
+                  "CAST(cr.doc_id AS VARCHAR)")} % csz < 1)
+           |SELECT d.doc_id, d.lang FROM documents d JOIN kp USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
       },
 
       "q79_corpus_pipeline" -> {

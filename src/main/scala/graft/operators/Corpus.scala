@@ -35,6 +35,38 @@ object Corpus {
     df.where(bucket < rate)
   }
 
+  /** Cluster-downweighted ("soft dedup") sampling: instead of hard-keeping
+    * one document per near-duplicate cluster, keep the cluster's
+    * minimum-id representative ALWAYS and each remaining member with
+    * probability (targetPerCluster−1)/cluster_size via the deterministic
+    * portable hash — so a 10,000-copy boilerplate cluster thins to
+    * ~targetPerCluster docs while unique documents always survive, and
+    * popular content retains slightly more mass than hard dedup would
+    * give it (the standard soft-dedup trade for training mixtures).
+    *
+    * `clusters` is a (idCol, root) frame as produced by
+    * [[Dedup.nearDupClusters]]. Deterministic: no RNG, reproducible
+    * across runs, engines, and partitionings — the DuckDB twin applies
+    * the same integer hash rule.
+    *
+    * Scale shape: one shuffle on root for the cluster sizes (map-side
+    * combined; the join back reuses that partitioning), one semi-join on
+    * the id — linear at any corpus size, no driver state.
+    */
+  def clusterWeightedSample(docs: DataFrame, clusters: DataFrame,
+      targetPerCluster: Int, idCol: String = "doc_id"): DataFrame = {
+    require(targetPerCluster >= 1,
+      "clusterWeightedSample needs targetPerCluster >= 1")
+    val sizes = clusters.groupBy("root").agg(count(lit(1)).as("__csz"))
+    val extraOk = pmod(TextFunctions.portableHash(
+        concat(col("root").cast("string"), lit("|"), col(idCol).cast("string"))),
+      col("__csz")) < targetPerCluster - 1
+    val keep = clusters.join(sizes, Seq("root"))
+      .where(col(idCol) === col("root") || extraOk)
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = max |x| (the standard absmax scheme), each component mapped to
     * round(x·127/scale) via floor(y + 0.5) — floor keeps the rounding

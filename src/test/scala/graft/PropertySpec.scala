@@ -178,4 +178,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bounded cell pairs equal the unbounded join for any corpus and cap") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Similarity}
+    import graft.functions.VectorFunctions
+    // random 4-dim corpora with a shared offset (so cells form non-trivial
+    // clusters) × caps from pathological (1) to no-op (1000): the triangle
+    // block decomposition must reproduce the plain cell join's pair set
+    // EXACTLY for every shape
+    val vecGen: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.choose(20, 60)
+      base <- Gen.listOfN(4, Gen.choose(-5f, 5f))
+      rows <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-1f, 1f)))
+    } yield rows.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.zip(base).map { case (a, b) => a + b }) }
+    forAllSampled(Gen.zip(vecGen, Gen.oneOf(1L, 2L, 3L, 7L, 1000L)), n = 6) {
+      case (rows, cap) =>
+        val emb = rows.toDF("vec_id", "embedding")
+        val cent = Similarity.kmeans(emb, 3, 1)
+        val asg = Similarity.ivfAssignN(emb, cent, 2)
+          .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+        def pairs(c: Long): Set[(Long, Long)] =
+          Dedup.boundedCellPairs(asg, -1.0, c, "vec_id", "embedding")
+            .select("id_a", "id_b")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs(cap) == pairs(1000000L), s"cap $cap changed the pair set")
+    }
+  }
 }

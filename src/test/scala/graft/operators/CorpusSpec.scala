@@ -26,6 +26,40 @@ class CorpusSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("clusterWeightedSample keeps roots always, thins big clusters by hash") {
+    // clusters: {1,2,3,4} root 1, {5,6} root 5, singletons 7..10
+    val docs = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L),
+      (7L, 7L), (8L, 8L), (9L, 9L), (10L, 10L)).toDF("doc_id", "root")
+    // independent reimplementation of the portable hash rule (first 8 hex
+    // digits of md5 as unsigned int) — NOT the Spark expression under test
+    def ph(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val byRoot = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val csz = byRoot.values.groupBy(identity).view.mapValues(_.size).toMap
+    def expected(target: Int): Set[Long] = byRoot.collect {
+      case (id, root) if id == root ||
+        ph(s"$root|$id") % csz(root) < target - 1 => id
+    }.toSet
+    val got2 = Corpus.clusterWeightedSample(docs, clusters, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == expected(2), s"got $got2, want ${expected(2)}")
+    // representatives and singletons always survive
+    assert(Set(1L, 5L, 7L, 8L, 9L, 10L).subsetOf(got2))
+    // target = 1 degrades to exactly hard dedup (roots only)
+    val got1 = Corpus.clusterWeightedSample(docs, clusters, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got1 == Set(1L, 5L, 7L, 8L, 9L, 10L))
+    // reproducible regardless of partitioning
+    val gotR = Corpus.clusterWeightedSample(
+      docs.repartition(5), clusters.repartition(3), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotR == got2)
+  }
+
   test("quantizeInt8 bounds components to [-127,127] and round-trips") {
     val df = Seq(
       (1L, Array(1.0f, -2.0f, 0.5f)),
