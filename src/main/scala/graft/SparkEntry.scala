@@ -1727,6 +1727,38 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+
+    // IVF cell-clustered STORAGE layout: corpus written partitionBy(cell)
+    // so a probe scans only the probed cells' partition directories (file
+    // pruning pinned in PlanAuditSpec — the bytes-touched analogue of the
+    // cell shuffle key). Gates: recall ≥ 0.9 vs exact brute force AND
+    // rank-for-rank equality with the unclustered ivfTopK — proving the
+    // layout changes which BYTES are read, not a single result row. The
+    // clustered write runs in the timed region by design (like q80): the
+    // layout is the operator under proof
+    "q102_ann_clustered_layout" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 50)
+      val centroids = Similarity.kmeans(emb, k = 16, iterations = 3)
+      val path = scratch("graft_q102_") + "/emb"
+      Similarity.writeClustered(emb, centroids, path)
+      val ann = Similarity.ivfTopKClustered(s, path, probes, centroids,
+        k = 5, nprobe = 12)
+      val plain = Similarity.ivfTopK(emb, probes, centroids, k = 5, nprobe = 12)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nSame = ann.join(plain, Seq("query_id", "neighbor_id", "rnk"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_same"))
+      val nAnn = ann.agg(count(lit(1)).as("n_ann"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).crossJoin(nAnn).crossJoin(nSame).select(
+        col("n_exact"),
+        (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"),
+        (col("n_same") === col("n_ann") && col("n_ann") === col("n_exact"))
+          .as("layout_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3038,6 +3070,20 @@ object SparkEntry {
            |  FROM scored),
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
+
+      "q102_ann_clustered_layout" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok, TRUE AS layout_ok
+           |FROM x""".stripMargin,
 
       "q41_multimodal_meta" ->
         """SELECT 'text/plain' AS media_type,

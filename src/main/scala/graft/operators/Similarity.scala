@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,49 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         explode(graft.functions.VectorExpressions
           .nearestCentroids(col(vecCol), ids, cvecs, nprobe)).as("cell"))
+  }
+
+  /** Cell-clustered storage layout for the IVF index: write the corpus
+    * partitioned BY CELL, so each IVF cell is its own partition directory —
+    * the on-disk analogue of using the cell as the shuffle key. A probe
+    * then reads ONLY the probed cells' files via partition pruning
+    * (pinned in PlanAuditSpec): at 100 TB an nprobe/cells probe touches
+    * that fraction of the corpus BYTES, not just that fraction of the
+    * compares — the difference between an index and a full scan.
+    */
+  def writeClustered(corpus: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** IVF top-k over a [[writeClustered]] table. The probed cell set
+    * (≤ nprobe × |queries| values — query-set METADATA, never corpus
+    * data) becomes an `isin` partition filter, so the scan prunes to the
+    * probed directories. Results are identical to [[ivfTopK]] with the
+    * same centroids: cell assignment is deterministic and the float
+    * vectors round-trip parquet exactly.
+    */
+  def ivfTopKClustered(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
+    val probed = qAssigned.select("cell").distinct()
+      .collect().map(_.getLong(0)) // O(metadata): the probe set is small
+    val corpus = spark.read.parquet(path)
+      .where(col("cell").isin(probed: _*))
+    val scored = broadcast(qAssigned)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cell").cast("long").as("cell"), norm(col(vecCol)).as("cn")),
+        Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
   }
 
   /** IVF top-k: probe the query's `nprobe` closest cells (nprobe=1 = own

@@ -232,6 +232,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("cell-clustered layout prunes the ANN scan to probed partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = graft.operators.Similarity.kmeans(emb, 8, 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_layout_").toString + "/emb"
+    graft.operators.Similarity.writeClustered(emb, centroids, path)
+    val totalFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    val probes = emb.where(col("vec_id") < 2)
+    val ann = graft.operators.Similarity
+      .ivfTopKClustered(spark, path, probes, centroids, k = 3, nprobe = 2)
+    val p = plan(ann)
+    // the probed cell set must reach the scan as a PARTITION filter (file
+    // pruning), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probed cells must prune partitions:\n$p")
+    val probedCells = graft.operators.Similarity
+      .ivfAssignN(probes, centroids, 2)
+      .select("cell").distinct().collect().map(_.getLong(0))
+    assert(probedCells.length < 8, "fixture must not probe every cell")
+    val scannedFiles = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(input_file_name()).distinct().count()
+    assert(scannedFiles < totalFiles,
+      s"pruned scan reads $scannedFiles of $totalFiles files")
+    // the layout changes which bytes are read, not a single result row
+    val plainRows = graft.operators.Similarity
+      .ivfTopK(emb, probes, centroids, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val clusteredRows = ann.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(clusteredRows == plainRows)
+  }
+
   test("delete is a broadcast anti-join: the target is never shuffled") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val doomed = orders.where(col("o_custkey") % 7 === 0).select("o_custkey")
