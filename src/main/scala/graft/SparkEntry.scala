@@ -1759,6 +1759,35 @@ object SparkEntry {
         (col("n_same") === col("n_ann") && col("n_ann") === col("n_exact"))
           .as("layout_ok"))
     }),
+
+    // incremental SECOND-moment maintenance: unlike q99's min/max, ±x²
+    // is invertible, so mean/variance state folds the same update+DELETE
+    // feeds with no dirty-group rescan ever; the gate compares the
+    // maintained (n, total, total2) decimals against a full recompute —
+    // mean surfaces as pure IEEE division of exact doubles
+    "q103_incremental_moments" -> ((s, dir) => {
+      val root = q99Fixture(s, dir)
+      import graft.store.{IncrementalView, VersionedTable}
+      val s0 = IncrementalView.stateMoments(
+        VersionedTable.read(s, root, Some(0L)), "o_custkey", "o_totalprice")
+      val s1 = IncrementalView.applyFeedMoments(s0,
+        VersionedTable.changeFeed(s, root, 0L, 1L, Seq("o_orderkey")),
+        "o_custkey", "o_totalprice")
+      val s2 = IncrementalView.applyFeedMoments(s1,
+        VersionedTable.changeFeed(s, root, 1L, 2L, Seq("o_orderkey")),
+        "o_custkey", "o_totalprice")
+      val full = IncrementalView.stateMoments(
+        VersionedTable.read(s, root), "o_custkey", "o_totalprice")
+      val inc = s2.select(col("o_custkey"), col("n").as("n_i"),
+        col("total").as("t_i"), col("total2").as("t2_i"))
+      full.join(inc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n"),
+          col("total").cast(DoubleType).as("total"),
+          (col("total").cast(DoubleType) / col("n")).as("mean"),
+          (col("n") <=> col("n_i") && col("total") <=> col("t_i") &&
+            col("total2") <=> col("t2_i")).as("ok"))
+        .orderBy("o_custkey")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2805,6 +2834,20 @@ object SparkEntry {
            |  CAST(coalesce(sum(CASE WHEN c > 2 THEN c END), 0) AS BIGINT)
            |    AS hub_occurrences
            |FROM c""".stripMargin,
+
+      "q103_incremental_moments" ->
+        """WITH fin AS (
+          |  SELECT o_orderkey, o_custkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN 2 * o_totalprice
+          |         ELSE o_totalprice END AS price
+          |  FROM orders
+          |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+          |    AND o_orderkey % 7 <> 0)
+          |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(price AS DECIMAL(18,2)))::DOUBLE AS total,
+          |  sum(CAST(price AS DECIMAL(18,2)))::DOUBLE / count(*) AS mean,
+          |  TRUE AS ok
+          |FROM fin GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
       "q99_incremental_minmax" ->
         """WITH fin AS (

@@ -55,6 +55,48 @@ object IncrementalView {
       .where(col("n") > 0)
   }
 
+  /** Bootstrap the (n, total, total2) state per group — [[state]] extended
+    * with the decimal-exact SECOND moment. Unlike min/max the second
+    * moment IS invertible: every change contributes ±x and ±x², so mean
+    * and variance stay maintainable from delta-sized feeds alone — no
+    * dirty-group rescan path exists or is needed. `total2` carries the
+    * widened decimal(38,4) of the squared scale-2 values, so retractions
+    * cancel bit-for-bit like they do for `total`.
+    */
+  def stateMoments(snapshot: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    snapshot.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(v).cast(DecimalType(28, 2)).as("total"),
+      sum((v * v).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
+        .as("total2"))
+  }
+
+  /** Fold one signed feed into a moments state — the same union +
+    * re-aggregate shape as [[applyFeed]] with the x² lane added; two
+    * delta-sized shuffles, never a snapshot scan. Derived statistics read
+    * off the state: mean = total/n, variance = (total2 − total²/n)/n.
+    */
+  def applyFeedMoments(state: DataFrame, feed: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val delta = feed.groupBy(groupCol).agg(
+      sum(col("__sign")).as("n"),
+      sum(col("__sign") * v).cast(DecimalType(28, 2)).as("total"),
+      sum((col("__sign") * (v * v)).cast(DecimalType(38, 4)))
+        .cast(DecimalType(38, 4)).as("total2"))
+    state.select(col(groupCol), col("n"),
+        col("total").cast(DecimalType(28, 2)).as("total"),
+        col("total2").cast(DecimalType(38, 4)).as("total2"))
+      .unionByName(delta)
+      .groupBy(groupCol)
+      .agg(sum("n").as("n"),
+        sum("total").cast(DecimalType(28, 2)).as("total"),
+        sum("total2").cast(DecimalType(38, 4)).as("total2"))
+      .where(col("n") > 0)
+  }
+
   /** Bootstrap the (n, total, lo, hi) state per group — [[state]] extended
     * with the NON-invertible extrema, for [[applyFeedMinMax]].
     */

@@ -122,6 +122,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("feed-maintained moments invert exactly under updates and deletes") {
+    val r = root()
+    VersionedTable.write(
+      Seq((1L, 10L, 1.5), (2L, 10L, 5.0), (3L, 10L, 9.0),
+        (4L, 20L, 2.25), (5L, 20L, 8.0)).toDF("id", "g", "x"), r)
+    // v1: delete group 10's largest (a retraction of its biggest x²
+    // contribution — where float state would drift), update a group-20
+    // value, insert a new group
+    VersionedTable.write(
+      Seq((1L, 10L, 1.5), (2L, 10L, 5.0),
+        (4L, 20L, 3.75), (5L, 20L, 8.0), (6L, 30L, 4.0)).toDF("id", "g", "x"), r)
+    val s0 = IncrementalView.stateMoments(
+      VersionedTable.read(spark, r, Some(0L)), "g", "x")
+    val s1 = IncrementalView.applyFeedMoments(s0,
+      VersionedTable.changeFeed(spark, r, 0L, 1L, Seq("id")), "g", "x")
+    val got = s1.orderBy("g")
+      .selectExpr("g", "n", "CAST(total AS DOUBLE)", "CAST(total2 AS DOUBLE)")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // hand-computed: g10 = {1.5, 5} -> (6.5, 2.25+25); g20 = {3.75, 8} ->
+    // (11.75, 14.0625+64); g30 = {4} -> (4, 16)
+    assert(got == Seq(
+      (10L, 2L, 6.5, 27.25),
+      (20L, 2L, 11.75, 78.0625),
+      (30L, 1L, 4.0, 16.0)))
+    val full = IncrementalView.stateMoments(VersionedTable.read(spark, r), "g", "x")
+      .orderBy("g")
+      .selectExpr("g", "n", "CAST(total AS DOUBLE)", "CAST(total2 AS DOUBLE)")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == full)
+  }
+
   test("versioned delete commits an anti-joined snapshot, history intact") {
     val r = root()
     VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), r)
