@@ -1788,6 +1788,52 @@ object SparkEntry {
             col("total2") <=> col("t2_i")).as("ok"))
         .orderBy("o_custkey")
     }),
+
+    // streaming lakehouse end-to-end: a 3-file backlog streams through
+    // AvailableNow, each micro-batch PK-merging AND committing a version;
+    // the per-custkey view state then folds ONLY the per-batch change
+    // feeds — however many batches the trigger chose — and the gate
+    // compares it against a full recompute of the final table (= all
+    // orders, since the three slices partition the key space)
+    "q104_stream_lakehouse" -> ((s, dir) => {
+      val tmp = scratch("graft_q104_")
+      val srcDir = s"$tmp/src"
+      val root = s"$tmp/tbl"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      for (i <- 0 to 2) {
+        val staging = s"$tmp/stage$i"
+        orders.where(col("o_orderkey") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"slice$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      graft.streaming.StreamingUpsert.runVersionedAvailableNow(
+        s, srcDir, orders.schema, root, s"$tmp/ckpt", Seq("o_orderkey"),
+        maxFilesPerTrigger = 1)
+      import graft.store.{IncrementalView, VersionedTable}
+      val vs = VersionedTable.versions(root).sorted
+      var st = IncrementalView.state(
+        VersionedTable.read(s, root, Some(vs.head)),
+        "o_custkey", "o_totalprice")
+      for ((a, b) <- vs.zip(vs.tail))
+        st = IncrementalView.applyFeed(st,
+          VersionedTable.changeFeed(s, root, a, b, Seq("o_orderkey")),
+          "o_custkey", "o_totalprice")
+      val full = IncrementalView.state(
+        VersionedTable.read(s, root), "o_custkey", "o_totalprice")
+      val inc = st.select(col("o_custkey"),
+        col("n").as("n_i"), col("total").as("t_i"))
+      full.join(inc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n"),
+          col("total").cast(DoubleType).as("total"),
+          (col("n") <=> col("n_i") && col("total") <=> col("t_i")).as("ok"))
+        .orderBy("o_custkey")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2834,6 +2880,12 @@ object SparkEntry {
            |  CAST(coalesce(sum(CASE WHEN c > 2 THEN c END), 0) AS BIGINT)
            |    AS hub_occurrences
            |FROM c""".stripMargin,
+
+      "q104_stream_lakehouse" ->
+        """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total,
+          |  TRUE AS ok
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
       "q103_incremental_moments" ->
         """WITH fin AS (

@@ -63,6 +63,41 @@ object StreamingUpsert {
     query.awaitTermination()
   }
 
+  /** Stream the backlog into a [[graft.store.VersionedTable]]: every
+    * micro-batch PK-merges and COMMITS A VERSION, so the stream leaves a
+    * full time-travel/CDC history behind instead of a bare parquet table —
+    * the streaming-lakehouse shape. Downstream incremental views
+    * ([[graft.store.IncrementalView]]) then fold the per-batch change
+    * feeds without ever rescanning the table, whatever batch boundaries
+    * the trigger chose. Exactly-once: the checkpoint replays a failed
+    * batch and the PK merge makes the replay idempotent.
+    */
+  def runVersionedAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tableRoot: String,
+      checkpointDir: String,
+      pk: Seq[String],
+      maxFilesPerTrigger: Int = 1,
+  ): Unit = {
+    val (src, base) = globAndBase(sourceDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", base)
+      .parquet(src)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.store.VersionedTable.upsert(
+          batch.sparkSession, tableRoot, batch, pk): Unit
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Windowed streaming aggregation with a watermark — the standard
     * late-data-bounded shape (10-minute windows, `lateness` allowed).
     * Returns the streaming DataFrame for the caller to sink.

@@ -46,6 +46,33 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/table").count() == 1)
   }
 
+  test("versioned streaming sink commits one version per batch with CDC history") {
+    val root = Files.createTempDirectory("graft_sv_").toString
+    val src = s"$root/src"
+    // overlapping PK across files: the later batch must UPDATE id=2
+    writeFile(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), s"$src/f1.parquet")
+    writeFile(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "x"), s"$src/f2.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runVersionedAvailableNow(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("id"), maxFilesPerTrigger = 1)
+    import graft.store.VersionedTable
+    val vs = VersionedTable.versions(s"$root/tbl").sorted
+    assert(vs.size >= 2, s"expected one version per micro-batch, got $vs")
+    // final snapshot is the PK merge of the backlog
+    val fin = VersionedTable.read(spark, s"$root/tbl")
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(fin == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // the per-batch change feeds replay the whole history: folding them
+    // over v0 reproduces the final state (update retractions included)
+    val feeds = vs.zip(vs.tail).map { case (a, b) =>
+      VersionedTable.changeFeed(spark, s"$root/tbl", a, b, Seq("id")) }
+    val signedSum = feeds.map(_.selectExpr("sum(__sign * x)").as[Double].head())
+    val v0Sum = VersionedTable.read(spark, s"$root/tbl", Some(vs.head))
+      .selectExpr("sum(x)").as[Double].head()
+    assert(v0Sum + signedSum.sum ==
+      fin.map(_._2).sum, "signed feeds must account for every change")
+  }
+
   test("streaming dedup drops duplicate keys ACROSS micro-batches") {
     val root = Files.createTempDirectory("graft_sd_").toString
     val src = s"$root/src"
