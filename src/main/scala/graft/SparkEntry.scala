@@ -1834,6 +1834,32 @@ object SparkEntry {
           (col("n") <=> col("n_i") && col("total") <=> col("t_i")).as("ok"))
         .orderBy("o_custkey")
     }),
+
+    // incremental COUNT DISTINCT: the (group, value) multiplicity state is
+    // sign-foldable even though the distinct scalar is not invertible —
+    // the update feed migrates values (old price out, doubled price in)
+    // and the delete feed retracts multiplicities, some to zero; the gate
+    // compares the state-read distinct counts against a recompute
+    "q105_incremental_distinct" -> ((s, dir) => {
+      val root = q99Fixture(s, dir)
+      import graft.store.{IncrementalView, VersionedTable}
+      var st = IncrementalView.stateDistinct(
+        VersionedTable.read(s, root, Some(0L)), "o_custkey", "o_totalprice")
+      for ((a, b) <- Seq((0L, 1L), (1L, 2L)))
+        st = IncrementalView.applyFeedDistinct(st,
+          VersionedTable.changeFeed(s, root, a, b, Seq("o_orderkey")),
+          "o_custkey", "o_totalprice")
+      val inc = IncrementalView.distinctCounts(st, "o_custkey")
+        .select(col("o_custkey"), col("n_distinct").as("nd_i"))
+      val full = VersionedTable.read(s, root)
+        .groupBy("o_custkey")
+        .agg(countDistinct(col("o_totalprice").cast(DecimalType(18, 2)))
+          .as("n_distinct"))
+      full.join(inc, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n_distinct"),
+          (col("n_distinct") <=> col("nd_i")).as("ok"))
+        .orderBy("o_custkey")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2880,6 +2906,20 @@ object SparkEntry {
            |  CAST(coalesce(sum(CASE WHEN c > 2 THEN c END), 0) AS BIGINT)
            |    AS hub_occurrences
            |FROM c""".stripMargin,
+
+      "q105_incremental_distinct" ->
+        """WITH fin AS (
+          |  SELECT o_orderkey, o_custkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN 2 * o_totalprice
+          |         ELSE o_totalprice END AS price
+          |  FROM orders
+          |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+          |    AND o_orderkey % 7 <> 0)
+          |SELECT o_custkey,
+          |  CAST(count(DISTINCT CAST(price AS DECIMAL(18,2))) AS BIGINT)
+          |    AS n_distinct,
+          |  TRUE AS ok
+          |FROM fin GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
       "q104_stream_lakehouse" ->
         """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,

@@ -97,6 +97,41 @@ object IncrementalView {
       .where(col("n") > 0)
   }
 
+  /** Bootstrap the per-(group, value) multiplicity state for incremental
+    * COUNT DISTINCT — the aggregate whose state must be finer-grained
+    * than its result: distinctness is not invertible from a scalar, but
+    * the (group, value) → multiplicity table IS sign-foldable, and
+    * [[distinctCounts]] reads the answer as a count of live values per
+    * group. Values key as decimal(18,2) so identity is exact and
+    * engine-portable. State size is O(distinct (group, value) pairs) —
+    * the cardinality a recompute would shuffle on EVERY refresh, held
+    * once and updated with delta-sized folds instead.
+    */
+  def stateDistinct(snapshot: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame =
+    snapshot.groupBy(col(groupCol),
+        col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+      .agg(count(lit(1)).as("m"))
+
+  /** Fold one signed feed into the multiplicity state: per-(group, value)
+    * sign sums union in and re-aggregate; multiplicities that reach zero
+    * vanish, so a value deleted from its last row stops counting — two
+    * delta-sized shuffles, never a snapshot scan.
+    */
+  def applyFeedDistinct(state: DataFrame, feed: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    state.unionByName(
+        feed.groupBy(col(groupCol),
+            col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+          .agg(sum(col("__sign")).as("m")))
+      .groupBy(groupCol, "__v")
+      .agg(sum("m").as("m"))
+      .where(col("m") > 0)
+
+  /** Read per-group distinct counts off a [[stateDistinct]] state. */
+  def distinctCounts(state: DataFrame, groupCol: String): DataFrame =
+    state.groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
+
   /** Bootstrap the (n, total, lo, hi) state per group — [[state]] extended
     * with the NON-invertible extrema, for [[applyFeedMinMax]].
     */

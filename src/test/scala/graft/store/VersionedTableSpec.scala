@@ -153,6 +153,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("feed-maintained distinct counts track value multiplicities exactly") {
+    val r = root()
+    // group 10 holds value 5.0 TWICE (multiplicity matters: deleting one
+    // copy must not drop the value) plus 7.0; group 20 holds 2.0
+    VersionedTable.write(
+      Seq((1L, 10L, 5.0), (2L, 10L, 5.0), (3L, 10L, 7.0), (4L, 20L, 2.0))
+        .toDF("id", "g", "x"), r)
+    // v1: delete ONE copy of 5.0 (distinct unchanged), update 7.0 -> 5.0
+    // (value vanishes, survivor merges into 5.0), add a new value to g20
+    VersionedTable.write(
+      Seq((2L, 10L, 5.0), (3L, 10L, 5.0), (4L, 20L, 2.0), (5L, 20L, 9.0))
+        .toDF("id", "g", "x"), r)
+    var st = IncrementalView.stateDistinct(
+      VersionedTable.read(spark, r, Some(0L)), "g", "x")
+    st = IncrementalView.applyFeedDistinct(st,
+      VersionedTable.changeFeed(spark, r, 0L, 1L, Seq("id")), "g", "x")
+    val got = IncrementalView.distinctCounts(st, "g")
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    // g10: {5.0} -> 1 distinct (7.0 became 5.0, one 5.0 copy deleted);
+    // g20: {2.0, 9.0} -> 2
+    assert(got == Seq((10L, 1L), (20L, 2L)))
+    val full = VersionedTable.read(spark, r)
+      .groupBy("g").agg(countDistinct($"x").as("n"))
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    assert(got == full)
+  }
+
   test("versioned delete commits an anti-joined snapshot, history intact") {
     val r = root()
     VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), r)
