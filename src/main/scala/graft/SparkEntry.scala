@@ -1860,6 +1860,26 @@ object SparkEntry {
           (col("n_distinct") <=> col("nd_i")).as("ok"))
         .orderBy("o_custkey")
     }),
+
+    // sliding-window chunking (64-token budget, 8-token overlap): the
+    // long-document preprocessing step before packing — narrow transform +
+    // posexplode, integer-exact chunk arithmetic, chunk text hashed by the
+    // oracle verbatim
+    "q106_chunk_documents" -> ((s, dir) =>
+      graft.operators.Corpus.chunkDocuments(t(s, dir, "documents"),
+          maxTokens = 64, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // leakage-safe split: eval/train decided by hashing the near-dup
+    // CLUSTER root, so no near-duplicate pair straddles the boundary —
+    // the twin replays the q78 recursive-CTE clusters and the hash rule
+    "q107_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, Dedup.minhashLshPairs(docs))
+      graft.operators.Corpus.clusterSplit(docs, clusters, evalPct = 10)
+        .select("doc_id", "root", "split")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2510,6 +2530,45 @@ object SparkEntry {
            |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
            |SELECT src AS doc_id, min(dst) AS root FROM reach
            |GROUP BY src ORDER BY doc_id""".stripMargin
+      },
+
+      "q106_chunk_documents" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |ch AS (SELECT doc_id,
+           |    unnest(list_transform(
+           |      range(0, 1 + (greatest(len(toks) - 64, 0) + 55) // 56),
+           |      i -> struct_pack(cid := i,
+           |        c := list_slice(toks, i * 56 + 1, i * 56 + 64)))) AS s
+           |  FROM tk WHERE len(toks) > 0)
+           |SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id,
+           |  CAST(len(s.c) AS BIGINT) AS n_tokens,
+           |  array_to_string(s.c, ' ') AS text
+           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "q107_cluster_split" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+           |cr AS (SELECT src AS doc_id, min(dst) AS root FROM reach
+           |  GROUP BY src)
+           |SELECT doc_id, root,
+           |  CASE WHEN ${pHashSql("'split|' || CAST(root AS VARCHAR)")} % 100 < 10
+           |    THEN 'eval' ELSE 'train' END AS split
+           |FROM cr ORDER BY doc_id""".stripMargin
       },
 
       "q101_cluster_weighted_sample" -> {

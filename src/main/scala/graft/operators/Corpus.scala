@@ -35,6 +35,39 @@ object Corpus {
     df.where(bucket < rate)
   }
 
+  /** Sliding-window document chunking: split each document into
+    * `maxTokens`-token chunks advancing by `maxTokens − overlap`, the
+    * standard long-document preprocessing step before sequence packing
+    * (overlap preserves context across chunk boundaries). One chunk for
+    * docs at or under the budget; the final chunk may run short; empty
+    * docs produce no chunks. Pure narrow transform + posexplode — no
+    * shuffle at any corpus size — and all chunk arithmetic is integer, so
+    * the DuckDB twin reproduces it exactly.
+    *
+    * Returns (idCol, chunk_id, n_tokens, textCol) with the chunk text
+    * rebuilt space-joined.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, "chunkDocuments needs a positive token budget")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens) or chunks never advance")
+    val step = maxTokens - overlap
+    // nChunks − 1 = ceil(max(nTok − maxTokens, 0) / step), in integer math
+    val lastIdx = floor(
+      (greatest(size(col("__toks")) - maxTokens, lit(0)) + (step - 1))
+        .cast("double") / step).cast("int")
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lastIdx),
+          i => slice(col("__toks"), i * step + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as(textCol))
+  }
+
   /** Cluster-downweighted ("soft dedup") sampling: instead of hard-keeping
     * one document per near-duplicate cluster, keep the cluster's
     * minimum-id representative ALWAYS and each remaining member with
@@ -65,6 +98,27 @@ object Corpus {
       .where(col(idCol) === col("root") || extraOk)
       .select(idCol)
     docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Leakage-safe train/eval split: the split decision hashes the
+    * near-dup CLUSTER root, not the document id, so an entire cluster
+    * lands on one side and no near-duplicate pair ever straddles the
+    * boundary — the contamination mode a per-document split invites
+    * (eval docs whose near-twins sit in train). `clusters` is the
+    * (idCol, root) frame from [[Dedup.nearDupClusters]]; documents absent
+    * from it are treated as their own singleton cluster. Deterministic
+    * portable-hash rule, `evalPct` percent of CLUSTERS to eval.
+    */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame, evalPct: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(evalPct >= 0 && evalPct <= 100, "evalPct is a percentage")
+    val withRoot = docs
+      .join(clusters.select(col(idCol), col("root")), Seq(idCol), "left")
+      .withColumn("root", coalesce(col("root"), col(idCol)))
+    withRoot.withColumn("split",
+      when(pmod(TextFunctions.portableHash(
+          concat(lit("split|"), col("root").cast("string"))), lit(100))
+        < evalPct, lit("eval")).otherwise(lit("train")))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

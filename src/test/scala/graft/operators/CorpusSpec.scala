@@ -26,6 +26,50 @@ class CorpusSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("chunkDocuments: sliding windows with overlap, short tails, empty docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c d"),                        // exactly one budget
+      (3L, "x y"),                            // short single chunk
+      (4L, "   ")                             // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"), // 1-token overlap carried over
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 4L, "a b c d"),
+      (3L, 0L, 2L, "x y")))
+    // a 5-token doc gets a short tail chunk, not a dropped one
+    val tail = Corpus.chunkDocuments(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), maxTokens = 4, overlap = 1)
+      .orderBy("chunk_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(tail == Seq((9L, 0L, 4L, "a b c d"), (9L, 1L, 2L, "d e")))
+  }
+
+  test("clusterSplit assigns whole clusters; near-dup pairs never straddle") {
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "root")
+    for (pct <- Seq(0, 10, 50, 90, 100)) {
+      val got = Corpus.clusterSplit(docs, clusters, pct)
+        .select("doc_id", "root", "split")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.length == 6)
+      // same root -> same side, for every percentage
+      val byRoot = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      assert(byRoot.values.forall(_.size == 1), s"straddle at pct=$pct: $got")
+    }
+    val all0 = Corpus.clusterSplit(docs, clusters, 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(all0 == Seq("train"))
+    val all100 = Corpus.clusterSplit(docs, clusters, 100)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(all100 == Seq("eval"))
+  }
+
   test("clusterWeightedSample keeps roots always, thins big clusters by hash") {
     // clusters: {1,2,3,4} root 1, {5,6} root 5, singletons 7..10
     val docs = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")

@@ -175,7 +175,7 @@ class VersionedTableSpec extends SparkSpec {
     // g20: {2.0, 9.0} -> 2
     assert(got == Seq((10L, 1L), (20L, 2L)))
     val full = VersionedTable.read(spark, r)
-      .groupBy("g").agg(countDistinct($"x").as("n"))
+      .groupBy("g").agg(org.apache.spark.sql.functions.countDistinct($"x").as("n"))
       .orderBy("g").as[(Long, Long)].collect().toSeq
     assert(got == full)
   }
