@@ -179,6 +179,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental view folds equal recomputes for random version chains") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    import graft.store.{IncrementalView, VersionedTable}
+    // random (id, group, value) batches; values step by 0.25 so the
+    // decimal(18,2) cast is exact and retractions must cancel bit-for-bit
+    val rowsGen: Gen[List[(Long, Long, Double)]] =
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 4L),
+        Gen.choose(0, 400).map(_ / 4.0)))
+    forAllSampled(Gen.listOfN(3, rowsGen), n = 3) { versionBatches =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft_pv_").toString + "/t"
+      VersionedTable.write(
+        versionBatches.head.toDF("id", "g", "x").dropDuplicates("id"), r)
+      for (batch <- versionBatches.tail)
+        VersionedTable.upsert(spark, r, batch.toDF("id", "g", "x"), Seq("id"))
+      // a delete wave, hitting extremum witnesses with good probability
+      VersionedTable.delete(spark, r,
+        VersionedTable.read(spark, r).where(col("id") % 4 === 0).select("id"),
+        Seq("id"))
+      val vs = VersionedTable.versions(r).sorted
+      var s = IncrementalView.state(
+        VersionedTable.read(spark, r, Some(vs.head)), "g", "x")
+      var m = IncrementalView.stateMoments(
+        VersionedTable.read(spark, r, Some(vs.head)), "g", "x")
+      var d = IncrementalView.stateDistinct(
+        VersionedTable.read(spark, r, Some(vs.head)), "g", "x")
+      var mm = IncrementalView.stateMinMax(
+        VersionedTable.read(spark, r, Some(vs.head)), "g", "x")
+      for ((a, b) <- vs.zip(vs.tail)) {
+        val feed = VersionedTable.changeFeed(spark, r, a, b, Seq("id"))
+        s = IncrementalView.applyFeed(s, feed, "g", "x")
+        m = IncrementalView.applyFeedMoments(m, feed, "g", "x")
+        d = IncrementalView.applyFeedDistinct(d, feed, "g", "x")
+        mm = IncrementalView.applyFeedMinMax(mm, feed,
+          VersionedTable.read(spark, r, Some(b)), "g", "x")
+      }
+      val fin = VersionedTable.read(spark, r)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .toSeq.sorted
+      assert(rows(s.selectExpr("g", "n", "CAST(total AS DOUBLE)")) ==
+        rows(IncrementalView.state(fin, "g", "x")
+          .selectExpr("g", "n", "CAST(total AS DOUBLE)")))
+      assert(rows(m.selectExpr("g", "n", "CAST(total AS DOUBLE)",
+          "CAST(total2 AS DOUBLE)")) ==
+        rows(IncrementalView.stateMoments(fin, "g", "x")
+          .selectExpr("g", "n", "CAST(total AS DOUBLE)",
+            "CAST(total2 AS DOUBLE)")))
+      assert(rows(IncrementalView.distinctCounts(d, "g")) ==
+        rows(fin.groupBy("g")
+          .agg(countDistinct(col("x")).as("n_distinct"))))
+      assert(rows(mm.selectExpr("g", "n", "CAST(total AS DOUBLE)",
+          "CAST(lo AS DOUBLE)", "CAST(hi AS DOUBLE)")) ==
+        rows(IncrementalView.stateMinMax(fin, "g", "x")
+          .selectExpr("g", "n", "CAST(total AS DOUBLE)",
+            "CAST(lo AS DOUBLE)", "CAST(hi AS DOUBLE)")))
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}
