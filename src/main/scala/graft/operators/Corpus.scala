@@ -53,10 +53,12 @@ object Corpus {
     require(overlap >= 0 && overlap < maxTokens,
       "overlap must be in [0, maxTokens) or chunks never advance")
     val step = maxTokens - overlap
-    // nChunks − 1 = ceil(max(nTok − maxTokens, 0) / step), in integer math
-    val lastIdx = floor(
-      (greatest(size(col("__toks")) - maxTokens, lit(0)) + (step - 1))
-        .cast("double") / step).cast("int")
+    // nChunks − 1 = ceil(max(nTok − maxTokens, 0) / step) — integer `div`,
+    // not a double divide, matching the DuckDB twin's `//` exactly (the
+    // same exactness convention packSequences follows)
+    val lastIdx = expr(
+      s"CAST((greatest(size(__toks) - $maxTokens, 0) + ${step - 1}) " +
+        s"DIV $step AS INT)")
     docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col(idCol),

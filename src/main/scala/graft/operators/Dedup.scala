@@ -692,7 +692,7 @@ object Dedup {
         .as("h"))
     sh.groupBy("h").agg(count(lit(1)).as("c"))
       .agg(
-        sum("c").as("total_occurrences"),
+        coalesce(sum("c"), lit(0L)).as("total_occurrences"),
         coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
           .as("dup_occurrences"),
         count(when(col("c") > maxShingleFreq, lit(1)))

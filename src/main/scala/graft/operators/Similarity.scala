@@ -198,16 +198,30 @@ object Similarity {
   def ivfTopKClustered(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
-        norm(col(vecCol)).as("qn"))
-    val probed = qAssigned.select("cell").distinct()
+    val probed = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select("cell").distinct()
       .collect().map(_.getLong(0)) // O(metadata): the probe set is small
     val corpus = spark.read.parquet(path)
       .where(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    cellProbeTopK(queries, centroids, corpus, k, nprobe, idCol, vecCol)
+  }
+
+  /** Score the multi-probe query set against a cell-assigned corpus and
+    * rank top-k — the ONE implementation [[ivfTopK]] and
+    * [[ivfTopKClustered]] both go through, so the two stay rank-identical
+    * by construction (q102's layout-equality gate depends on exactly
+    * that).
+    */
+  private def cellProbeTopK(queries: DataFrame, centroids: DataFrame,
+      assignedCorpus: DataFrame, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
     val scored = broadcast(qAssigned)
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("cell").cast("long").as("cell"), norm(col(vecCol)).as("cn")),
+      .join(assignedCorpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), col("cell"), norm(col(vecCol)).as("cn")),
         Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineWithNorms(
@@ -225,20 +239,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
-        norm(col(vecCol)).as("qn"))
-    val scored = broadcast(qAssigned)
-      .join(assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("cell"), norm(col(vecCol)).as("cn")), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineWithNorms(
-        dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    scored
-      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cellProbeTopK(queries, centroids,
+      ivfAssign(corpus, centroids, idCol, vecCol), k, nprobe, idCol, vecCol)
 }

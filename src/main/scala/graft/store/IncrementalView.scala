@@ -103,13 +103,17 @@ object IncrementalView {
     * the (group, value) → multiplicity table IS sign-foldable, and
     * [[distinctCounts]] reads the answer as a count of live values per
     * group. Values key as decimal(18,2) so identity is exact and
-    * engine-portable. State size is O(distinct (group, value) pairs) —
-    * the cardinality a recompute would shuffle on EVERY refresh, held
-    * once and updated with delta-sized folds instead.
+    * engine-portable. NULL values are excluded, matching COUNT(DISTINCT)
+    * semantics — with the one contract divergence that a group holding
+    * ONLY nulls has no state row at all (reads as absent, where a
+    * recompute's groupBy would keep it at 0). State size is O(distinct
+    * (group, value) pairs) — the cardinality a recompute would shuffle on
+    * EVERY refresh, held once and updated with delta-sized folds instead.
     */
   def stateDistinct(snapshot: DataFrame, groupCol: String, valueCol: String)
       : DataFrame =
-    snapshot.groupBy(col(groupCol),
+    snapshot.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
         col(valueCol).cast(DecimalType(18, 2)).as("__v"))
       .agg(count(lit(1)).as("m"))
 
@@ -121,7 +125,8 @@ object IncrementalView {
   def applyFeedDistinct(state: DataFrame, feed: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
     state.unionByName(
-        feed.groupBy(col(groupCol),
+        feed.where(col(valueCol).isNotNull)
+          .groupBy(col(groupCol),
             col(valueCol).cast(DecimalType(18, 2)).as("__v"))
           .agg(sum(col("__sign")).as("m")))
       .groupBy(groupCol, "__v")

@@ -32,6 +32,28 @@ object StreamingUpsert {
     } else (sourcePath, sourcePath)
   }
 
+  /** Shared plumbing for the foreachBatch sinks: file-source stream over
+    * the backlog → `Trigger.AvailableNow` → `sink` per micro-batch, with
+    * checkpointed exactly-once progress. One implementation so a source
+    * or trigger fix can never reach one sink and miss the other.
+    */
+  private def runBatches(spark: SparkSession, sourceDir: String,
+      schema: StructType, checkpointDir: String, maxFilesPerTrigger: Int)
+      (sink: DataFrame => Unit): Unit = {
+    val (src, base) = globAndBase(sourceDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", base)
+      .parquet(src)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, _: Long) => sink(batch))
+      .start()
+    query.awaitTermination()
+  }
+
   /** Stream every file under `sourceDir` into a PK-merged parquet table at
     * `targetPath`. AvailableNow processes the current backlog then stops —
     * the streaming equivalent of one scheduled incremental run; a live
@@ -46,22 +68,10 @@ object StreamingUpsert {
       checkpointDir: String,
       pk: Seq[String],
       maxFilesPerTrigger: Int = 1000,
-  ): Unit = {
-    val (src, base) = globAndBase(sourceDir)
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("basePath", base)
-      .parquet(src)
-    val query = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        UpsertWriter.upsert(batch.sparkSession, targetPath, batch, pk)
-      }
-      .start()
-    query.awaitTermination()
-  }
+  ): Unit =
+    runBatches(spark, sourceDir, schema, checkpointDir, maxFilesPerTrigger) {
+      batch => UpsertWriter.upsert(batch.sparkSession, targetPath, batch, pk)
+    }
 
   /** Stream the backlog into a [[graft.store.VersionedTable]]: every
     * micro-batch PK-merges and COMMITS A VERSION, so the stream leaves a
@@ -80,23 +90,11 @@ object StreamingUpsert {
       checkpointDir: String,
       pk: Seq[String],
       maxFilesPerTrigger: Int = 1,
-  ): Unit = {
-    val (src, base) = globAndBase(sourceDir)
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("basePath", base)
-      .parquet(src)
-    val query = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.store.VersionedTable.upsert(
-          batch.sparkSession, tableRoot, batch, pk): Unit
-      }
-      .start()
-    query.awaitTermination()
-  }
+  ): Unit =
+    runBatches(spark, sourceDir, schema, checkpointDir, maxFilesPerTrigger) {
+      batch => graft.store.VersionedTable.upsert(
+        batch.sparkSession, tableRoot, batch, pk): Unit
+    }
 
   /** Windowed streaming aggregation with a watermark — the standard
     * late-data-bounded shape (10-minute windows, `lateness` allowed).
