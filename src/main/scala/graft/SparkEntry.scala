@@ -1879,6 +1879,20 @@ object SparkEntry {
         .select("doc_id", "root", "split")
         .orderBy("doc_id")
     }),
+
+    // per-group winsorization: prices clipped to the exact per-flag
+    // [p05, p95] quantiles (quantile_cont-parity percentile + elementwise
+    // least/greatest — every output double is either a raw input value or
+    // a group constant, so the twin hash-matches exactly)
+    "q108_winsorize" -> ((s, dir) =>
+      graft.transform.PriceTransforms.winsorize(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+              "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").as("w_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2537,6 +2551,16 @@ object SparkEntry {
            |${clusterCtes("documents")}
            |SELECT src AS doc_id, min(dst) AS root FROM reach
            |GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      "q108_winsorize" ->
+        """WITH b AS (SELECT l_returnflag,
+          |    quantile_cont(l_extendedprice, 0.05) AS plo,
+          |    quantile_cont(l_extendedprice, 0.95) AS phi
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+          |  least(greatest(l.l_extendedprice, b.plo), b.phi) AS w_price
+          |FROM lineitem l JOIN b USING (l_returnflag)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -132,4 +132,32 @@ object PriceTransforms {
       longDf.withColumn("symbol", normalizeFxSymbol(col("symbol")))
     else longDf
   }
+
+  /** Per-group winsorization: clip `valueCol` to its group's exact
+    * [lo, hi] quantiles — the standard outlier treatment before
+    * statistics on heavy-tailed financial series (a fat-finger print
+    * stops dominating a daily mean without dropping the row). Quantiles
+    * are sort-based EXACT percentiles with linear interpolation — the
+    * same definition as DuckDB's quantile_cont, parity pinned by q74 —
+    * so the clip is engine-portable. Null values pass through null.
+    *
+    * Scale shape: the bounds frame is one row per group (symbol
+    * cardinality — dim-sized) and broadcasts to the clip join, so the
+    * data is scanned twice but never shuffled; drop the broadcast hint if
+    * the group count is genuinely corpus-scale.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      "quantile bounds must satisfy 0 <= lo <= hi <= 1")
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("__wlo"),
+      expr(s"percentile($valueCol, $hi)").as("__whi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valueCol,
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol).cast("double"),
+            col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
 }

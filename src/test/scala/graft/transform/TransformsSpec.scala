@@ -93,4 +93,22 @@ class TransformsSpec extends SparkSpec {
         "adj close"))
     assert(out.collect()(0).getAs[Double]("adj close") == 1.4)
   }
+
+  test("winsorize clips to exact per-group quantiles; nulls pass through") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", None), ("b", Some(100.0)), ("b", Some(200.0)),
+        ("b", Some(300.0))))
+      .toDF("g", "x")
+    val got = PriceTransforms.winsorize(df, "g", "x", 0.25, 0.75)
+      .orderBy("g", "x").as[(String, Option[Double])].collect().toSeq
+    // group a: p25 of 1..10 = 3.25, p75 = 7.75 (linear interpolation);
+    // group b: p25 of {100,200,300} = 150, p75 = 250; null stays null and
+    // does not perturb the bounds
+    assert(got == Seq(
+      ("a", None), ("a", Some(3.25)), ("a", Some(3.25)), ("a", Some(3.25)),
+      ("a", Some(4.0)), ("a", Some(5.0)), ("a", Some(6.0)), ("a", Some(7.0)),
+      ("a", Some(7.75)), ("a", Some(7.75)), ("a", Some(7.75)),
+      ("b", Some(150.0)), ("b", Some(200.0)), ("b", Some(250.0))))
+  }
 }
