@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
+import graft.operators.{Dedup, Multimodal, Retrieval, Similarity, Temporal}
 import graft.store.UpsertWriter
 import graft.validate.Validator
 import graft.warehouse.Models
@@ -1902,6 +1902,30 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_extendedprice").as("w_price"))
         .orderBy("l_orderkey", "l_linenumber")),
+
+    // inverted index over trigram shingle terms: exact df / total tf per
+    // term; posting lists materialize only for terms with df <= 16 (stop
+    // terms elide to NULL so no reduce task ever builds a corpus-sized
+    // list — stats stay exact for every term)
+    "q109_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, postingsCap = 16)
+        .orderBy("term")),
+
+    // BM25 top-25 for a 3-term query: tf counted inside the token array
+    // (no explode/shuffle of corpus rows), corpus stats via a one-row
+    // broadcast, TakeOrdered top-k; scores emitted in exact micro-units
+    "q110_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("dup", "spark", "merge"), topK = 25)),
+
+    // rare-bigram quality gate: occurrences whose corpus frequency is
+    // under 1/8 of the mean flag as rare; docs over 5% rare are dropped.
+    // The threshold compare is pure integer (decimal-38) math
+    "q111_rare_ngram_gate" -> ((s, dir) =>
+      Retrieval.rareNgramGate(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, rareFactor = 8, keepDen = 20)
+        .orderBy("doc_id")),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2570,6 +2594,62 @@ object SparkEntry {
           |  least(greatest(l.l_extendedprice, b.plo), b.phi) AS w_price
           |FROM lineitem l JOIN b USING (l_returnflag)
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q109_inverted_index" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(${shinglesSql("tk")}) AS term
+           |  FROM tk),
+           |per AS (SELECT term, doc_id, count(*) AS tf FROM sh GROUP BY 1, 2)
+           |SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |  CAST(sum(tf) AS BIGINT) AS tf_total,
+           |  CASE WHEN count(*) <= 16 THEN
+           |    array_to_string(list_sort(list(doc_id)), ',') END AS postings
+           |FROM per GROUP BY term ORDER BY term""".stripMargin,
+
+      "q110_bm25_topk" -> {
+        // same operand ORDER as Retrieval.bm25TopK so identical integer
+        // inputs take identical IEEE paths; ln() may differ by an ulp
+        // between libms, which the micro-unit rounding absorbs
+        val terms = Seq("dup", "spark", "merge")
+        val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf$i"
+        }.mkString(",\n  ")
+        val dfCols = terms.indices.map { i =>
+          s"CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
+        }.mkString(",\n  ")
+        val w = terms.indices.map { i =>
+          s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
+            s" / (CAST(df$i AS DOUBLE) + 0.5))" +
+            s" * (CAST(tf$i AS DOUBLE) * 2.2)" +
+            s" / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 *" +
+            s" CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        }.mkString(" + ")
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |per AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |  $tfCols
+           |  FROM tk),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dl) AS BIGINT) AS sdl,
+           |  $dfCols FROM per)
+           |SELECT doc_id, CAST(round(($w) * 1e6) AS BIGINT) AS score_e6
+           |FROM per, st ORDER BY score_e6 DESC, doc_id LIMIT 25""".stripMargin
+      },
+
+      "q111_rare_ngram_gate" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |gg AS (SELECT doc_id, unnest(${shinglesSql("tk", 2)}) AS g
+           |  FROM tk),
+           |c AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM gg
+           |  GROUP BY g),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS d,
+           |  CAST(sum(cnt) AS BIGINT) AS tt FROM c)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           |  CAST(count(*) FILTER (WHERE c.cnt * 8 * t.d < t.tt) AS BIGINT)
+           |    AS n_rare,
+           |  CAST(count(*) FILTER (WHERE c.cnt * 8 * t.d < t.tt) AS BIGINT)
+           |    * 20 <= CAST(count(*) AS BIGINT) AS keep
+           |FROM gg JOIN c USING (g), t
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Ranked-retrieval operators over a document corpus: the inverted-index
+  * build, BM25 top-k scoring, and a rare-n-gram quality gate.
+  *
+  * The reference pipeline has no retrieval surface — these extend the
+  * LLM-training-data suite (dedup/decontamination/quality already in
+  * [[Dedup]]/[[Corpus]]) with the index-build and scoring passes a corpus
+  * curation stack runs before mixing: BM25 per Robertson & Zaragoza,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond" (2009).
+  *
+  * Scale shapes (the point of doing these in Spark):
+  *  - [[invertedIndex]]: two key-partitioned shuffles, both with map-side
+  *    partial aggregation; posting LISTS materialize only for terms whose
+  *    document frequency is at or under a cap, so a stop-term can never
+  *    produce a corpus-sized array in one reduce task (classic posting
+  *    elision — the df/tf stats are still exact for every term).
+  *  - [[bm25TopK]]: per-document term frequencies are counted INSIDE the
+  *    token array (no explode, no shuffle of corpus rows); the only wide
+  *    traffic is a one-row corpus-stats aggregate broadcast back, and the
+  *    top-k is a TakeOrdered, never a full sort.
+  *  - [[rareNgramGate]]: one n-gram count shuffle plus one
+  *    frequency-annotation join keyed on the n-gram (AQE splits a skewed
+  *    stop-gram key); the rareness threshold is relative to the corpus
+  *    mean frequency, so the same parameters work at any scale.
+  */
+object Retrieval {
+
+  /** Inverted index over `n`-token shingle terms: one row per distinct
+    * term with exact document frequency `df`, exact total occurrence count
+    * `tf_total`, and `postings` — the comma-joined sorted doc-id list when
+    * `df <= postingsCap`, NULL otherwise (elided, stats still exact).
+    *
+    * First aggregate by (term, doc) so the second one sees at most one row
+    * per posting — per-term reduce input is bounded by the corpus doc
+    * count, never the occurrence count, and both shuffles combine
+    * map-side.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, postingsCap: Int = 16): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("tf_total"),
+      when(count(lit(1)) <= postingsCap,
+        concat_ws(",", sort_array(collect_list(col("doc_id")))))
+        .as("postings"))
+  }
+
+  /** BM25 top-k for a fixed bag of query `terms`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); a term absent from a
+    * document contributes exactly 0 (zero numerator), so the per-document
+    * score is a FIXED-ORDER sum over the query terms — no aggregation
+    * order can perturb the float result between runs or engines.
+    *
+    * Output is (doc_id, score_e6) with score_e6 = round(score·10⁶) as a
+    * long: micro-units survive the 1-ulp library differences a raw
+    * transcendental double would trip on, while still ordering ranks
+    * exactly. Ordered by (score_e6 desc, doc_id), limited to `topK`.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("toks"), x => x === lit(terms(i))))
+        .cast("long").as(s"tf$i")
+    }
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl")
+        +: tfCols: _*)
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    // per-term contribution, written with the SAME operand order as the
+    // DuckDB twin so identical inputs take identical IEEE paths
+    def w(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val score = terms.indices.map(w).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(score * lit(1e6)).cast("long").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Quality gate on corpus-rare n-grams: a document whose text is full of
+    * n-grams nobody else writes is likely garbled (OCR noise, mojibake,
+    * hash soup). Emits per doc the n-gram total, the count of occurrences
+    * whose corpus frequency is below 1/`rareFactor` of the corpus MEAN
+    * n-gram frequency, and `keep` = rare share at most 1/`keepDen`.
+    *
+    * The threshold compare is `cnt · rareFactor · D < T` (D = distinct
+    * n-grams, T = total occurrences) evaluated in 38-digit decimal — exact
+    * integer math at any scale, no float in the gate.
+    */
+  def rareNgramGate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, rareFactor: Int = 8, keepDen: Int = 20): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("d"), sum("cnt").as("t"))
+    val flagged = counts.crossJoin(broadcast(totals))
+      .select(col("g"),
+        (col("cnt").cast("decimal(38,0)") * lit(rareFactor) * col("d")
+          < col("t").cast("decimal(38,0)")).as("is_rare"))
+    grams.join(flagged, "g")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_ngrams"),
+        count(when(col("is_rare"), 1)).as("n_rare"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_rare"),
+        (col("n_rare") * lit(keepDen) <= col("n_ngrams")).as("keep"))
+  }
+}

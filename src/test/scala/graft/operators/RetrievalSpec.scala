@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("invertedIndex: exact df/tf_total, sorted postings, elision over cap") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: "a b" x3, "b a" x2
+      (2L, "a b c"),       // "a b", "b c"
+      (3L, "c d")          // "c d"
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
+        n = 2, postingsCap = 1)
+      .orderBy("term")
+      .as[(String, Long, Long, Option[String])].collect().toSeq
+    assert(idx == Seq(
+      ("a b", 2L, 4L, None),       // df 2 > cap 1 -> postings elided
+      ("b a", 1L, 2L, Some("1")),
+      ("b c", 1L, 1L, Some("2")),
+      ("c d", 1L, 1L, Some("3"))))
+    // raise the cap: the elided posting materializes, sorted
+    val full = Retrieval.invertedIndex(docs, "doc_id", "text",
+        n = 2, postingsCap = 16)
+      .where(col("term") === "a b").select("postings").as[String].head()
+    assert(full == "1,2")
+  }
+
+  test("bm25TopK: hand-computed scores, absent term contributes zero") {
+    val docs = Seq(
+      (1L, "x x y"), // tf(x)=2, dl=3
+      (2L, "x z z"), // tf(x)=1, dl=3
+      (3L, "z z z") // tf(x)=0, dl=3
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("x"), topK = 3)
+      .as[(Long, Long)].collect().toSeq
+    // N=3, df=2, avgdl=3, dl/avgdl=1 -> denom tf + k1
+    def s(tf: Double): Long = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      math.round(idf * (tf * 2.2) / (tf + 1.2) * 1e6)
+    }
+    assert(got == Seq((1L, s(2)), (2L, s(1)), (3L, 0L)))
+  }
+
+  test("bm25TopK: multi-term scores sum in fixed order; topK truncates") {
+    val docs = Seq(
+      (1L, "p q"), (2L, "p p"), (3L, "q q"), (4L, "r r")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("p", "q"), topK = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.length == 2)
+    // doc 1 holds both terms once; docs 2/3 hold one term twice. With
+    // equal df the two-term doc must outrank the repeat (BM25 tf
+    // saturation), and doc 2 beats doc 3 only on the id tiebreak.
+    assert(got.head._1 == 1L)
+    assert(got(1)._1 == 2L)
+  }
+
+  test("rareNgramGate: relative threshold flags the odd doc out") {
+    // 40 normal docs share one bigram; one noise doc contributes two
+    // singleton bigrams -> mean freq is high, singletons are rare
+    val docs = ((1 to 40).map(i => (i.toLong, "a b")) :+
+      (99L, "z q j")).toDF("doc_id", "text")
+    val out = Retrieval.rareNgramGate(docs, "doc_id", "text",
+        n = 2, rareFactor = 8, keepDen = 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 41)
+    val normal = out.filter(_._1 <= 40)
+    assert(normal.forall { case (_, ng, rare, keep) =>
+      ng == 1L && rare == 0L && keep })
+    val noise = out.last
+    assert(noise == ((99L, 2L, 2L, false)))
+  }
+
+  test("rareNgramGate: uniform corpus has no rare n-grams") {
+    val docs = (1 to 10).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    val out = Retrieval.rareNgramGate(docs, "doc_id", "text", n = 2)
+    assert(out.where(!col("keep")).count() == 0)
+    assert(out.agg(sum("n_rare")).as[Long].head() == 0L)
+  }
+}
