@@ -160,6 +160,26 @@ object SparkEntry {
       root
     }
 
+  /** q112's input: a 3-version documents table (v0 = full corpus; v1
+    * upserts every 5th doc with one appended token; v2 deletes every 7th
+    * doc) — the mutation rules are pure doc_id arithmetic so the DuckDB
+    * twin can rebuild the final corpus without seeing the lake.
+    */
+  private def q112Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q112", dir) { () =>
+      val root = scratch("graft_q112_") + "/tbl"
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.store.VersionedTable.write(docs, root)
+      graft.store.VersionedTable.upsert(s, root,
+        docs.where(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" graftextra"))),
+        Seq("doc_id"))
+      graft.store.VersionedTable.delete(s, root,
+        docs.where(col("doc_id") % 7 === 0).select("doc_id"),
+        Seq("doc_id"))
+      root
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -1926,6 +1946,34 @@ object SparkEntry {
       Retrieval.rareNgramGate(t(s, dir, "documents"), "doc_id", "text",
           n = 2, rareFactor = 8, keepDen = 20)
         .orderBy("doc_id")),
+
+    // incrementally-maintained inverted index: the (term, doc, tf)
+    // multiplicity state folds two delta-sized change feeds (doc rewrite,
+    // doc delete) and must equal a full re-tokenize of the final corpus —
+    // the retrieval member of the incremental-view family (q95/q99/q103/
+    // q105). Twin rebuilds the final corpus from the pure doc_id mutation
+    // rules; the ok gate compares fold vs rebuild in-query
+    "q112_incremental_index" -> ((s, dir) => {
+      val root = q112Fixture(s, dir)
+      import graft.store.VersionedTable
+      val s0 = Retrieval.indexState(
+        VersionedTable.read(s, root, Some(0L)), "doc_id", "text")
+      val s1 = Retrieval.applyFeedIndex(s0,
+        VersionedTable.changeFeed(s, root, 0L, 1L, Seq("doc_id")),
+        "doc_id", "text")
+      val s2 = Retrieval.applyFeedIndex(s1,
+        VersionedTable.changeFeed(s, root, 1L, 2L, Seq("doc_id")),
+        "doc_id", "text")
+      val inc = Retrieval.termStats(s2)
+        .select(col("term"), col("df").as("df_i"), col("tf_total").as("t_i"))
+      val full = Retrieval.termStats(Retrieval.indexState(
+        VersionedTable.read(s, root), "doc_id", "text"))
+      full.join(inc, Seq("term"), "full_outer")
+        .select(col("term"), col("df"), col("tf_total"),
+          (col("df") <=> col("df_i") && col("tf_total") <=> col("t_i"))
+            .as("ok"))
+        .orderBy("term")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2650,6 +2698,19 @@ object SparkEntry {
            |    * 20 <= CAST(count(*) AS BIGINT) AS keep
            |FROM gg JOIN c USING (g), t
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q112_incremental_index" ->
+        s"""WITH base AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || ' graftextra'
+           |      ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |tk AS (SELECT doc_id, $toksSql AS tk FROM base),
+           |sh AS (SELECT doc_id, unnest(${shinglesSql("tk")}) AS term
+           |  FROM tk),
+           |per AS (SELECT term, doc_id, count(*) AS tf FROM sh GROUP BY 1, 2)
+           |SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |  CAST(sum(tf) AS BIGINT) AS tf_total, TRUE AS ok
+           |FROM per GROUP BY term ORDER BY term""".stripMargin,
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

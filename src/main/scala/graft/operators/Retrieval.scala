@@ -103,6 +103,44 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Bootstrap the (term, doc, tf) multiplicity state for an INCREMENTALLY
+    * maintained inverted index — the retrieval twin of the lakehouse
+    * incremental-view family ([[graft.store.IncrementalView]]): term
+    * frequencies are sign-foldable, so the index follows a mutating
+    * corpus from delta-sized change feeds instead of re-tokenizing
+    * everything after every merge. State size is O(postings) — exactly
+    * what a full rebuild would shuffle on EVERY refresh, held once.
+    */
+  def indexState(snapshot: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    snapshot.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Fold one signed [[graft.store.VersionedTable.changeFeed]] into the
+    * index state: an updated document contributes −old terms +new terms
+    * (both images arrive sign-weighted in the feed), a delete retracts
+    * its whole term multiset. Work per refresh is changed-docs ×
+    * terms-per-doc plus a state-sized re-aggregation — the corpus is
+    * never re-tokenized. Postings whose tf reaches zero vanish, matching
+    * a rebuild that never saw the doc.
+    */
+  def applyFeedIndex(state: DataFrame, feed: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    state.unionByName(
+        feed.select(col(idCol).as("doc_id"), col("__sign"),
+            explode(TextFunctions.shingles(col(textCol), n)).as("term"))
+          .groupBy("term", "doc_id").agg(sum(col("__sign")).as("tf")))
+      .groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+      .where(col("tf") > 0)
+
+  /** Read (term, df, tf_total) off an [[indexState]] state — one
+    * state-sized aggregation, no corpus access.
+    */
+  def termStats(state: DataFrame): DataFrame =
+    state.groupBy("term").agg(
+      count(lit(1)).as("df"), sum("tf").as("tf_total"))
+
   /** Quality gate on corpus-rare n-grams: a document whose text is full of
     * n-grams nobody else writes is likely garbled (OCR noise, mojibake,
     * hash soup). Emits per doc the n-gram total, the count of occurrences

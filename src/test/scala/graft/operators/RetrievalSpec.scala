@@ -78,6 +78,34 @@ class RetrievalSpec extends SparkSpec {
     assert(noise == ((99L, 2L, 2L, false)))
   }
 
+  test("incremental index: folded feeds equal a rebuild under update+delete") {
+    import graft.store.VersionedTable
+    val r = java.nio.file.Files.createTempDirectory("graft_rix_").toString + "/t"
+    VersionedTable.write(Seq(
+      (1L, "a b c d"), (2L, "a b x"), (3L, "c d e")).toDF("doc_id", "text"), r)
+    // v1: doc 2 rewritten (retracts "a b"/"b x", adds new bigrams)
+    VersionedTable.upsert(spark, r,
+      Seq((2L, "c d y")).toDF("doc_id", "text"), Seq("doc_id"))
+    // v2: doc 3 deleted (its whole term multiset retracts)
+    VersionedTable.delete(spark, r,
+      Seq(Tuple1(3L)).toDF("doc_id"), Seq("doc_id"))
+    val s0 = Retrieval.indexState(
+      VersionedTable.read(spark, r, Some(0L)), "doc_id", "text", n = 2)
+    val s2 = Seq((0L, 1L), (1L, 2L)).foldLeft(s0) { case (st, (a, b)) =>
+      Retrieval.applyFeedIndex(st,
+        VersionedTable.changeFeed(spark, r, a, b, Seq("doc_id")),
+        "doc_id", "text", n = 2)
+    }
+    val inc = Retrieval.termStats(s2).orderBy("term")
+      .as[(String, Long, Long)].collect().toSeq
+    val full = Retrieval.termStats(Retrieval.indexState(
+        VersionedTable.read(spark, r), "doc_id", "text", n = 2))
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    assert(inc == full)
+    assert(inc == Seq(("a b", 1L, 1L), ("b c", 1L, 1L),
+      ("c d", 2L, 2L), ("d y", 1L, 1L)))
+  }
+
   test("rareNgramGate: uniform corpus has no rare n-grams") {
     val docs = (1 to 10).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
     val out = Retrieval.rareNgramGate(docs, "doc_id", "text", n = 2)
