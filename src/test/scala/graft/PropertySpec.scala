@@ -238,6 +238,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental index folds equal rebuilds for random corpus mutations") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Retrieval
+    import graft.store.VersionedTable
+    // random (id, text) batches from a small vocab: rewrites retract old
+    // term multisets and add new ones, then a delete wave retracts whole
+    // docs — the folded (term, doc, tf) state must equal a re-tokenize of
+    // the final snapshot for ANY chain
+    val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij")
+    val docGen = Gen.zip(Gen.choose(0L, 9L),
+      Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" "))))
+    val batchGen = Gen.listOfN(12, docGen)
+    forAllSampled(Gen.listOfN(3, batchGen), n = 3) { versionBatches =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft_pix_").toString + "/t"
+      VersionedTable.write(
+        versionBatches.head.toDF("doc_id", "text").dropDuplicates("doc_id"), r)
+      for (batch <- versionBatches.tail)
+        VersionedTable.upsert(spark, r,
+          batch.toDF("doc_id", "text").dropDuplicates("doc_id"), Seq("doc_id"))
+      VersionedTable.delete(spark, r,
+        VersionedTable.read(spark, r).where(col("doc_id") % 3 === 0)
+          .select("doc_id"),
+        Seq("doc_id"))
+      val vs = VersionedTable.versions(r).sorted
+      var st = Retrieval.indexState(
+        VersionedTable.read(spark, r, Some(vs.head)), "doc_id", "text", n = 2)
+      for ((a, b) <- vs.zip(vs.tail))
+        st = Retrieval.applyFeedIndex(st,
+          VersionedTable.changeFeed(spark, r, a, b, Seq("doc_id")),
+          "doc_id", "text", n = 2)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .toSeq.sorted
+      // the fine-grained state itself must match, not just the term stats
+      assert(rows(st) == rows(Retrieval.indexState(
+        VersionedTable.read(spark, r), "doc_id", "text", n = 2)))
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}
