@@ -1974,6 +1974,19 @@ object SparkEntry {
             .as("ok"))
         .orderBy("term")
     }),
+
+    // NEAR-dup decontamination: q71's exact rule drops a train doc on ANY
+    // shared shingle (verbatim leakage); this drops only LSH candidates of
+    // an eval doc whose exact distinct-shingle Jaccard verifies >= 0.5 —
+    // the paraphrased-leakage rule. Twin replays the banding + jaccard
+    "q113_decontaminate_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateNearDup(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2711,6 +2724,34 @@ object SparkEntry {
            |SELECT term, CAST(count(*) AS BIGINT) AS df,
            |  CAST(sum(tf) AS BIGINT) AS tf_total, TRUE AS ok
            |FROM per GROUP BY term ORDER BY term""".stripMargin,
+
+      "q113_decontaminate_neardup" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' " +
+            s"|| CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |tb AS (SELECT * FROM banded WHERE doc_id % 50 <> 0),
+           |eb AS (SELECT * FROM banded WHERE doc_id % 50 = 0),
+           |cand AS (SELECT DISTINCT tb.doc_id AS tid, eb.doc_id AS eid
+           |  FROM tb JOIN eb ON tb.band = eb.band AND tb.key = eb.key),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.tid, c.eid, count(*) AS i
+           |  FROM cand c JOIN sh a ON a.doc_id = c.tid
+           |  JOIN sh b ON b.doc_id = c.eid AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT i2.tid FROM inter i2
+           |  JOIN sz a ON a.doc_id = i2.tid JOIN sz b ON b.doc_id = i2.eid
+           |  WHERE CAST(i2.i AS DOUBLE) >=
+           |    0.5 * CAST(a.sz + b.sz - i2.i AS DOUBLE))
+           |SELECT d.doc_id, d.lang FROM documents d
+           |WHERE d.doc_id % 50 <> 0
+           |  AND d.doc_id NOT IN (SELECT tid FROM bad)
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

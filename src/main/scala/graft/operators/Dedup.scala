@@ -454,6 +454,53 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** NEAR-dup decontamination: [[decontaminate]] drops a train doc that
+    * shares ANY shingle with the eval set — right for verbatim leakage,
+    * too blunt for paraphrased/lightly-edited leakage where whole-doc
+    * similarity is the signal. This variant drops a train doc only when
+    * it is a minhash-LSH candidate of some eval doc AND the exact
+    * distinct-shingle Jaccard verifies ≥ `threshold`.
+    *
+    * Scale shape: signatures are the narrow fused kernel (no shuffle);
+    * candidate generation is a (band, key) equi-join — linear, never
+    * train × eval; ONLY candidate pairs pay the exact verify, and the
+    * intersection join is routed through the candidate set, so its size
+    * is Σ_candidates |A∩B|, bounded by candidates × doc length.
+    */
+  def decontaminateNearDup(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    def bandKeys(df: DataFrame, out: String) =
+      minhashSignature(df, k, shingleN, idCol, textCol)
+        .select(col(idCol).as(out), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), concat_ws("_", (0 until rowsPerBand)
+            .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col(out), col("bk.band"), col("bk.key"))
+    val cand = bandKeys(train, "tid")
+      .join(bandKeys(eval, "eid"), Seq("band", "key"))
+      .select("tid", "eid").distinct()
+    def shingleSet(df: DataFrame, out: String) = df.select(col(idCol).as(out),
+      explode(array_distinct(
+        graft.functions.TextExpressions.shingles(col(textCol), shingleN)))
+        .as("sh"))
+    // only candidate train docs explode their shingles for the verify
+    val ts = shingleSet(train, "tid")
+      .join(cand.select("tid").distinct(), Seq("tid"), "left_semi")
+    val es = shingleSet(eval, "eid")
+    val inter = cand.join(ts, Seq("tid")).join(es, Seq("eid", "sh"))
+      .groupBy("tid", "eid").agg(count(lit(1)).as("i"))
+    val szT = shingleSet(train, "tid").groupBy("tid").agg(count(lit(1)).as("sza"))
+    val szE = es.groupBy("eid").agg(count(lit(1)).as("szb"))
+    val bad = inter.join(szT, Seq("tid")).join(szE, Seq("eid"))
+      .where(col("i").cast("double") >=
+        lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
+      .select(col("tid").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Size-switched embedding near-dup — the registered default. Below
     * `allPairsRowLimit` rows the exact all-pairs form runs (it IS the
     * ground truth, and n² of a small n is cheap). Above it, candidates come

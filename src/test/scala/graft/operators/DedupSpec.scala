@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("decontaminateNearDup drops verified near-dups, spares light overlap") {
+    val para = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val train = Seq(
+      (1L, para + " w11"),                      // near-dup of eval 100
+      (2L, "only w1 w2 w3 borrowed briefly from it"), // shares a shingle, low jaccard
+      (3L, "zz yy xx ww vv uu tt ss")           // unrelated
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, para)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateNearDup(train, eval, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // doc 1 is an LSH candidate AND verifies jaccard >= 0.5 -> dropped;
+    // doc 2's single shared shingle fails the verify even if banded;
+    // the exact rule would have dropped BOTH 1 and 2
+    assert(kept == Seq(2L, 3L))
+    val exact = Dedup.decontaminate(train, eval, shingleN = 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(exact == Seq(3L))
+    // empty eval: nothing leaks, train unchanged
+    assert(Dedup.decontaminateNearDup(train,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 3)
+  }
+
   test("maximalMatchedSpans reports a long shared quote as ONE true-length span") {
     val quote = (1 to 20).map(i => s"q$i").mkString(" ") // 20-token verbatim quote
     val docs = Seq(
