@@ -180,6 +180,22 @@ object SparkEntry {
       root
     }
 
+  /** q114's input: the PQ index — m=16 sub-quantizers × 64 codewords over
+    * the unit-normalized corpus, plus the encoded per-vector codes. Index
+    * CONSTRUCTION (16 subspaces × 3 Lloyd passes), memoized like the
+    * versioned-table fixtures so the timed region is the ADC search +
+    * exact rerank, not the offline build.
+    */
+  private def q114Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q114", dir) { () =>
+      val base = scratch("graft_q114_")
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 16, k = 64, iterations = 3)
+      cb.write.parquet(s"$base/cb")
+      Similarity.pqEncode(emb, cb).write.parquet(s"$base/enc")
+      base
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -1987,6 +2003,27 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+
+    // PQ-compressed ANN: ADC over 16-byte codes ranks the whole corpus, a
+    // 100-candidate shortlist reranks with the exact cosine kernel (only
+    // the shortlist's full vectors are ever fetched). Gate mirrors
+    // q57/q102: recall@5 >= 0.9 vs brute force, proven in-query
+    "q114_ann_pq" -> ((s, dir) => {
+      val base = q114Fixture(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 50)
+      val cb = s.read.parquet(s"$base/cb")
+      val enc = s.read.parquet(s"$base/enc")
+      val ann = Similarity.pqTopKRerank(enc, cb, emb, probes,
+        k = 5, shortlist = 100)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).select(
+        col("n_exact"),
+        (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2752,6 +2789,19 @@ object SparkEntry {
            |  AND d.doc_id NOT IN (SELECT tid FROM bad)
            |ORDER BY d.doc_id""".stripMargin
       },
+
+      "q114_ann_pq" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -77,7 +77,18 @@ object VecOps {
     */
   def nearestCells(v: ArrayData, cvecs: Array[Array[Double]],
       cnorms: Array[Double], ids: Array[Long], nprobe: Int,
-      isFloat: Boolean): ArrayData = {
+      isFloat: Boolean): ArrayData =
+    nearestCells(v, cvecs, cnorms, ids, nprobe, isFloat, false)
+
+  /** `l2 = true` ranks centroids by ascending L2 distance instead of
+    * descending cosine, via the monotone-equivalent score
+    * x·c − ‖c‖²/2 (‖x‖² is constant per vector) — the assignment rule
+    * product quantization needs, where codeword MAGNITUDE matters for
+    * reconstruction, not just direction.
+    */
+  def nearestCells(v: ArrayData, cvecs: Array[Array[Double]],
+      cnorms: Array[Double], ids: Array[Long], nprobe: Int,
+      isFloat: Boolean, l2: Boolean): ArrayData = {
     val k = cvecs.length
     val n = v.numElements()
     var vn = 0.0
@@ -100,8 +111,12 @@ object VecOps {
         s += x * c(t)
         t += 1
       }
-      val denom = vn * cnorms(j)
-      sims(j) = if (denom == 0.0) Double.NegativeInfinity else s / denom
+      if (l2) {
+        sims(j) = s - (cnorms(j) * cnorms(j)) / 2.0
+      } else {
+        val denom = vn * cnorms(j)
+        sims(j) = if (denom == 0.0) Double.NegativeInfinity else s / denom
+      }
       j += 1
     }
     // selection: top nprobe by (sim desc, id asc); ids are sorted asc, so a
@@ -251,7 +266,7 @@ case class VecHyperplaneSig(child: Expression, nBits: Int)
   * ascending (ties resolve to the lower id, matching the window form).
   */
 case class VecNearestCentroids(child: Expression, ids: Array[Long],
-    cvecs: Array[Array[Double]], nprobe: Int)
+    cvecs: Array[Array[Double]], nprobe: Int, l2: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(cvecs.nonEmpty, "at least one centroid")
   require(nprobe > 0, "nprobe must be positive")
@@ -277,7 +292,7 @@ case class VecNearestCentroids(child: Expression, ids: Array[Long],
 
   override protected def nullSafeEval(v: Any): Any =
     VecOps.nearestCells(v.asInstanceOf[ArrayData], cvecs, cnorms, ids,
-      nprobe, isFloat)
+      nprobe, isFloat, l2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cvecsRef = ctx.addReferenceObj("cvecs", cvecs, "double[][]")
@@ -285,7 +300,7 @@ case class VecNearestCentroids(child: Expression, ids: Array[Long],
     val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.VecOps.nearestCells(" +
-        s"$v, $cvecsRef, $cnormsRef, $idsRef, $nprobe, $isFloat);")
+        s"$v, $cvecsRef, $cnormsRef, $idsRef, $nprobe, $isFloat, $l2);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -313,4 +328,13 @@ object VectorExpressions {
       cvecs: Array[Array[Double]], nprobe: Int): Column =
     GraftColumnBridge.column(
       VecNearestCentroids(GraftColumnBridge.expression(v), ids, cvecs, nprobe))
+
+  /** L2 variant: nearest by ascending squared distance (via the monotone
+    * x·c − ‖c‖²/2 score) — the product-quantization assignment rule.
+    */
+  def nearestCentroidsL2(v: Column, ids: Array[Long],
+      cvecs: Array[Array[Double]], nprobe: Int): Column =
+    GraftColumnBridge.column(
+      VecNearestCentroids(GraftColumnBridge.expression(v), ids, cvecs,
+        nprobe, l2 = true))
 }

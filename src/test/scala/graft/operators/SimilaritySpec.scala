@@ -90,4 +90,53 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSeq
     assert(ivf == bf)
   }
+
+  // deterministic pseudo-random 16-dim corpus (two planted near-dups)
+  private def pqCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until n).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val planted = base.take(2).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.01f)) // near-identical partners
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode emits m in-range codeword ids per vector") {
+    val corpus = pqCorpus(40)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    assert(cb.count() == 32) // 4 subspaces x 8 codewords
+    val codes = Similarity.pqEncode(corpus, cb)
+      .select("code").as[Seq[Long]].collect()
+    assert(codes.length == 42)
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
+  test("pqTopKRerank with a full-corpus shortlist equals brute force") {
+    val corpus = pqCorpus(30)
+    val probes = corpus.where($"vec_id" < 5)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    val enc = Similarity.pqEncode(corpus, cb)
+    // shortlist covers everything -> the exact rerank IS the answer
+    val got = Similarity.pqTopKRerank(enc, cb, corpus, probes,
+        k = 3, shortlist = 100)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("PQ ADC ranks a planted near-duplicate first even before rerank") {
+    val corpus = pqCorpus(40)
+    val probes = corpus.where($"vec_id" === 0L || $"vec_id" === 1L)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    val enc = Similarity.pqEncode(corpus, cb)
+    val top1 = Similarity.pqTopK(enc, cb, probes, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // strong similarity survives quantization: each planted pair finds
+    // its partner at rank 1 from codes alone
+    assert(top1 == Map(0L -> 1000L, 1L -> 1001L))
+  }
 }
