@@ -71,21 +71,31 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = minhashSignature(docs, k, shingleN, idCol, textCol)
-    val banded = sig.select(col(idCol), explode(array(
-      (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until rowsPerBand)
-            .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val banded = bandedKeys(docs, bands, rowsPerBand, shingleN, idCol,
+      textCol, idCol)
     val l = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
     val r = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** (id, band, key) LSH band keys for every doc — ONE definition of the
+    * banding rule, shared by [[minhashLshPairs]] and
+    * [[decontaminateNearDup]] so the two can never drift apart (the
+    * DuckDB oracles likewise share one `clusterCtes` banding fragment).
+    */
+  private[graft] def bandedKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      shingleN: Int, idCol: String, textCol: String, outIdCol: String)
+      : DataFrame =
+    minhashSignature(docs, bands * rowsPerBand, shingleN, idCol, textCol)
+      .select(col(idCol).as(outIdCol), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand)
+              .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col(outIdCol), col("bk.band"), col("bk.key"))
 
   /** SimHash over token hashes: bit b of the signature is set when the sum
     * over DISTINCT tokens of ±1 (by bit b of the token hash) is positive.
@@ -471,28 +481,24 @@ object Dedup {
       threshold: Double = 0.5, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val k = bands * rowsPerBand
-    def bandKeys(df: DataFrame, out: String) =
-      minhashSignature(df, k, shingleN, idCol, textCol)
-        .select(col(idCol).as(out), explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"), concat_ws("_", (0 until rowsPerBand)
-            .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
-        }: _*)).as("bk"))
-        .select(col(out), col("bk.band"), col("bk.key"))
-    val cand = bandKeys(train, "tid")
-      .join(bandKeys(eval, "eid"), Seq("band", "key"))
+    val cand = bandedKeys(train, bands, rowsPerBand, shingleN, idCol,
+        textCol, "tid")
+      .join(bandedKeys(eval, bands, rowsPerBand, shingleN, idCol,
+        textCol, "eid"), Seq("band", "key"))
       .select("tid", "eid").distinct()
     def shingleSet(df: DataFrame, out: String) = df.select(col(idCol).as(out),
       explode(array_distinct(
         graft.functions.TextExpressions.shingles(col(textCol), shingleN)))
         .as("sh"))
-    // only candidate train docs explode their shingles for the verify
+    // only candidate train docs explode their shingles for the verify —
+    // sizes derive from the same semi-joined frame, so non-candidate
+    // train docs are never exploded at all
     val ts = shingleSet(train, "tid")
       .join(cand.select("tid").distinct(), Seq("tid"), "left_semi")
     val es = shingleSet(eval, "eid")
     val inter = cand.join(ts, Seq("tid")).join(es, Seq("eid", "sh"))
       .groupBy("tid", "eid").agg(count(lit(1)).as("i"))
-    val szT = shingleSet(train, "tid").groupBy("tid").agg(count(lit(1)).as("sza"))
+    val szT = ts.groupBy("tid").agg(count(lit(1)).as("sza"))
     val szE = es.groupBy("eid").agg(count(lit(1)).as("szb"))
     val bad = inter.join(szT, Seq("tid")).join(szE, Seq("eid"))
       .where(col("i").cast("double") >=

@@ -47,12 +47,20 @@ object Retrieval {
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    perDoc.groupBy("term").agg(
-      count(lit(1)).as("df"),
-      sum("tf").as("tf_total"),
-      when(count(lit(1)) <= postingsCap,
-        concat_ws(",", sort_array(collect_list(col("doc_id")))))
-        .as("postings"))
+    val stats = perDoc.groupBy("term").agg(
+      count(lit(1)).as("df"), sum("tf").as("tf_total"))
+    // the df cap gates ACCUMULATION, not just projection: over-cap terms
+    // are semi-joined away BEFORE the collect_list, so a stop term's
+    // posting list is never even buffered in its reduce task (a
+    // result-side `when` would still build the corpus-sized array first)
+    val postings = perDoc
+      .join(stats.where(col("df") <= postingsCap).select("term"),
+        Seq("term"), "left_semi")
+      .groupBy("term").agg(
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+    stats.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"), col("tf_total"), col("postings"))
   }
 
   /** BM25 top-k for a fixed bag of query `terms`.

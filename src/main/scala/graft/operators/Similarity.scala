@@ -250,6 +250,20 @@ object Similarity {
 
   // ------------------------------------------------- product quantization
 
+  /** L2-normalize the embedding column (cosine is THE metric here, so PQ
+    * quantizes DIRECTIONS: after normalization cosine(q, x) = q̂·x̂ and the
+    * ADC rank needs no reconstructed-norm correction — the largest PQ
+    * ranking error source for cosine search). The norm is projected ONCE
+    * per row, not per element; zero vectors have no direction and are
+    * excluded, same contract as null embeddings everywhere else here.
+    */
+  private def unitize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), transform(col(vecCol),
+        x => (x / col("__n")).cast("float")).as(vecCol))
+
   /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", PAMI 2011): the embedding
     * splits into `m` contiguous subspaces and each subspace trains its own
@@ -260,16 +274,6 @@ object Similarity {
     * Codebooks are m·k·(dim/m) floats — metadata-sized index state.
     * Returns (subspace, codeword_id, cvec) rows.
     */
-  /** L2-normalize the embedding column (cosine is THE metric here, so PQ
-    * quantizes DIRECTIONS: after normalization cosine(q, x) = q̂·x̂ and the
-    * ADC rank needs no reconstructed-norm correction — the largest PQ
-    * ranking error source for cosine search).
-    */
-  private def unitize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.where(col(vecCol).isNotNull)
-      .select(col(idCol), transform(col(vecCol),
-        x => (x / norm(col(vecCol))).cast("float")).as(vecCol))
-
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       iterations: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -327,10 +331,11 @@ object Similarity {
     // per-query LUT over UNIT query directions: with unit-normalized
     // encodings, approximate cosine = Σ_s q̂_s · c_{s,code_s} directly
     val qRows = queries.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol)).collect().map { r =>
+      .select(col(idCol).cast("long"), col(vecCol)).collect().flatMap { r =>
         val raw = r.getSeq[Float](1).map(_.toDouble).toArray
         val qn = math.sqrt(raw.map(x => x * x).sum)
-        (r.getLong(0), raw.map(_ / qn))
+        // a zero query has no direction — excluded, matching unitize
+        if (qn > 0) Some((r.getLong(0), raw.map(_ / qn))) else None
       }
     val lut = spark.createDataFrame(qRows.flatMap { case (qid, qv) =>
       for (s <- 0 until m; j <- cb(s).indices) yield {
