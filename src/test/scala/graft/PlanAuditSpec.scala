@@ -376,4 +376,18 @@ class PlanAuditSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set(-1L, 1L) && rows(-1L) > 0 && rows(1L) > 0)
   }
+
+  test("inverted index gates posting ACCUMULATION behind the df-cap semi-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = graft.operators.Retrieval
+      .invertedIndex(docs, "doc_id", "text", n = 3, postingsCap = 16)
+    val p = plan(idx)
+    // a result-side when() would still buffer a corpus-sized posting list
+    // for stop terms: the under-cap filter must appear as a SEMI join
+    // upstream of the collect_list aggregate, so over-cap terms never
+    // reach its buffers at all
+    assert(p.contains("collect_list"), s"posting aggregate missing:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"df-cap gate must filter terms BEFORE the posting aggregate:\n$p")
+  }
 }
