@@ -481,6 +481,12 @@ object Dedup {
       threshold: Double = 0.5, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    // the verify counts SHARED shingles (inner join): a candidate pair
+    // with zero overlap produces no intersection row, which only matches
+    // "jaccard >= threshold" when the threshold is positive
+    require(threshold > 0, "decontaminateNearDup needs threshold > 0 — " +
+      "at 0 every banded candidate would drop; use decontaminate() for " +
+      "any-overlap semantics")
     val cand = bandedKeys(train, bands, rowsPerBand, shingleN, idCol,
         textCol, "tid")
       .join(bandedKeys(eval, bands, rowsPerBand, shingleN, idCol,

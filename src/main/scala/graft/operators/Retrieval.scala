@@ -43,12 +43,11 @@ object Retrieval {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, postingsCap: Int = 16): DataFrame = {
-    val perDoc = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val stats = perDoc.groupBy("term").agg(
-      count(lit(1)).as("df"), sum("tf").as("tf_total"))
+    // ONE definition of the (term, doc, tf) rule and its term rollup —
+    // shared with the incremental-index state so the q112 fold-vs-rebuild
+    // equivalence can never drift from what this index computes
+    val perDoc = indexState(docs, idCol, textCol, n)
+    val stats = termStats(perDoc)
     // the df cap gates ACCUMULATION, not just projection: over-cap terms
     // are semi-joined away BEFORE the collect_list, so a stop term's
     // posting list is never even buffered in its reduce task (a

@@ -52,19 +52,23 @@ object Similarity {
     * O(metadata); widening float→double is exact, keeping the kernel's
     * arithmetic bit-identical to the float-array join form.
     */
+  /** Float/double-tolerant vector extraction for driver-side collects —
+    * both array element types are valid embedding columns everywhere in
+    * this module, so every collect must accept either.
+    */
+  private def toDoubles(xs: Seq[Any]): Array[Double] = xs.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case x => x.asInstanceOf[Number].doubleValue()
+  }.toArray
+
   private def collectCentroids(centroids: DataFrame,
       centroidIdCol: String, centroidVecCol: String)
       : (Array[Long], Array[Array[Double]]) = {
     val rows = centroids
       .select(col(centroidIdCol).cast("long"), col(centroidVecCol))
       .collect()
-      .map { r =>
-        r.getLong(0) -> r.getSeq[Any](1).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case x => x.asInstanceOf[Number].doubleValue()
-        }.toArray
-      }
+      .map(r => r.getLong(0) -> toDoubles(r.getSeq[Any](1)))
       .sortBy(_._1)
     (rows.map(_._1), rows.map(_._2))
   }
@@ -277,20 +281,28 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       iterations: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head().getInt(0)
+    val probe = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty,
+      "pqCodebooks: corpus has no non-null embeddings to train on")
+    val dim = probe(0).getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val unit = unitize(corpus, idCol, vecCol)
-    (0 until m).map { s =>
-      // L2 Lloyd's: codeword MAGNITUDE matters for reconstructing dot
-      // products, so subspace codebooks train on distance, not direction
-      kmeans(unit.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
-          k, iterations, idCol, vecCol, l2 = true)
-        .select(lit(s).as("subspace"), col("centroid_id").as("codeword_id"),
-          col("cvec"))
-    }.reduce(_ unionByName _)
+    // every subspace's kmeans re-actions the corpus (init collect +
+    // per-iteration means): persist the unitized form once so the m ×
+    // (iterations+1) passes read cached rows, not parquet + renormalize
+    val unit = unitize(corpus, idCol, vecCol).persist()
+    try {
+      (0 until m).map { s =>
+        // L2 Lloyd's: codeword MAGNITUDE matters for reconstructing dot
+        // products, so subspace codebooks train on distance, not direction
+        kmeans(unit.select(col(idCol),
+            slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+            k, iterations, idCol, vecCol, l2 = true)
+          .select(lit(s).as("subspace"), col("centroid_id").as("codeword_id"),
+            col("cvec"))
+      }.reduce(_ unionByName _)
+    } finally unit.unpersist() // kmeans collects eagerly — lineage is done
   }
 
   /** Encode each vector as its `m` per-subspace codeword ids — one NARROW
@@ -332,7 +344,7 @@ object Similarity {
     // encodings, approximate cosine = Σ_s q̂_s · c_{s,code_s} directly
     val qRows = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol)).collect().flatMap { r =>
-        val raw = r.getSeq[Float](1).map(_.toDouble).toArray
+        val raw = toDoubles(r.getSeq[Any](1))
         val qn = math.sqrt(raw.map(x => x * x).sum)
         // a zero query has no direction — excluded, matching unitize
         if (qn > 0) Some((r.getLong(0), raw.map(_ / qn))) else None
@@ -373,10 +385,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cand = pqTopK(encoded, codebooks, queries, shortlist, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    // norms AFTER the candidate join: only the shortlist's rows pay the
+    // dim-length dot product, not the whole corpus
     val fetch = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        norm(col(vecCol)).as("cn"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cn", norm(col("cv")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
     val scored = fetch.join(q, Seq("query_id"))
@@ -399,6 +413,6 @@ object Similarity {
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
-        rows.sortBy(_.getLong(1)).map(_.getSeq[Float](2).map(_.toDouble).toArray)
+        rows.sortBy(_.getLong(1)).map(r => toDoubles(r.getSeq[Any](2)))
       }.toArray
 }
