@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregate
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -24,9 +24,24 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def rank(simCol: String, idCol: String) =
-    Window.partitionBy("query_id")
-      .orderBy(col(simCol).desc, col(idCol).asc)
+  /** Rank a `(query_id, neighbor_id, sim)`-shaped candidate frame to its
+    * per-query top-k via the bounded [[TopKAggregate]] heap — TWO-PHASE:
+    * each input partition partially aggregates to at most k entries per
+    * query before the shuffle, and the reduce side merges the bounded
+    * heaps. The `row_number().over(Window.partitionBy("query_id"))` form
+    * this replaces shuffled EVERY scored candidate of a query into one
+    * task and sorted there — corpus-sized for the ADC pass, a single-task
+    * wall at 100 TB. Rank order is identical: sim desc, neighbor id asc.
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKAggregate.topKByScore(col("sim"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"),
+        col("__e").getField("id").as("neighbor_id"),
+        (col("__pos") + lit(1)).cast("int").as("rnk"),
+        col("__e").getField("score").as("sim"))
 
   /** Exact top-k neighbors for each query vector (queries excluded from
     * their own result). `queries` must be small enough to broadcast — it is
@@ -41,10 +56,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineWithNorms(
         dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    scored
-      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    topKRanked(scored, k)
   }
 
   /** Collect a (centroid_id, cvec) table to driver arrays, id-ascending.
@@ -235,10 +247,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineWithNorms(
         dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    scored
-      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    topKRanked(scored, k)
   }
 
   /** IVF top-k: probe the query's `nprobe` closest cells (nprobe=1 = own
@@ -364,10 +373,7 @@ object Similarity {
       .groupBy("query_id", "neighbor_id")
       .agg(sum("pdot").as("sim"))
       .where(col("query_id") =!= col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    topKRanked(scored, k)
   }
 
   /** PQ shortlist + EXACT rerank — how production ANN actually deploys
@@ -396,10 +402,7 @@ object Similarity {
     val scored = fetch.join(q, Seq("query_id"))
       .withColumn("sim", cosineWithNorms(
         dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    scored
-      .withColumn("rnk", row_number().over(rank("sim", "neighbor_id")))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+    topKRanked(scored, k)
   }
 
   /** Collect (subspace, codeword_id, cvec) codebooks to driver arrays:

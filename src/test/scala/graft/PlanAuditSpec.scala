@@ -312,13 +312,22 @@ class PlanAuditSpec extends SparkSpec {
       s"z-value must stay codegen'd:\n$p")
   }
 
-  test("window ranking top-k does not collect to the driver") {
+  test("ANN top-k ranks via bounded partial aggregate, not a per-query window") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)
     val df = graft.operators.Similarity.bruteForceTopK(emb, q, k = 3)
     val p = plan(df)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$p")
+    // two-phase rank: the map side must PARTIALLY aggregate each query's
+    // candidates to a bounded k-entry heap before the shuffle — a
+    // per-query row_number window would instead sort the query's whole
+    // (corpus-sized) candidate set in one task
+    assert(p.contains("partial_topk_by_score"),
+      s"expected a map-side partial top-k heap:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed top-k heap should run in ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window "), s"window rank must be gone:\n$p")
     assert(df.count() == 9)
   }
 

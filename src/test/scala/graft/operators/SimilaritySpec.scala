@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -126,6 +128,53 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rnk")
       .as[(Long, Long, Int)].collect().toSet
     assert(got == want)
+  }
+
+  test("two-phase top-k equals window ranking: few queries × many candidates") {
+    // the skew shape the bounded heap exists for — 3 queries against a
+    // 4000-vector corpus, so each query's candidate set is corpus-sized
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    val corpus = spark.range(4000).select($"id".as("vec_id"),
+      array(
+        (pmod($"id" * 37 + 11, lit(97)).cast("float") / 97f),
+        (pmod($"id" * 53 + 29, lit(89)).cast("float") / 89f),
+        (pmod($"id" * 71 + 43, lit(83)).cast("float") / 83f))
+        .as("embedding"))
+    val probes = corpus.where($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(corpus, probes, k = 7)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // reference: the SAME scored frame ranked by the window form the
+    // aggregate replaced
+    val q = broadcast(probes.select($"vec_id".as("query_id"),
+      $"embedding".as("qv"), norm($"embedding").as("qn")))
+    val c = corpus.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("cv"), norm($"embedding").as("cn"))
+    val want = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("sim", cosineWithNorms(dot($"qv", $"cv"), $"qn", $"cn"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy($"sim".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= 7)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == want)
+    assert(got.size == 21) // 3 queries × k=7
+  }
+
+  test("topKByScore handles string ids and groups under k candidates") {
+    val scored = Seq(
+      ("q1", "docB", 0.9), ("q1", "docA", 0.9), ("q1", "docC", 0.5),
+      ("q2", "docZ", 0.1))
+      .toDF("query_id", "doc", "sim")
+    val got = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topKByScore($"sim", $"doc", 2)
+        .as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"query_id", $"e.id", $"pos")
+      .as[(String, String, Int)].collect().toSet
+    // tie at 0.9 breaks by id asc; q2 has only one candidate
+    assert(got == Set(("q1", "docA", 0), ("q1", "docB", 1), ("q2", "docZ", 0)))
   }
 
   test("PQ ADC ranks a planted near-duplicate first even before rerank") {
