@@ -253,24 +253,92 @@ object Corpus {
   /** Token-budget sequence packing: within each shard (e.g. language),
     * docs are laid out in deterministic id order and cut into packs of at
     * most `tokenBudget` tokens by cumulative offset — pack_id =
-    * (cumulative tokens BEFORE this doc) div budget. One shuffle by shard
-    * + one per-shard sort, the same cost profile as any window; this is
-    * the distributed shape of sequence packing for LLM pretraining
-    * batches (a doc may straddle a boundary; the trainer's loader splits
-    * it, which is not a relational concern).
+    * (cumulative tokens BEFORE this doc) div budget. This is the
+    * distributed shape of sequence packing for LLM pretraining batches (a
+    * doc may straddle a boundary; the trainer's loader splits it, which
+    * is not a relational concern).
+    *
+    * Scale shape — DISTRIBUTED PREFIX SUM, not a per-shard window: a
+    * `sum().over(Window.partitionBy(shard))` puts every row of a shard in
+    * ONE sort task, and a shard here is a language — most of the corpus
+    * at 100 TB. Instead the corpus range-partitions on (shard, id) — the
+    * same global order, but a shard spans as many partitions as its size
+    * demands — then (1) one metadata-sized pass collects per-(partition,
+    * shard) token subtotals, (2) the driver turns them into prefix
+    * offsets (O(partitions + shards) entries, broadcast back), and (3) a
+    * narrow second pass over the SAME shuffle output runs the local
+    * cumulative sum seeded by its partition's offset. Both passes share
+    * one RDD instance, so the range boundaries agree and the second job
+    * reuses the first's shuffle files. The pack arithmetic is identical
+    * to the window form: pack_id = (cum before this doc) div budget,
+    * integer-exact; a null token count yields a null pack_id and does not
+    * advance the offset, exactly as a window sum ignores nulls.
     */
   def packSequences(docs: DataFrame, shardCol: String, idCol: String,
       nTokensCol: Column, tokenBudget: Long): DataFrame = {
-    val w = Window.partitionBy(shardCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("__n_tokens", nTokensCol.cast("long"))
-      .withColumn("__cum", sum(col("__n_tokens")).over(w))
-      // integer `div`, not `/`: a double-typed divide would lose exactness
-      // on large cumulative offsets
-      .withColumn("pack_id",
-        expr(s"(__cum - __n_tokens) div ${tokenBudget}L"))
-      .drop("__cum")
+    require(tokenBudget >= 1, "packSequences needs a positive token budget")
+    val spark = docs.sparkSession
+    val prepared = docs.withColumn("__n_tokens", nTokensCol.cast("long"))
+    val sorted = prepared
+      .repartitionByRange(col(shardCol), col(idCol))
+      .sortWithinPartitions(col(shardCol), col(idCol))
+    val schema = sorted.schema
+    val shardIdx = schema.fieldIndex(shardCol)
+    val ntIdx = schema.fieldIndex("__n_tokens")
+    // ONE materialized RDD: both jobs below hang off the same shuffle
+    // dependency, so partition boundaries cannot drift between the
+    // subtotal pass and the cumsum pass
+    val rdd = sorted.rdd
+    // pass 1: per-(partition, shard) subtotals, in the partition's sort
+    // order — every shard PRESENT is recorded (null counts add 0) so the
+    // offset chain stays unbroken across partitions
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val perShard = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val sKey = r.get(shardIdx)
+        val nt = if (r.isNullAt(ntIdx)) 0L else r.getLong(ntIdx)
+        perShard.update(sKey, perShard.getOrElse(sKey, 0L) + nt)
+      }
+      Iterator.single(pid -> perShard.toVector)
+    }.collect()
+    // prefix offsets: tokens of the same shard in EARLIER partitions
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    subtotals.sortBy(_._1).foreach { case (pid, shards) =>
+      shards.foreach { case (sKey, tot) =>
+        offsets((pid, sKey)) = running.getOrElse(sKey, 0L)
+        running.update(sKey, running.getOrElse(sKey, 0L) + tot)
+      }
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+    // pass 2 (narrow, shuffle-file reuse): local running sum seeded by the
+    // broadcast offset; integer `div`-equivalent Long division keeps large
+    // cumulative offsets exact
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bOffsets.value
+      var cur: Any = null
+      var started = false
+      var cum = 0L
+      it.map { r =>
+        val sKey = r.get(shardIdx)
+        if (!started || sKey != cur) {
+          cur = sKey
+          started = true
+          cum = off.getOrElse((pid, sKey), 0L)
+        }
+        val packId: Any =
+          if (r.isNullAt(ntIdx)) null
+          else {
+            val before = cum
+            cum += r.getLong(ntIdx)
+            java.lang.Long.valueOf(before / tokenBudget)
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ packId)
+      }
+    }
+    spark.createDataFrame(packed,
+      schema.add(org.apache.spark.sql.types.StructField("pack_id",
+        org.apache.spark.sql.types.LongType, nullable = true)))
       .withColumnRenamed("__n_tokens", "n_tokens")
   }
 }

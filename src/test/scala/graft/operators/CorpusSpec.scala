@@ -205,4 +205,43 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(totals.forall(_ <= 100 + 30))
   }
+
+  test("packSequences pack_ids are partition-invariant and equal the window form") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // skewed shard mix: one dominant language, like a real corpus
+    val rows = (0 until 500).map { i =>
+      val lang = if (i % 17 == 0) "de" else if (i % 23 == 0) "fr" else "en"
+      (i.toLong, lang, rnd.nextInt(60) + 1)
+    }
+    val base = rows.toDF("doc_id", "lang", "nt")
+    def packIds(df: org.apache.spark.sql.DataFrame) =
+      Corpus.packSequences(df, "lang", "doc_id", col("nt"), tokenBudget = 100)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val a = packIds(base.repartition(1))
+    val b = packIds(base.repartition(7, col("doc_id")))
+    val c = packIds(base.repartition(32))
+    assert(a == b && b == c, "pack ids must not depend on input partitioning")
+    // the global prefix sum must reproduce the per-shard window exactly
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base
+      .withColumn("cum", sum(col("nt").cast("long")).over(w))
+      .select($"doc_id", expr("(cum - nt) div 100").as("pack_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(a == want)
+  }
+
+  test("packSequences: null token counts get null pack_id, don't shift offsets") {
+    val docs = Seq(
+      (0L, "en", Some(40L)), (1L, "en", None), (2L, "en", Some(70L)),
+      (3L, "en", Some(10L)))
+      .toDF("doc_id", "lang", "nt")
+    val out = Corpus.packSequences(docs, "lang", "doc_id", col("nt"), 100)
+      .select("doc_id", "pack_id").as[(Long, Option[Long])].collect().toMap
+    // cum before: 0, (null), 40, 110 — the null row neither packs nor
+    // advances the offset, same as the window-sum form
+    assert(out == Map(0L -> Some(0L), 1L -> None, 2L -> Some(0L),
+      3L -> Some(1L)))
+  }
 }
