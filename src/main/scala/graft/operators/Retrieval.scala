@@ -150,9 +150,14 @@ object Retrieval {
 
   /** Quality gate on corpus-rare n-grams: a document whose text is full of
     * n-grams nobody else writes is likely garbled (OCR noise, mojibake,
-    * hash soup). Emits per doc the n-gram total, the count of occurrences
-    * whose corpus frequency is below 1/`rareFactor` of the corpus MEAN
-    * n-gram frequency, and `keep` = rare share at most 1/`keepDen`.
+    * hash soup). Emits ONE ROW PER INPUT DOC: the n-gram total, the count
+    * of occurrences whose corpus frequency is below 1/`rareFactor` of the
+    * corpus MEAN n-gram frequency, and `keep` = rare share at most
+    * 1/`keepDen`. Docs shorter than n tokens are judged via their one
+    * degenerate short shingle (the library-wide [[TextFunctions.shingles]]
+    * contract); a doc with NULL text has no grams at all and surfaces as
+    * `(n_ngrams = 0, n_rare = 0, keep = true)` — nothing to judge, nothing
+    * to flag — so a caller filtering on `keep` never silently drops a doc.
     *
     * The threshold compare is `cnt · rareFactor · D < T` (D = distinct
     * n-grams, T = total occurrences) evaluated in 38-digit decimal — exact
@@ -168,11 +173,16 @@ object Retrieval {
       .select(col("g"),
         (col("cnt").cast("decimal(38,0)") * lit(rareFactor) * col("d")
           < col("t").cast("decimal(38,0)")).as("is_rare"))
-    grams.join(flagged, "g")
+    val judged = grams.join(flagged, "g")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_ngrams"),
         count(when(col("is_rare"), 1)).as("n_rare"))
-      .select(col("doc_id"), col("n_ngrams"), col("n_rare"),
-        (col("n_rare") * lit(keepDen) <= col("n_ngrams")).as("keep"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(judged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("n_rare") * lit(keepDen) <= col("n_ngrams"), lit(true))
+          .as("keep"))
   }
 }

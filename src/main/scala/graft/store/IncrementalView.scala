@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -62,16 +62,37 @@ object IncrementalView {
     * dirty-group rescan path exists or is needed. `total2` carries the
     * widened decimal(38,4) of the squared scale-2 values, so retractions
     * cancel bit-for-bit like they do for `total`.
+    *
+    * Magnitude bound: a decimal(18,2) value squares to at most ~10³², and
+    * total2 holds 34 integer digits, so a group can absorb ~100 worst-case
+    * values (or ~10²⁴ realistic ones) before the sum overflows. Under ANSI
+    * mode (the Spark 4 default) overflow throws; under non-ANSI it would
+    * silently null the lane — and because a recompute nulls identically,
+    * the corruption would pass the maintained-vs-recompute gate. So both
+    * state builders FAIL LOUDLY on the overflow signature instead: a null
+    * total2 beside a non-null total is impossible for real data (a group
+    * is either all-null — both lanes null — or has a value in both sums).
     */
   def stateMoments(snapshot: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val v = col(valueCol).cast(DecimalType(18, 2))
     snapshot.groupBy(groupCol).agg(
-      count(lit(1)).as("n"),
-      sum(v).cast(DecimalType(28, 2)).as("total"),
-      sum((v * v).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
-        .as("total2"))
+        count(lit(1)).as("n"),
+        sum(v).cast(DecimalType(28, 2)).as("total"),
+        sum((v * v).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
+          .as("total2"))
+      .select(col(groupCol), col("n"), col("total"), total2Checked)
   }
+
+  /** The non-ANSI decimal-overflow tripwire for the moments state: see
+    * [[stateMoments]]' magnitude-bound note.
+    */
+  private def total2Checked: Column =
+    when(col("total2").isNull && col("total").isNotNull,
+      raise_error(lit("IncrementalView moments: total2 overflowed " +
+        "decimal(38,4) — the maintained variance lane would be silently " +
+        "corrupt. Scale the values down or maintain per-subgroup states.")))
+      .otherwise(col("total2")).as("total2")
 
   /** Fold one signed feed into a moments state — the same union +
     * re-aggregate shape as [[applyFeed]] with the x² lane added; two
@@ -95,6 +116,7 @@ object IncrementalView {
         sum("total").cast(DecimalType(28, 2)).as("total"),
         sum("total2").cast(DecimalType(38, 4)).as("total2"))
       .where(col("n") > 0)
+      .select(col(groupCol), col("n"), col("total"), total2Checked)
   }
 
   /** Bootstrap the per-(group, value) multiplicity state for incremental

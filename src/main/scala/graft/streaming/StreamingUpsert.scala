@@ -79,8 +79,16 @@ object StreamingUpsert {
     * the streaming-lakehouse shape. Downstream incremental views
     * ([[graft.store.IncrementalView]]) then fold the per-batch change
     * feeds without ever rescanning the table, whatever batch boundaries
-    * the trigger chose. Exactly-once: the checkpoint replays a failed
-    * batch and the PK merge makes the replay idempotent.
+    * the trigger chose. Effectively-once AT SNAPSHOT LEVEL: the
+    * checkpoint replays a failed batch and the PK merge makes the replay
+    * idempotent for the table's CONTENT — but a crash in the window
+    * between the version commit and the stream's checkpoint commit
+    * replays the batch and commits a content-identical EXTRA version, so
+    * the version count/history may differ from a clean run (as with any
+    * sink whose commit is not atomic with the source offset commit).
+    * Downstream [[graft.store.IncrementalView]] folds stay correct either
+    * way — a duplicate version's change feed is empty because the merge
+    * found nothing to change.
     */
   def runVersionedAvailableNow(
       spark: SparkSession,

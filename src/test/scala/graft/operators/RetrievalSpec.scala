@@ -112,4 +112,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out.where(!col("keep")).count() == 0)
     assert(out.agg(sum("n_rare")).as[Long].head() == 0L)
   }
+
+  test("rareNgramGate: every input doc gets a row, null text keeps") {
+    // doc 2's single token judges via its degenerate 1-token shingle
+    // (shingles never returns empty for non-null text); doc 3's NULL text
+    // has no grams at all and must surface as (0, 0, keep=true) instead
+    // of vanishing from the gate's output
+    val docs = Seq((1L, Some("a b a b")), (2L, Some("a")), (3L, None))
+      .toDF("doc_id", "text")
+    val out = Retrieval.rareNgramGate(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.filter(_._1 == 2L).forall(_._2 == 1L))
+    assert(out.filter(_._1 == 3L).forall { case (_, ng, rare, keep) =>
+      ng == 0L && rare == 0L && keep })
+  }
 }
