@@ -196,6 +196,23 @@ object SparkEntry {
       base
     }
 
+  /** q115's input: the IVFADC index — q114's PQ codebooks composed with a
+    * 16-cell IVF layout (kmeans centroids + the cell-partitioned PQ-code
+    * table from `writeClusteredPQ`). Memoized like q114, so the timed
+    * region is the cell-pruned ADC search + rerank, not the offline
+    * index build.
+    */
+  private def q115Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q115", dir) { () =>
+      val base = scratch("graft_q115_")
+      val emb = t(s, dir, "embeddings")
+      val cb = s.read.parquet(s"${q114Fixture(s, dir)}/cb")
+      val cents = Similarity.kmeans(emb, k = 16, iterations = 3)
+      cents.write.parquet(s"$base/cents")
+      Similarity.writeClusteredPQ(emb, cents, cb, s"$base/idx")
+      base
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -2024,6 +2041,43 @@ object SparkEntry {
         col("n_exact"),
         (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
     }),
+
+    // IVF×PQ composition (IVFADC — the FAISS IndexIVFPQ deploy): PQ codes
+    // stored cell-partitioned, so the ADC pass reads ONLY probed cells'
+    // FILES — nprobe/cells of a 32×-compressed corpus — then the exact
+    // rerank fetches just the shortlist. Gates mirror q102+q114: recall@5
+    // >= 0.9 vs brute force, AND rank-for-rank equality with the
+    // whole-corpus pqTopK at nprobe = cells (the routing drops bytes,
+    // never candidates)
+    "q115_ann_ivfadc" -> ((s, dir) => {
+      val pqBase = q114Fixture(s, dir)
+      val base = q115Fixture(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 50)
+      val cb = s.read.parquet(s"$pqBase/cb")
+      val enc = s.read.parquet(s"$pqBase/enc")
+      val cents = s.read.parquet(s"$base/cents")
+      val ann = Similarity.ivfAdcTopKRerank(s, s"$base/idx", cb, cents,
+        emb, probes, k = 5, nprobe = 12, shortlist = 100)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val full = Similarity.ivfAdcTopK(s, s"$base/idx", cb, cents, probes,
+        k = 5, nprobe = 16)
+      val plain = Similarity.pqTopK(enc, cb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nSame = full.join(plain, Seq("query_id", "neighbor_id", "rnk"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_same"))
+      val nFull = full.agg(count(lit(1)).as("n_full"))
+      val nPlain = plain.agg(count(lit(1)).as("n_plain"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).crossJoin(nFull).crossJoin(nPlain)
+        .crossJoin(nSame).select(
+          col("n_exact"),
+          (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"),
+          (col("n_same") === col("n_full") && col("n_full") === col("n_plain"))
+            .as("adc_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2740,14 +2794,18 @@ object SparkEntry {
            |c AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM gg
            |  GROUP BY g),
            |t AS (SELECT CAST(count(*) AS BIGINT) AS d,
-           |  CAST(sum(cnt) AS BIGINT) AS tt FROM c)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           |  CAST(sum(cnt) AS BIGINT) AS tt FROM c),
+           |judged AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
            |  CAST(count(*) FILTER (WHERE c.cnt * 8 * t.d < t.tt) AS BIGINT)
            |    AS n_rare,
            |  CAST(count(*) FILTER (WHERE c.cnt * 8 * t.d < t.tt) AS BIGINT)
            |    * 20 <= CAST(count(*) AS BIGINT) AS keep
            |FROM gg JOIN c USING (g), t
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+           |GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+           |  coalesce(n_rare, 0) AS n_rare, coalesce(keep, TRUE) AS keep
+           |FROM documents d LEFT JOIN judged USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q112_incremental_index" ->
         s"""WITH base AS (SELECT doc_id,
@@ -3495,6 +3553,20 @@ object SparkEntry {
            |  FROM scored),
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok, TRUE AS layout_ok
+           |FROM x""".stripMargin,
+
+      "q115_ann_ivfadc" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok, TRUE AS adc_ok
            |FROM x""".stripMargin,
 
       "q41_multimodal_meta" ->

@@ -214,32 +214,40 @@ object Similarity {
     * data) becomes an `isin` partition filter, so the scan prunes to the
     * probed directories. Results are identical to [[ivfTopK]] with the
     * same centroids: cell assignment is deterministic and the float
-    * vectors round-trip parquet exactly.
+    * vectors round-trip parquet exactly. The query assignment runs ONCE —
+    * the probed cell list and the scoring join both read the same
+    * assigned frame.
     */
   def ivfTopKClustered(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probed = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
-      .select("cell").distinct()
+    val qAssigned = assignQueries(queries, centroids, nprobe, idCol, vecCol)
+    val probed = qAssigned.select("cell").distinct()
       .collect().map(_.getLong(0)) // O(metadata): the probe set is small
     val corpus = spark.read.parquet(path)
       .where(col("cell").isin(probed: _*))
       .withColumn("cell", col("cell").cast("long"))
-    cellProbeTopK(queries, centroids, corpus, k, nprobe, idCol, vecCol)
+    cellProbeTopK(qAssigned, corpus, k, idCol, vecCol)
   }
 
-  /** Score the multi-probe query set against a cell-assigned corpus and
+  /** The multi-probe query side of every cell-routed search:
+    * `(query_id, qv, cell, qn)` — one [[ivfAssignN]] pass, shared so no
+    * caller assigns the same query set twice.
+    */
+  private def assignQueries(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
+        norm(col(vecCol)).as("qn"))
+
+  /** Score an [[assignQueries]] frame against a cell-assigned corpus and
     * rank top-k — the ONE implementation [[ivfTopK]] and
     * [[ivfTopKClustered]] both go through, so the two stay rank-identical
     * by construction (q102's layout-equality gate depends on exactly
     * that).
     */
-  private def cellProbeTopK(queries: DataFrame, centroids: DataFrame,
-      assignedCorpus: DataFrame, k: Int, nprobe: Int,
-      idCol: String, vecCol: String): DataFrame = {
-    val qAssigned = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell"),
-        norm(col(vecCol)).as("qn"))
+  private def cellProbeTopK(qAssigned: DataFrame, assignedCorpus: DataFrame,
+      k: Int, idCol: String, vecCol: String): DataFrame = {
     val scored = broadcast(qAssigned)
       .join(assignedCorpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("cv"), col("cell"), norm(col(vecCol)).as("cn")),
@@ -258,8 +266,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    cellProbeTopK(queries, centroids,
-      ivfAssign(corpus, centroids, idCol, vecCol), k, nprobe, idCol, vecCol)
+    cellProbeTopK(assignQueries(queries, centroids, nprobe, idCol, vecCol),
+      ivfAssign(corpus, centroids, idCol, vecCol), k, idCol, vecCol)
 
   // ------------------------------------------------- product quantization
 
@@ -290,17 +298,22 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       iterations: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val probe = corpus.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
-    require(probe.nonEmpty,
-      "pqCodebooks: corpus has no non-null embeddings to train on")
+    // every subspace's kmeans re-actions the corpus (init collect +
+    // per-iteration means): persist the unitized form once so the m ×
+    // (iterations+1) passes read cached rows, not parquet + renormalize.
+    // The dim probe reads the UNITIZED frame: an all-zero (or all-null)
+    // corpus must fail HERE with a trainability message, not deep inside
+    // kmeans with an unrelated "at least one centroid" error.
+    val unit = unitize(corpus, idCol, vecCol).persist()
+    val probe = unit.select(size(col(vecCol))).limit(1).collect()
+    if (probe.isEmpty) {
+      unit.unpersist()
+      throw new IllegalArgumentException(
+        "pqCodebooks: corpus has no nonzero non-null embeddings to train on")
+    }
     val dim = probe(0).getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    // every subspace's kmeans re-actions the corpus (init collect +
-    // per-iteration means): persist the unitized form once so the m ×
-    // (iterations+1) passes read cached rows, not parquet + renormalize
-    val unit = unitize(corpus, idCol, vecCol).persist()
     try {
       (0 until m).map { s =>
         // L2 Lloyd's: codeword MAGNITUDE matters for reconstructing dot
@@ -345,10 +358,39 @@ object Similarity {
   def pqTopK(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val spark = encoded.sparkSession
     val cb = collectCodebooks(codebooks)
+    val lut = pqLut(queries, cb, idCol, vecCol)
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("code")).as(Seq("subspace", "codeword")))
+      .join(broadcast(lut), Seq("subspace", "codeword"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pdot").as("sim"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    topKRanked(scored, k)
+  }
+
+  /** Per-query ADC lookup table: `(query_id, subspace, codeword, pdot)`
+    * where pdot = q̂_subspace · codeword — |queries|·m·k rows, built on the
+    * driver and broadcast. The collect is SIZE-GUARDED: `queries` is the
+    * probe set, not a corpus, and a caller passing data-sized queries must
+    * fail fast with the contract spelled out, not OOM the driver (same
+    * refusal convention as [[Sizing]]'s broadcast guards). The row cap
+    * scales inversely with m·k so the broadcast LUT itself stays within
+    * [[Sizing.DefaultBroadcastRows]].
+    */
+  private def pqLut(queries: DataFrame, cb: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
     val m = cb.length
+    val kCodes = cb(0).length
     val sub = cb(0)(0).length
+    val maxQueries = math.max(1L, Sizing.DefaultBroadcastRows / (m.toLong * kCodes))
+    require(Sizing.countAtMost(queries, maxQueries),
+      s"pqTopK: `queries` is the PROBE set, not a corpus — its ADC lookup " +
+        s"table is |queries| x m x k rows and must broadcast. More than " +
+        s"$maxQueries query rows found (cap = ${Sizing.DefaultBroadcastRows} " +
+        s"LUT rows / (m=$m x k=$kCodes)); batch the probe set instead.")
     // per-query LUT over UNIT query directions: with unit-normalized
     // encodings, approximate cosine = Σ_s q̂_s · c_{s,code_s} directly
     val qRows = queries.where(col(vecCol).isNotNull)
@@ -358,7 +400,7 @@ object Similarity {
         // a zero query has no direction — excluded, matching unitize
         if (qn > 0) Some((r.getLong(0), raw.map(_ / qn))) else None
       }
-    val lut = spark.createDataFrame(qRows.flatMap { case (qid, qv) =>
+    spark.createDataFrame(qRows.flatMap { case (qid, qv) =>
       for (s <- 0 until m; j <- cb(s).indices) yield {
         var d = 0.0
         var i = 0
@@ -366,14 +408,6 @@ object Similarity {
         (qid, s, j.toLong, d)
       }
     }.toSeq).toDF("query_id", "subspace", "codeword", "pdot")
-    val scored = encoded
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("code")).as(Seq("subspace", "codeword")))
-      .join(broadcast(lut), Seq("subspace", "codeword"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum("pdot").as("sim"))
-      .where(col("query_id") =!= col("neighbor_id"))
-    topKRanked(scored, k)
   }
 
   /** PQ shortlist + EXACT rerank — how production ANN actually deploys
@@ -388,9 +422,20 @@ object Similarity {
     */
   def pqTopKRerank(encoded: DataFrame, codebooks: DataFrame,
       corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 100,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = pqTopK(encoded, codebooks, queries, shortlist, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankExact(
+      pqTopK(encoded, codebooks, queries, shortlist, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")),
+      corpus, queries, k, idCol, vecCol)
+
+  /** Exact-cosine rerank of a `(query_id, neighbor_id)` shortlist: only
+    * the candidates' full vectors are fetched (broadcast semi-fetch — the
+    * corpus itself is never shuffled) and scored with the exact kernel.
+    * Shared by [[pqTopKRerank]] and [[ivfAdcTopKRerank]] so the two
+    * deploys rerank identically.
+    */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
     // norms AFTER the candidate join: only the shortlist's rows pay the
     // dim-length dot product, not the whole corpus
     val fetch = corpus
@@ -404,6 +449,91 @@ object Similarity {
         dot(col("qv"), col("cv")), col("qn"), col("cn")))
     topKRanked(scored, k)
   }
+
+  // -------------------------------------------------- IVF×PQ (IVFADC)
+
+  /** Cell-clustered PQ index — IVFADC (Jégou, Douze & Schmid, PAMI 2011
+    * §V; the layout FAISS deploys as IndexIVFPQ): ONE narrow pass over
+    * the unitized corpus computes each vector's IVF cell (cosine argmax
+    * is scale-invariant, so assigning the unit vector equals assigning
+    * the raw one) and its m PQ codeword ids, written partitioned BY
+    * CELL with only `(id, code)` payloads. A probe then reads only its
+    * probed cells' FILES (partition pruning) and those files hold
+    * m-byte codes, not dim-float vectors — q102's bytes-touched win
+    * composed with PQ's 32× compression, which is what makes the ADC
+    * pass nprobe/cells-of-a-32×-smaller-corpus instead of [[pqTopK]]'s
+    * whole-corpus scan.
+    */
+  def writeClusteredPQ(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cids, cvecs) = collectCentroids(centroids, "centroid_id", "cvec")
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      graft.functions.VectorExpressions.nearestCentroidsL2(
+        slice(col(vecCol), s * sub + 1, sub),
+        cb(s).indices.map(_.toLong).toArray, cb(s), 1).getItem(0)
+    }
+    unitize(corpus, idCol, vecCol)
+      .select(col(idCol),
+        graft.functions.VectorExpressions
+          .nearestCentroids(col(vecCol), cids, cvecs, 1).getItem(0).as("cell"),
+        array(codeCols: _*).as("code"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** ADC top-k over a [[writeClusteredPQ]] table. The query assignment
+    * yields the probed cell set (query METADATA) as an `isin` partition
+    * filter — the scan reads ONLY those directories — and candidates are
+    * routed PER QUERY by joining the broadcast `(query_id, cell)` probe
+    * pairs before the LUT, so each query scores only its own probed
+    * cells' codes, never the pruned union. At nprobe = cells every pair
+    * survives the routing and the result is rank-identical to
+    * [[pqTopK]] by construction (same [[pqLut]] values, same
+    * subspace-ascending partial-sum order — q115's equality gate); at
+    * production nprobe the ADC pass touches nprobe/cells of a
+    * 32×-compressed corpus.
+    */
+  def ivfAdcTopK(spark: SparkSession, path: String, codebooks: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val lut = pqLut(queries, cb, idCol, vecCol)
+    val qCells = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select(col(idCol).cast("long").as("query_id"), col("cell"))
+    val probed = qCells.select("cell").distinct()
+      .collect().map(_.getLong(0)) // O(metadata): ≤ nprobe × |queries|
+    val scored = spark.read.parquet(path)
+      .where(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        posexplode(col("code")).as(Seq("subspace", "codeword")))
+      .join(broadcast(lut), Seq("query_id", "subspace", "codeword"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pdot").as("sim"))
+    topKRanked(scored, k)
+  }
+
+  /** [[ivfAdcTopK]] + exact rerank — the full production IVFADC deploy:
+    * cell-pruned ADC shortlist, then only the shortlist's raw vectors
+    * fetched and reranked with the exact cosine kernel (shared
+    * [[rerankExact]], identical to [[pqTopKRerank]]'s second phase).
+    * Recall@k is governed by shortlist recall × cell recall; gate
+    * in-query against [[bruteForceTopK]] like every approximate path.
+    */
+  def ivfAdcTopKRerank(spark: SparkSession, path: String,
+      codebooks: DataFrame, centroids: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 1, shortlist: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankExact(
+      ivfAdcTopK(spark, path, codebooks, centroids, queries, shortlist,
+        nprobe, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")),
+      corpus, queries, k, idCol, vecCol)
 
   /** Collect (subspace, codeword_id, cvec) codebooks to driver arrays:
     * cb(subspace)(codeword) = codeword vector, both indices dense

@@ -266,6 +266,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(clusteredRows == plainRows)
   }
 
+  test("IVFADC prunes the code scan to probed cells and never reads vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = graft.operators.Similarity.kmeans(emb, 8, 2)
+    val cb = graft.operators.Similarity.pqCodebooks(emb, m = 4, k = 8,
+      iterations = 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_").toString + "/idx"
+    graft.operators.Similarity.writeClusteredPQ(emb, centroids, cb, path)
+    val probes = emb.where(col("vec_id") < 2)
+    val ann = graft.operators.Similarity.ivfAdcTopK(spark, path, cb,
+      centroids, probes, k = 3, nprobe = 2)
+    val p = plan(ann)
+    // probed cells must prune FILES (partition filter), and the pruned
+    // scan must read only (id, code) — the 32×-compression win is void if
+    // the ADC pass still reads an embedding column
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probed cells must prune partitions:\n$p")
+    val codeScan = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("code"))
+      .getOrElse(fail(s"no code scan in plan:\n$p"))
+    assert(!codeScan.contains("embedding"),
+      s"ADC scan must not read raw vectors: $codeScan")
+    // candidate routing + LUT both broadcast — the code side never shuffles
+    // before the partial top-k aggregate
+    assert(p.contains("partial_topk_by_score"), s"two-phase rank missing:\n$p")
+    assert(ann.count() > 0)
+  }
+
   test("delete is a broadcast anti-join: the target is never shuffled") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val doomed = orders.where(col("o_custkey") % 7 === 0).select("o_custkey")

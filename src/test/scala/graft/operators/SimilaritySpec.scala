@@ -177,6 +177,69 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set(("q1", "docA", 0), ("q1", "docB", 1), ("q2", "docZ", 0)))
   }
 
+  test("pqTopK refuses a data-sized query set before collecting it") {
+    val corpus = pqCorpus(30)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 1)
+    val enc = Similarity.pqEncode(corpus, cb)
+    // m=4 × k=8 codebooks cap the probe set at 2^20/32 = 32768 rows —
+    // 40k "queries" must refuse loudly instead of OOMing the driver
+    val vec = array((0 until 16).map(i => lit(0.1f * (i + 1))): _*)
+    val huge = spark.range(40000).select($"id".as("vec_id"),
+      vec.as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(enc, cb, huge, k = 3)
+    }
+    assert(e.getMessage.contains("PROBE set"), e.getMessage)
+  }
+
+  test("pqCodebooks on an all-zero corpus fails with a trainability message") {
+    val zeros = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(zeros, m = 2, k = 2, iterations = 1)
+    }
+    assert(e.getMessage.contains("nonzero"), e.getMessage)
+  }
+
+  test("ivfAdcTopK at nprobe=cells is rank-identical to pqTopK") {
+    val corpus = pqCorpus(40)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    val enc = Similarity.pqEncode(corpus, cb)
+    val cents = Similarity.kmeans(corpus, k = 4, iterations = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_").toString + "/idx"
+    Similarity.writeClusteredPQ(corpus, cents, cb, path)
+    val probes = corpus.where($"vec_id" < 3)
+    // every cell probed -> candidate routing keeps every pair, so the
+    // composed index must reproduce the whole-corpus ADC rank for rank
+    val got = Similarity.ivfAdcTopK(spark, path, cb, cents, probes,
+        k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.pqTopK(enc, cb, probes, k = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("ivfAdcTopKRerank with all cells + full shortlist equals brute force") {
+    val corpus = pqCorpus(30)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    val cents = Similarity.kmeans(corpus, k = 4, iterations = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rr_").toString + "/idx"
+    Similarity.writeClusteredPQ(corpus, cents, cb, path)
+    val probes = corpus.where($"vec_id" < 5)
+    val got = Similarity.ivfAdcTopKRerank(spark, path, cb, cents, corpus,
+        probes, k = 3, nprobe = 4, shortlist = 100)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("PQ ADC ranks a planted near-duplicate first even before rerank") {
     val corpus = pqCorpus(40)
     val probes = corpus.where($"vec_id" === 0L || $"vec_id" === 1L)
