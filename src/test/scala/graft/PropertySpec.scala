@@ -278,6 +278,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topKByScore equals sort-and-take for any scores, ties, NaN, k") {
+    // the bounded heap is hand-rolled: ties (score desc, id asc), NaN
+    // (SQL ordering ranks it greatest), duplicate ids, groups under k,
+    // and null scores (skipped) all have to match the reference exactly
+    // for ANY input and ANY partitioning
+    import org.apache.spark.sql.functions.posexplode
+    val rowGen: Gen[List[(Long, Long, Option[Double])]] = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L),
+        Gen.option(Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(
+          0.5, 0.5, -0.25, Double.NaN, 0.0, -0.0)))))
+    forAllSampled(Gen.zip(rowGen, Gen.oneOf(1, 3, 7), Gen.oneOf(1, 5)),
+        n = 8) { case (rows, k, parts) =>
+      val df = rows.toDF("g", "id", "s").repartition(parts)
+      // scores compare as canonical BITS: Scala's == on boxed doubles has
+      // NaN != NaN, which would make identical NaN tuples "differ"
+      val got = df.groupBy("g")
+        .agg(graft.functions.TopKAggregate.topKByScore($"s", $"id", k)
+          .as("top"))
+        .select($"g", posexplode($"top").as(Seq("pos", "e")))
+        .select($"g", $"pos", $"e.id", $"e.score")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        .toSet
+      // reference: SQL double ordering — NaN greatest, -0.0 == 0.0
+      // (java.lang.Double.compare would order -0.0 < 0.0 and miss the
+      // id tie-break Spark applies to a ±0 tie)
+      def sqlCmp(a: Double, b: Double): Int =
+        if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+        else if (a.isNaN && b.isNaN) 0 else if (a.isNaN) 1 else -1
+      val expect = rows.collect { case (g, id, Some(s)) => (g, id, s) }
+        .groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+          grp.map(r => (r._2, r._3))
+            .sortWith { case ((ia, sa), (ib, sb)) =>
+              val c = sqlCmp(sa, sb)
+              if (c != 0) c > 0 else ia < ib
+            }
+            .take(k).zipWithIndex
+            .map { case ((id, s), pos) =>
+              (g, pos, id, java.lang.Double.doubleToLongBits(s)) }
+        }.toSet
+      assert(got == expect, s"k=$k parts=$parts")
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}
