@@ -266,6 +266,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(clusteredRows == plainRows)
   }
 
+  test("packSequences plans no Window: prefix sum replaces the shard sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = graft.operators.Corpus.packSequences(
+      docs, "lang", "doc_id", length(col("text")).cast("long"), 2048L)
+    val p = plan(packed)
+    // a shard is a language — a per-shard window would sort most of a
+    // monolingual corpus in ONE task; the distributed prefix sum plans as
+    // a scan of the offset-seeded RDD, with no Window operator anywhere
+    assert(!p.contains("Window"), s"shard-sized window crept back:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the prefix-sum RDD to feed the plan:\n$p")
+    assert(packed.select("pack_id").where(col("pack_id").isNull).count() == 0)
+  }
+
   test("IVFADC prunes the code scan to probed cells and never reads vectors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = graft.operators.Similarity.kmeans(emb, 8, 2)
