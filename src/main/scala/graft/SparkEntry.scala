@@ -1122,8 +1122,10 @@ object SparkEntry {
       val mixed = graft.operators.Corpus.stratifiedSample(quality,
         "lang", "doc_id",
         Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
-      graft.operators.Corpus.packSequences(mixed, "lang", "doc_id",
-          TextFunctions.nTokens(col("text")), tokenBudget = 2048)
+      graft.operators.Corpus.packSequences(
+          mixed.select(col("doc_id"), col("lang"),
+            TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
+          "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048)
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("lang", "pack_id")
@@ -1154,8 +1156,10 @@ object SparkEntry {
       val mixed = graft.operators.Corpus.stratifiedSample(quality,
         "lang", "doc_id",
         Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
-      graft.operators.Corpus.packSequences(mixed, "lang", "doc_id",
-          TextFunctions.nTokens(col("text")), tokenBudget = 2048)
+      graft.operators.Corpus.packSequences(
+          mixed.select(col("doc_id"), col("lang"),
+            TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
+          "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048)
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("lang", "pack_id")
@@ -1612,10 +1616,14 @@ object SparkEntry {
     // token-budget sequence packing (pretraining batch layout): docs cut
     // into ≤2048-token packs per language by cumulative offset — one
     // shuffle + one per-shard sort
+    // stats-only consumer: pre-project to (id, shard, token count) so the
+    // prefix-sum range shuffle carries three narrow columns, not text
+    // (the RDD boundary blocks Catalyst pruning — see packSequences doc)
     "q68_pack_sequences" -> ((s, dir) =>
-      graft.operators.Corpus.packSequences(t(s, dir, "documents"),
-          "lang", "doc_id", TextFunctions.nTokens(col("text")),
-          tokenBudget = 2048)
+      graft.operators.Corpus.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
+          "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048)
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("lang", "pack_id")),

@@ -273,6 +273,12 @@ object Corpus {
     * to the window form: pack_id = (cum before this doc) div budget,
     * integer-exact; a null token count yields a null pack_id and does not
     * advance the offset, exactly as a window sum ignores nulls.
+    *
+    * Column note: the RDD boundary blocks Catalyst column pruning, so
+    * EVERY input column rides the range shuffle. A materializing consumer
+    * wants exactly that (text co-located with its pack); a stats-only
+    * consumer should pre-project to (shard, id, token-count) before
+    * packing — the registered q68/q79 twins do.
     */
   def packSequences(docs: DataFrame, shardCol: String, idCol: String,
       nTokensCol: Column, tokenBudget: Long): DataFrame = {
