@@ -213,6 +213,24 @@ object SparkEntry {
       base
     }
 
+  /** q116's input: the RESIDUAL IVFADC index — q115's 16 IVF cells with
+    * per-subspace codebooks retrained on cell residuals (x̂ − c_cell) and
+    * the cell-partitioned residual-code table. Same memoization contract
+    * as q114/q115: the offline build is untimed.
+    */
+  private def q116Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q116", dir) { () =>
+      val base = scratch("graft_q116_")
+      val emb = t(s, dir, "embeddings")
+      val cents = s.read.parquet(s"${q115Fixture(s, dir)}/cents")
+      val rcb = Similarity.pqCodebooksResidual(emb, cents, m = 16, k = 64,
+        iterations = 3)
+      rcb.write.parquet(s"$base/rcb")
+      Similarity.writeClusteredPQ(emb, cents, rcb, s"$base/idx",
+        residual = true)
+      base
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -2086,6 +2104,29 @@ object SparkEntry {
           (col("n_same") === col("n_full") && col("n_full") === col("n_plain"))
             .as("adc_ok"))
     }),
+
+    // RESIDUAL IVFADC (true Jégou §V / FAISS IndexIVFPQ): the PQ
+    // codebooks quantize cell residuals x̂ − c_cell instead of raw unit
+    // directions — residuals concentrate near zero, so the same m×k
+    // budget buys lower quantization error — and the ADC score adds the
+    // per-(query, cell) q̂·c_cell offset back. Same recall gate as
+    // q114/q115 at the same nprobe/shortlist settings
+    "q116_ann_ivfadc_residual" -> ((s, dir) => {
+      val base = q116Fixture(s, dir)
+      val cents = s.read.parquet(s"${q115Fixture(s, dir)}/cents")
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 50)
+      val rcb = s.read.parquet(s"$base/rcb")
+      val ann = Similarity.ivfAdcTopKRerank(s, s"$base/idx", rcb, cents,
+        emb, probes, k = 5, nprobe = 12, shortlist = 100, residual = true)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).select(
+        col("n_exact"),
+        (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3576,6 +3617,19 @@ object SparkEntry {
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok, TRUE AS adc_ok
            |FROM x""".stripMargin,
+
+      "q116_ann_ivfadc_residual" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
 
       "q41_multimodal_meta" ->
         """SELECT 'text/plain' AS media_type,

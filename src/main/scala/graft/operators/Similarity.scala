@@ -297,17 +297,24 @@ object Similarity {
     */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       iterations: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    // every subspace's kmeans re-actions the corpus (init collect +
-    // per-iteration means): persist the unitized form once so the m ×
-    // (iterations+1) passes read cached rows, not parquet + renormalize.
-    // The dim probe reads the UNITIZED frame: an all-zero (or all-null)
-    // corpus must fail HERE with a trainability message, not deep inside
-    // kmeans with an unrelated "at least one centroid" error.
-    val unit = unitize(corpus, idCol, vecCol).persist()
-    val probe = unit.select(size(col(vecCol))).limit(1).collect()
+      vecCol: String = "embedding"): DataFrame =
+    trainSubspaceCodebooks(unitize(corpus, idCol, vecCol), m, k, iterations,
+      idCol, vecCol)
+
+  /** Shared per-subspace codebook trainer over an already-prepared (unit
+    * or residual) vector frame. Every subspace's kmeans re-actions the
+    * frame (init collect + per-iteration means), so it persists ONCE and
+    * the m × (iterations+1) passes read cached rows. The dim probe reads
+    * the PREPARED frame: an untrainable corpus (all-zero / all-null) must
+    * fail here with a trainability message, not deep inside kmeans with
+    * an unrelated "at least one centroid" error.
+    */
+  private def trainSubspaceCodebooks(prepared: DataFrame, m: Int, k: Int,
+      iterations: Int, idCol: String, vecCol: String): DataFrame = {
+    val cached = prepared.persist()
+    val probe = cached.select(size(col(vecCol))).limit(1).collect()
     if (probe.isEmpty) {
-      unit.unpersist()
+      cached.unpersist()
       throw new IllegalArgumentException(
         "pqCodebooks: corpus has no nonzero non-null embeddings to train on")
     }
@@ -318,13 +325,13 @@ object Similarity {
       (0 until m).map { s =>
         // L2 Lloyd's: codeword MAGNITUDE matters for reconstructing dot
         // products, so subspace codebooks train on distance, not direction
-        kmeans(unit.select(col(idCol),
+        kmeans(cached.select(col(idCol),
             slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
             k, iterations, idCol, vecCol, l2 = true)
           .select(lit(s).as("subspace"), col("centroid_id").as("codeword_id"),
             col("cvec"))
       }.reduce(_ unionByName _)
-    } finally unit.unpersist() // kmeans collects eagerly — lineage is done
+    } finally cached.unpersist() // kmeans collects eagerly — lineage is done
   }
 
   /** Encode each vector as its `m` per-subspace codeword ids — one NARROW
@@ -380,7 +387,16 @@ object Similarity {
     * [[Sizing.DefaultBroadcastRows]].
     */
   private def pqLut(queries: DataFrame, cb: Array[Array[Array[Double]]],
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    pqLutAndUnitQueries(queries, cb, idCol, vecCol)._1
+
+  /** [[pqLut]] plus the collected unit query vectors it was built from —
+    * the residual ADC path reuses them for the per-(query, cell)
+    * q̂ · c_cell offsets without a second collect.
+    */
+  private def pqLutAndUnitQueries(queries: DataFrame,
+      cb: Array[Array[Array[Double]]], idCol: String, vecCol: String)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
     val spark = queries.sparkSession
     val m = cb.length
     val kCodes = cb(0).length
@@ -400,7 +416,7 @@ object Similarity {
         // a zero query has no direction — excluded, matching unitize
         if (qn > 0) Some((r.getLong(0), raw.map(_ / qn))) else None
       }
-    spark.createDataFrame(qRows.flatMap { case (qid, qv) =>
+    val lut = spark.createDataFrame(qRows.flatMap { case (qid, qv) =>
       for (s <- 0 until m; j <- cb(s).indices) yield {
         var d = 0.0
         var i = 0
@@ -408,6 +424,7 @@ object Similarity {
         (qid, s, j.toLong, d)
       }
     }.toSeq).toDF("query_id", "subspace", "codeword", "pdot")
+    (lut, qRows)
   }
 
   /** PQ shortlist + EXACT rerank — how production ANN actually deploys
@@ -464,10 +481,44 @@ object Similarity {
     * pass nprobe/cells-of-a-32×-smaller-corpus instead of [[pqTopK]]'s
     * whole-corpus scan.
     */
+  /** Unit corpus with its IVF cell and the cell RESIDUAL in `vecCol`:
+    * r = x̂ − c_cell. One narrow assignment pass + one broadcast join to
+    * fetch the centroid vector (metadata-sized build side); the residual
+    * replaces the vector column so downstream subspace slicing works
+    * unchanged. This is the quantity true IVFADC quantizes (Jégou, Douze
+    * & Schmid PAMI 2011 §V): residuals concentrate near zero, so the
+    * same m×k codebook budget spends its codewords on a much smaller
+    * ball than raw unit directions — lower quantization error per byte.
+    */
+  private def residualFrame(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val (cids, cvecs) = collectCentroids(centroids, "centroid_id", "cvec")
+    val cents = centroids.select(col("centroid_id").as("cell"),
+      col("cvec").as("__cvec"))
+    unitize(corpus, idCol, vecCol)
+      .withColumn("cell", graft.functions.VectorExpressions
+        .nearestCentroids(col(vecCol), cids, cvecs, 1).getItem(0))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn(vecCol, zip_with(col(vecCol), col("__cvec"),
+        (a, b) => (a - b).cast("float")))
+      .drop("__cvec")
+  }
+
+  /** PQ codebooks trained on CELL RESIDUALS instead of raw unit vectors —
+    * the residual half of true IVFADC. Same output shape as
+    * [[pqCodebooks]]; pair with `writeClusteredPQ(..., residual = true)`
+    * and `ivfAdcTopK(..., residual = true)`.
+    */
+  def pqCodebooksResidual(corpus: DataFrame, centroids: DataFrame,
+      m: Int = 8, k: Int = 16, iterations: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    trainSubspaceCodebooks(residualFrame(corpus, centroids, idCol, vecCol),
+      m, k, iterations, idCol, vecCol)
+
   def writeClusteredPQ(corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val (cids, cvecs) = collectCentroids(centroids, "centroid_id", "cvec")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): Unit = {
     val cb = collectCodebooks(codebooks)
     val m = cb.length
     val sub = cb(0)(0).length
@@ -476,11 +527,16 @@ object Similarity {
         slice(col(vecCol), s * sub + 1, sub),
         cb(s).indices.map(_.toLong).toArray, cb(s), 1).getItem(0)
     }
-    unitize(corpus, idCol, vecCol)
-      .select(col(idCol),
-        graft.functions.VectorExpressions
-          .nearestCentroids(col(vecCol), cids, cvecs, 1).getItem(0).as("cell"),
-        array(codeCols: _*).as("code"))
+    val assigned =
+      if (residual) residualFrame(corpus, centroids, idCol, vecCol)
+      else {
+        val (cids, cvecs) = collectCentroids(centroids, "centroid_id", "cvec")
+        unitize(corpus, idCol, vecCol)
+          .withColumn("cell", graft.functions.VectorExpressions
+            .nearestCentroids(col(vecCol), cids, cvecs, 1).getItem(0))
+      }
+    assigned
+      .select(col(idCol), col("cell"), array(codeCols: _*).as("code"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
   }
 
@@ -498,23 +554,55 @@ object Similarity {
     */
   def ivfAdcTopK(spark: SparkSession, path: String, codebooks: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): DataFrame = {
     val cb = collectCodebooks(codebooks)
-    val lut = pqLut(queries, cb, idCol, vecCol)
-    val qCells = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
-      .select(col(idCol).cast("long").as("query_id"), col("cell"))
-    val probed = qCells.select("cell").distinct()
-      .collect().map(_.getLong(0)) // O(metadata): ≤ nprobe × |queries|
+    val (lut, qUnit) = pqLutAndUnitQueries(queries, cb, idCol, vecCol)
+    val lutQueryIds = qUnit.map(_._1).toSet
+    val qCellPairs = ivfAssignN(queries, centroids, nprobe, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // zero-vector queries have no LUT rows (no direction): drop their
+      // routing pairs too, matching pqTopK's inner-join behavior
+      .filter { case (q, _) => lutQueryIds.contains(q) }
+    // O(metadata) driver state: ≤ nprobe × |queries| (query, cell) pairs
+    val probed = qCellPairs.map(_._2).distinct
+    // residual scoring: approx cosine = q̂·c_cell + Σ_s q̂_s·r_{s,code_s}
+    // — the per-(query, cell) first term rides the routing pairs, built
+    // on the driver from the already-collected unit queries + centroids
+    val qCells =
+      if (!residual)
+        spark.createDataFrame(qCellPairs.toSeq.map { case (q, c) =>
+          (q, c, 0.0)
+        }).toDF("query_id", "cell", "__qdotc")
+      else {
+        val qv = qUnit.toMap
+        val (cids, cvecs) = collectCentroids(centroids, "centroid_id", "cvec")
+        val cvByCell = cids.zip(cvecs).toMap
+        spark.createDataFrame(qCellPairs.toSeq.map { case (q, c) =>
+          val (a, b) = (qv(q), cvByCell(c))
+          var d = 0.0
+          var i = 0
+          while (i < a.length) { d += a(i) * b(i); i += 1 }
+          (q, c, d)
+        }).toDF("query_id", "cell", "__qdotc")
+      }
     val scored = spark.read.parquet(path)
       .where(col("cell").isin(probed: _*))
       .withColumn("cell", col("cell").cast("long"))
       .join(broadcast(qCells), Seq("cell"))
       .where(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("__qdotc"),
         posexplode(col("code")).as(Seq("subspace", "codeword")))
       .join(broadcast(lut), Seq("query_id", "subspace", "codeword"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum("pdot").as("sim"))
+      // __qdotc is constant within the group (a corpus row lives in ONE
+      // cell); max() reads the constant without joining again. The
+      // non-residual path adds literal zero, keeping ONE aggregation
+      // shape — and the zero addend does not perturb the float sum
+      // (x + 0.0 == x for every non -0.0 double, and sims of -0.0 are
+      // not produced by the LUT sum's rank math)
+      .agg((max(col("__qdotc")) + sum(col("pdot"))).as("sim"))
     topKRanked(scored, k)
   }
 
@@ -528,10 +616,11 @@ object Similarity {
   def ivfAdcTopKRerank(spark: SparkSession, path: String,
       codebooks: DataFrame, centroids: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 1, shortlist: Int = 100,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): DataFrame =
     rerankExact(
       ivfAdcTopK(spark, path, codebooks, centroids, queries, shortlist,
-        nprobe, idCol, vecCol)
+        nprobe, idCol, vecCol, residual)
         .select(col("query_id"), col("neighbor_id")),
       corpus, queries, k, idCol, vecCol)
 

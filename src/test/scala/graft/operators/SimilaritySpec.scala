@@ -240,6 +240,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("residual IVFADC: codes in range, rerank at full coverage is exact") {
+    val corpus = pqCorpus(30)
+    val cents = Similarity.kmeans(corpus, k = 4, iterations = 3)
+    val rcb = Similarity.pqCodebooksResidual(corpus, cents, m = 4, k = 8,
+      iterations = 2)
+    assert(rcb.count() == 32)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_res_").toString + "/idx"
+    Similarity.writeClusteredPQ(corpus, cents, rcb, path, residual = true)
+    val codes = spark.read.parquet(path)
+      .select("code").as[Seq[Long]].collect()
+    assert(codes.length == 32) // 30 + 2 planted
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // every cell probed + corpus-wide shortlist -> the exact rerank IS
+    // the answer, whatever the residual quantization did to the shortlist
+    val probes = corpus.where($"vec_id" < 5)
+    val got = Similarity.ivfAdcTopKRerank(spark, path, rcb, cents, corpus,
+        probes, k = 3, nprobe = 4, shortlist = 100, residual = true)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("residual ADC ranks a planted near-duplicate first before rerank") {
+    val corpus = pqCorpus(40)
+    val probes = corpus.where($"vec_id" === 0L || $"vec_id" === 1L)
+    val cents = Similarity.kmeans(corpus, k = 4, iterations = 3)
+    val rcb = Similarity.pqCodebooksResidual(corpus, cents, m = 4, k = 8,
+      iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_res2_").toString + "/idx"
+    Similarity.writeClusteredPQ(corpus, cents, rcb, path, residual = true)
+    // q̂·c_cell + residual table hits must rank each planted partner
+    // first from codes alone, like the plain ADC test
+    val top1 = Similarity.ivfAdcTopK(spark, path, rcb, cents, probes,
+        k = 1, nprobe = 4, residual = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(0L -> 1000L, 1L -> 1001L))
+  }
+
   test("PQ ADC ranks a planted near-duplicate first even before rerank") {
     val corpus = pqCorpus(40)
     val probes = corpus.where($"vec_id" === 0L || $"vec_id" === 1L)
