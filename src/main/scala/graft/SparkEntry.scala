@@ -202,27 +202,32 @@ object SparkEntry {
     * region is the cell-pruned ADC search + rerank, not the offline
     * index build.
     */
-  private def q115Fixture(s: SparkSession, dir: String): String =
+  private def q115Fixture(s: SparkSession, dir: String): String = {
+    // resolve the nested fixture OUTSIDE the memo builder: computeIfAbsent
+    // must never re-enter the cache ("Recursive update")
+    val pqBase = q114Fixture(s, dir)
     memoFixture("q115", dir) { () =>
       val base = scratch("graft_q115_")
       val emb = t(s, dir, "embeddings")
-      val cb = s.read.parquet(s"${q114Fixture(s, dir)}/cb")
+      val cb = s.read.parquet(s"$pqBase/cb")
       val cents = Similarity.kmeans(emb, k = 16, iterations = 3)
       cents.write.parquet(s"$base/cents")
       Similarity.writeClusteredPQ(emb, cents, cb, s"$base/idx")
       base
     }
+  }
 
   /** q116's input: the RESIDUAL IVFADC index — q115's 16 IVF cells with
     * per-subspace codebooks retrained on cell residuals (x̂ − c_cell) and
     * the cell-partitioned residual-code table. Same memoization contract
     * as q114/q115: the offline build is untimed.
     */
-  private def q116Fixture(s: SparkSession, dir: String): String =
+  private def q116Fixture(s: SparkSession, dir: String): String = {
+    val p115 = q115Fixture(s, dir) // outside the builder — no re-entry
     memoFixture("q116", dir) { () =>
       val base = scratch("graft_q116_")
       val emb = t(s, dir, "embeddings")
-      val cents = s.read.parquet(s"${q115Fixture(s, dir)}/cents")
+      val cents = s.read.parquet(s"$p115/cents")
       val rcb = Similarity.pqCodebooksResidual(emb, cents, m = 16, k = 64,
         iterations = 3)
       rcb.write.parquet(s"$base/rcb")
@@ -230,6 +235,49 @@ object SparkEntry {
         residual = true)
       base
     }
+  }
+
+  /** q117's input: a MAINTAINED IVFADC index — a fresh copy of q115's
+    * index mutated by one deterministic signed feed (update vec_id%5==0
+    * to x·0.5+0.125 per element; delete vec_id%7==0 unless updated;
+    * insert 10000+vec_id for vec_id%11==0 with 1−x), plus the post-feed
+    * corpus and its REBUILT twin index. All mutation rules are pure
+    * vec_id arithmetic so the DuckDB twin reconstructs the final corpus
+    * without seeing the index; construction is untimed per the fixture
+    * contract.
+    */
+  private def q117Fixture(s: SparkSession, dir: String): String = {
+    val p115 = q115Fixture(s, dir) // outside the builder — no re-entry
+    val p114 = q114Fixture(s, dir)
+    memoFixture("q117", dir) { () =>
+      val base = scratch("graft_q117_")
+      val emb = t(s, dir, "embeddings")
+      val cents = s.read.parquet(s"$p115/cents")
+      val cb = s.read.parquet(s"$p114/cb")
+      Similarity.writeClusteredPQ(emb, cents, cb, s"$base/idx")
+      val updNew = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x * lit(0.5d) + lit(0.125d)).cast("float")).as("embedding"))
+      val insNew = emb.where(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (lit(1.0d) - x).cast("float")).as("embedding"))
+      val minus = emb.where(col("vec_id") % 5 === 0 ||
+          (col("vec_id") % 7 === 0))
+        .select(col("vec_id"), col("embedding"), lit(-1L).as("__sign"))
+      val plus = updNew.unionByName(insNew)
+        .select(col("vec_id"), col("embedding"), lit(1L).as("__sign"))
+      Similarity.maintainClusteredPQ(s, s"$base/idx", cents, cb,
+        minus.unionByName(plus))
+      val finalCorpus = emb
+        .where(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 0)
+        .select("vec_id", "embedding")
+        .unionByName(updNew).unionByName(insNew)
+      finalCorpus.write.parquet(s"$base/final")
+      Similarity.writeClusteredPQ(finalCorpus, cents, cb, s"$base/rebuilt")
+      base
+    }
+  }
 
   // ---------------------------------------------------------------- helpers
 
@@ -2127,6 +2175,40 @@ object SparkEntry {
         col("n_exact"),
         (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
     }),
+
+    // incremental ANN index maintenance: the clustered PQ index mutated
+    // by ONE delta-sized feed application (touched cells only) must be
+    // search-indistinguishable from a full rebuild over the post-feed
+    // corpus — maintained and rebuilt searches rank-for-rank identical
+    // (exact: cell+code are deterministic functions of vector and index
+    // state) plus the usual recall gate vs brute force on the FINAL
+    // corpus
+    "q117_ann_index_maintain" -> ((s, dir) => {
+      val base = q117Fixture(s, dir)
+      val cents = s.read.parquet(s"${q115Fixture(s, dir)}/cents")
+      val cb = s.read.parquet(s"${q114Fixture(s, dir)}/cb")
+      val fin = s.read.parquet(s"$base/final")
+      val probes = fin.where(col("vec_id") < 50)
+      val annM = Similarity.ivfAdcTopKRerank(s, s"$base/idx", cb, cents,
+        fin, probes, k = 5, nprobe = 12, shortlist = 100)
+      val annR = Similarity.ivfAdcTopKRerank(s, s"$base/rebuilt", cb, cents,
+        fin, probes, k = 5, nprobe = 12, shortlist = 100)
+      val exact = Similarity.bruteForceTopK(fin, probes, k = 5)
+      val nHits = annM.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nSame = annM.join(annR, Seq("query_id", "neighbor_id", "rnk"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_same"))
+      val nM = annM.agg(count(lit(1)).as("n_m"))
+      val nR = annR.agg(count(lit(1)).as("n_r"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).crossJoin(nM).crossJoin(nR).crossJoin(nSame)
+        .select(
+          col("n_exact"),
+          (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"),
+          (col("n_same") === col("n_m") && col("n_m") === col("n_r"))
+            .as("maintain_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2909,6 +2991,31 @@ object SparkEntry {
            |  FROM scored),
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
+
+      "q117_ann_index_maintain" ->
+        s"""WITH fin AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 5 <> 0 AND vec_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(CAST(x AS DOUBLE) * 0.5 + 0.125 AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 5 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 10000, list_transform(embedding,
+           |    x -> CAST(1.0 - CAST(x AS DOUBLE) AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 11 = 0),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM fin WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM fin),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok, TRUE AS maintain_ok
+           |FROM x""".stripMargin,
 
       "q106_chunk_documents" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

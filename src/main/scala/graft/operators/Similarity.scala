@@ -518,7 +518,20 @@ object Similarity {
   def writeClusteredPQ(corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false): Unit =
+    encodeClusteredPQ(corpus, centroids, codebooks, idCol, vecCol, residual)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** The `(id, cell, code)` encoding [[writeClusteredPQ]] persists — one
+    * narrow pass (plus the broadcast centroid join in residual mode).
+    * Cell and code are pure deterministic functions of the vector and the
+    * index state (centroids + codebooks), which is what makes incremental
+    * maintenance exact: re-encoding a vector ALWAYS reproduces the row a
+    * full rebuild would write.
+    */
+  private def encodeClusteredPQ(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      residual: Boolean): DataFrame = {
     val cb = collectCodebooks(codebooks)
     val m = cb.length
     val sub = cb(0)(0).length
@@ -535,9 +548,80 @@ object Similarity {
           .withColumn("cell", graft.functions.VectorExpressions
             .nearestCentroids(col(vecCol), cids, cvecs, 1).getItem(0))
       }
-    assigned
-      .select(col(idCol), col("cell"), array(codeCols: _*).as("code"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    assigned.select(col(idCol), col("cell"), array(codeCols: _*).as("code"))
+  }
+
+  /** Incrementally maintain a [[writeClusteredPQ]] index from a SIGNED
+    * change feed ([[graft.store.VersionedTable.changeFeed]] shape: full
+    * images with `__sign` = +1 new / −1 old) — index freshness without a
+    * corpus rebuild. Work is delta-sized: the −1 images' cells and the
+    * re-encoded +1 rows (both deterministic re-derivations, so they match
+    * what a rebuild would compute) name the TOUCHED cells; only those
+    * partitions are read, anti-joined against the leaving ids, unioned
+    * with the fresh codes, and dynamically overwritten — untouched cells'
+    * files are never opened. A cell the feed fully empties writes no rows
+    * under dynamic overwrite, so its stale directory is dropped
+    * explicitly (same discipline as `UpsertWriter.deletePartitioned`).
+    * Result is row-identical to `writeClusteredPQ` over the post-feed
+    * corpus, which the q117 gate and SimilaritySpec assert.
+    */
+  def maintainClusteredPQ(spark: SparkSession, path: String,
+      centroids: DataFrame, codebooks: DataFrame, feed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): Unit = {
+    val adds = encodeClusteredPQ(feed.where(col("__sign") === 1),
+      centroids, codebooks, idCol, vecCol, residual)
+    // ids whose CURRENT index row must leave (updates retract their old
+    // image, deletes retract everything); a pure insert has no −1 row and
+    // its id anti-joins as a no-op
+    val removeIds = feed.where(col("__sign") === -1)
+      .select(col(idCol)).distinct()
+    // the −1 images' cells recompute deterministically from the old
+    // vectors — zero/null old images were never written, contribute none
+    val oldCells = encodeClusteredPQ(feed.where(col("__sign") === -1),
+      centroids, codebooks, idCol, vecCol, residual).select("cell")
+    val touched = adds.select("cell").unionByName(oldCells)
+      .distinct().collect().map(_.getLong(0)) // O(delta cells): metadata
+    if (touched.isEmpty) return
+    val pruned = spark.read.parquet(path)
+      .where(col("cell").isin(touched: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val survivors = pruned
+      .join(broadcast(removeIds.withColumnRenamed(idCol, "__rm")),
+        col(idCol) === col("__rm"), "left_anti")
+    val out = survivors.select(col(idCol), col("cell"), col("code"))
+      .unionByName(adds)
+    // stage → dynamic overwrite → drop emptied dirs, computed BEFORE the
+    // staged write (an all-empty staging dir has no readable schema)
+    val surviving = out.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_pq_maintain_").toString + "/s"
+    if (surviving.nonEmpty) {
+      out.write.partitionBy("cell").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    }
+    val emptied = touched.filterNot(surviving).map(String.valueOf).toSet
+    val root = java.nio.file.Paths.get(path)
+    if (emptied.nonEmpty && java.nio.file.Files.exists(root))
+      java.nio.file.Files.list(root).iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("cell=") &&
+            emptied.contains(name.stripPrefix("cell=")))
+          deleteRecursively(p)
+      }
+    deleteRecursively(java.nio.file.Paths.get(staging))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator()
+        .forEachRemaining(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** ADC top-k over a [[writeClusteredPQ]] table. The query assignment

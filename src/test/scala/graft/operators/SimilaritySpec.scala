@@ -283,6 +283,52 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 == Map(0L -> 1000L, 1L -> 1001L))
   }
 
+  test("maintainClusteredPQ is row-identical to a rebuild (upd/del/ins)") {
+    val corpus = pqCorpus(30)
+    val cents = Similarity.kmeans(corpus, k = 4, iterations = 3)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 8, iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqm_").toString + "/idx"
+    Similarity.writeClusteredPQ(corpus, cents, cb, path)
+    def vec(seed: Int) = Array.tabulate(16)(i => (0.05f * (i + seed)) - 0.4f)
+    // update id 3, delete id 4, insert id 77 — one signed feed
+    val feed = (
+      corpus.where($"vec_id".isin(3L, 4L))
+        .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+      ).unionByName(Seq((3L, vec(9)), (77L, vec(2)))
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding", lit(1L).as("__sign")))
+    Similarity.maintainClusteredPQ(spark, path, cents, cb, feed)
+    val finalCorpus = corpus.where(!$"vec_id".isin(3L, 4L))
+      .unionByName(Seq((3L, vec(9)), (77L, vec(2))).toDF("vec_id", "embedding"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_pqm_rb_").toString + "/idx"
+    Similarity.writeClusteredPQ(finalCorpus, cents, cb, rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(path) == rows(rebuilt))
+  }
+
+  test("maintainClusteredPQ drops a fully-emptied cell's directory") {
+    val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val cb2 = Similarity.pqCodebooks(emb, m = 2, k = 2, iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqm_empty_").toString + "/idx"
+    Similarity.writeClusteredPQ(emb, cents2, cb2, path)
+    // retract the entire y-cluster: cell 1 must vanish, not go stale
+    val feed = emb.where($"vec_id" >= 10L)
+      .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+    Similarity.maintainClusteredPQ(spark, path, cents2, cb2, feed)
+    val left = spark.read.parquet(path)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)].collect()
+    assert(left.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(left.forall(_._2 == 0L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("cell=1")))
+  }
+
   test("PQ ADC ranks a planted near-duplicate first even before rerank") {
     val corpus = pqCorpus(40)
     val probes = corpus.where($"vec_id" === 0L || $"vec_id" === 1L)
