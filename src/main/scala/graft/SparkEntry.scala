@@ -279,6 +279,57 @@ object SparkEntry {
     }
   }
 
+  /** q118's input: the STREAMING-maintained IVFADC index — v0 = vec_id%3==0
+    * committed with its index, then a 2-file backlog (file A: %3==1
+    * inserts + %9==0 updates to x·0.5+0.125; file B: %3==2 inserts)
+    * streamed through `runVersionedWithAnnIndex`, each micro-batch
+    * committing a version AND folding its change feed into the index.
+    * The rebuilt twin over the final snapshot is built alongside; the
+    * final corpus is pure vec_id arithmetic (all 500 ids, %9==0
+    * transformed) so the DuckDB twin reconstructs it directly.
+    */
+  private def q118Fixture(s: SparkSession, dir: String): String = {
+    val p115 = q115Fixture(s, dir) // outside the builder — no re-entry
+    val p114 = q114Fixture(s, dir)
+    memoFixture("q118", dir) { () =>
+      val base = scratch("graft_q118_")
+      val emb = t(s, dir, "embeddings")
+      val cents = s.read.parquet(s"$p115/cents")
+      val cb = s.read.parquet(s"$p114/cb")
+      val v0 = emb.where(col("vec_id") % 3 === 0).select("vec_id", "embedding")
+      graft.store.VersionedTable.write(v0, s"$base/tbl")
+      Similarity.writeClusteredPQ(v0, cents, cb, s"$base/idx")
+      val src = s"$base/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val fileA = emb.where(col("vec_id") % 3 === 1)
+        .select("vec_id", "embedding")
+        .unionByName(emb.where(col("vec_id") % 9 === 0)
+          .select(col("vec_id"), transform(col("embedding"),
+            x => (x * lit(0.5d) + lit(0.125d)).cast("float"))
+            .as("embedding")))
+      val fileB = emb.where(col("vec_id") % 3 === 2)
+        .select("vec_id", "embedding")
+      Seq("a" -> fileA, "b" -> fileB).foreach { case (tag, df) =>
+        val staging = s"$base/stage_$tag"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, s"feed_$tag.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingUpsert.runVersionedWithAnnIndex(
+          s, src, fileB.schema, s"$base/tbl", s"$base/ckpt", Seq("vec_id"),
+          s"$base/idx", cents, cb, maxFilesPerTrigger = 1)
+      }
+      Similarity.writeClusteredPQ(
+        graft.store.VersionedTable.read(s, s"$base/tbl"), cents, cb,
+        s"$base/rebuilt")
+      base
+    }
+  }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -2209,6 +2260,39 @@ object SparkEntry {
           (col("n_same") === col("n_m") && col("n_m") === col("n_r"))
             .as("maintain_ok"))
     }),
+
+    // streaming ANN freshness: the backlog streams through micro-batches
+    // that each commit a table version AND fold its change feed into the
+    // clustered PQ index — after the drain, searching the streamed index
+    // must be rank-for-rank the rebuilt twin (whatever batch boundaries
+    // the trigger chose), with the recall gate vs brute force over the
+    // final snapshot
+    "q118_stream_ann_index" -> ((s, dir) => {
+      val base = q118Fixture(s, dir)
+      val cents = s.read.parquet(s"${q115Fixture(s, dir)}/cents")
+      val cb = s.read.parquet(s"${q114Fixture(s, dir)}/cb")
+      val fin = graft.store.VersionedTable.read(s, s"$base/tbl")
+      val probes = fin.where(col("vec_id") < 50)
+      val annM = Similarity.ivfAdcTopKRerank(s, s"$base/idx", cb, cents,
+        fin, probes, k = 5, nprobe = 12, shortlist = 100)
+      val annR = Similarity.ivfAdcTopKRerank(s, s"$base/rebuilt", cb, cents,
+        fin, probes, k = 5, nprobe = 12, shortlist = 100)
+      val exact = Similarity.bruteForceTopK(fin, probes, k = 5)
+      val nHits = annM.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nSame = annM.join(annR, Seq("query_id", "neighbor_id", "rnk"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_same"))
+      val nM = annM.agg(count(lit(1)).as("n_m"))
+      val nR = annR.agg(count(lit(1)).as("n_r"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).crossJoin(nM).crossJoin(nR).crossJoin(nSame)
+        .select(
+          col("n_exact"),
+          (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"),
+          (col("n_same") === col("n_m") && col("n_m") === col("n_r"))
+            .as("stream_ok"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -3015,6 +3099,26 @@ object SparkEntry {
            |  FROM scored),
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok, TRUE AS maintain_ok
+           |FROM x""".stripMargin,
+
+      "q118_stream_ann_index" ->
+        s"""WITH fin AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 9 = 0 THEN list_transform(embedding,
+           |      x -> CAST(CAST(x AS DOUBLE) * 0.5 + 0.125 AS FLOAT))
+           |    ELSE embedding END AS embedding
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM fin WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM fin),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok, TRUE AS stream_ok
            |FROM x""".stripMargin,
 
       "q106_chunk_documents" ->

@@ -104,6 +104,52 @@ object StreamingUpsert {
         batch.sparkSession, tableRoot, batch, pk): Unit
     }
 
+  /** [[runVersionedAvailableNow]] that ALSO keeps a clustered PQ ANN
+    * index fresh: each micro-batch PK-merges + commits a version, then
+    * folds EXACTLY that commit's change feed into the index
+    * ([[graft.operators.Similarity.maintainClusteredPQ]] — touched cell
+    * partitions only). The index never rebuilds: after the backlog
+    * drains it is row-identical to `writeClusteredPQ` over the final
+    * snapshot, whatever batch boundaries the trigger chose (q118's
+    * gate). `pk` must be the single vector-id column. Same
+    * effectively-once caveat as [[runVersionedAvailableNow]]; a
+    * replayed batch's duplicate version has an EMPTY change feed, so
+    * the index fold is a no-op and stays exact.
+    */
+  def runVersionedWithAnnIndex(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tableRoot: String,
+      checkpointDir: String,
+      pk: Seq[String],
+      indexPath: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      vecCol: String = "embedding",
+      maxFilesPerTrigger: Int = 1,
+      residual: Boolean = false,
+  ): Unit = {
+    require(pk.length == 1,
+      "runVersionedWithAnnIndex: pk must be the single vector-id column")
+    runBatches(spark, sourceDir, schema, checkpointDir, maxFilesPerTrigger) {
+      batch =>
+        val s = batch.sparkSession
+        val before = graft.store.VersionedTable.latestVersion(tableRoot)
+          .getOrElse(throw new IllegalStateException(
+            "runVersionedWithAnnIndex needs a v0 table + matching index " +
+              "before streaming starts"))
+        graft.store.VersionedTable.upsert(s, tableRoot, batch, pk)
+        val after = graft.store.VersionedTable.latestVersion(tableRoot).get
+        if (after != before)
+          graft.operators.Similarity.maintainClusteredPQ(s, indexPath,
+            centroids, codebooks,
+            graft.store.VersionedTable.changeFeed(s, tableRoot, before,
+              after, pk),
+            pk.head, vecCol, residual)
+    }
+  }
+
   /** Windowed streaming aggregation with a watermark — the standard
     * late-data-bounded shape (10-minute windows, `lateness` allowed).
     * Returns the streaming DataFrame for the caller to sink.

@@ -86,6 +86,40 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L)) // id=2 seen in batch 1, dropped in batch 2
   }
 
+  test("streamed ANN index maintenance equals a rebuild over the final table") {
+    import graft.operators.Similarity
+    val root = Files.createTempDirectory("graft_sann_").toString
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 0.1f * ((i + d) % 7) + 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(corpus, k = 3, iterations = 2)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 4, iterations = 1)
+    val v0 = corpus.where($"vec_id" % 2 === 0)
+    graft.store.VersionedTable.write(v0, s"$root/tbl")
+    Similarity.writeClusteredPQ(v0, cents, cb, s"$root/idx")
+    // backlog: odd-id inserts, then an update batch rewriting ids % 6 == 0
+    val src = s"$root/src"
+    writeFile(corpus.where($"vec_id" % 2 === 1), s"$src/f1.parquet")
+    writeFile(corpus.where($"vec_id" % 6 === 0)
+        .select($"vec_id", org.apache.spark.sql.functions.transform(
+          $"embedding",
+          x => (x + org.apache.spark.sql.functions.lit(0.3d)).cast("float"))
+          .as("embedding")),
+      s"$src/f2.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val rebuilt = s"$root/rebuilt"
+    Similarity.writeClusteredPQ(
+      graft.store.VersionedTable.read(spark, s"$root/tbl"), cents, cb,
+      rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(s"$root/idx") == rows(rebuilt))
+    assert(rows(s"$root/idx").size == 24)
+  }
+
   test("windowed backlog aggregation equals the equivalent batch query") {
     import java.sql.Timestamp
     val root = Files.createTempDirectory("graft_sw_").toString
