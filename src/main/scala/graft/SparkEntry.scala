@@ -910,6 +910,17 @@ object SparkEntry {
           concat_ws("-", TextFunctions.fingerprint(col("text"))).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // feature-hashing embeddings (the hashing trick): signed token-count
+    // histograms, INTEGER-EXACT so the DuckDB twin reproduces every value
+    // — the model-free featurizer closing text → vector → ANN. Exploded
+    // to scalar rows for the value-hash compare
+    "q119_hash_embed" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.hashEmbed(col("text"), 64))
+            .as(Seq("pos", "v")))
+        .orderBy("doc_id", "pos")),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2875,6 +2886,23 @@ object SparkEntry {
            |  FROM toks)
            |SELECT doc_id, array_to_string(f, '-') AS fingerprint
            |FROM fp ORDER BY doc_id""".stripMargin,
+
+      "q119_hash_embed" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |t2 AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |h AS (SELECT doc_id, ${pHashSql("t")} AS hv FROM t2),
+           |agg AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM h GROUP BY 1, 2),
+           |grid AS (SELECT tk.doc_id, r.range AS pos
+           |  FROM tk, range(64) r)
+           |SELECT g.doc_id, CAST(g.pos AS INTEGER) AS pos,
+           |  coalesce(a.v, 0) AS v
+           |FROM grid g LEFT JOIN agg a
+           |  ON a.doc_id = g.doc_id AND a.bucket = g.pos
+           |ORDER BY g.doc_id, pos""".stripMargin,
 
       "q38_sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

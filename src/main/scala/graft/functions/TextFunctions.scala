@@ -37,6 +37,14 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     TextExpressions.shingles(text, n)
 
+  /** Feature-hashing text embedding (`array<long>` signed token-count
+    * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
+    * that closes the text → vector → near-dup/ANN pipeline. Integer-exact
+    * and engine-portable; normalize downstream for cosine geometry.
+    */
+  def hashEmbed(text: Column, dim: Int = 64): Column =
+    TextExpressions.hashEmbed(text, dim)
+
   /** Language-ID by marker-word voting: count hits against small per-language
     * marker sets; highest count wins, ties broken by language code. A
     * real pipeline would swap in fastText scores — the n-gram-heuristic

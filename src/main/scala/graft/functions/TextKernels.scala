@@ -80,6 +80,31 @@ object TextKernels {
     new GenericArrayData(shingleStrings(text, n)
       .map(UTF8String.fromString(_).asInstanceOf[Any]))
 
+  /** Feature-hashing ("hashing trick" — Weinberger et al., ICML 2009)
+    * text embedding: every token hashes to a bucket in [0, dim) and a ±1
+    * sign, and the embedding is the signed token-count histogram. One
+    * narrow pass, no vocabulary, no model — the classic cheap featurizer
+    * that lets text flow into the vector operators (near-dup, ANN,
+    * clustering) with no external dependency. INTEGER-EXACT by design
+    * (array<long>, not floats): the DuckDB twin reproduces every value
+    * bit for bit via the same portable hash; L2-normalize downstream
+    * (the index builders' `unitize`) when cosine geometry is needed.
+    */
+  def hashEmbedOf(text: UTF8String, dim: Int): ArrayData = {
+    val toks = tokenize(text)
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      val h = portableHash(toks(i).getBytes("UTF-8"))
+      // portableHash is a non-negative 32-bit value: % keeps the bucket in
+      // range with no floor-mod concern, and bit 16 is independent of the
+      // low bucket bits for any realistic dim
+      v((h % dim).toInt) += (if (((h >> 16) & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    new GenericArrayData(v.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
+  }
+
   /** SimHash over DISTINCT tokens: bit b set when the ±1 vote sum over
     * token-hash bit b is positive. One pass, no shuffle — same values as
     * the explode + 32-sum-lanes groupBy formulation.
@@ -187,6 +212,21 @@ case class MinhashSigExpr(child: Expression, k: Int, n: Int)
     copy(child = c)
 }
 
+/** hash_embed(text, dim): array<long> — codegen'd one-pass
+  * feature-hashing embedding (see [[TextKernels.hashEmbedOf]]).
+  */
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.hashEmbedOf(t.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashEmbedOf($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): HashEmbedExpr =
+    copy(child = c)
+}
+
 /** simhash(text, bits): long — codegen'd single pass over distinct tokens. */
 case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -207,4 +247,6 @@ object TextExpressions {
     GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, n))
   def simhash(text: Column, bits: Int): Column =
     GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text), bits))
+  def hashEmbed(text: Column, dim: Int): Column =
+    GraftColumnBridge.column(HashEmbedExpr(GraftColumnBridge.expression(text), dim))
 }

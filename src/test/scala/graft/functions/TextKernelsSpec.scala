@@ -104,4 +104,38 @@ class TextKernelsSpec extends SparkSpec {
       .select(TextExpressions.tokens(col("text")).as("t"))
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("hashEmbed matches the per-token hash histogram; edge cases hold") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextExpressions.hashEmbed(col("text"), 8).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // reference: same portable hash, driver-side
+    def h(t: String) = TextKernels.portableHash(t.getBytes("UTF-8"))
+    val expect = Array.fill(8)(0L)
+    Seq("alpha", "beta", "alpha").foreach { t =>
+      expect((h(t) % 8).toInt) += (if (((h(t) >> 16) & 1L) == 1L) 1L else -1L)
+    }
+    assert(got(1L) == expect.toSeq)
+    assert(got(2L) == Seq.fill(8)(0L)) // empty text: a zero histogram
+    assert(got(3L) == null)            // null text: null, not a crash
+    // repeated tokens accumulate: "alpha" contributes twice
+    assert(got(1L).map(math.abs).sum == 3)
+  }
+
+  test("hashEmbed feeds the vector stack end to end (cast to float)") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        TextExpressions.hashEmbed(col("text"), 16),
+        x => x.cast("float")).as("embedding"))
+    val nn = graft.operators.Similarity.bruteForceTopK(emb,
+      emb.where(col("vec_id") === 1L), k = 1)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(nn.toSeq == Seq(2L)) // the duplicate text is the top neighbor
+  }
 }
