@@ -330,6 +330,33 @@ object SparkEntry {
     }
   }
 
+  /** The documents table as a vector corpus: feature-hashed 64-dim
+    * embeddings (integer histograms cast to float — exact for these
+    * magnitudes). Shared by q120's fixture and query so the two can
+    * never drift.
+    */
+  private def textEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+      transform(TextFunctions.hashEmbed(col("text"), 64),
+        x => x.cast("float")).as("embedding"))
+
+  /** q120's input: the IVFADC index built over the feature-hashed
+    * document embeddings — 8 k-means cells + 8-subspace codebooks +
+    * cell-partitioned codes, all derived from `documents.text` alone.
+    * Untimed like every index-build fixture.
+    */
+  private def q120Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q120", dir) { () =>
+      val base = scratch("graft_q120_")
+      val emb = textEmb(s, dir)
+      val cents = Similarity.kmeans(emb, k = 8, iterations = 3)
+      cents.write.parquet(s"$base/cents")
+      val cb = Similarity.pqCodebooks(emb, m = 8, k = 16, iterations = 3)
+      cb.write.parquet(s"$base/cb")
+      Similarity.writeClusteredPQ(emb, cents, cb, s"$base/idx")
+      base
+    }
+
   // ---------------------------------------------------------------- helpers
 
   /** Synthetic OHLCV price history derived deterministically from `events`
@@ -920,6 +947,28 @@ object SparkEntry {
           posexplode(TextFunctions.hashEmbed(col("text"), 64))
             .as(Seq("pos", "v")))
         .orderBy("doc_id", "pos")),
+
+    // the CLOSED text→ANN pipeline: raw documents → feature-hashed
+    // vectors → IVFADC index → cell-pruned search + exact rerank, no
+    // external model anywhere. The oracle rebuilds the SAME vectors from
+    // the same portable hash and brute-forces them; recall gated
+    // in-query as in every approximate path
+    "q120_text_ann_pipeline" -> ((s, dir) => {
+      val base = q120Fixture(s, dir)
+      val emb = textEmb(s, dir)
+      val probes = emb.where(col("vec_id") < 25)
+      val cents = s.read.parquet(s"$base/cents")
+      val cb = s.read.parquet(s"$base/cb")
+      val ann = Similarity.ivfAdcTopKRerank(s, s"$base/idx", cb, cents,
+        emb, probes, k = 5, nprobe = 6, shortlist = 100)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      val nHits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHits).select(
+        col("n_exact"),
+        (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
+    }),
 
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
@@ -2903,6 +2952,33 @@ object SparkEntry {
            |FROM grid g LEFT JOIN agg a
            |  ON a.doc_id = g.doc_id AND a.bucket = g.pos
            |ORDER BY g.doc_id, pos""".stripMargin,
+
+      "q120_text_ann_pipeline" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |t2 AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |h AS (SELECT doc_id, ${pHashSql("t")} AS hv FROM t2),
+           |agg AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM h GROUP BY 1, 2),
+           |grid AS (SELECT tk.doc_id, r.range AS pos
+           |  FROM tk, range(64) r),
+           |emb AS (SELECT g.doc_id,
+           |  list(CAST(coalesce(a.v, 0) AS DOUBLE) ORDER BY g.pos) AS ev
+           |  FROM grid g LEFT JOIN agg a
+           |    ON a.doc_id = g.doc_id AND a.bucket = g.pos
+           |  GROUP BY g.doc_id),
+           |q AS (SELECT doc_id AS query_id, ev AS qv FROM emb
+           |  WHERE doc_id < 25),
+           |c AS (SELECT doc_id AS neighbor_id, ev AS cv FROM emb),
+           |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
+           |  FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (SELECT query_id, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
+           |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
 
       "q38_sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
