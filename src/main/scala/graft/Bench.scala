@@ -12,7 +12,7 @@ object Bench {
       // tmpfs is RAM: wipe leftovers from prior runs BEFORE pointing the
       // scratch property at it, else every bench invocation's per-query
       // temp tables + streaming checkpoints accumulate until reboot
-      deleteRecursively(new java.io.File("/dev/shm/graft_bench"))
+      deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
       System.setProperty("graft.scratch", "/dev/shm/graft_bench")
     }
     val spark = SparkSession.builder()
@@ -44,11 +44,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
-      deleteRecursively(new java.io.File("/dev/shm/graft_bench"))
+      deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.store.UpsertWriter.deleteRecursively(p)
 }

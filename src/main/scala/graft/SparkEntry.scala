@@ -952,7 +952,10 @@ object SparkEntry {
     // vectors → IVFADC index → cell-pruned search + exact rerank, no
     // external model anywhere. The oracle rebuilds the SAME vectors from
     // the same portable hash and brute-forces them; recall gated
-    // in-query as in every approximate path
+    // in-query as in every approximate path. Zero-norm vectors (empty /
+    // whitespace-only text) have undefined cosine and rank on NEITHER
+    // side: Spark's null-sim rows never enter the top-k heap, and the
+    // twin filters list_dot_product(ev, ev) > 0 to match
     "q120_text_ann_pipeline" -> ((s, dir) => {
       val base = q120Fixture(s, dir)
       val emb = textEmb(s, dir)
@@ -2970,8 +2973,9 @@ object SparkEntry {
            |    ON a.doc_id = g.doc_id AND a.bucket = g.pos
            |  GROUP BY g.doc_id),
            |q AS (SELECT doc_id AS query_id, ev AS qv FROM emb
-           |  WHERE doc_id < 25),
-           |c AS (SELECT doc_id AS neighbor_id, ev AS cv FROM emb),
+           |  WHERE doc_id < 25 AND list_dot_product(ev, ev) > 0),
+           |c AS (SELECT doc_id AS neighbor_id, ev AS cv FROM emb
+           |  WHERE list_dot_product(ev, ev) > 0),
            |scored AS (SELECT query_id, neighbor_id, $cosSql AS sim
            |  FROM q JOIN c ON query_id <> neighbor_id),
            |ranked AS (SELECT query_id, row_number() OVER (

@@ -214,9 +214,12 @@ object Similarity {
     * data) becomes an `isin` partition filter, so the scan prunes to the
     * probed directories. Results are identical to [[ivfTopK]] with the
     * same centroids: cell assignment is deterministic and the float
-    * vectors round-trip parquet exactly. The query assignment runs ONCE —
-    * the probed cell list and the scoring join both read the same
-    * assigned frame.
+    * vectors round-trip parquet exactly. The probed cell list and the
+    * scoring join share ONE assigned-frame DEFINITION (so the routing
+    * can never drift from the scoring), but the frame is not persisted:
+    * the assignment projection re-evaluates once per action — probe-set
+    * cost — and `queries` must therefore be deterministic, as every
+    * source in this module is.
     */
   def ivfTopKClustered(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 1,
@@ -312,16 +315,14 @@ object Similarity {
   private def trainSubspaceCodebooks(prepared: DataFrame, m: Int, k: Int,
       iterations: Int, idCol: String, vecCol: String): DataFrame = {
     val cached = prepared.persist()
-    val probe = cached.select(size(col(vecCol))).limit(1).collect()
-    if (probe.isEmpty) {
-      cached.unpersist()
-      throw new IllegalArgumentException(
-        "pqCodebooks: corpus has no nonzero non-null embeddings to train on")
-    }
-    val dim = probe(0).getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val sub = dim / m
     try {
+      val probe = cached.select(size(col(vecCol))).limit(1).collect()
+      if (probe.isEmpty)
+        throw new IllegalArgumentException(
+          "pqCodebooks: corpus has no nonzero non-null embeddings to train on")
+      val dim = probe(0).getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      val sub = dim / m
       (0 until m).map { s =>
         // L2 Lloyd's: codeword MAGNITUDE matters for reconstructing dot
         // products, so subspace codebooks train on distance, not direction
@@ -331,7 +332,9 @@ object Similarity {
           .select(lit(s).as("subspace"), col("centroid_id").as("codeword_id"),
             col("cvec"))
       }.reduce(_ unionByName _)
-    } finally cached.unpersist() // kmeans collects eagerly — lineage is done
+    } finally cached.unpersist() // kmeans collects eagerly — lineage is done;
+    // the finally also covers the probe/require throws, so a misconfigured
+    // call never strands the cached prepared frame
   }
 
   /** Encode each vector as its `m` per-subspace codeword ids — one NARROW
@@ -557,13 +560,19 @@ object Similarity {
     * corpus rebuild. Work is delta-sized: the −1 images' cells and the
     * re-encoded +1 rows (both deterministic re-derivations, so they match
     * what a rebuild would compute) name the TOUCHED cells; only those
-    * partitions are read, anti-joined against the leaving ids, unioned
-    * with the fresh codes, and dynamically overwritten — untouched cells'
-    * files are never opened. A cell the feed fully empties writes no rows
-    * under dynamic overwrite, so its stale directory is dropped
-    * explicitly (same discipline as `UpsertWriter.deletePartitioned`).
-    * Result is row-identical to `writeClusteredPQ` over the post-feed
-    * corpus, which the q117 gate and SimilaritySpec assert.
+    * partitions are read, anti-joined against the feed's ids (both
+    * signs, so re-applying a feed upserts rather than duplicates),
+    * unioned with the fresh codes, and dynamically overwritten —
+    * untouched cells' files are never opened. A cell the feed fully
+    * empties writes no rows under dynamic overwrite, so its stale
+    * directory is dropped explicitly (same discipline as
+    * `UpsertWriter.deletePartitioned`). Result is row-identical to
+    * `writeClusteredPQ` over the post-feed corpus, which the q117 gate
+    * and SimilaritySpec assert. The multi-cell mutation is NOT atomic —
+    * a caller that must survive a crash mid-fold should track the
+    * version the index reflects and run [[repairClusteredPQCells]] when
+    * it lags (the [[graft.streaming.StreamingUpsert
+    * .runVersionedWithAnnIndex]] discipline).
     */
   def maintainClusteredPQ(spark: SparkSession, path: String,
       centroids: DataFrame, codebooks: DataFrame, feed: DataFrame,
@@ -571,11 +580,12 @@ object Similarity {
       residual: Boolean = false): Unit = {
     val adds = encodeClusteredPQ(feed.where(col("__sign") === 1),
       centroids, codebooks, idCol, vecCol, residual)
-    // ids whose CURRENT index row must leave (updates retract their old
-    // image, deletes retract everything); a pure insert has no −1 row and
-    // its id anti-joins as a no-op
-    val removeIds = feed.where(col("__sign") === -1)
-      .select(col(idCol)).distinct()
+    // ids whose CURRENT index row must leave: updates/deletes retract
+    // their old image via the −1 rows, and the +1 ids are retracted too
+    // so re-applying a feed over an already-folded cell upserts instead
+    // of duplicating (row-level idempotence; a pure insert's id is
+    // normally absent and anti-joins as a no-op)
+    val removeIds = feed.select(col(idCol)).distinct()
     // the −1 images' cells recompute deterministically from the old
     // vectors — zero/null old images were never written, contribute none
     val oldCells = encodeClusteredPQ(feed.where(col("__sign") === -1),
@@ -591,37 +601,69 @@ object Similarity {
         col(idCol) === col("__rm"), "left_anti")
     val out = survivors.select(col(idCol), col("cell"), col("code"))
       .unionByName(adds)
-    // stage → dynamic overwrite → drop emptied dirs, computed BEFORE the
-    // staged write (an all-empty staging dir has no readable schema)
-    val surviving = out.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_pq_maintain_").toString + "/s"
-    if (surviving.nonEmpty) {
-      out.write.partitionBy("cell").parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(path)
-    }
-    val emptied = touched.filterNot(surviving).map(String.valueOf).toSet
-    val root = java.nio.file.Paths.get(path)
-    if (emptied.nonEmpty && java.nio.file.Files.exists(root))
-      java.nio.file.Files.list(root).iterator().forEachRemaining { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("cell=") &&
-            emptied.contains(name.stripPrefix("cell=")))
-          deleteRecursively(p)
-      }
-    deleteRecursively(java.nio.file.Paths.get(staging))
+    overwriteCells(spark, path, out, touched.toSet)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator()
-        .forEachRemaining(deleteRecursively)
-    java.nio.file.Files.deleteIfExists(p)
+  /** Rebuild EXACTLY the cells a change feed touches from the
+    * authoritative post-feed corpus snapshot — the crash-REPAIR path for
+    * [[maintainClusteredPQ]]. If a fold dies mid-mutation (dynamic
+    * overwrite and emptied-dir drops are not atomic across cells), the
+    * touched cells may hold any mixture of old/new/partial state; since
+    * `(cell, code)` is a pure function of the vector and the index state,
+    * re-encoding the snapshot and overwriting just those cells restores
+    * them to what a full rebuild would write, whatever the damage.
+    * O(corpus) compute (one assign+encode scan) but only the touched
+    * cells are written — acceptable for a recovery path that never runs
+    * in steady state. Idempotent: derived solely from the snapshot, so a
+    * crash during repair just reruns it.
+    */
+  def repairClusteredPQCells(spark: SparkSession, path: String,
+      corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      feed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", residual: Boolean = false): Unit = {
+    val touched = encodeClusteredPQ(feed, centroids, codebooks, idCol,
+      vecCol, residual).select("cell")
+      .distinct().collect().map(_.getLong(0)) // both signs' cells
+    if (touched.isEmpty) return
+    val out = encodeClusteredPQ(corpus, centroids, codebooks, idCol,
+      vecCol, residual).where(col("cell").isin(touched: _*))
+    overwriteCells(spark, path, out, touched.toSet)
+  }
+
+  /** Stage `out`, dynamically overwrite its cell partitions, then drop
+    * the `touched` cells that ended up empty (dynamic overwrite writes no
+    * rows for them, leaving stale directories — same discipline as
+    * `UpsertWriter.deletePartitioned`). The surviving-cell set is
+    * computed BEFORE the staged write because an all-empty staging dir
+    * has no readable schema; the staging tree is removed in a finally so
+    * a failed write never strands an index-sized copy on disk.
+    */
+  private def overwriteCells(spark: SparkSession, path: String,
+      out: DataFrame, touched: Set[Long]): Unit = {
+    val surviving = out.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val stagingRoot = java.nio.file.Files
+      .createTempDirectory("graft_pq_maintain_")
+    try {
+      if (surviving.nonEmpty) {
+        val staging = s"$stagingRoot/s"
+        out.write.partitionBy("cell").parquet(staging)
+        spark.read.parquet(staging)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell")
+          .parquet(path)
+      }
+      val emptied = touched.filterNot(surviving).map(String.valueOf)
+      val root = java.nio.file.Paths.get(path)
+      if (emptied.nonEmpty && java.nio.file.Files.exists(root))
+        java.nio.file.Files.list(root).iterator().forEachRemaining { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("cell=") &&
+              emptied.contains(name.stripPrefix("cell=")))
+            graft.store.UpsertWriter.deleteRecursively(p)
+        }
+    } finally graft.store.UpsertWriter.deleteRecursively(stagingRoot)
   }
 
   /** ADC top-k over a [[writeClusteredPQ]] table. The query assignment

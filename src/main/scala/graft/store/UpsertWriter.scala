@@ -219,7 +219,11 @@ object UpsertWriter {
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Shared recursive delete — the one copy (`Similarity`'s index
+    * maintenance and `Bench`'s scratch cleanup reuse it rather than
+    * re-implementing).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))

@@ -112,9 +112,18 @@ object StreamingUpsert {
     * drains it is row-identical to `writeClusteredPQ` over the final
     * snapshot, whatever batch boundaries the trigger chose (q118's
     * gate). `pk` must be the single vector-id column. Same
-    * effectively-once caveat as [[runVersionedAvailableNow]]; a
-    * replayed batch's duplicate version has an EMPTY change feed, so
-    * the index fold is a no-op and stays exact.
+    * effectively-once caveat as [[runVersionedAvailableNow]] for the
+    * VERSION HISTORY; the index itself is crash-exact: an
+    * `_indexed_version` marker in the index directory (atomic rename,
+    * advanced only after a fold completes) records the table version the
+    * index reflects, and a batch that finds the marker lagging the table
+    * — a prior fold died mid-mutation, leaving touched cells in
+    * old/new/partial mixtures — first repairs those cells from the
+    * authoritative snapshot
+    * ([[graft.operators.Similarity.repairClusteredPQCells]]) before
+    * folding its own delta. A replayed batch whose fold DID complete
+    * finds marker == table version and skips straight to the (empty)
+    * duplicate-version feed, a no-op.
     */
   def runVersionedWithAnnIndex(
       spark: SparkSession,
@@ -139,15 +148,54 @@ object StreamingUpsert {
           .getOrElse(throw new IllegalStateException(
             "runVersionedWithAnnIndex needs a v0 table + matching index " +
               "before streaming starts"))
+        // the marker is stamped BEFORE the first upsert so every later
+        // batch can tell a completed fold from one that died mid-mutation
+        val indexed = readIndexedVersion(indexPath).getOrElse {
+          writeIndexedVersion(indexPath, before); before
+        }
+        if (indexed < before) {
+          // prior fold incomplete: its touched cells may be damaged —
+          // rebuild exactly those from the current snapshot, then stamp
+          graft.operators.Similarity.repairClusteredPQCells(s, indexPath,
+            graft.store.VersionedTable.read(s, tableRoot),
+            centroids, codebooks,
+            graft.store.VersionedTable.changeFeed(s, tableRoot, indexed,
+              before, pk),
+            pk.head, vecCol, residual)
+          writeIndexedVersion(indexPath, before)
+        }
         graft.store.VersionedTable.upsert(s, tableRoot, batch, pk)
         val after = graft.store.VersionedTable.latestVersion(tableRoot).get
-        if (after != before)
+        if (after != before) {
           graft.operators.Similarity.maintainClusteredPQ(s, indexPath,
             centroids, codebooks,
             graft.store.VersionedTable.changeFeed(s, tableRoot, before,
               after, pk),
             pk.head, vecCol, residual)
+          writeIndexedVersion(indexPath, after)
+        }
     }
+  }
+
+  /** The table version a clustered-PQ index reflects — `_indexed_version`
+    * inside the index directory, committed by atomic rename so readers
+    * see the old value or the new one, never a torn write.
+    */
+  private[graft] def readIndexedVersion(indexPath: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(indexPath, "_indexed_version")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  private[graft] def writeIndexedVersion(indexPath: String, v: Long): Unit = {
+    val dir = java.nio.file.Paths.get(indexPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, "_indexed_version_", ".tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("_indexed_version"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Windowed streaming aggregation with a watermark — the standard

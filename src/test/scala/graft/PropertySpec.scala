@@ -292,7 +292,13 @@ class PropertySpec extends SparkSpec {
         n = 8) { case (rows, k, parts) =>
       val df = rows.toDF("g", "id", "s").repartition(parts)
       // scores compare as canonical BITS: Scala's == on boxed doubles has
-      // NaN != NaN, which would make identical NaN tuples "differ"
+      // NaN != NaN, which would make identical NaN tuples "differ". ±0.0
+      // canonicalizes to +0.0 FIRST: a (g, id) drawn with both zero signs
+      // is a full SQL tie (score equal, id equal) whose relative order is
+      // unspecified, so the zero's sign at those positions must not
+      // distinguish the sets
+      def bits(d: Double): Long =
+        java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
       val got = df.groupBy("g")
         .agg(graft.functions.TopKAggregate.topKByScore($"s", $"id", k)
           .as("top"))
@@ -300,7 +306,7 @@ class PropertySpec extends SparkSpec {
         .select($"g", $"pos", $"e.id", $"e.score")
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-          java.lang.Double.doubleToLongBits(r.getDouble(3))))
+          bits(r.getDouble(3))))
         .toSet
       // reference: SQL double ordering — NaN greatest, -0.0 == 0.0
       // (java.lang.Double.compare would order -0.0 < 0.0 and miss the
@@ -316,8 +322,7 @@ class PropertySpec extends SparkSpec {
               if (c != 0) c > 0 else ia < ib
             }
             .take(k).zipWithIndex
-            .map { case ((id, s), pos) =>
-              (g, pos, id, java.lang.Double.doubleToLongBits(s)) }
+            .map { case ((id, s), pos) => (g, pos, id, bits(s)) }
         }.toSet
       assert(got == expect, s"k=$k parts=$parts")
     }

@@ -310,6 +310,69 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(path) == rows(rebuilt))
   }
 
+  test("maintainClusteredPQ re-applies the same feed without duplicating") {
+    val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val cb2 = Similarity.pqCodebooks(emb, m = 2, k = 2, iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqm_idem_").toString + "/idx"
+    Similarity.writeClusteredPQ(emb, cents2, cb2, path)
+    // update id 1 (stays cell 0), delete id 10, insert id 20 (cell 1)
+    val feed = emb.where($"vec_id".isin(1L, 10L))
+      .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+      .unionByName(Seq((1L, Array(0.7f, 0.3f)), (20L, Array(0.3f, 0.7f)))
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding", lit(1L).as("__sign")))
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    Similarity.maintainClusteredPQ(spark, path, cents2, cb2, feed)
+    val once = rows(path)
+    // a replayed fold (crash between a COMPLETED index mutation and the
+    // stream's checkpoint commit) must upsert, never duplicate
+    Similarity.maintainClusteredPQ(spark, path, cents2, cb2, feed)
+    assert(rows(path) == once)
+  }
+
+  test("repairClusteredPQCells restores old/missing touched-cell damage") {
+    val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val cb2 = Similarity.pqCodebooks(emb, m = 2, k = 2, iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqm_rep_").toString + "/idx"
+    Similarity.writeClusteredPQ(emb, cents2, cb2, path)
+    // update id 0 (cell 0), delete id 12 (cell 1), insert id 20 (cell 1)
+    val feed = emb.where($"vec_id".isin(0L, 12L))
+      .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+      .unionByName(Seq((0L, Array(0.6f, 0.4f)), (20L, Array(0.3f, 0.7f)))
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding", lit(1L).as("__sign")))
+    // pre-feed image of cell 0, saved to fake a cell the crashed fold
+    // never reached
+    val pre0 = spark.read.parquet(path).where($"cell" === 0)
+      .select("vec_id", "code").collect().toSeq
+    Similarity.maintainClusteredPQ(spark, path, cents2, cb2, feed)
+    // crash damage, one touched cell each way: cell 0 rolled back to its
+    // OLD content, cell 1's directory lost mid-commit
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(pre0),
+        spark.read.parquet(path).select("vec_id", "code").schema)
+      .write.mode("overwrite").parquet(s"$path/cell=0")
+    graft.store.UpsertWriter.deleteRecursively(
+      java.nio.file.Paths.get(path).resolve("cell=1"))
+    val post = emb.where(!$"vec_id".isin(0L, 12L))
+      .unionByName(Seq((0L, Array(0.6f, 0.4f)), (20L, Array(0.3f, 0.7f)))
+        .toDF("vec_id", "embedding"))
+    Similarity.repairClusteredPQCells(spark, path, post, cents2, cb2, feed)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_pqm_rep_rb_").toString + "/idx"
+    Similarity.writeClusteredPQ(post, cents2, cb2, rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(path) == rows(rebuilt))
+  }
+
   test("maintainClusteredPQ drops a fully-emptied cell's directory") {
     val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("centroid_id", "cvec")

@@ -120,6 +120,56 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(rows(s"$root/idx").size == 24)
   }
 
+  test("a table that advanced past the index marker triggers cell repair") {
+    import graft.operators.Similarity
+    val root = Files.createTempDirectory("graft_sannr_").toString
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 0.1f * ((i + d) % 7) + 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(corpus, k = 3, iterations = 2)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 4, iterations = 1)
+    val v0 = corpus.where($"vec_id" % 2 === 0)
+    graft.store.VersionedTable.write(v0, s"$root/tbl")
+    Similarity.writeClusteredPQ(v0, cents, cb, s"$root/idx")
+    val src = s"$root/src"
+    writeFile(corpus.where($"vec_id" % 2 === 1), s"$src/f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val marker = StreamingUpsert.readIndexedVersion(s"$root/idx").get
+    // simulate a fold that died mid-mutation: the table commits an update
+    // the index never folds (marker stays behind) and one of the cells
+    // that fold WOULD have touched loses its directory
+    val upd = corpus.where($"vec_id" % 6 === 0)
+      .select($"vec_id", org.apache.spark.sql.functions.transform(
+        $"embedding",
+        x => (x + org.apache.spark.sql.functions.lit(0.3d)).cast("float"))
+        .as("embedding"))
+    graft.store.VersionedTable.upsert(spark, s"$root/tbl", upd, Seq("vec_id"))
+    assert(StreamingUpsert.readIndexedVersion(s"$root/idx").get == marker)
+    val damagedCell = spark.read.parquet(s"$root/idx")
+      .join(upd.select("vec_id"), Seq("vec_id"))
+      .select($"cell".cast("long")).distinct().as[Long].head()
+    graft.store.UpsertWriter.deleteRecursively(
+      java.nio.file.Paths.get(s"$root/idx").resolve(s"cell=$damagedCell"))
+    // next micro-batch: the runner must repair the damaged cells from the
+    // snapshot BEFORE folding its own delta
+    writeFile(Seq((100L, Array.tabulate(8)(d => 0.02f * (d + 1))))
+      .toDF("vec_id", "embedding"), s"$src/f2.parquet")
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val rebuilt = s"$root/rebuilt"
+    Similarity.writeClusteredPQ(
+      graft.store.VersionedTable.read(spark, s"$root/tbl"), cents, cb,
+      rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(s"$root/idx") == rows(rebuilt))
+    assert(rows(s"$root/idx").size == 25)
+    assert(StreamingUpsert.readIndexedVersion(s"$root/idx").get > marker)
+  }
+
   test("windowed backlog aggregation equals the equivalent batch query") {
     import java.sql.Timestamp
     val root = Files.createTempDirectory("graft_sw_").toString
