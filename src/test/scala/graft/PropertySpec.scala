@@ -328,6 +328,82 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repairClusteredPQCells equals a rebuild under random feeds and damage") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Similarity
+    // random corpus × random update/delete/insert feed: fold it, then
+    // damage EVERY touched cell one of three ways — leave the folded
+    // result, lose the directory, or roll back to the pre-feed image —
+    // and the repair must land on the rebuild exactly, whatever mixture
+    // the simulated crash left behind (the invariant the streaming
+    // runner's marker-lag recovery rests on)
+    val caseGen = for {
+      n <- Gen.choose(12, 24)
+      rows <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-1f, 1f)))
+      dels <- Gen.someOf(1 until n)
+      upds <- Gen.someOf(1 until n)
+      nIns <- Gen.choose(0, 4)
+      rot <- Gen.choose(0, 2)
+    } yield (rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) },
+      dels.map(_.toLong).toSet -- upds.map(_.toLong),
+      upds.map(_.toLong).toSet, nIns, rot)
+    forAllSampled(caseGen, n = 4) { case (rows, dels, upds, nIns, rot) =>
+      val corpus = rows.toDF("vec_id", "embedding")
+      val cents = Similarity.kmeans(corpus, 3, 2)
+      val cb = Similarity.pqCodebooks(corpus, m = 2, k = 4, iterations = 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pqrep_").toString + "/idx"
+      Similarity.writeClusteredPQ(corpus, cents, cb, path)
+      def newVec(i: Long) =
+        Array.tabulate(4)(d => 0.1f * ((i + d) % 5) - 0.2f)
+      val outIds = (dels ++ upds).toSeq
+      val plusRows = upds.toSeq.sorted.map(i => (i, newVec(i))) ++
+        (0 until nIns).map(j => (rows.length.toLong + j,
+          newVec(rows.length.toLong + j)))
+      val minus =
+        if (outIds.isEmpty) corpus.where(lit(false))
+          .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+        else corpus.where($"vec_id".isin(outIds: _*))
+          .select($"vec_id", $"embedding", lit(-1L).as("__sign"))
+      val feed = minus.unionByName(plusRows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding", lit(1L).as("__sign")))
+      val pre = spark.read.parquet(path)
+        .select($"vec_id", $"cell".cast("long").as("cell"), $"code")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      Similarity.maintainClusteredPQ(spark, path, cents, cb, feed)
+      val post = (if (outIds.isEmpty) corpus
+        else corpus.where(!$"vec_id".isin(outIds: _*)))
+        .unionByName(plusRows.toDF("vec_id", "embedding"))
+      val rebuilt = java.nio.file.Files
+        .createTempDirectory("graft_pqrep_rb_").toString + "/idx"
+      Similarity.writeClusteredPQ(post, cents, cb, rebuilt)
+      def rowsOf(p: String) = spark.read.parquet(p)
+        .select($"vec_id", $"cell".cast("long"), $"code")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2))).toSet
+      val plusIds = plusRows.map(_._1).toSet
+      val touched = pre.filter(r => dels(r._1) || upds(r._1)).map(_._2).toSet ++
+        rowsOf(rebuilt).filter(r => plusIds(r._1)).map(_._2)
+      touched.foreach { c =>
+        val dir = java.nio.file.Paths.get(path).resolve(s"cell=$c")
+        (((c + rot) % 3).toInt) match {
+          case 1 => UpsertWriter.deleteRecursively(dir)
+          case 2 =>
+            val old = pre.filter(_._2 == c)
+            if (old.isEmpty) UpsertWriter.deleteRecursively(dir)
+            else old.toSeq.map { case (id, _, code) => (id, code) }
+              .toDF("vec_id", "code")
+              .write.mode("overwrite").parquet(dir.toString)
+          case _ => () // crash landed after this cell committed
+        }
+      }
+      if (touched.nonEmpty)
+        Similarity.repairClusteredPQCells(spark, path, post, cents, cb, feed)
+      assert(rowsOf(path) == rowsOf(rebuilt),
+        s"dels=$dels upds=$upds nIns=$nIns rot=$rot touched=$touched")
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}
