@@ -973,6 +973,32 @@ object SparkEntry {
         (col("n_hits") * 10 >= col("n_exact") * 9).as("recall_ok"))
     }),
 
+    // CCNet-style LM familiarity (Wenzek et al., LREC'20): score every
+    // document against a bigram model trained on a reference slice of
+    // the corpus (doc_id % 3 == 0). All quantities integer — gram
+    // totals, known-gram counts, reference-count mass — so the gate is
+    // decimal-exact; log-space perplexity is a float epilogue the
+    // caller applies to the same joined counts
+    "q121_lm_familiarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Retrieval.ngramModel(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      Retrieval.familiarityGate(docs, model, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic global shuffle + shard assignment: the
+    // training-order export stage — reproducible hash sort key, hash
+    // shard, and the within-shard ordinal computed by the packSequences
+    // prefix sum (no shard-sized window task). Stats-only consumer, so
+    // the input pre-projects to the id
+    "q122_shuffle_shard" -> ((s, dir) =>
+      graft.operators.Corpus.shuffleShard(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          nShards = 4, seed = "s42")
+        .select(col("doc_id"), col("shard"), col("sort_key"), col("pos"))
+        .orderBy("doc_id")),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2983,6 +3009,35 @@ object SparkEntry {
            |  FROM scored),
            |x AS (SELECT count(*) AS n_exact FROM ranked WHERE rnk <= 5)
            |SELECT n_exact, TRUE AS recall_ok FROM x""".stripMargin,
+
+      "q121_lm_familiarity" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |g AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS gram
+           |  FROM tk),
+           |model AS (SELECT gram, count(*) AS cnt FROM g
+           |  WHERE doc_id % 3 = 0 GROUP BY 1),
+           |agg AS (SELECT g.doc_id, count(*) AS n_grams,
+           |  count(m.cnt) AS n_known,
+           |  CAST(coalesce(sum(m.cnt), 0) AS BIGINT) AS ref_mass
+           |  FROM g LEFT JOIN model m USING (gram) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(n_grams, 0) AS n_grams,
+           |  coalesce(n_known, 0) AS n_known,
+           |  coalesce(ref_mass, 0) AS ref_mass,
+           |  coalesce(n_known * 2 >= n_grams * 1, TRUE) AS keep
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q122_shuffle_shard" ->
+        s"""WITH k AS (SELECT doc_id,
+           |  ${pHashSql("'s42|' || doc_id")} AS sort_key,
+           |  ${pHashSql("'s42#' || doc_id")} % 4 AS shard
+           |  FROM documents)
+           |SELECT doc_id, shard, sort_key,
+           |  row_number() OVER (PARTITION BY shard
+           |    ORDER BY sort_key, doc_id) - 1 AS pos
+           |FROM k ORDER BY doc_id""".stripMargin,
 
       "q38_sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,28 +295,9 @@ object Corpus {
     // dependency, so partition boundaries cannot drift between the
     // subtotal pass and the cumsum pass
     val rdd = sorted.rdd
-    // pass 1: per-(partition, shard) subtotals, in the partition's sort
-    // order — every shard PRESENT is recorded (null counts add 0) so the
-    // offset chain stays unbroken across partitions
-    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val perShard = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach { r =>
-        val sKey = r.get(shardIdx)
-        val nt = if (r.isNullAt(ntIdx)) 0L else r.getLong(ntIdx)
-        perShard.update(sKey, perShard.getOrElse(sKey, 0L) + nt)
-      }
-      Iterator.single(pid -> perShard.toVector)
-    }.collect()
-    // prefix offsets: tokens of the same shard in EARLIER partitions
-    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
-    val running = scala.collection.mutable.HashMap.empty[Any, Long]
-    subtotals.sortBy(_._1).foreach { case (pid, shards) =>
-      shards.foreach { case (sKey, tot) =>
-        offsets((pid, sKey)) = running.getOrElse(sKey, 0L)
-        running.update(sKey, running.getOrElse(sKey, 0L) + tot)
-      }
-    }
-    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+    val bOffsets = spark.sparkContext.broadcast(
+      prefixOffsets(rdd, shardIdx,
+        r => if (r.isNullAt(ntIdx)) 0L else r.getLong(ntIdx)))
     // pass 2 (narrow, shuffle-file reuse): local running sum seeded by the
     // broadcast offset; integer `div`-equivalent Long division keeps large
     // cumulative offsets exact
@@ -346,5 +327,95 @@ object Corpus {
       schema.add(org.apache.spark.sql.types.StructField("pack_id",
         org.apache.spark.sql.types.LongType, nullable = true)))
       .withColumnRenamed("__n_tokens", "n_tokens")
+  }
+
+  /** The subtotal half of the distributed prefix sum [[packSequences]]
+    * and [[shuffleShard]] share: one metadata-sized pass collects
+    * per-(partition, group) weight subtotals in partition order, and the
+    * driver folds them into "weight of the same group in EARLIER
+    * partitions" offsets — O(partitions × groups-per-partition) entries,
+    * never row-scaled. Every group PRESENT in a partition is recorded
+    * (zero weights included) so the offset chain stays unbroken.
+    */
+  private def prefixOffsets(rdd: org.apache.spark.rdd.RDD[Row],
+      groupIdx: Int, weight: Row => Long): Map[(Int, Any), Long] = {
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val perGroup = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val k = r.get(groupIdx)
+        perGroup.update(k, perGroup.getOrElse(k, 0L) + weight(r))
+      }
+      Iterator.single(pid -> perGroup.toVector)
+    }.collect()
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    subtotals.sortBy(_._1).foreach { case (pid, groups) =>
+      groups.foreach { case (k, tot) =>
+        offsets((pid, k)) = running.getOrElse(k, 0L)
+        running.update(k, running.getOrElse(k, 0L) + tot)
+      }
+    }
+    offsets.toMap
+  }
+
+  /** Deterministic global shuffle + shard assignment — the training-order
+    * export stage: every row gets a pseudorandom but REPRODUCIBLE
+    * `sort_key` (portable 32-bit hash of the id salted by `seed`), a
+    * `shard` (an independently-salted hash mod `nShards`), and `pos`, its
+    * 0-based ordinal within the shard under (sort_key, id) order — the
+    * exact order a sharded training-data export writes. No RNG state, no
+    * driver data: rerunning with the same seed reproduces the permutation
+    * bit-for-bit on any cluster.
+    *
+    * Scale shape: within-shard ordinals are the same distributed prefix
+    * sum as [[packSequences]] (weight 1 per row) over a
+    * (shard, sort_key, id) range partitioning — a shard spans as many
+    * partitions as its size demands, so no task ever sorts a shard-sized
+    * partition the way a `row_number().over(partitionBy(shard))` would.
+    * Both passes share one RDD instance (offsets cannot drift from the
+    * ordinal pass), and the RDD boundary carries every input column —
+    * the materializing-export shape; a stats-only caller pre-projects,
+    * as with [[packSequences]].
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1, "shuffleShard needs at least one shard")
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("__sort_key", TextFunctions.portableHash(
+        concat(lit(seed), lit("|"), col(idCol).cast("string"))))
+      .withColumn("__shard", pmod(TextFunctions.portableHash(
+        concat(lit(seed), lit("#"), col(idCol).cast("string"))),
+        lit(nShards)).cast("long"))
+    val sorted = keyed
+      .repartitionByRange(col("__shard"), col("__sort_key"), col(idCol))
+      .sortWithinPartitions(col("__shard"), col("__sort_key"), col(idCol))
+    val schema = sorted.schema
+    val shardIdx = schema.fieldIndex("__shard")
+    val rdd = sorted.rdd
+    val bOffsets = spark.sparkContext.broadcast(
+      prefixOffsets(rdd, shardIdx, _ => 1L))
+    val positioned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bOffsets.value
+      var cur: Any = null
+      var started = false
+      var cnt = 0L
+      it.map { r =>
+        val k = r.get(shardIdx)
+        if (!started || k != cur) {
+          cur = k
+          started = true
+          cnt = off.getOrElse((pid, k), 0L)
+        }
+        val pos = cnt
+        cnt += 1
+        Row.fromSeq(r.toSeq :+ java.lang.Long.valueOf(pos))
+      }
+    }
+    spark.createDataFrame(positioned,
+      schema.add(org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+      .withColumnRenamed("__sort_key", "sort_key")
+      .withColumnRenamed("__shard", "shard")
   }
 }

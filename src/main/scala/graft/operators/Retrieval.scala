@@ -185,4 +185,77 @@ object Retrieval {
         coalesce(col("n_rare") * lit(keepDen) <= col("n_ngrams"), lit(true))
           .as("keep"))
   }
+
+  /** N-gram counts over a REFERENCE corpus — the model half of a
+    * CCNet-style language-model familiarity filter (Wenzek et al.,
+    * LREC'20 keep documents whose n-grams the target distribution
+    * actually produces; cf. the RedPajama/Dolma quality stacks). The
+    * model is just `(gram, cnt)` — mergeable across corpus shards,
+    * incrementally maintainable with the same signed-feed discipline as
+    * [[indexState]], and vocabulary-sized (Zipf-bounded), orders of
+    * magnitude smaller than the corpus it summarizes.
+    */
+  def ngramModel(reference: DataFrame, textCol: String,
+      n: Int = 2): DataFrame =
+    reference.select(
+        explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Fold one signed change feed into an [[ngramModel]]: every gram
+    * occurrence contributes its row's `__sign`, so an updated reference
+    * doc retracts its old grams and adds the new, and a delete retracts
+    * its whole gram multiset — the model follows a mutating reference
+    * corpus with delta-sized work, the [[applyFeedIndex]] discipline.
+    * Grams whose count reaches zero vanish, matching a rebuild that
+    * never saw the doc.
+    */
+  def applyFeedNgramModel(model: DataFrame, feed: DataFrame,
+      textCol: String, n: Int = 2): DataFrame =
+    model.unionByName(
+        feed.select(col("__sign"),
+            explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+          .groupBy("gram").agg(sum("__sign").as("cnt")))
+      .groupBy("gram").agg(sum("cnt").as("cnt"))
+      .where(col("cnt") > 0)
+
+  /** Score documents against an [[ngramModel]]: per doc, the gram total
+    * (with multiplicity), how many of those occurrences the reference
+    * has seen at all, the summed reference counts over them (`ref_mass`
+    * — the frequency-weighted familiarity numerator), and `keep` =
+    * known share at least `keepNum`/`keepDen`. Every quantity is an
+    * INTEGER, so the gate is exact and oracle-hashable; true log-space
+    * perplexity is a float epilogue over the same joined counts, left
+    * to the caller because no hash-compared result can contain an
+    * order-dependent float sum. Emits ONE ROW PER INPUT DOC (null-text
+    * docs have no grams and surface as all-zero keep=true, the
+    * [[rareNgramGate]] contract).
+    *
+    * Scale shape: one explode-side shuffle join on gram — broadcast
+    * when the model fits ([[Sizing.countAtMost]] probe, the library's
+    * size-guard convention), hash join with AQE skew handling
+    * otherwise. The model is never collected; the corpus is read once.
+    */
+  def familiarityGate(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, keepNum: Int = 1, keepDen: Int = 2,
+      broadcastRowLimit: Long = 2000000L): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0,
+      "familiarityGate needs keepNum >= 0 and keepDen >= 1")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+    val m = if (Sizing.countAtMost(model, broadcastRowLimit))
+      broadcast(model) else model
+    val judged = grams.join(m, Seq("gram"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("cnt")).as("n_known"),
+        coalesce(sum("cnt"), lit(0L)).as("ref_mass"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(judged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("ref_mass"), lit(0L)).as("ref_mass"),
+        coalesce(col("n_known") * lit(keepDen) >=
+          col("n_grams") * lit(keepNum), lit(true)).as("keep"))
+  }
 }

@@ -244,4 +244,33 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(0L -> Some(0L), 1L -> None, 2L -> Some(0L),
       3L -> Some(1L)))
   }
+
+  test("shuffleShard: positions are partition-invariant and equal row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val base = (0 until 300).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    def out(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shuffleShard(df, "doc_id", nShards = 4, seed = "s1")
+        .select("doc_id", "shard", "sort_key", "pos")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val a = out(base.repartition(1))
+    val b = out(base.repartition(7, col("doc_id")))
+    val c = out(base.repartition(32))
+    assert(a == b && b == c, "shuffle order must not depend on partitioning")
+    // the prefix-sum ordinal must reproduce a per-shard row_number exactly
+    val keyed = base
+      .withColumn("sort_key", graft.functions.TextFunctions.portableHash(
+        concat(lit("s1"), lit("|"), $"doc_id".cast("string"))))
+      .withColumn("shard", pmod(graft.functions.TextFunctions.portableHash(
+        concat(lit("s1"), lit("#"), $"doc_id".cast("string"))), lit(4))
+        .cast("long"))
+    val want = keyed.withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("sort_key", "doc_id")) - 1)
+      .select($"doc_id", $"shard", $"sort_key", $"pos".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == want)
+    // every shard's positions are dense 0..n-1
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4) == (0L until rows.size.toLong).toSet)
+    }
+  }
 }

@@ -128,4 +128,52 @@ class RetrievalSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).forall { case (_, ng, rare, keep) =>
       ng == 0L && rare == 0L && keep })
   }
+
+  test("familiarityGate: hand-computed counts, short and null docs kept") {
+    val ref = Seq(
+      (10L, "a b c"),   // model bigrams: "a b", "b c"
+      (11L, "a b d"))   // "a b", "b d"  -> cnt: "a b"->2, "b c"->1, "b d"->1
+      .toDF("doc_id", "text")
+    val model = Retrieval.ngramModel(ref, "text")
+    assert(model.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 2L, "b c" -> 1L, "b d" -> 1L))
+    val docs = Seq(
+      (1L, "a b c"),          // grams "a b","b c": both known, mass 3
+      (2L, "x y z"),          // "x y","y z": none known
+      (3L, "a b x y"),        // "a b" known (mass 2), "b x","x y" not
+      (4L, "solo"),           // one degenerate short shingle, unknown
+      (5L, null.asInstanceOf[String])) // no grams at all
+      .toDF("doc_id", "text")
+    val got = Retrieval.familiarityGate(docs, model, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 3L, true),
+      (2L, 2L, 0L, 0L, false),
+      (3L, 3L, 1L, 2L, false),
+      (4L, 1L, 0L, 0L, false),
+      (5L, 0L, 0L, 0L, true)))
+    // a permissive gate flips the verdicts, never the counts
+    val loose = Retrieval.familiarityGate(docs, model, "doc_id", "text",
+        keepNum = 0)
+      .select("keep").as[Boolean].collect()
+    assert(loose.forall(identity))
+  }
+
+  test("applyFeedNgramModel: folded feeds equal a rebuilt model") {
+    val v0 = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model0 = Retrieval.ngramModel(v0, "text")
+    // update doc 1 (retract old grams, add new), delete doc 2
+    val feed = Seq(
+      (1L, "a b c", -1L), (1L, "x y", 1L),
+      (2L, "a b d", -1L))
+      .toDF("doc_id", "text", "__sign")
+    val folded = Retrieval.applyFeedNgramModel(model0, feed, "text")
+      .as[(String, Long)].collect().toMap
+    val rebuilt = Retrieval.ngramModel(
+        Seq((1L, "x y")).toDF("doc_id", "text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(folded == rebuilt) // "a b","b c","b d" all reach zero and vanish
+    assert(folded == Map("x y" -> 1L))
+  }
 }
