@@ -380,6 +380,11 @@ object Corpus {
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
       seed: String): DataFrame = {
     require(nShards >= 1, "shuffleShard needs at least one shard")
+    val reserved = Seq("__sort_key", "__shard", "sort_key", "shard", "pos")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty, // fail loudly, not an ambiguous-column surprise
+      s"shuffleShard emits ${reserved.mkString("/")}; input already has " +
+        clash.mkString(", "))
     val spark = df.sparkSession
     val keyed = df
       .withColumn("__sort_key", TextFunctions.portableHash(

@@ -596,9 +596,13 @@ object Similarity {
     val pruned = spark.read.parquet(path)
       .where(col("cell").isin(touched: _*))
       .withColumn("cell", col("cell").cast("long"))
+    // delta id sets are usually broadcast-sized, but a bootstrap-scale
+    // batch (millions of inserts in one feed) is not — size-probe before
+    // forcing the broadcast, the library-wide countAtMost convention
+    val rm = removeIds.withColumnRenamed(idCol, "__rm")
+    val rmSide = if (Sizing.countAtMost(rm, 2000000L)) broadcast(rm) else rm
     val survivors = pruned
-      .join(broadcast(removeIds.withColumnRenamed(idCol, "__rm")),
-        col(idCol) === col("__rm"), "left_anti")
+      .join(rmSide, col(idCol) === col("__rm"), "left_anti")
     val out = survivors.select(col(idCol), col("cell"), col("code"))
       .unionByName(adds)
     overwriteCells(spark, path, out, touched.toSet)
@@ -625,9 +629,13 @@ object Similarity {
       vecCol, residual).select("cell")
       .distinct().collect().map(_.getLong(0)) // both signs' cells
     if (touched.isEmpty) return
+    // persist: overwriteCells actions its input twice (surviving-cell
+    // probe + staged write), and THIS input is an O(corpus) encode scan —
+    // cache the touched-cell slice so the corpus is read once
     val out = encodeClusteredPQ(corpus, centroids, codebooks, idCol,
-      vecCol, residual).where(col("cell").isin(touched: _*))
-    overwriteCells(spark, path, out, touched.toSet)
+      vecCol, residual).where(col("cell").isin(touched: _*)).persist()
+    try overwriteCells(spark, path, out, touched.toSet)
+    finally out.unpersist()
   }
 
   /** Stage `out`, dynamically overwrite its cell partitions, then drop

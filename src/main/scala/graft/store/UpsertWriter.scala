@@ -224,9 +224,15 @@ object UpsertWriter {
     * re-implementing).
     */
   private[graft] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      // walk returns a resource-backed stream: close it or every call
+      // leaks a directory handle (a long streaming run deletes staging
+      // trees every micro-batch and would exhaust FDs)
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** Partition-scoped PK merge — the 100 TB path. The target is hive-
     * partitioned by `partitionCol`; only partitions that actually contain

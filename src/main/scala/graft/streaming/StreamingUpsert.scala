@@ -149,18 +149,32 @@ object StreamingUpsert {
             "runVersionedWithAnnIndex needs a v0 table + matching index " +
               "before streaming starts"))
         // the marker is stamped BEFORE the first upsert so every later
-        // batch can tell a completed fold from one that died mid-mutation
+        // batch can tell a completed fold from one that died mid-mutation.
+        // A marker-less index is TRUSTED to match the table (the
+        // documented precondition); a deployment migrating from a
+        // marker-less runner that may have crashed mid-fold should
+        // rebuild the index (or stamp + repair manually) before starting
         val indexed = readIndexedVersion(indexPath).getOrElse {
           writeIndexedVersion(indexPath, before); before
         }
         if (indexed < before) {
           // prior fold incomplete: its touched cells may be damaged —
-          // rebuild exactly those from the current snapshot, then stamp
+          // rebuild exactly those from the current snapshot, then stamp.
+          // The repair feed UNIONS the per-step change feeds across the
+          // gap rather than netting the endpoints: if a completed fold
+          // wrote an id into an intermediate cell before the crash and a
+          // later version moved the id on, the netted endpoint diff
+          // never names that intermediate cell and its stale row would
+          // survive — the per-step union names every cell any gap
+          // version touched
+          val vs = graft.store.VersionedTable.versions(tableRoot).sorted
+            .filter(v => v >= indexed && v <= before)
+          val gapFeed = vs.zip(vs.tail).map { case (a, b) =>
+            graft.store.VersionedTable.changeFeed(s, tableRoot, a, b, pk)
+          }.reduce(_ unionByName _)
           graft.operators.Similarity.repairClusteredPQCells(s, indexPath,
             graft.store.VersionedTable.read(s, tableRoot),
-            centroids, codebooks,
-            graft.store.VersionedTable.changeFeed(s, tableRoot, indexed,
-              before, pk),
+            centroids, codebooks, gapFeed,
             pk.head, vecCol, residual)
           writeIndexedVersion(indexPath, before)
         }

@@ -170,6 +170,61 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(StreamingUpsert.readIndexedVersion(s"$root/idx").get > marker)
   }
 
+  test("repair covers intermediate cells across a multi-version marker gap") {
+    import graft.operators.Similarity
+    val root = Files.createTempDirectory("graft_sanng_").toString
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 0.1f * ((i + d) % 7) + 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(corpus, k = 3, iterations = 2)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 4, iterations = 1)
+    graft.store.VersionedTable.write(corpus, s"$root/tbl")
+    Similarity.writeClusteredPQ(corpus, cents, cb, s"$root/idx")
+    val src = s"$root/src"
+    writeFile(Seq((50L, Array.tabulate(8)(d => 0.03f * (d + 2))))
+      .toDF("vec_id", "embedding"), s"$src/f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val marker = StreamingUpsert.readIndexedVersion(s"$root/idx").get
+    def cellOf(id: Long): Long = spark.read.parquet(s"$root/idx")
+      .where($"vec_id" === id).select($"cell".cast("long")).as[Long].head()
+    // an id from a DIFFERENT cell than id 0's — its vector is the bait
+    val c0 = cellOf(0L)
+    val otherId = spark.read.parquet(s"$root/idx")
+      .where($"cell".cast("long") =!= c0 && $"vec_id" < 24)
+      .select("vec_id").as[Long].head()
+    val vecOf = corpus.as[(Long, Array[Float])].collect().toMap
+    // version A: move id 0 into the other cell, and — simulating a fold
+    // that COMPLETED but crashed before advancing the marker — fold it
+    graft.store.VersionedTable.upsert(spark, s"$root/tbl",
+      Seq((0L, vecOf(otherId))).toDF("vec_id", "embedding"), Seq("vec_id"))
+    val vA = graft.store.VersionedTable.latestVersion(s"$root/tbl").get
+    Similarity.maintainClusteredPQ(spark, s"$root/idx", cents, cb,
+      graft.store.VersionedTable.changeFeed(spark, s"$root/tbl", marker,
+        vA, Seq("vec_id")))
+    assert(cellOf(0L) != c0, "the bait vector must actually change cells")
+    // version B: move id 0 straight back — the NETTED endpoint diff of
+    // the gap is now EMPTY, only the per-step union names the
+    // intermediate cell holding the stale row
+    graft.store.VersionedTable.upsert(spark, s"$root/tbl",
+      Seq((0L, vecOf(0L))).toDF("vec_id", "embedding"), Seq("vec_id"))
+    assert(StreamingUpsert.readIndexedVersion(s"$root/idx").get == marker)
+    writeFile(Seq((51L, Array.tabulate(8)(d => 0.04f * (d + 1))))
+      .toDF("vec_id", "embedding"), s"$src/f2.parquet")
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val rebuilt = s"$root/rebuilt"
+    Similarity.writeClusteredPQ(
+      graft.store.VersionedTable.read(spark, s"$root/tbl"), cents, cb,
+      rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(s"$root/idx") == rows(rebuilt)) // no stale id-0 duplicate
+    assert(rows(s"$root/idx").count(_._1 == 0L) == 1)
+  }
+
   test("windowed backlog aggregation equals the equivalent batch query") {
     import java.sql.Timestamp
     val root = Files.createTempDirectory("graft_sw_").toString
