@@ -280,6 +280,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(packed.select("pack_id").where(col("pack_id").isNull).count() == 0)
   }
 
+  test("shuffleShard plans no Window: prefix-sum ordinals, no shard sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val sharded = graft.operators.Corpus.shuffleShard(
+      docs, "doc_id", nShards = 4, seed = "audit")
+    val p = plan(sharded)
+    // a row_number().over(partitionBy(shard)) would rank each shard in
+    // one task; the within-shard ordinal comes from the same prefix-sum
+    // RDD shape packSequences uses — no Window operator anywhere
+    assert(!p.contains("Window"), s"shard-sized window crept back:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the prefix-sum RDD to feed the plan:\n$p")
+    assert(sharded.where(col("pos").isNull).count() == 0)
+  }
+
   test("IVFADC prunes the code scan to probed cells and never reads vectors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centroids = graft.operators.Similarity.kmeans(emb, 8, 2)
