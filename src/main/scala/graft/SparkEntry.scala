@@ -999,6 +999,21 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("sort_key"), col("pos"))
         .orderBy("doc_id")),
 
+    // packing materialized end to end: the same pack arithmetic as q68,
+    // then each pack's documents concatenate in id order into one
+    // training sequence — the materializing-consumer path SCALE.md
+    // describes, with per-pack state bounded by the token budget
+    "q123_pack_materialize" -> ((s, dir) => {
+      val packed = graft.operators.Corpus.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text"),
+          TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
+        "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializePacks(packed, "lang", "doc_id",
+          "text")
+        .orderBy("lang", "pack_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3038,6 +3053,22 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY shard
            |    ORDER BY sort_key, doc_id) - 1 AS pos
            |FROM k ORDER BY doc_id""".stripMargin,
+
+      "q123_pack_materialize" ->
+        s"""WITH d AS (SELECT doc_id, lang, text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, lang, text, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d),
+           |p AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, text, n_tokens FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  string_agg(text, ' ' ORDER BY doc_id) AS pack_text
+           |FROM p WHERE pack_id IS NOT NULL
+           |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
       "q38_sim_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

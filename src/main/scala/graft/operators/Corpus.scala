@@ -329,6 +329,25 @@ object Corpus {
       .withColumnRenamed("__n_tokens", "n_tokens")
   }
 
+  /** Materialize [[packSequences]] output into actual training
+    * sequences: one row per (shard, pack) with the member documents'
+    * text concatenated in id order — the order the pack arithmetic
+    * assumed. The aggregation state is BOUNDED BY THE TOKEN BUDGET, not
+    * the corpus: a pack holds ~budget tokens of text however large the
+    * corpus is, so the collect never scales past one sequence. Docs with
+    * a null pack_id (null token counts — nothing to place) are excluded,
+    * as a materializer must.
+    */
+  def materializePacks(packed: DataFrame, shardCol: String, idCol: String,
+      textCol: String, sep: String = " "): DataFrame =
+    packed.where(col("pack_id").isNotNull)
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol)), sep).as("pack_text"))
+
   /** The subtotal half of the distributed prefix sum [[packSequences]]
     * and [[shuffleShard]] share: one metadata-sized pass collects
     * per-(partition, group) weight subtotals in partition order, and the

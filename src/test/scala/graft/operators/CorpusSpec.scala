@@ -273,4 +273,22 @@ class CorpusSpec extends SparkSpec {
       assert(rows.map(_._4) == (0L until rows.size.toLong).toSet)
     }
   }
+
+  test("materializePacks concatenates each pack in id order, null-safe") {
+    val docs = Seq(
+      (0L, "en", "a b", Some(2L)), (1L, "en", "c", Some(1L)),
+      (2L, "en", "d d d", Some(3L)), (3L, "fr", "x", Some(1L)),
+      (4L, "en", "skip", None)) // null count -> null pack_id -> excluded
+      .toDF("doc_id", "lang", "text", "nt")
+    val packed = Corpus.packSequences(docs, "lang", "doc_id", col("nt"), 3)
+    val out = Corpus.materializePacks(packed, "lang", "doc_id", "text")
+      .orderBy("lang", "pack_id")
+      .select("lang", "pack_id", "n_docs", "pack_tokens", "pack_text")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    // en: offsets 0,2,3 -> docs 0+1 fill pack 0 (3 tokens), doc 2 pack 1
+    assert(out == Seq(
+      ("en", 0L, 2L, 3L, "a b c"),
+      ("en", 1L, 1L, 3L, "d d d"),
+      ("fr", 0L, 1L, 1L, "x")))
+  }
 }
