@@ -169,13 +169,24 @@ object StreamingUpsert {
           // version touched
           val vs = graft.store.VersionedTable.versions(tableRoot).sorted
             .filter(v => v >= indexed && v <= before)
-          val gapFeed = vs.zip(vs.tail).map { case (a, b) =>
-            graft.store.VersionedTable.changeFeed(s, tableRoot, a, b, pk)
-          }.reduce(_ unionByName _)
-          graft.operators.Similarity.repairClusteredPQCells(s, indexPath,
-            graft.store.VersionedTable.read(s, tableRoot),
-            centroids, codebooks, gapFeed,
-            pk.head, vecCol, residual)
+          if (vs.headOption.contains(indexed) && vs.size >= 2) {
+            val gapFeed = vs.zip(vs.tail).map { case (a, b) =>
+              graft.store.VersionedTable.changeFeed(s, tableRoot, a, b, pk)
+            }.reduce(_ unionByName _)
+            graft.operators.Similarity.repairClusteredPQCells(s, indexPath,
+              graft.store.VersionedTable.read(s, tableRoot),
+              centroids, codebooks, gapFeed,
+              pk.head, vecCol, residual)
+          } else {
+            // the marker's version was vacuumed away — the gap's
+            // per-step feeds no longer exist, so a touched-cell repair
+            // can't be derived; the only exact option is a full rebuild
+            // from the snapshot (rare: a long-down stream plus an
+            // aggressive vacuum)
+            graft.operators.Similarity.writeClusteredPQ(
+              graft.store.VersionedTable.read(s, tableRoot),
+              centroids, codebooks, indexPath, pk.head, vecCol, residual)
+          }
           writeIndexedVersion(indexPath, before)
         }
         graft.store.VersionedTable.upsert(s, tableRoot, batch, pk)

@@ -225,6 +225,52 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(rows(s"$root/idx").count(_._1 == 0L) == 1)
   }
 
+  test("a vacuumed marker version falls back to a full index rebuild") {
+    import graft.operators.Similarity
+    val root = Files.createTempDirectory("graft_sannv_").toString
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 0.1f * ((i + d) % 7) + 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(corpus, k = 3, iterations = 2)
+    val cb = Similarity.pqCodebooks(corpus, m = 4, k = 4, iterations = 1)
+    graft.store.VersionedTable.write(corpus, s"$root/tbl")
+    Similarity.writeClusteredPQ(corpus, cents, cb, s"$root/idx")
+    val src = s"$root/src"
+    writeFile(Seq((50L, Array.tabulate(8)(d => 0.03f * (d + 2))))
+      .toDF("vec_id", "embedding"), s"$src/f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val marker = StreamingUpsert.readIndexedVersion(s"$root/idx").get
+    // an unfolded upsert, then vacuum everything but the head: the
+    // marker's version is gone, so the gap's per-step feeds are
+    // underivable and only a full rebuild is exact
+    graft.store.VersionedTable.upsert(spark, s"$root/tbl",
+      Seq((60L, Array.tabulate(8)(d => 0.05f * (d + 3))))
+        .toDF("vec_id", "embedding"), Seq("vec_id"))
+    graft.store.VersionedTable.vacuum(s"$root/tbl", keepLast = 1)
+    assert(!graft.store.VersionedTable.versions(s"$root/tbl")
+      .contains(marker))
+    // arbitrary damage — the rebuild must erase it wholesale
+    val anyCell = spark.read.parquet(s"$root/idx")
+      .select($"cell".cast("long")).distinct().as[Long].head()
+    graft.store.UpsertWriter.deleteRecursively(
+      java.nio.file.Paths.get(s"$root/idx").resolve(s"cell=$anyCell"))
+    writeFile(Seq((51L, Array.tabulate(8)(d => 0.04f * (d + 1))))
+      .toDF("vec_id", "embedding"), s"$src/f2.parquet")
+    StreamingUpsert.runVersionedWithAnnIndex(spark, src, schema,
+      s"$root/tbl", s"$root/ckpt", Seq("vec_id"), s"$root/idx", cents, cb)
+    val rebuilt = s"$root/rebuilt"
+    Similarity.writeClusteredPQ(
+      graft.store.VersionedTable.read(spark, s"$root/tbl"), cents, cb,
+      rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(s"$root/idx") == rows(rebuilt))
+    assert(rows(s"$root/idx").size == 27) // 24 + ids 50, 60, 51
+  }
+
   test("windowed backlog aggregation equals the equivalent batch query") {
     import java.sql.Timestamp
     val root = Files.createTempDirectory("graft_sw_").toString
