@@ -335,12 +335,16 @@ object Corpus {
     * assumed. The aggregation state is BOUNDED BY THE TOKEN BUDGET, not
     * the corpus: a pack holds ~budget tokens of text however large the
     * corpus is, so the collect never scales past one sequence. Docs with
-    * a null pack_id (null token counts — nothing to place) are excluded,
-    * as a materializer must.
+    * a null pack_id (null token counts — nothing to place) OR null text
+    * are excluded from the pack AND its counts: the emitted n_docs /
+    * pack_tokens describe exactly what pack_text concatenates, never a
+    * phantom row `array_join` would silently skip (a null-text doc with
+    * a non-null declared token count is a caller contract violation —
+    * the counts stay internally consistent rather than inheriting it).
     */
   def materializePacks(packed: DataFrame, shardCol: String, idCol: String,
       textCol: String, sep: String = " "): DataFrame =
-    packed.where(col("pack_id").isNotNull)
+    packed.where(col("pack_id").isNotNull && col(textCol).isNotNull)
       .groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),

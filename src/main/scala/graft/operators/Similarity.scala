@@ -638,6 +638,37 @@ object Similarity {
     finally out.unpersist()
   }
 
+  /** Rebuild a clustered-PQ index IN PLACE from the authoritative corpus
+    * snapshot — the recovery of last resort (e.g. the gap's change feeds
+    * were vacuumed). Every current cell directory plus every cell the
+    * snapshot encodes counts as touched, so stale cells drop and fresh
+    * ones land through the same staged [[overwriteCells]] path the
+    * incremental fold uses — which never touches root-level files, so a
+    * caller's recovery marker survives a crash mid-rebuild (unlike
+    * [[writeClusteredPQ]]'s wholesale static overwrite). Idempotent:
+    * derived solely from the snapshot.
+    */
+  def rebuildClusteredPQ(spark: SparkSession, path: String,
+      corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    val existing = scala.collection.mutable.Set.empty[Long]
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.list(root).iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("cell="))
+          existing += name.stripPrefix("cell=").toLong
+      }
+    val out = encodeClusteredPQ(corpus, centroids, codebooks, idCol,
+      vecCol, residual).persist()
+    try {
+      val fresh = out.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      overwriteCells(spark, path, out, existing.toSet ++ fresh)
+    } finally out.unpersist()
+  }
+
   /** Stage `out`, dynamically overwrite its cell partitions, then drop
     * the `touched` cells that ended up empty (dynamic overwrite writes no
     * rows for them, leaving stale directories — same discipline as

@@ -169,7 +169,9 @@ object StreamingUpsert {
           // version touched
           val vs = graft.store.VersionedTable.versions(tableRoot).sorted
             .filter(v => v >= indexed && v <= before)
-          if (vs.headOption.contains(indexed) && vs.size >= 2) {
+          if (vs.headOption.contains(indexed)) {
+            // marker version present ⇒ every later gap version is too
+            // (vacuum keeps the newest), so the per-step feeds exist
             val gapFeed = vs.zip(vs.tail).map { case (a, b) =>
               graft.store.VersionedTable.changeFeed(s, tableRoot, a, b, pk)
             }.reduce(_ unionByName _)
@@ -182,10 +184,16 @@ object StreamingUpsert {
             // per-step feeds no longer exist, so a touched-cell repair
             // can't be derived; the only exact option is a full rebuild
             // from the snapshot (rare: a long-down stream plus an
-            // aggressive vacuum)
-            graft.operators.Similarity.writeClusteredPQ(
+            // aggressive vacuum). POISON the marker first: −1 is never a
+            // committed version, so a crash mid-rebuild re-enters this
+            // branch on replay instead of a marker-less partial index
+            // being trusted — and the in-place rebuild goes through the
+            // same staged cell overwrite as the fold, which never
+            // touches the root-level marker file
+            writeIndexedVersion(indexPath, -1L)
+            graft.operators.Similarity.rebuildClusteredPQ(s, indexPath,
               graft.store.VersionedTable.read(s, tableRoot),
-              centroids, codebooks, indexPath, pk.head, vecCol, residual)
+              centroids, codebooks, pk.head, vecCol, residual)
           }
           writeIndexedVersion(indexPath, before)
         }

@@ -278,7 +278,11 @@ class CorpusSpec extends SparkSpec {
     val docs = Seq(
       (0L, "en", "a b", Some(2L)), (1L, "en", "c", Some(1L)),
       (2L, "en", "d d d", Some(3L)), (3L, "fr", "x", Some(1L)),
-      (4L, "en", "skip", None)) // null count -> null pack_id -> excluded
+      (4L, "en", "skip", None), // null count -> null pack_id -> excluded
+      // null text with a DECLARED count: a contract violation — it must
+      // drop from the pack and its counts, not leave pack_tokens
+      // claiming tokens pack_text never got
+      (5L, "en", null.asInstanceOf[String], Some(2L)))
       .toDF("doc_id", "lang", "text", "nt")
     val packed = Corpus.packSequences(docs, "lang", "doc_id", col("nt"), 3)
     val out = Corpus.materializePacks(packed, "lang", "doc_id", "text")

@@ -373,6 +373,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(path) == rows(rebuilt))
   }
 
+  test("rebuildClusteredPQ rebuilds in place, sparing root-level files") {
+    val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val cb2 = Similarity.pqCodebooks(emb, m = 2, k = 2, iterations = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqm_rbip_").toString + "/idx"
+    Similarity.writeClusteredPQ(emb, cents2, cb2, path)
+    // arbitrary damage: one cell lost, plus a STALE extra cell no
+    // current vector maps to, plus a root-level recovery marker that
+    // must survive (writeClusteredPQ's static overwrite would kill it)
+    graft.store.UpsertWriter.deleteRecursively(
+      java.nio.file.Paths.get(path).resolve("cell=1"))
+    Seq((999L, Seq(0L, 0L))).toDF("vec_id", "code")
+      .write.parquet(s"$path/cell=99")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path).resolve("_indexed_version"),
+      "7".getBytes("UTF-8"))
+    Similarity.rebuildClusteredPQ(spark, path, emb, cents2, cb2)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_pqm_rbip_rb_").toString + "/idx"
+    Similarity.writeClusteredPQ(emb, cents2, cb2, rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"cell".cast("long"), $"code")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(rows(path) == rows(rebuilt))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("cell=99")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path).resolve("_indexed_version")),
+      "UTF-8") == "7")
+  }
+
   test("maintainClusteredPQ drops a fully-emptied cell's directory") {
     val cents2 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("centroid_id", "cvec")
