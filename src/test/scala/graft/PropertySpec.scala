@@ -404,6 +404,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-sum operators equal their window forms for any corpus shape") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod,
+      row_number, sum}
+    import graft.operators.Corpus
+    // random corpora — including empty frames, null token counts, and
+    // single-shard skew — under every partitioning: the distributed
+    // prefix sum must reproduce the per-group window EXACTLY, the
+    // invariant both packSequences and shuffleShard rest on
+    val gen = for {
+      n <- Gen.choose(0, 80)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 1000L),
+        Gen.oneOf("a", "b", "c", "zz"),
+        Gen.option(Gen.choose(0L, 50L))))
+      parts <- Gen.oneOf(1, 3, 8)
+      budget <- Gen.oneOf(1L, 7L, 100L)
+      nShards <- Gen.oneOf(1, 2, 5)
+    } yield (rows.distinctBy(_._1), parts, budget, nShards)
+    forAllSampled(gen, n = 6) { case (rows, parts, budget, nShards) =>
+      val base = rows.toDF("id", "lang", "nt")
+      val packed = Corpus.packSequences(base.repartition(parts),
+          "lang", "id", col("nt"), budget)
+        .select("id", "pack_id").as[(Long, Option[Long])].collect().toMap
+      val w = Window.partitionBy("lang").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wantPack = base
+        .withColumn("cum", sum(col("nt")).over(w))
+        .select($"id", expr(s"(cum - nt) div $budget").as("pack_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(packed == wantPack, s"parts=$parts budget=$budget")
+      val sharded = Corpus.shuffleShard(
+          base.select("id", "nt").repartition(parts), "id", nShards, "pp")
+        .select("id", "shard", "pos").as[(Long, Long, Long)]
+        .collect().toSet
+      val wantShard = base.select("id", "nt")
+        .withColumn("sort_key", graft.functions.TextFunctions.portableHash(
+          concat(lit("pp"), lit("|"), $"id".cast("string"))))
+        .withColumn("shard", pmod(graft.functions.TextFunctions.portableHash(
+          concat(lit("pp"), lit("#"), $"id".cast("string"))),
+          lit(nShards)).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("sort_key", "id")) - 1)
+        .select($"id", $"shard", $"pos".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sharded == wantShard, s"parts=$parts nShards=$nShards")
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}
