@@ -1014,6 +1014,21 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // DSIR-shape importance gate (Xie et al., NeurIPS'23): keep documents
+    // whose bigram mass is at least as target-like (lang='en' reference)
+    // as raw-like (even-doc_id corpus slice) — the cross-multiplied
+    // integer form of the importance-ratio test, decimal(38,0) products
+    // so the gate survives corpus-scale totals; the float log-ratio is a
+    // caller epilogue over the same joined counts
+    "q124_importance_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Retrieval.importanceGate(docs,
+          target = docs.where(col("lang") === "en"),
+          raw = docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3042,6 +3057,34 @@ object SparkEntry {
            |  coalesce(ref_mass, 0) AS ref_mass,
            |  coalesce(n_known * 2 >= n_grams * 1, TRUE) AS keep
            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q124_importance_gate" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |g AS (SELECT doc_id, lang, unnest(${shinglesSql("toks", 2)}) AS gram
+           |  FROM tk),
+           |tm AS (SELECT gram, count(*) AS cnt_t FROM g
+           |  WHERE lang = 'en' GROUP BY 1),
+           |rm AS (SELECT gram, count(*) AS cnt_r FROM g
+           |  WHERE doc_id % 2 = 0 GROUP BY 1),
+           |tot AS (SELECT
+           |  (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tm) AS t_total,
+           |  (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM rm) AS r_total),
+           |agg AS (SELECT g.doc_id, count(*) AS n_grams,
+           |  CAST(coalesce(sum(tm.cnt_t), 0) AS BIGINT) AS t_mass,
+           |  CAST(coalesce(sum(rm.cnt_r), 0) AS BIGINT) AS r_mass
+           |  FROM g LEFT JOIN tm USING (gram) LEFT JOIN rm USING (gram)
+           |  GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(n_grams, 0) AS n_grams,
+           |  coalesce(t_mass, 0) AS t_mass,
+           |  coalesce(r_mass, 0) AS r_mass,
+           |  t_total, r_total,
+           |  coalesce(t_mass, 0)::HUGEINT * r_total::HUGEINT >=
+           |    coalesce(r_mass, 0)::HUGEINT * t_total::HUGEINT AS keep
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |CROSS JOIN tot
            |ORDER BY d.doc_id""".stripMargin,
 
       "q122_shuffle_shard" ->

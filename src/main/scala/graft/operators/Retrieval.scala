@@ -258,4 +258,73 @@ object Retrieval {
         coalesce(col("n_known") * lit(keepDen) >=
           col("n_grams") * lit(keepNum), lit(true)).as("keep"))
   }
+
+  /** DSIR-shape importance gate (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23): score every document
+    * by how much more TARGET-like than RAW-like its n-gram mass is, under
+    * two [[ngramModel]]s — one trained on a target-domain reference slice,
+    * one on a raw-corpus slice — and keep documents whose average
+    * target-relative gram frequency is at least `keepNum`/`keepDen` times
+    * their average raw-relative frequency:
+    *
+    *   keep  ⇔  t_mass/t_total ≥ (keepNum/keepDen) · r_mass/r_total
+    *         ⇔  t_mass·r_total·keepDen ≥ r_mass·t_total·keepNum
+    *
+    * where t_mass/r_mass sum each model's count over the doc's gram
+    * occurrences and t_total/r_total are the models' occurrence totals.
+    * The cross-multiplied form keeps the gate INTEGER-EXACT (DSIR's
+    * log-ratio is a float epilogue over the same joined counts, left to
+    * the caller — no hash-compared result can carry an order-dependent
+    * float sum). The cross products are evaluated in decimal(38,0):
+    * masses and totals are longs, so their product can exceed 2⁶³ on a
+    * large corpus long before the emitted per-doc masses themselves do.
+    * An EMPTY model makes its side of the inequality 0, so an empty
+    * target keeps everything — the caller owns slice choice. Emits one
+    * row per input doc; null-text docs are all-zero keep=true (0 ≥ 0),
+    * the [[familiarityGate]]/[[rareNgramGate]] contract.
+    *
+    * Scale shape: the two models full-outer-merge on gram (model-sized,
+    * never corpus-sized), so the corpus pays ONE gram-keyed shuffle join
+    * — broadcast when the merged model fits ([[Sizing.countAtMost]]
+    * probe), hash join with AQE skew handling otherwise — plus a one-row
+    * totals broadcast. Both models are sign-foldable via
+    * [[applyFeedNgramModel]], so the gate follows mutating reference
+    * slices with delta-sized work.
+    */
+  def importanceGate(docs: DataFrame, target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, keepNum: Int = 1,
+      keepDen: Int = 1, broadcastRowLimit: Long = 2000000L): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0,
+      "importanceGate needs keepNum >= 0 and keepDen >= 1")
+    val model = ngramModel(target, textCol, n)
+      .withColumnRenamed("cnt", "cnt_t")
+      .join(ngramModel(raw, textCol, n).withColumnRenamed("cnt", "cnt_r"),
+        Seq("gram"), "full_outer")
+    val totals = model.agg(
+      coalesce(sum("cnt_t"), lit(0L)).as("t_total"),
+      coalesce(sum("cnt_r"), lit(0L)).as("r_total"))
+    val m = if (Sizing.countAtMost(model, broadcastRowLimit))
+      broadcast(model) else model
+    val judged = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .join(m, Seq("gram"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("cnt_t"), lit(0L)).as("t_mass"),
+        coalesce(sum("cnt_r"), lit(0L)).as("r_mass"))
+    val dec = "decimal(38,0)"
+    docs.select(col(idCol).as("doc_id"))
+      .join(judged, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("t_mass"), lit(0L)).as("t_mass"),
+        coalesce(col("r_mass"), lit(0L)).as("r_mass"),
+        col("t_total"), col("r_total"))
+      .withColumn("keep",
+        col("t_mass").cast(dec) * col("r_total").cast(dec) *
+          lit(keepDen).cast(dec) >=
+        col("r_mass").cast(dec) * col("t_total").cast(dec) *
+          lit(keepNum).cast(dec))
+  }
 }

@@ -160,6 +160,41 @@ class RetrievalSpec extends SparkSpec {
     assert(loose.forall(identity))
   }
 
+  test("importanceGate: hand-computed masses, cross-multiplied ratio") {
+    val target = Seq((10L, "a b c"), (11L, "a b d")) // "a b"->2,"b c"->1,"b d"->1; t_total=4
+      .toDF("doc_id", "text")
+    val raw = Seq((20L, "x y z"), (21L, "a b x y")) // "x y"->2,"y z"->1,"a b"->1,"b x"->1; r_total=5
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),   // t_mass 3, r_mass 1: 3·5 ≥ 1·4 -> keep
+      (2L, "x y z"),   // t_mass 0, r_mass 3: 0 ≥ 12 -> drop
+      (3L, "a b x y"), // t_mass 2, r_mass 4: 10 ≥ 16 -> drop
+      (4L, null.asInstanceOf[String])) // no grams -> 0 ≥ 0 -> keep
+      .toDF("doc_id", "text")
+    val got = Retrieval.importanceGate(docs, target, raw, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 1L, 4L, 5L, true),
+      (2L, 2L, 0L, 3L, 4L, 5L, false),
+      (3L, 3L, 2L, 4L, 4L, 5L, false),
+      (4L, 0L, 0L, 0L, 4L, 5L, true)))
+    // a 1/4 threshold admits doc 3 (2/4 ≥ (1/4)·(4/5) ⇔ 40 ≥ 16) but
+    // still rejects the zero-target-mass doc 2; counts never move
+    val loose = Retrieval.importanceGate(docs, target, raw, "doc_id",
+        "text", keepNum = 1, keepDen = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(loose.map(_._7) == Seq(true, false, true, true))
+    assert(loose.map(r => (r._1, r._2, r._3, r._4)) ==
+      got.map(r => (r._1, r._2, r._3, r._4)))
+    // an empty target model zeroes BOTH cross products -> keeps all
+    val openGate = Retrieval.importanceGate(docs,
+        target.where(lit(false)), raw, "doc_id", "text")
+      .select("keep").as[Boolean].collect()
+    assert(openGate.forall(identity))
+  }
+
   test("applyFeedNgramModel: folded feeds equal a rebuilt model") {
     val v0 = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val model0 = Retrieval.ngramModel(v0, "text")
