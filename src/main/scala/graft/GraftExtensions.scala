@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashSigExpr, ShinglesExpr, SimhashExpr, TokensExpr, VecDot, VecHyperplaneSig, VecL2Sq}
+import graft.functions.{MinhashSigExpr, RepetitionStatsExpr, ShinglesExpr, SimhashExpr, TokensExpr, VecDot, VecHyperplaneSig, VecL2Sq}
 
 /** SQL surface for the native kernels: install with
   * `.withExtensions(new GraftExtensions)` (or
@@ -54,6 +54,10 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash"),
       (args: Seq[Expression]) => SimhashExpr(args(0), intLit(args(1), "bits"))),
+    (new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
+        "repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args(0))),
     (new FunctionIdentifier("vec_hyperplane_sig"),
       new ExpressionInfo(classOf[VecHyperplaneSig].getName, "vec_hyperplane_sig"),
       (args: Seq[Expression]) =>

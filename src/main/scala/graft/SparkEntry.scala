@@ -1029,6 +1029,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher repetition filters (Rae et al. 2021 §A1.1): duplicate-line
+    // share, duplicate-line char mass, and top-bigram char mass, each
+    // thresholded as a cross-multiplied integer fraction (≤30% dup
+    // lines, ≤20% dup-line chars, ≤20% top-2-gram chars). The stats are
+    // ONE fused codegen pass per row — no explode, no shuffle
+    "q125_repetition_filter" -> ((s, dir) => {
+      val zeros = array(Seq.fill(6)(lit(0L)): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(TextFunctions.repetitionStats(col("text")), zeros)
+            .as("st"),
+          coalesce(length(col("text")).cast("long"), lit(0L))
+            .as("n_chars"))
+        .select(col("doc_id"),
+          col("st")(0).as("n_lines"), col("st")(1).as("dup_lines"),
+          col("st")(2).as("line_chars"),
+          col("st")(3).as("dup_line_chars"),
+          col("st")(4).as("top2_cnt"), col("st")(5).as("top2_chars"),
+          col("n_chars"))
+        .withColumn("keep",
+          col("dup_lines") * 10 <= col("n_lines") * 3 &&
+          col("dup_line_chars") * 5 <= col("line_chars") &&
+          col("top2_chars") * 5 <= col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3085,6 +3111,47 @@ object SparkEntry {
            |    coalesce(r_mass, 0)::HUGEINT * t_total::HUGEINT AS keep
            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
            |CROSS JOIN tot
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q125_repetition_filter" ->
+        s"""WITH l AS (SELECT doc_id, line FROM (
+           |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |    FROM documents WHERE text IS NOT NULL)
+           |  WHERE len(line) > 0),
+           |lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+           |ls AS (SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_lines,
+           |  CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+           |    AS dup_lines,
+           |  CAST(sum(c * len(line)) AS BIGINT) AS line_chars,
+           |  CAST(coalesce(sum(c * len(line)) FILTER (WHERE c >= 2), 0)
+           |    AS BIGINT) AS dup_line_chars
+           |  FROM lc GROUP BY 1),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |g AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS gram
+           |  FROM tk),
+           |gcnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+           |top AS (SELECT doc_id, CAST(c AS BIGINT) AS top2_cnt,
+           |  CAST(c * len(gram) AS BIGINT) AS top2_chars
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY c DESC, gram) AS rn FROM gcnt)
+           |  WHERE rn = 1)
+           |SELECT d.doc_id,
+           |  coalesce(n_lines, 0) AS n_lines,
+           |  coalesce(dup_lines, 0) AS dup_lines,
+           |  coalesce(line_chars, 0) AS line_chars,
+           |  coalesce(dup_line_chars, 0) AS dup_line_chars,
+           |  coalesce(top2_cnt, 0) AS top2_cnt,
+           |  coalesce(top2_chars, 0) AS top2_chars,
+           |  CAST(coalesce(len(d.text), 0) AS BIGINT) AS n_chars,
+           |  (coalesce(dup_lines, 0) * 10 <= coalesce(n_lines, 0) * 3
+           |   AND coalesce(dup_line_chars, 0) * 5 <= coalesce(line_chars, 0)
+           |   AND coalesce(top2_chars, 0) * 5 <=
+           |     CAST(coalesce(len(d.text), 0) AS BIGINT)) AS keep
+           |FROM documents d
+           |LEFT JOIN ls ON d.doc_id = ls.doc_id
+           |LEFT JOIN top ON d.doc_id = top.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
       "q122_shuffle_shard" ->

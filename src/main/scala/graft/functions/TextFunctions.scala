@@ -109,6 +109,16 @@ object TextFunctions {
       .otherwise(counts.cast("double") / size(grams))
   }
 
+  /** Gopher repetition statistics, one fused pass per row: `[n_lines,
+    * dup_lines, line_chars, dup_line_chars, top2_cnt, top2_chars]` —
+    * see [[TextKernels.repetitionStatsOf]] for the exact counting
+    * rules. The Gopher filters threshold the corresponding FRACTIONS;
+    * keep those as cross-multiplied integer comparisons so the gate is
+    * hash-exact.
+    */
+  def repetitionStats(text: Column): Column =
+    TextExpressions.repetitionStats(text)
+
   /** BPE-ish sub-token count: runs of letters, runs of digits, or single
     * other non-space characters (the usual pre-tokenizer regex shape).
     */

@@ -105,6 +105,69 @@ object TextKernels {
     new GenericArrayData(v.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
   }
 
+  /** Gopher-shape repetition statistics (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, §A1.1) in ONE fused pass:
+    * `[n_lines, dup_lines, line_chars, dup_line_chars, top2_cnt,
+    * top2_chars]`, all longs —
+    *  - lines split on '\n', zero-length lines dropped; `dup_*` count
+    *    every occurrence of a line that appears ≥ 2 times;
+    *  - `top2_*` is the most frequent word bigram (ties broken toward
+    *    the UTF-8-byte-smallest gram, the binary-collation ORDER BY a
+    *    SQL twin uses) with its char mass = count × gram length.
+    * Char counts are code points, matching SQL `len()`. Integer-exact
+    * by design: the duplicate-line / duplicate-char / top-gram-char
+    * FRACTIONS the Gopher filters threshold are left as cross-multiplied
+    * integer comparisons in the caller.
+    */
+  def repetitionStatsOf(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var nLines = 0L; var dupLines = 0L
+    var lineChars = 0L; var dupLineChars = 0L
+    if (s.nonEmpty) {
+      val counts = new java.util.HashMap[String, Int]()
+      val parts = s.split("\n", -1)
+      var i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) counts.merge(parts(i), 1, Integer.sum _)
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.toLong
+        val chars = e.getKey.codePointCount(0, e.getKey.length).toLong
+        nLines += c
+        lineChars += c * chars
+        if (c >= 2) { dupLines += c; dupLineChars += c * chars }
+      }
+    }
+    val grams = shingleStrings(text, 2)
+    val gc = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < grams.length) { gc.merge(grams(i), 1, Integer.sum _); i += 1 }
+    var bestCnt = 0L
+    var bestGram: String = null
+    var bestBytes: Array[Byte] = null
+    val ge = gc.entrySet().iterator()
+    while (ge.hasNext) {
+      val e = ge.next()
+      val c = e.getValue.toLong
+      if (c > bestCnt) {
+        bestCnt = c; bestGram = e.getKey; bestBytes = null
+      } else if (c == bestCnt && bestGram != null) {
+        if (bestBytes == null) bestBytes = bestGram.getBytes("UTF-8")
+        val cand = e.getKey.getBytes("UTF-8")
+        if (java.util.Arrays.compareUnsigned(cand, bestBytes) < 0) {
+          bestGram = e.getKey; bestBytes = cand
+        }
+      }
+    }
+    val topChars = if (bestGram == null) 0L
+      else bestCnt * bestGram.codePointCount(0, bestGram.length)
+    new GenericArrayData(Array(nLines, dupLines, lineChars, dupLineChars,
+      bestCnt, topChars).map(_.asInstanceOf[Any]))
+  }
+
   /** SimHash over DISTINCT tokens: bit b set when the ±1 vote sum over
     * token-hash bit b is positive. One pass, no shuffle — same values as
     * the explode + 32-sum-lanes groupBy formulation.
@@ -227,6 +290,20 @@ case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** repetition_stats(text): array<long> — codegen'd one-pass Gopher
+  * repetition statistics (see [[TextKernels.repetitionStatsOf]]).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.repetitionStatsOf(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.repetitionStatsOf($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
 /** simhash(text, bits): long — codegen'd single pass over distinct tokens. */
 case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -249,4 +326,6 @@ object TextExpressions {
     GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text), bits))
   def hashEmbed(text: Column, dim: Int): Column =
     GraftColumnBridge.column(HashEmbedExpr(GraftColumnBridge.expression(text), dim))
+  def repetitionStats(text: Column): Column =
+    GraftColumnBridge.column(RepetitionStatsExpr(GraftColumnBridge.expression(text)))
 }

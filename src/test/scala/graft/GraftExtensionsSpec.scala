@@ -56,6 +56,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == viaApi.getLong(1))
   }
 
+  test("repetition_stats works from SQL and matches the Column API") {
+    import spark.implicits._
+    Seq("aaa\nbb\naaa", "x y x y").toDF("text").createOrReplaceTempView("t2r")
+    val viaSql = spark.sql(
+      "SELECT repetition_stats(text) AS st FROM t2r")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaApi = Seq("aaa\nbb\naaa", "x y x y").toDF("text")
+      .select(graft.functions.TextExpressions.repetitionStats($"text"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.head == Seq(3L, 2L, 8L, 6L, 1L, 6L))
+  }
+
   test("zvalue works from SQL and matches the ZOrder Column API") {
     import spark.implicits._
     Seq((5L, 3L, 1L)).toDF("x", "y", "w").createOrReplaceTempView("t3")

@@ -125,6 +125,28 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(1L).map(math.abs).sum == 3)
   }
 
+  test("repetitionStats: line dup counts, top-bigram mass, edge cases") {
+    val docs = Seq(
+      (1L, "aaa\nbb\naaa\ncc\n\naaa"), // aaa x3, bb, cc; blank dropped
+      (2L, "x y x y x y"),             // one line; bigram "x y" x3
+      (3L, ""),                        // no lines; one degenerate "" gram
+      (4L, null.asInstanceOf[String]), // null propagates
+      (5L, "héé\nhéé"))                // code-point chars, not UTF-16
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextExpressions.repetitionStats(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // lines: aaa(3) + bb + cc -> 5 occurrences, 3 duplicated; chars
+    // 3·3+2+2 = 13, dup 9. Bigrams all unique -> tie broken to the
+    // byte-smallest "aaa bb" (6 chars, count 1)
+    assert(got(1L) == Seq(5L, 3L, 13L, 9L, 1L, 6L))
+    assert(got(2L) == Seq(1L, 0L, 11L, 0L, 3L, 9L)) // "x y" x3 -> 9 chars
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L, 1L, 0L))  // "" gram: 0 chars
+    assert(got(4L) == null)
+    assert(got(5L) == Seq(2L, 2L, 6L, 6L, 1L, 7L))  // héé = 3 code points
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
