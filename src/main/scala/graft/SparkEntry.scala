@@ -24,25 +24,40 @@ import graft.warehouse.Models
   *    identical inputs (divisions, min/max) or decimal-exact aggregation
   *    (`sum(cast(x as decimal))`) cast back to double — never a
   *    float-accumulation whose order could differ between engines;
-  *  - timestamps never leave a query raw (testdata `events.ts` is
-  *    nanosecond precision: DuckDB keeps ns, Spark truncates to µs) —
-  *    only dates / epoch-µs / ids are emitted.
+  *  - timestamps never leave a query raw (testdata `events.ts` has
+  *    shipped as both INT64 nanos and TIMESTAMP_NTZ micros across
+  *    generations; the loader normalizes, see `t`) — only dates /
+  *    epoch-µs / ids are emitted.
   */
 object SparkEntry {
 
-  /** Table loader. `events.ts` is physically INT64 TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects by default — read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and truncate to a µs timestamp, matching
-    * DuckDB's ns→µs truncation when it compares dates/epochs.
+  /** Table loader. `events.ts` has shipped under two physical parquet
+    * types across testdata generations, so branch on the READ schema
+    * rather than hard-coding either era:
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it by default —
+    *    `legacy.parquet.nanosAsLong` surfaces it as a raw-nanos LongType,
+    *    which we truncate to a µs timestamp (matching DuckDB's ns→µs
+    *    truncation when it compares dates/epochs);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ — cast to the session-TZ timestamp type (sessions
+    *    here run UTC, so the wall-clock is preserved as the same instant
+    *    and `to_date`/`unix_micros` keep the UTC semantics the oracles
+    *    assume; DuckDB reads the same column as its naive TIMESTAMP).
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = rawTable(s, dir, name)
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // already a session-TZ timestamp
+      }
     else df
   }
 
-  private def rawTable(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def rawTable(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
@@ -1245,7 +1260,7 @@ object SparkEntry {
         graft.streaming.StatefulSessionize.runAvailableNow(
           s, s"$dir/events.parquet", schema,
           s"$out/table", s"$out/ckpt", gapSeconds = 1800L,
-          maxFilesPerTrigger = 1000, tsFromNanos = true)
+          maxFilesPerTrigger = 1000)
       }
       s.read.parquet(s"$out/table").orderBy("user_id", "ts_us", "session_id")
     }),
@@ -1279,7 +1294,7 @@ object SparkEntry {
     // structured-streaming ingestion: AvailableNow + foreachBatch PK merge
     "q42_stream_upsert" -> ((s, dir) => {
       val out = scratch("graft_stream_")
-      // raw schema (ts as long nanos): the stream reads the files as-is
+      // raw physical schema: the stream reads the files as-is (ts unused)
       val schema = rawTable(s, dir, "events").schema
       withShufflePartitions(s, 2) {
         graft.streaming.StreamingUpsert.runAvailableNow(
@@ -1299,7 +1314,7 @@ object SparkEntry {
       withShufflePartitions(s, 2) {
         graft.streaming.StreamingUpsert.runWindowedAvailableNow(
           s, s"$dir/events.parquet", schema,
-          s"$out/table", s"$out/ckpt", "ts", "event_type", tsFromNanos = true)
+          s"$out/table", s"$out/ckpt", "ts", "event_type")
       }
       s.read.parquet(s"$out/table").orderBy("win_start", "event_type")
     }),

@@ -67,7 +67,6 @@ object StatefulSessionize {
       timeCol: String = "ts",
       keyCol: String = "user_id",
       maxFilesPerTrigger: Int = 1,
-      tsFromNanos: Boolean = false,
   ): Unit = {
     import spark.implicits._
     val (src, base) = StreamingUpsert.globAndBase(sourceDir)
@@ -75,9 +74,13 @@ object StatefulSessionize {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("basePath", base)
       .parquet(src)
-    val tsUs =
-      if (tsFromNanos) expr(s"$timeCol div 1000")
-      else unix_micros(col(timeCol))
+    // epoch-µs from whatever physical shape the parquet carries: raw
+    // INT64 nanos divide straight down; timestamp variants normalize via
+    // the shared session-TZ rule first (see StreamingUpsert.eventTime)
+    val tsUs = schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$timeCol div 1000")
+      case _ => unix_micros(StreamingUpsert.eventTime(schema, timeCol))
+    }
     val typed = raw.select(
       col(keyCol).cast("long").as("user_id"),
       tsUs.as("ts_us")).as[Ev]

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 import graft.store.UpsertWriter
 
@@ -238,6 +238,20 @@ object StreamingUpsert {
     * sum accumulates in decimal so the result is order-independent and
     * exact — a double sum would vary with micro-batch boundaries.
     */
+  /** Event-time normalization for a column read straight off parquet —
+    * branch on the READ schema so every testdata era works without flags:
+    * INT64 raw nanos (legacy `nanosAsLong` era) → µs timestamp;
+    * TIMESTAMP_NTZ (current testdata: micros, isAdjustedToUTC=false) →
+    * session-TZ timestamp (sessions run UTC, so the instant is preserved);
+    * TimestampType → as-is.
+    */
+  def eventTime(schema: StructType, timeCol: String): Column =
+    schema(timeCol).dataType match {
+      case LongType => expr(s"timestamp_micros($timeCol div 1000)")
+      case TimestampNTZType => col(timeCol).cast(TimestampType)
+      case _ => col(timeCol)
+    }
+
   def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,
       windowDuration: String, lateness: String): DataFrame =
     events
@@ -250,8 +264,8 @@ object StreamingUpsert {
     * `Trigger.AvailableNow`, materializing the COMPLETE final state to
     * `targetPath` (foreachBatch overwrite — every micro-batch rewrites the
     * aggregate, the last one wins, so the backlog result equals the batch
-    * query). `tsFromNanos` converts a raw INT64-nanos column to a proper
-    * timestamp inside the stream.
+    * query). The event-time column is normalized from whatever physical
+    * shape the parquet carries (see [[eventTime]]) inside the stream.
     */
   def runWindowedAvailableNow(
       spark: SparkSession,
@@ -263,15 +277,11 @@ object StreamingUpsert {
       keyCol: String,
       windowDuration: String = "10 minutes",
       lateness: String = "10 minutes",
-      tsFromNanos: Boolean = false,
   ): Unit = {
     val (src, base) = globAndBase(sourceGlob)
     val raw = spark.readStream.schema(schema)
       .option("basePath", base).parquet(src)
-    val withTs =
-      if (tsFromNanos)
-        raw.withColumn(timeCol, expr(s"timestamp_micros($timeCol div 1000)"))
-      else raw
+    val withTs = raw.withColumn(timeCol, eventTime(schema, timeCol))
     val agg = windowedCounts(withTs, timeCol, keyCol, windowDuration, lateness)
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
