@@ -1,6 +1,62 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** One timed attempt. None = the query THREW — never report
+    * elapsed-to-throw as a timing: round 8 shipped 21 analysis-dead
+    * queries as healthy ~0.06-0.24 s "results" because the old harness
+    * swallowed the exception and recorded the elapsed time anyway.
+    */
+  private def attempt(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => DataFrame): Option[Double] = {
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: " +
+        String.valueOf(e.getMessage).take(500))
+      None
+    }
+  }
+
+  /** Each query runs FOUR times: the first (untimed, recorded as cold)
+    * pays one-shot janino codegen compilation and JIT; the next three are
+    * timed and the MEDIAN reported — single-run numbers at this scale
+    * carry ±20% scheduler/GC noise, and a median-of-3 pins real
+    * regressions apart from it. Returns (cold, steady-median); either is
+    * None when the query threw (a cold-run failure skips the repeats —
+    * a dead query shouldn't pay three more throws; a repeat-run failure
+    * counts as failed too).
+    */
+  private[graft] def benchOne(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => DataFrame)
+      : (Option[Double], Option[Double]) = {
+    val cold = attempt(spark, sfDir, name, fn)
+    val steady = if (cold.isEmpty) None
+      else Seq.fill(3)(attempt(spark, sfDir, name, fn)).sorted match {
+        case Seq(Some(_), m @ Some(_), Some(_)) => m
+        case _ => None
+      }
+    (cold, steady)
+  }
+
+  /** The one-line JSON artifact the driver parses. Failed queries appear
+    * as `null` in the queries map AND by name in `failed` (with a
+    * `failures` count) so a breakage is visible in the artifact itself,
+    * not only in stderr.
+    */
+  private[graft] def renderJson(
+      results: Seq[(String, (Option[Double], Option[Double]))],
+      sfDir: String): String = {
+    val qs = results.map { case (k, (_, w)) =>
+      Verify.jsonStr(k) + ":" + w.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, None)) => k }
+    val failedJson = failed.map(Verify.jsonStr).mkString("[", ",", "]")
+    val total = results.flatMap(_._2._2).sum
+    val coldTotal = results.flatMap(_._2._1).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","cold_total":$coldTotal,"failures":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,26 +79,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Each query runs FOUR times: the first (untimed, recorded as cold)
-    // pays one-shot janino codegen compilation and JIT; the next three are
-    // timed and the MEDIAN reported — single-run numbers at this scale
-    // carry ±20% scheduler/GC noise, and a median-of-3 pins real
-    // regressions apart from it. `value` is the steady-state median total.
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> benchOne(spark, sfDir, name, fn)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = time(fn)
-      val timed = Seq.fill(3)(time(fn)).sorted
-      name -> (cold, timed(1))
-    }
-    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val total = results.values.map(_._2).sum
-    val coldTotal = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(results, sfDir))
     spark.stop()
     if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
       deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
