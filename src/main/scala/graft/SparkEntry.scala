@@ -1176,10 +1176,11 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
-    // top-k per group with deterministic tie-break (window ranking)
+    // top-k per group with deterministic tie-break — bounded-heap
+    // topKByScore (revenue desc, custkey asc), not a row_number window:
+    // segment cardinality is fixed while customers scale with data, so a
+    // per-segment window task would hold a data-sized partition
     "q54_topk_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("revenue").desc, col("o_custkey").asc)
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
@@ -1187,8 +1188,15 @@ object SparkEntry {
         .groupBy("c_mktsegment", "o_custkey")
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("revenue"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.TopKAggregate.topKByScore(
+          col("revenue"), col("o_custkey"), 3).as("__top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("c_mktsegment"),
+          col("__e").getField("id").as("o_custkey"),
+          col("__e").getField("score").as("revenue"),
+          (col("__pos") + lit(1)).cast(IntegerType).as("rnk"))
         .orderBy("c_mktsegment", "rnk")
     }),
 

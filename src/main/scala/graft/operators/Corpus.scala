@@ -147,20 +147,41 @@ object Corpus {
   /** Deterministic exact-k per-group sample (the distributed reservoir):
     * within each group, rows are ranked by the portable hash of their
     * group-salted id (a fixed random-but-reproducible order) and the first
-    * `k` kept. One shuffle on the group key + a per-group top-k window —
-    * the same cost as any ranked window, and because the rank order is a
-    * HASH order, the result is a uniform-without-replacement sample that
-    * every run, engine, and executor layout agrees on (a true reservoir's
-    * output depends on partition visit order; this one's never does).
+    * `k` kept. Because the rank order is a HASH order, the result is a
+    * uniform-without-replacement sample that every run, engine, and
+    * executor layout agrees on (a true reservoir's output depends on
+    * partition visit order; this one's never does).
+    *
+    * Ranking is the bounded [[graft.functions.TopKAggregate]] heap, NOT a
+    * `row_number` window: the window form shuffles every row of a group
+    * to ONE task and sorts it there — a group at corpus scale is
+    * data-sized, so that task is a scale wall. Here each input partition
+    * partially aggregates to ≤ k ids per group before the shuffle
+    * (hash ASC ≡ negated-hash score DESC, ties by id ASC — the identical
+    * selection), and the kept rows are recovered with an equi-join on
+    * (group, id). The join's build side is #groups × k rows — sample
+    * metadata, not data — so AQE plans it as a broadcast join at any
+    * realistic k.
+    *
+    * Requires `idCol` unique within its group (it is the sample's
+    * identity; duplicate ids would also have made the hash order
+    * ill-defined for the reservoir semantics).
     */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(TextFunctions.portableHash(
-        concat(col(groupCol), lit("|"), col(idCol).cast("string"))),
-        col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k).drop("__rk")
+    val negHash = negate(TextFunctions.portableHash(
+      concat(col(groupCol), lit("|"), col(idCol).cast("string")))
+      .cast("double"))
+    val keep = df
+      .select(col(groupCol), col(idCol), negHash.as("__neg_hash"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topKByScore(
+        col("__neg_hash"), col(idCol), k).as("__top"))
+      .select(col(groupCol).as("__keep_g"),
+        explode(col("__top").getField("id")).as("__keep_id"))
+    df.join(keep,
+        col(groupCol) === col("__keep_g") && col(idCol) === col("__keep_id"))
+      .drop("__keep_g", "__keep_id")
   }
 
   /** Temperature-reweighted mixture sampling (the multilingual-corpus

@@ -455,4 +455,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"),
       s"df-cap gate must filter terms BEFORE the posting aggregate:\n$p")
   }
+
+  test("samplePerGroup ranks via bounded partial aggregate, not a window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.operators.Corpus
+      .samplePerGroup(docs, "lang", "doc_id", 5))
+    // a group at corpus scale is data-sized — the per-group rank must be
+    // the two-phase bounded heap, never a one-task-per-group window sort
+    assert(p.contains("partial_topk_by_score"), s"two-phase rank missing:\n$p")
+    assert(!p.contains("Window "), s"window rank must be gone:\n$p")
+  }
+
+  test("q54 per-segment top-k ranks via bounded partial aggregate") {
+    val p = plan(SparkEntry.queries("q54_topk_per_group")(spark, sf))
+    assert(p.contains("partial_topk_by_score"), s"two-phase rank missing:\n$p")
+    assert(!p.contains("Window "), s"window rank must be gone:\n$p")
+  }
 }

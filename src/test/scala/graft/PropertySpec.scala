@@ -479,4 +479,34 @@ class PropertySpec extends SparkSpec {
         assert(pairs(cap) == pairs(1000000L), s"cap $cap changed the pair set")
     }
   }
+
+  test("samplePerGroup equals its row_number window form for any input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat, lit, row_number}
+    import graft.functions.TextFunctions
+    import graft.operators.Corpus
+    // the heap port must reproduce the window form's selection EXACTLY:
+    // same hash-ascending rank, same id tie-break, under every
+    // partitioning — including empty frames and groups smaller than k
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
+        Gen.oneOf("en", "fr", "de", "zz")))
+      k <- Gen.oneOf(1, 3, 10)
+      parts <- Gen.oneOf(1, 3, 8)
+    } yield (rows.distinctBy(_._1), k, parts)
+    forAllSampled(gen, n = 8) { case (rows, k, parts) =>
+      val df = rows.toDF("doc_id", "lang").repartition(parts)
+      val got = Corpus.samplePerGroup(df, "lang", "doc_id", k)
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+      val w = Window.partitionBy("lang").orderBy(
+        TextFunctions.portableHash(
+          concat(col("lang"), lit("|"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      val want = df.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= k).drop("__rk")
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+      assert(got == want, s"k=$k parts=$parts")
+    }
+  }
 }
