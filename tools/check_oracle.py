@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [out.json]
 
 Loads each <verify_out_dir>/<query> parquet result, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf tables, sorts
 columns by name, and compares row counts + values (exact for non-floats,
 1e-9 relative tolerance reported for floats).
+
+With a third argument, also writes a CORRECTNESS_r*-shaped JSON
+(name -> {rows_match, schema_match, hash_match, err}) — feed that to
+tools/regen_coverage.py to refresh COVERAGE.md's marks mechanically.
 """
 import sys, json, glob, math, os
 import duckdb
@@ -84,25 +88,37 @@ def main():
     names = sorted(set(oracles) | {d for d in os.listdir(out_dir)
                                    if os.path.isdir(os.path.join(out_dir, d))})
     n_pass = n_fail = 0
+    report = {}
+    def record(name, err):
+        ok = err is None
+        report[name] = {"rows_match": ok, "schema_match": ok,
+                        "hash_match": ok, "err": err}
     for name in names:
         rd = os.path.join(out_dir, name)
         if not os.path.isdir(rd):
-            print(f"FAIL {name}: no spark result"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark result"); n_fail += 1
+            record(name, "no spark result"); continue
         if name not in oracles:
             print(f"WARN {name}: no oracle (rows-only check)"); continue
         got = load_result(rd)
         if got is None:
-            print(f"FAIL {name}: empty result dir"); n_fail += 1; continue
+            print(f"FAIL {name}: empty result dir"); n_fail += 1
+            record(name, "empty result dir"); continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as ex:
-            print(f"FAIL {name}: oracle SQL error: {ex}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {ex}"); n_fail += 1
+            record(name, f"oracle SQL error: {ex}"); continue
         prob = compare(name, got, exp)
+        record(name, prob)
         if prob:
             print(f"FAIL {name}: {prob}"); n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(report, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
