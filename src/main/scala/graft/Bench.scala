@@ -60,6 +60,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // builder-local iteration only (mirrors Verify's third arg): bench a
+    // comma-separated subset; the driver never sets this
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Bench-harness-only I/O setup (query semantics untouched): scratch
     // tables + streaming checkpoints go to tmpfs so the ~6 streaming
     // queries' per-micro-batch WAL/commit fsyncs measure memory writes,
@@ -79,9 +83,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> benchOne(spark, sfDir, name, fn)
-    }
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> benchOne(spark, sfDir, name, fn)
+      }
     println(renderJson(results, sfDir))
     spark.stop()
     if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
