@@ -1070,6 +1070,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: sequential email→IP→phone redaction with stage-local
+    // counts — pure narrow codegen'd regex map (operators.Scrub). The
+    // synthetic corpus carries no PII, so deterministic PII is APPENDED
+    // in-query (both engines build the identical string) to make the
+    // oracle discriminate: email on doc_id%3=0, IPv4 on %4=0, phone on
+    // %5=0 — 60 distinct presence/absence combinations per 60 ids
+    "q126_pii_scrub" -> ((s, dir) => {
+      val pii = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast(StringType),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" at 10."),
+              pmod(col("doc_id"), lit(200)).cast(StringType),
+              lit(".0.1"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1 555-01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
+            .otherwise(lit(""))))
+      graft.operators.Scrub.redactPii(pii)
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // budget-bounded corpus selection: best docs by score until the token
+    // budget fills — distributed prefix sum over a (score desc, id) range
+    // partitioning, NO global-sort window (operators.Corpus). Pre-projects
+    // to the three consumed columns: the RDD boundary blocks Catalyst
+    // pruning, so the caller prunes (documented on packSequences too)
+    "q127_budget_select" -> ((s, dir) =>
+      graft.operators.Corpus.selectToTokenBudget(
+          t(s, dir, "documents").select(
+            col("doc_id"), col("n_chars"),
+            size(TextFunctions.tokens(col("text"))).cast(LongType)
+              .as("nt")),
+          col("n_chars").cast(DoubleType), "doc_id", col("nt"),
+          tokenBudget = 9000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3176,6 +3218,44 @@ object SparkEntry {
            |LEFT JOIN ls ON d.doc_id = ls.doc_id
            |LEFT JOIN top ON d.doc_id = top.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q126_pii_scrub" ->
+        """WITH pii AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+           |      '@mail.example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || (doc_id % 200) ||
+           |      '.0.1' ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-01' ||
+           |      lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END AS t
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, t, regexp_replace(t,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |    '<EMAIL>', 'g') AS t1 FROM pii),
+           |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+           |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+           |  FROM s1)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |    AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t1,
+           |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(t2,
+           |    '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+           |  md5(regexp_replace(t2, '\+\d[\d\- ]{7,}\d',
+           |    '<PHONE>', 'g')) AS redacted_md5
+           |FROM s2 ORDER BY doc_id""".stripMargin,
+
+      "q127_budget_select" ->
+        s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt
+           |  FROM documents),
+           |c AS (SELECT doc_id, nt,
+           |    sum(nt) OVER (ORDER BY n_chars DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM tk WHERE nt IS NOT NULL)
+           |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           |  CAST(cum AS BIGINT) AS cum_tokens
+           |FROM c WHERE cum <= 9000 ORDER BY doc_id""".stripMargin,
 
       "q122_shuffle_shard" ->
         s"""WITH k AS (SELECT doc_id,

@@ -467,4 +467,61 @@ object Corpus {
       .withColumnRenamed("__sort_key", "sort_key")
       .withColumnRenamed("__shard", "shard")
   }
+
+  /** Budget-bounded corpus selection — how a training mix is actually
+    * cut: order the corpus by (score DESC, id ASC) and keep the maximal
+    * prefix whose cumulative token count fits `tokenBudget` ("take the
+    * best documents until N tokens"). A doc is kept iff its cumulative
+    * count AFTER inclusion is ≤ budget, so the first overflowing doc and
+    * everything ranked below it drop. Null token counts are not
+    * selectable and do not advance the cumulative sum (same null rule as
+    * [[packSequences]]); a null score is only defined to coincide with a
+    * null token count (a scoreless doc is a countless doc — engines
+    * disagree on where DESC places nulls, so selectable docs must carry
+    * real scores).
+    *
+    * Scale shape: the obvious `sum().over(Window.orderBy(score DESC))`
+    * is a single-task GLOBAL sort — the worst window of all. Instead the
+    * corpus range-partitions on the (negated-score, id) sort key — the
+    * same total order spread over as many partitions as the data
+    * demands — and runs the shared two-pass distributed prefix sum:
+    * O(partitions) subtotal collect, broadcast offsets, narrow seeded
+    * local cumsum + filter. Output: the kept rows with `n_tokens` and
+    * `cum_tokens` (cumulative count INCLUDING the row) appended.
+    */
+  def selectToTokenBudget(docs: DataFrame, scoreCol: Column, idCol: String,
+      nTokensCol: Column, tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, "selectToTokenBudget needs a budget >= 0")
+    val spark = docs.sparkSession
+    val prepared = docs
+      .withColumn("__n_tokens", nTokensCol.cast("long"))
+      .withColumn("__neg_score", negate(scoreCol.cast("double")))
+      .withColumn("__grp", lit(0)) // single global group for the offsets
+    val sorted = prepared
+      .repartitionByRange(col("__neg_score"), col(idCol))
+      .sortWithinPartitions(col("__neg_score"), col(idCol))
+    val schema = sorted.schema
+    val grpIdx = schema.fieldIndex("__grp")
+    val ntIdx = schema.fieldIndex("__n_tokens")
+    val rdd = sorted.rdd
+    val bOffsets = spark.sparkContext.broadcast(
+      prefixOffsets(rdd, grpIdx,
+        r => if (r.isNullAt(ntIdx)) 0L else r.getLong(ntIdx)))
+    val cumd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bOffsets.value
+      var cum = off.getOrElse((pid, 0), 0L)
+      it.map { r =>
+        val cumAfter: Any =
+          if (r.isNullAt(ntIdx)) null
+          else { cum += r.getLong(ntIdx); java.lang.Long.valueOf(cum) }
+        Row.fromSeq(r.toSeq :+ cumAfter)
+      }
+    }
+    spark.createDataFrame(cumd,
+        schema.add(org.apache.spark.sql.types.StructField("cum_tokens",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      .where(col("cum_tokens").isNotNull && col("cum_tokens") <= tokenBudget)
+      .drop("__neg_score", "__grp")
+      .withColumnRenamed("__n_tokens", "n_tokens")
+  }
 }

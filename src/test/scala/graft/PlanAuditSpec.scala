@@ -471,4 +471,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_topk_by_score"), s"two-phase rank missing:\n$p")
     assert(!p.contains("Window "), s"window rank must be gone:\n$p")
   }
+
+  test("selectToTokenBudget plans no Window: no single-task global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val p = plan(graft.operators.Corpus.selectToTokenBudget(docs,
+      col("n_chars").cast("double"), "doc_id", col("n_chars"), 5000L))
+    assert(!p.contains("Window"), s"global-sort window crept back:\n$p")
+  }
 }

@@ -509,4 +509,32 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"k=$k parts=$parts")
     }
   }
+
+  test("selectToTokenBudget equals the global-sort window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.Corpus
+    // score ties, null token counts, empty frames, every partitioning:
+    // the distributed prefix sum must keep EXACTLY the window's prefix
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
+        Gen.choose(0, 5).map(_.toDouble), Gen.option(Gen.choose(0L, 30L))))
+      parts <- Gen.oneOf(1, 3, 8)
+      budget <- Gen.oneOf(0L, 10L, 100L, 10000L)
+    } yield (rows.distinctBy(_._1), parts, budget)
+    forAllSampled(gen, n = 8) { case (rows, parts, budget) =>
+      val df = rows.toDF("id", "score", "nt").repartition(parts)
+      val got = Corpus.selectToTokenBudget(df, col("score"), "id",
+          col("nt"), budget)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+      val w = Window.orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.where(col("nt").isNotNull)
+        .withColumn("cum", sum(col("nt")).over(w))
+        .where(col("cum") <= budget)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts budget=$budget")
+    }
+  }
 }

@@ -139,6 +139,37 @@ class CorpusSpec extends SparkSpec {
     assert(tiny.count() == 9)
   }
 
+  test("selectToTokenBudget keeps the best-score prefix that fits") {
+    // scores: id 5 best (50), then 4, 3, 2, 1; 10 tokens each, budget 25
+    // -> ids 5 and 4 fit (cum 10, 20); id 3 would overflow (30): dropped,
+    // and everything ranked below it drops too
+    val docs = (1 to 5).map(i => (i.toLong, i * 10.0, 10L))
+      .toDF("id", "score", "nt")
+    val got = Corpus.selectToTokenBudget(docs, col("score"), "id",
+        col("nt"), 25L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 10L, 4L -> 20L))
+    // score ties broken by id ascending: equal scores, budget fits two
+    val tied = Seq((7L, 1.0, 10L), (3L, 1.0, 10L), (9L, 1.0, 10L))
+      .toDF("id", "score", "nt")
+    val t = Corpus.selectToTokenBudget(tied, col("score"), "id",
+        col("nt"), 20L)
+      .select("id").as[Long].collect().toSet
+    assert(t == Set(3L, 7L))
+    // null token counts are not selectable and don't consume budget
+    val withNull = Seq((1L, 9.0, Some(10L)), (2L, 8.0, None),
+      (3L, 7.0, Some(10L))).toDF("id", "score", "nt")
+    val n = Corpus.selectToTokenBudget(withNull, col("score"), "id",
+        col("nt"), 20L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 10L, 3L -> 20L))
+    // budget 0 selects nothing; empty input yields empty output
+    assert(Corpus.selectToTokenBudget(docs, col("score"), "id",
+      col("nt"), 0L).count() == 0)
+    assert(Corpus.selectToTokenBudget(docs.where(col("id") > 99),
+      col("score"), "id", col("nt"), 25L).count() == 0)
+  }
+
   test("temperatureSample flattens the domain distribution deterministically") {
     // 4000 en vs 250 de: with T=2 the de share of the sample should rise
     // well above its 1/17 corpus share
