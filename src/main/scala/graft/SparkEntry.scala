@@ -1112,6 +1112,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy("doc_id")),
 
+    // incremental near-dup dedup index: even-id docs arrive first, odd-id
+    // docs second; each batch rejects against the accepted-doc index
+    // (band-key candidates + exact jaccard verify) then against itself
+    // (smaller-id witness), survivors fold into the index. The oracle
+    // replays the identical two-batch policy in SQL
+    "q128_dedup_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val none = docs.limit(0)
+      val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val (a1, idx1) = graft.operators.Dedup.dedupIndexAddBatch(
+        graft.operators.Dedup.dedupIndexKeys(none), none, b1)
+      val (a2, _) = graft.operators.Dedup.dedupIndexAddBatch(idx1, a1, b2)
+      a1.select(col("doc_id"), lit(1L).as("batch"))
+        .unionByName(a2.select(col("doc_id"), lit(2L).as("batch")))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3245,6 +3263,43 @@ object SparkEntry {
            |  md5(regexp_replace(t2, '\+\d[\d\- ]{7,}\d',
            |    '<PHONE>', 'g')) AS redacted_md5
            |FROM s2 ORDER BY doc_id""".stripMargin,
+
+      "q128_dedup_index" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' " +
+            s"|| CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+           |inter AS (SELECT c.aid, c.bid, count(*) AS cnt
+           |  FROM cand c
+           |  JOIN sh x ON x.doc_id = c.aid
+           |  JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
+           |  GROUP BY 1, 2),
+           |ver AS (SELECT i.aid, i.bid FROM inter i
+           |  JOIN sz sa ON sa.doc_id = i.aid
+           |  JOIN sz sb ON sb.doc_id = i.bid
+           |  WHERE i.cnt::DOUBLE >= 0.3 * (sa.sz + sb.sz - i.cnt)),
+           |rej1 AS (SELECT DISTINCT bid FROM ver
+           |  WHERE bid % 2 = 0 AND aid % 2 = 0 AND aid < bid),
+           |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+           |  AND doc_id NOT IN (SELECT bid FROM rej1)),
+           |rej2 AS (SELECT DISTINCT bid FROM ver WHERE bid % 2 = 1
+           |  AND (aid IN (SELECT doc_id FROM acc1)
+           |       OR (aid % 2 = 1 AND aid < bid))),
+           |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+           |  AND doc_id NOT IN (SELECT bid FROM rej2))
+           |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
+           |UNION ALL
+           |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM acc2
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

@@ -147,7 +147,10 @@ object TextFunctions {
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 
   /** Replace emails / phone patterns with placeholder tokens — the
-    * standard pre-training privacy pass; a pure narrow map.
+    * standard pre-training privacy pass; a pure narrow map. This is the
+    * minimal scalar form (kept stable as the q72 surface); the full
+    * category-counting sequential pass is
+    * [[graft.operators.Scrub.redactPii]].
     */
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),

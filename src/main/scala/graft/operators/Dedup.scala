@@ -784,4 +784,92 @@ object Dedup {
             " ")))
       .drop("__spans")
   }
+
+  // ------------------------------------------------ incremental dedup index
+
+  /** LSH band keys of a doc set in index-state shape — the persisted
+    * state of the incremental dedup index ([[dedupIndexAddBatch]]):
+    * (id, band, key), O(accepted × bands) rows, append-only. The same
+    * [[bandedKeys]] rule every batch operator uses, so index state and
+    * one-shot dedup can never disagree on candidates.
+    */
+  def dedupIndexKeys(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    bandedKeys(docs, bands, rowsPerBand, shingleN, idCol, textCol, idCol)
+
+  /** Online near-dup dedup — the incremental-maintenance member of the
+    * dedup family (the inverted index and the ANN index have the same
+    * shape in `Retrieval.applyFeed` / `Similarity.applyChangeFeed`): an
+    * index of ACCEPTED documents' band keys absorbs batches one at a
+    * time, so a 100 TB corpus dedups arrival-by-arrival without ever
+    * rescanning what it already accepted.
+    *
+    * Per batch, deterministically and with no iteration:
+    *  1. a batch doc REJECTS AGAINST THE INDEX when it shares a band key
+    *     with an accepted doc AND the exact shingle jaccard against that
+    *     doc's text (from `acceptedDocs`) meets `threshold` — the index
+    *     always wins, whatever the ids;
+    *  2. a batch doc rejects WITHIN THE BATCH when a banded candidate
+    *     with a SMALLER id verifies — the drop-the-larger-id pair rule
+    *     the batch operators use, chosen over cluster representatives
+    *     precisely because rejection depends only on the pair, never on
+    *     the witness's own fate (on a chain a→b→c this drops both b and
+    *     c — documented over-drop, the price of a one-pass rule);
+    *  3. survivors fold into the state: index ∪ bandKeys(accepted).
+    *
+    * Scale shape: candidates come from band-key equi-joins (never
+    * all-pairs); only candidate-involved docs explode shingles for the
+    * verify (semi-join gated, as in [[decontaminateNearDup]]); the index
+    * is metadata-rows that a real deployment materializes between
+    * batches (the returned frames are plain DataFrames — persist them).
+    *
+    * Requires globally unique ids across `acceptedDocs` and all batches.
+    * Returns (accepted batch docs, updated index keys).
+    */
+  def dedupIndexAddBatch(indexKeys: DataFrame, acceptedDocs: DataFrame,
+      batch: DataFrame, threshold: Double = 0.3, bands: Int = 4,
+      rowsPerBand: Int = 2, shingleN: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(threshold > 0, "dedupIndexAddBatch needs threshold > 0 — a " +
+      "zero-overlap banded candidate produces no intersection row")
+    val batchKeys =
+      dedupIndexKeys(batch, bands, rowsPerBand, shingleN, idCol, textCol)
+    val candIdx = batchKeys
+      .select(col("band"), col("key"), col(idCol).as("bid"))
+      .join(indexKeys.select(col("band"), col("key"), col(idCol).as("aid")),
+        Seq("band", "key"))
+      .select("bid", "aid")
+    val candIn = batchKeys
+      .select(col("band"), col("key"), col(idCol).as("aid"))
+      .join(batchKeys.select(col("band"), col("key"), col(idCol).as("bid")),
+        Seq("band", "key"))
+      .where(col("aid") < col("bid"))
+      .select("bid", "aid")
+    val cand = candIdx.union(candIn).distinct()
+    def shingleSet(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      explode(array_distinct(graft.functions.TextExpressions
+        .shingles(col(textCol), shingleN))).as("sh"))
+    // witness texts: accepted docs for rule 1, batch docs for rule 2 —
+    // ONE frame, semi-joined so only candidate witnesses explode
+    val ws = shingleSet(
+        acceptedDocs.select(col(idCol), col(textCol))
+          .unionByName(batch.select(col(idCol), col(textCol))), "aid")
+      .join(cand.select("aid").distinct(), Seq("aid"), "left_semi")
+    val bs = shingleSet(batch, "bid")
+      .join(cand.select("bid").distinct(), Seq("bid"), "left_semi")
+    val inter = cand.join(bs, Seq("bid")).join(ws, Seq("aid", "sh"))
+      .groupBy("bid", "aid").agg(count(lit(1)).as("i"))
+    val szB = bs.groupBy("bid").agg(count(lit(1)).as("szb"))
+    val szA = ws.groupBy("aid").agg(count(lit(1)).as("sza"))
+    val rejected = inter.join(szB, Seq("bid")).join(szA, Seq("aid"))
+      .where(col("i").cast("double") >=
+        lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
+      .select(col("bid").as(idCol)).distinct()
+    val accepted = batch.join(rejected, Seq(idCol), "left_anti")
+    val newIndex = indexKeys.unionByName(
+      dedupIndexKeys(accepted, bands, rowsPerBand, shingleN, idCol, textCol))
+    (accepted, newIndex)
+  }
 }

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** PII scrubbing for web-scale training corpora — the redaction pass every
   * published pipeline runs before training (emails/IPs/phones; cf. Dolma,
   * Penedo et al. '23 §2.5, and the C4 badwords pass they descend from).
+  * Supersedes the minimal scalar [[graft.functions.TextFunctions.scrubPii]]
+  * (kept stable as the q72 surface) with IPv4s, international phones,
+  * per-category counts, and the sequential no-double-count rule.
   *
   * Three properties matter at 100 TB and all three hold here:
   *  - PURE NARROW MAP: regexp_replace / regexp_extract_all are built-in

@@ -279,4 +279,36 @@ class DedupSpec extends SparkSpec {
       // untouched docs keep their original whitespace
       (13L, "totally  unrelated words   that appear nowhere else at all")))
   }
+
+  test("dedupIndexAddBatch: index wins on any id, batch drops larger ids") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "entirely different words that no neighbor document shares"
+    def idx(docs: org.apache.spark.sql.DataFrame) = Dedup.dedupIndexKeys(docs)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    // batch 1 from an empty index: 20 and 30 duplicate — the SMALLER id
+    // survives; 40 is clean
+    val b1 = Seq((20L, dup), (30L, dup), (40L, other)).toDF("doc_id", "text")
+    val (a1, idx1) = Dedup.dedupIndexAddBatch(idx(none), none, b1)
+    assert(ids(a1) == Set(20L, 40L))
+    // index state covers exactly the accepted docs
+    assert(idx1.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(20L, 40L))
+
+    // batch 2: doc 5 duplicates accepted doc 20 — the INDEX wins even
+    // though 5 < 20; doc 50 is clean and folds in
+    val b2 = Seq((5L, dup), (50L, "fresh unseen content never indexed"))
+      .toDF("doc_id", "text")
+    val (a2, idx2) = Dedup.dedupIndexAddBatch(idx1, a1, b2)
+    assert(ids(a2) == Set(50L))
+    assert(idx2.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(20L, 40L, 50L))
+
+    // replaying the same batch against the grown index rejects everything
+    val (a3, _) = Dedup.dedupIndexAddBatch(idx2,
+      a1.unionByName(a2), b2)
+    assert(ids(a3) == Set.empty[Long])
+  }
 }
