@@ -1122,12 +1122,53 @@ object SparkEntry {
       val none = docs.limit(0)
       val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-      val (a1, idx1) = graft.operators.Dedup.dedupIndexAddBatch(
+      val (a1r, idx1r) = graft.operators.Dedup.dedupIndexAddBatch(
         graft.operators.Dedup.dedupIndexKeys(none), none, b1)
+      // materialize the state between batches — exactly what a real
+      // deployment does (the operator persists index + accepted set);
+      // without it batch 2's lineage recomputes batch 1's whole dedup
+      val (a1, idx1) = (a1r.localCheckpoint(), idx1r.localCheckpoint())
       val (a2, _) = graft.operators.Dedup.dedupIndexAddBatch(idx1, a1, b2)
       a1.select(col("doc_id"), lit(1L).as("batch"))
         .unionByName(a2.select(col("doc_id"), lit(2L).as("batch")))
         .orderBy("doc_id")
+    }),
+
+    // streaming near-dup dedup: the q128 policy applied per micro-batch
+    // (even-id file then odd-id file, mtime-pinned arrival order) with
+    // marker-committed versioned state — backlog replay == batch result
+    "q129_stream_dedup_index" -> ((s, dir) => {
+      val root = scratch("graft_sdidx_")
+      val src = java.nio.file.Paths.get(s"$root/src")
+      java.nio.file.Files.createDirectories(src)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.parquet(s"$root/b1")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.parquet(s"$root/b2")
+      def firstPart(d: String): java.nio.file.Path = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.toString.endsWith(".parquet")).findFirst.get
+        finally ls.close()
+      }
+      // one file per micro-batch; arrival order pinned by mtime AND name
+      val f1 = src.resolve("a_even.parquet")
+      val f2 = src.resolve("b_odd.parquet")
+      java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
+      java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
+      java.nio.file.Files.setLastModifiedTime(f1,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+      java.nio.file.Files.setLastModifiedTime(f2,
+        java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+      val schema = s.read.parquet(s"$root/b1").schema
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingDedupIndex.runAvailableNow(
+          s, src.toString, schema, s"$root/state", s"$root/ckpt")
+      }
+      val (accepted, _, _) =
+        graft.streaming.StreamingDedupIndex.readState(s, s"$root/state")
+      accepted.select(col("doc_id"), col("batch")).orderBy("doc_id")
     }),
 
     // exact cosine top-k (brute force baseline; queries broadcast)
@@ -2556,6 +2597,48 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)""".stripMargin
     }
+    // the two-batch incremental dedup-index policy (q128 batch form,
+    // q129 streaming form — IDENTICAL semantics, one oracle): batch 1 =
+    // even ids (smaller-id-wins within batch), batch 2 = odd ids
+    // (accepted-index witness wins on any id, then smaller-id within
+    // batch); banding + exact-jaccard verify mirror Dedup.dedupIndexAddBatch
+    val dedupIndexOracle: String = {
+      val bandKeys = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' " +
+          s"|| CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingleCtes,
+         |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+         |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT c.aid, c.bid, count(*) AS cnt
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.aid
+         |  JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT i.aid, i.bid FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.aid
+         |  JOIN sz sb ON sb.doc_id = i.bid
+         |  WHERE i.cnt::DOUBLE >= 0.3 * (sa.sz + sb.sz - i.cnt)),
+         |rej1 AS (SELECT DISTINCT bid FROM ver
+         |  WHERE bid % 2 = 0 AND aid % 2 = 0 AND aid < bid),
+         |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT bid FROM rej1)),
+         |rej2 AS (SELECT DISTINCT bid FROM ver WHERE bid % 2 = 1
+         |  AND (aid IN (SELECT doc_id FROM acc1)
+         |       OR (aid % 2 = 1 AND aid < bid))),
+         |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT bid FROM rej2))
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM acc2
+         |ORDER BY doc_id""".stripMargin
+    }
+
     def simhashCtes(bits: Int): String = {
       val sums = (0 until bits).map(b =>
         s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -3264,42 +3347,10 @@ object SparkEntry {
            |    '<PHONE>', 'g')) AS redacted_md5
            |FROM s2 ORDER BY doc_id""".stripMargin,
 
-      "q128_dedup_index" -> {
-        val bandKeys = (0 until 4).map { b =>
-          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' " +
-            s"|| CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shingleCtes,
-           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
-           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
-           |banded AS ($bandKeys),
-           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-           |cand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
-           |  FROM banded a JOIN banded b
-           |  ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
-           |inter AS (SELECT c.aid, c.bid, count(*) AS cnt
-           |  FROM cand c
-           |  JOIN sh x ON x.doc_id = c.aid
-           |  JOIN sh y ON y.doc_id = c.bid AND y.s = x.s
-           |  GROUP BY 1, 2),
-           |ver AS (SELECT i.aid, i.bid FROM inter i
-           |  JOIN sz sa ON sa.doc_id = i.aid
-           |  JOIN sz sb ON sb.doc_id = i.bid
-           |  WHERE i.cnt::DOUBLE >= 0.3 * (sa.sz + sb.sz - i.cnt)),
-           |rej1 AS (SELECT DISTINCT bid FROM ver
-           |  WHERE bid % 2 = 0 AND aid % 2 = 0 AND aid < bid),
-           |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-           |  AND doc_id NOT IN (SELECT bid FROM rej1)),
-           |rej2 AS (SELECT DISTINCT bid FROM ver WHERE bid % 2 = 1
-           |  AND (aid IN (SELECT doc_id FROM acc1)
-           |       OR (aid % 2 = 1 AND aid < bid))),
-           |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-           |  AND doc_id NOT IN (SELECT bid FROM rej2))
-           |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
-           |UNION ALL
-           |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM acc2
-           |ORDER BY doc_id""".stripMargin
-      },
+      "q128_dedup_index" -> dedupIndexOracle,
+      // the streaming replay applies the IDENTICAL two-batch policy
+      // (even-id file then odd-id file), so it shares q128's oracle
+      "q129_stream_dedup_index" -> dedupIndexOracle,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

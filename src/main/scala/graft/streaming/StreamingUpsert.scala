@@ -37,7 +37,7 @@ object StreamingUpsert {
     * checkpointed exactly-once progress. One implementation so a source
     * or trigger fix can never reach one sink and miss the other.
     */
-  private def runBatches(spark: SparkSession, sourceDir: String,
+  private[streaming] def runBatches(spark: SparkSession, sourceDir: String,
       schema: StructType, checkpointDir: String, maxFilesPerTrigger: Int)
       (sink: DataFrame => Unit): Unit = {
     val (src, base) = globAndBase(sourceDir)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class StreamingDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dup = "the quick brown fox jumps over the lazy dog tonight"
+
+  private def writeBacklog(root: String): String = {
+    val src = s"$root/src"
+    Files.createDirectories(Paths.get(src))
+    def put(name: String, mtime: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val d = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(d)
+      val ls = Files.list(Paths.get(d))
+      val part = try ls.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+          p.toString.endsWith(".parquet")).findFirst.get
+        finally ls.close()
+      val f = Paths.get(src, name)
+      Files.copy(part, f)
+      Files.setLastModifiedTime(f, FileTime.fromMillis(mtime))
+    }
+    // batch 1: 10 and 20 duplicate (smaller id survives), 30 clean
+    put("a_b1.parquet", 1000000000000L,
+      Seq((10L, dup), (20L, dup), (30L, "some clean unrelated words here")))
+    // batch 2: 5 duplicates ACCEPTED doc 10 (index wins though 5 < 10),
+    // 40 clean
+    put("b_b2.parquet", 1000000600000L,
+      Seq((5L, dup), (40L, "entirely novel content for batch two")))
+    src
+  }
+
+  private def accepted(stateRoot: String): Map[Long, Long] = {
+    val (acc, _, _) = StreamingDedupIndex.readState(spark, stateRoot)
+    acc.select("doc_id", "batch").as[(Long, Long)].collect().toMap
+  }
+
+  test("sessions of batches dedup across the micro-batch boundary") {
+    val root = Files.createTempDirectory("graft_sdi_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    assert(accepted(s"$root/state")
+      == Map(10L -> 1L, 30L -> 1L, 40L -> 2L))
+  }
+
+  test("a full backlog replay (fresh checkpoint) adds nothing") {
+    val root = Files.createTempDirectory("graft_sdi2_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    val first = accepted(s"$root/state")
+    // same backlog, NEW checkpoint, SAME state: every doc id is already
+    // indexed, shares all band keys with itself, and verifies at
+    // jaccard 1 — the replay rejects wholesale
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt_replay")
+    assert(accepted(s"$root/state") == first)
+  }
+
+  test("readState trusts the marker, not stray version directories") {
+    val root = Files.createTempDirectory("graft_sdi3_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    val before = accepted(s"$root/state")
+    // an orphan snapshot a crashed batch left behind must be invisible
+    // until its marker commit lands
+    Seq((999L, "orphan row")).toDF("doc_id", "text")
+      .withColumn("batch", col("doc_id"))
+      .write.parquet(s"$root/state/v99/accepted")
+    assert(accepted(s"$root/state") == before)
+  }
+}
