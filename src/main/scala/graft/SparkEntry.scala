@@ -1171,6 +1171,21 @@ object SparkEntry {
       accepted.select(col("doc_id"), col("batch")).orderBy("doc_id")
     }),
 
+    // model-based quality filter, trained AND applied in-pipeline: the
+    // 80% train split (doc_id%5≠0) labels en-vs-rest, one aggregate
+    // builds the class-centroid model, a 1-row broadcast scores every
+    // doc with an integer-exact cross-multiplied margin
+    "q130_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val seed = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val model = graft.operators.Classify.centroidModel(
+        seed, col("lang") === "en")
+      graft.operators.Classify.scoreByModel(docs, model)
+        .select(col("doc_id"), col("margin").cast(LongType).as("margin"),
+          col("quality_pred"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3351,6 +3366,38 @@ object SparkEntry {
       // the streaming replay applies the IDENTICAL two-batch policy
       // (even-id file then odd-id file), so it shares q128's oracle
       "q129_stream_dedup_index" -> dedupIndexOracle,
+
+      "q130_quality_classifier" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |t2 AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |hh AS (SELECT doc_id, ${pHashSql("t")} AS hv FROM t2),
+           |v AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM hh GROUP BY 1, 2),
+           |seed AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
+           |  WHERE doc_id % 5 <> 0),
+           |s AS (SELECT bucket,
+           |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
+           |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
+           |  FROM v JOIN seed USING (doc_id) GROUP BY 1),
+           |n AS (SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+           |    SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg
+           |  FROM seed),
+           |d AS (SELECT v.doc_id, SUM(v.v * s.sp) AS dp,
+           |    SUM(v.v * s.sn) AS dn
+           |  FROM v JOIN s USING (bucket) GROUP BY 1)
+           |SELECT doc.doc_id,
+           |  CASE WHEN doc.text IS NULL THEN NULL
+           |    ELSE CAST(n.nneg * coalesce(d.dp, 0)
+           |      - n.npos * coalesce(d.dn, 0) AS BIGINT) END AS margin,
+           |  CASE WHEN doc.text IS NULL THEN NULL
+           |    ELSE (n.nneg * coalesce(d.dp, 0)
+           |      - n.npos * coalesce(d.dn, 0)) > 0 END AS quality_pred
+           |FROM documents doc CROSS JOIN n
+           |LEFT JOIN d ON d.doc_id = doc.doc_id
+           |ORDER BY doc.doc_id""".stripMargin,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Nearest-class-centroid text classifier over feature-hashed token
+  * counts — the in-pipeline stand-in for the fastText-style quality
+  * filter the published pretraining pipelines train (CCNet's
+  * wiki-vs-crawl model, the LLaMA quality filter): "training" is ONE
+  * aggregate over a labeled seed (per-class feature sums + class
+  * counts), "inference" is a linear margin per document. No external
+  * model artifact, no float accumulation: the margin compares
+  * dot(x, μ⁺) against dot(x, μ⁻) by cross-multiplying with the class
+  * counts — the same integer-exact gate discipline as the DSIR
+  * importance filter — so a SQL oracle reproduces every verdict
+  * bit-for-bit.
+  *
+  * Scale shape: the model is a ONE-ROW frame (two dim-length long
+  * arrays + two counts) that broadcasts to the scoring join; training
+  * is a dim-bounded aggregate (the posexplode shuffles seed × dim rows,
+  * grouped to exactly dim rows); scoring is a pure narrow map after the
+  * 1-row broadcast. Nothing driver-side, nothing data-sized.
+  */
+object Classify {
+
+  /** Train: per-class feature sums over the labeled seed. Returns ONE
+    * row `(pos_sum array<long>, neg_sum array<long>, n_pos, n_neg)`.
+    * Docs with null text contribute nothing to the sums but still count
+    * as class members (they are real, just empty, seed rows — both
+    * margin terms scale together so the verdicts are unaffected).
+    */
+  def centroidModel(seed: DataFrame, labelCol: Column,
+      textCol: String = "text", dim: Int = 64): DataFrame = {
+    val byDim = seed
+      .select(labelCol.as("__lab"),
+        posexplode(TextFunctions.hashEmbed(col(textCol), dim))
+          .as(Seq("pos", "v")))
+      .groupBy("pos").agg(
+        sum(when(col("__lab"), col("v")).otherwise(0L)).as("sp"),
+        sum(when(!col("__lab"), col("v")).otherwise(0L)).as("sn"))
+    val sums = byDim.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("sp")))),
+        x => x.getField("sp")).as("pos_sum"),
+      transform(array_sort(collect_list(struct(col("pos"), col("sn")))),
+        x => x.getField("sn")).as("neg_sum"))
+    val counts = seed.agg(
+      sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!labelCol, 1L).otherwise(0L)).as("n_neg"))
+    sums.crossJoin(counts) // 1 row × 1 row
+  }
+
+  /** Integer dot product of two long arrays, accumulated in
+    * decimal(38,0) so the fold can never overflow however large the
+    * seed's per-bucket mass grows. (The elementwise products stay in
+    * long: a document's per-bucket count × a class's per-bucket sum is
+    * bounded by doc-tokens × seed-tokens — document the seed if it
+    * approaches 2⁶³.)
+    */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0).cast("decimal(38,0)"),
+      (acc, x) => acc + x.cast("decimal(38,0)"))
+
+  /** Score `docs` against a [[centroidModel]]: appends `margin`
+    * (decimal(38,0); > 0 ⇔ the positive centroid is nearer in the
+    * count geometry: n_neg·dot(x,S⁺) − n_pos·dot(x,S⁻)) and
+    * `quality_pred` (boolean; null for null-text docs, whose features
+    * are undefined).
+    */
+  def scoreByModel(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", dim: Int = 64): DataFrame = {
+    val f = TextFunctions.hashEmbed(col(textCol), dim)
+    docs.crossJoin(broadcast(model))
+      .withColumn("margin",
+        col("n_neg").cast("decimal(38,0)") * dotDec(f, col("pos_sum")) -
+        col("n_pos").cast("decimal(38,0)") * dotDec(f, col("neg_sum")))
+      .withColumn("quality_pred", col("margin") > 0)
+      .drop("pos_sum", "neg_sum", "n_pos", "n_neg")
+  }
+}
