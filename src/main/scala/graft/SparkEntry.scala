@@ -1186,6 +1186,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sign-foldable classifier refresh: the q130 model follows a change
+    // feed (delete seed docs with id%7=0, insert id%5=0∧id%3=0) with
+    // delta-sized work; emitted model == a rebuild over the final seed
+    // membership, checked value-for-value by the oracle
+    "q131_classifier_feed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val lab = col("lang") === "en"
+      val seed0 = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val model0 = graft.operators.Classify.centroidModel(seed0, lab)
+      val feed = seed0.where(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("__sign", lit(-1L))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(5)) === 0 &&
+            pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("__sign", lit(1L)))
+      graft.operators.Classify.applyFeedCentroidModel(model0, feed, lab)
+        .select(posexplode(col("pos_sum")).as(Seq("pos", "wpos")),
+          col("neg_sum"), col("n_pos"), col("n_neg"))
+        .select(col("pos"), col("wpos"),
+          col("neg_sum").getItem(col("pos")).as("wneg"),
+          col("n_pos"), col("n_neg"))
+        .orderBy("pos")
+    }),
+
+    // epoch-repetition mixing (data-constrained training): equal
+    // per-domain token targets, scarce domains repeat up to 4 epochs,
+    // abundant ones subsample into epoch 0 — capped-uniform integer
+    // allocation + hash-thresholded partial epochs, no RNG
+    "q132_epoch_mix" -> ((s, dir) =>
+      graft.operators.Corpus.allocateEpochs(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            size(TextFunctions.tokens(col("text"))).cast(LongType)
+              .as("nt")),
+          "lang", "doc_id", col("nt"), tokenBudget = 40000L, maxEpochs = 4)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3398,6 +3434,66 @@ object SparkEntry {
            |FROM documents doc CROSS JOIN n
            |LEFT JOIN d ON d.doc_id = doc.doc_id
            |ORDER BY doc.doc_id""".stripMargin,
+
+      "q131_classifier_feed" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |t2 AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |hh AS (SELECT doc_id, ${pHashSql("t")} AS hv FROM t2),
+           |v AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM hh GROUP BY 1, 2),
+           |m AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
+           |  WHERE (doc_id % 5 <> 0 AND doc_id % 7 <> 0)
+           |     OR (doc_id % 5 = 0 AND doc_id % 3 = 0)),
+           |s AS (SELECT bucket,
+           |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
+           |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
+           |  FROM v JOIN m USING (doc_id) GROUP BY 1),
+           |n AS (SELECT
+           |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS npos,
+           |    CAST(SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nneg FROM m)
+           |SELECT CAST(g.range AS INTEGER) AS pos,
+           |  CAST(coalesce(s.sp, 0) AS BIGINT) AS wpos,
+           |  CAST(coalesce(s.sn, 0) AS BIGINT) AS wneg,
+           |  n.npos AS n_pos, n.nneg AS n_neg
+           |FROM range(64) g CROSS JOIN n
+           |LEFT JOIN s ON s.bucket = g.range
+           |ORDER BY pos""".stripMargin,
+
+      "q132_epoch_mix" ->
+        s"""WITH tk AS (SELECT doc_id, lang, len($toksSql) AS nt
+           |  FROM documents),
+           |cnt AS (SELECT lang,
+           |    CAST(SUM(coalesce(nt, 0)) AS HUGEINT) AS n
+           |  FROM tk GROUP BY 1),
+           |tgt AS (SELECT CAST(40000 AS HUGEINT) // count(*) AS t
+           |  FROM cnt),
+           |p1 AS (SELECT lang, n, t,
+           |    CASE WHEN n <= 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE least(t // n, CAST(4 AS HUGEINT)) END AS fullep
+           |  FROM cnt CROSS JOIN tgt),
+           |plan AS (SELECT lang, fullep,
+           |    CASE WHEN n <= 0 OR fullep >= 4 THEN CAST(0 AS HUGEINT)
+           |         ELSE least((CAST(1000000 AS HUGEINT)
+           |             * (t - fullep * n)) // n,
+           |           CAST(1000000 AS HUGEINT)) END AS keep
+           |  FROM p1),
+           |fullc AS (SELECT t.doc_id, t.lang,
+           |    unnest(range(0, CAST(p.fullep AS BIGINT))) AS epoch
+           |  FROM tk t JOIN plan p USING (lang)),
+           |part AS (SELECT t.doc_id, t.lang,
+           |    CAST(p.fullep AS BIGINT) AS epoch
+           |  FROM tk t JOIN plan p USING (lang)
+           |  WHERE ${pHashSql(
+                  "t.lang || '@' || CAST(p.fullep AS BIGINT) || '|' || t.doc_id")}
+           |    % 1000000 < p.keep)
+           |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+           |FROM (SELECT * FROM fullc UNION ALL SELECT * FROM part)
+           |ORDER BY doc_id, epoch""".stripMargin,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

@@ -63,6 +63,49 @@ object Classify {
       lit(0).cast("decimal(38,0)"),
       (acc, x) => acc + x.cast("decimal(38,0)"))
 
+  /** Fold a ±1-signed change feed (`__sign`, label, text) into a
+    * [[centroidModel]] with delta-sized work — the same sign-fold
+    * discipline as the n-gram model and the incremental indexes: sums
+    * and counts are plain additive aggregates, so inserts add their
+    * feature mass and deletes subtract it, and the folded model equals
+    * a rebuild over the post-feed seed exactly (integer arithmetic, no
+    * order sensitivity). Null-text feed rows fold their count but no
+    * features, mirroring training.
+    */
+  def applyFeedCentroidModel(model: DataFrame, feed: DataFrame,
+      labelCol: Column, textCol: String = "text", dim: Int = 64)
+      : DataFrame = {
+    val byDim = feed
+      .select(col("__sign"), labelCol.as("__lab"),
+        posexplode(TextFunctions.hashEmbed(col(textCol), dim))
+          .as(Seq("pos", "v")))
+      .groupBy("pos").agg(
+        sum(when(col("__lab"), col("v") * col("__sign")).otherwise(0L))
+          .as("dp"),
+        sum(when(!col("__lab"), col("v") * col("__sign")).otherwise(0L))
+          .as("dn"))
+    val deltaSums = byDim.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("dp")))),
+        x => x.getField("dp")).as("dp_arr"),
+      transform(array_sort(collect_list(struct(col("pos"), col("dn")))),
+        x => x.getField("dn")).as("dn_arr"))
+    val deltaCounts = feed.agg(
+      coalesce(sum(when(labelCol, col("__sign")).otherwise(0L)), lit(0L))
+        .as("dnp"),
+      coalesce(sum(when(!labelCol, col("__sign")).otherwise(0L)), lit(0L))
+        .as("dnn"))
+    // an all-null-text (or empty) feed yields an EMPTY delta array —
+    // normalize to dense zeros so the zip never pads with nulls
+    def dense(c: Column): Column =
+      when(size(c) === dim, c).otherwise(array_repeat(lit(0L), dim))
+    model.crossJoin(deltaSums).crossJoin(deltaCounts)
+      .select(
+        zip_with(col("pos_sum"), dense(col("dp_arr")), _ + _).as("pos_sum"),
+        zip_with(col("neg_sum"), dense(col("dn_arr")), _ + _).as("neg_sum"),
+        (col("n_pos") + col("dnp")).as("n_pos"),
+        (col("n_neg") + col("dnn")).as("n_neg"))
+  }
+
   /** Score `docs` against a [[centroidModel]]: appends `margin`
     * (decimal(38,0); > 0 ⇔ the positive centroid is nearer in the
     * count geometry: n_neg·dot(x,S⁺) − n_pos·dot(x,S⁻)) and

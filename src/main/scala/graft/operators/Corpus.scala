@@ -468,6 +468,76 @@ object Corpus {
       .withColumnRenamed("__shard", "shard")
   }
 
+  /** Epoch-repetition mixing for data-constrained training (Muennighoff
+    * et al. '23: repeat scarce domains up to a few epochs rather than
+    * letting abundant ones crowd them out): give every domain an EQUAL
+    * token target `tokenBudget / #domains`, fill it with full epochs of
+    * the domain (capped at `maxEpochs`) plus a hash-thresholded partial
+    * epoch, and emit each input row once per epoch with an `epoch`
+    * column (0-based). A domain bigger than its target contributes a
+    * partial epoch 0 only — this operator SUBSAMPLES abundant domains
+    * and REPEATS scarce ones with one policy. Capped-uniform is
+    * deliberate: no iterative waterfill, so allocation is one integer
+    * expression per domain and an oracle replays it exactly.
+    *
+    * Determinism contract (the [[temperatureSample]] discipline): domain
+    * token counts are EXACT (an O(#domains) driver collect — metadata),
+    * full-epoch counts and the 1e6-fixed-point partial threshold are
+    * integer arithmetic in BigInt, and partial-epoch membership is a
+    * pure hash predicate on the epoch-salted id — no RNG, reproducible
+    * on any cluster, bit-identical in an ANSI-SQL twin (the q132 oracle
+    * computes the same quantities in HUGEINT).
+    *
+    * Scale shape: stats collect is metadata-sized; the per-domain plan
+    * (full epochs, threshold) joins back as a broadcast dim; full-epoch
+    * replication is a narrow `explode(sequence)` whose fan-out is capped
+    * by `maxEpochs`; the partial epoch is a narrow filter. No shuffle
+    * anywhere. Null domains are rejected loudly; null token counts
+    * count zero mass but still replicate with their domain.
+    */
+  def allocateEpochs(df: DataFrame, domainCol: String, idCol: String,
+      nTokensCol: Column, tokenBudget: Long, maxEpochs: Int): DataFrame = {
+    require(tokenBudget >= 0, "allocateEpochs needs a budget >= 0")
+    require(maxEpochs >= 1, "allocateEpochs needs maxEpochs >= 1")
+    require(df.schema(domainCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"allocateEpochs needs a string domain column, got " +
+        df.schema(domainCol).dataType.simpleString)
+    val counts = df.groupBy(col(domainCol))
+      .agg(coalesce(sum(nTokensCol.cast("long")), lit(0L)).as("__n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    require(!counts.contains(None),
+      s"allocateEpochs: $domainCol contains nulls — coalesce them to a " +
+        "sentinel domain first")
+    val named = counts.map { case (d, n) => d.get -> n }
+    if (named.isEmpty) return df.withColumn("epoch", lit(0L)).limit(0)
+    val target = BigInt(tokenBudget) / named.size
+    val plan = named.map { case (d, n) =>
+      if (n <= 0) (d, 0L, 0L) // empty domain: nothing to repeat
+      else {
+        val full = (target / n).min(BigInt(maxEpochs)).toLong
+        val rem = if (full >= maxEpochs) BigInt(0) else target - full * n
+        val keepMilli = (BigInt(1000000) * rem / n).min(BigInt(1000000))
+        (d, full, keepMilli.toLong)
+      }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planDf = broadcast(plan.toDF(domainCol, "__full", "__keep"))
+    val joined = df.join(planDf, Seq(domainCol))
+    val fullCopies = joined
+      .withColumn("epoch", explode(
+        when(col("__full") > 0, sequence(lit(0L), col("__full") - 1))
+          .otherwise(array().cast("array<long>"))))
+    val partial = joined
+      .where(pmod(TextFunctions.portableHash(
+          concat(col(domainCol), lit("@"), col("__full").cast("string"),
+            lit("|"), col(idCol).cast("string"))),
+        lit(1000000)) < col("__keep"))
+      .withColumn("epoch", col("__full"))
+    fullCopies.unionByName(partial).drop("__full", "__keep")
+  }
+
   /** Budget-bounded corpus selection — how a training mix is actually
     * cut: order the corpus by (score DESC, id ASC) and keep the maximal
     * prefix whose cumulative token count fits `tokenBudget` ("take the

@@ -63,6 +63,38 @@ class ClassifySpec extends SparkSpec {
     assert(got(12L) == ((None, None)))
   }
 
+  test("a folded change feed equals a rebuild over the final seed") {
+    val seed0 = seedRows.toDF("doc_id", "lab", "text")
+    val model0 = Classify.centroidModel(seed0, col("lab"), dim = dim)
+    // delete doc 2 (pos class), insert two new docs incl. a null-text one
+    val feed = Seq(
+      (2L, true, "alpha delta", -1L),
+      (7L, false, "chi chi omega", 1L),
+      (8L, true, null: String, 1L))
+      .toDF("doc_id", "lab", "text", "__sign")
+    val folded = Classify.applyFeedCentroidModel(model0, feed,
+      col("lab"), dim = dim)
+    val finalSeed = Seq(
+      (1L, true, "alpha beta gamma alpha"),
+      (3L, false, "omega psi chi omega omega"),
+      (4L, false, "psi chi"),
+      (7L, false, "chi chi omega"),
+      (8L, true, null: String)).toDF("doc_id", "lab", "text")
+    val rebuilt = Classify.centroidModel(finalSeed, col("lab"), dim = dim)
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getSeq[Long](r.fieldIndex("pos_sum")),
+        r.getSeq[Long](r.fieldIndex("neg_sum")),
+        r.getLong(r.fieldIndex("n_pos")), r.getLong(r.fieldIndex("n_neg")))
+    }
+    assert(row(folded) == row(rebuilt))
+    // an empty feed is the identity
+    val empty = Seq.empty[(Long, Boolean, String, Long)]
+      .toDF("doc_id", "lab", "text", "__sign")
+    assert(row(Classify.applyFeedCentroidModel(model0, empty,
+      col("lab"), dim = dim)) == row(model0))
+  }
+
   test("scoring broadcasts the 1-row model — no sort-merge join") {
     val seed = seedRows.toDF("doc_id", "lab", "text")
     val model = Classify.centroidModel(seed, col("lab"), dim = dim)

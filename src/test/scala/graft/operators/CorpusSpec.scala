@@ -170,6 +170,41 @@ class CorpusSpec extends SparkSpec {
       col("score"), "id", col("nt"), 25L).count() == 0)
   }
 
+  test("allocateEpochs repeats scarce domains, subsamples abundant ones") {
+    // two domains, budget 2000 -> target 1000 tokens each:
+    //  - "small" holds 100 tokens -> 4 full epochs (capped), no partial
+    //  - "big" holds 5000 tokens -> 0 full epochs, 1e6*1000/5000 = 200000
+    //    partial threshold: roughly a fifth of big's docs land in epoch 0
+    val docs = ((0 until 10).map(i => (i.toLong, "small", 10L)) ++
+      (100 until 600).map(i => (i.toLong, "big", 10L)))
+      .toDF("doc_id", "lang", "nt")
+    val out = Corpus.allocateEpochs(docs, "lang", "doc_id", col("nt"),
+      tokenBudget = 2000L, maxEpochs = 4)
+      .select("doc_id", "lang", "epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    val small = out.filter(_._2 == "small")
+    // every small doc appears in epochs 0..3, nothing more (cap hit)
+    assert(small.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(0L, 1L, 2L, 3L)))
+    assert(small.size == 40)
+    val big = out.filter(_._2 == "big")
+    // abundant domain: only partial epoch 0, about a fifth of the docs
+    assert(big.forall(_._3 == 0L))
+    assert(big.size > 50 && big.size < 150, s"got ${big.size}")
+    // partitioning-invariant
+    val out2 = Corpus.allocateEpochs(docs.repartition(7), "lang",
+      "doc_id", col("nt"), 2000L, 4)
+      .select("doc_id", "lang", "epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.toSet == out2.toSet)
+    // null domains are rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Corpus.allocateEpochs(
+        Seq((1L, null: String, 5L)).toDF("doc_id", "lang", "nt"),
+        "lang", "doc_id", col("nt"), 100L, 2)
+    }
+    assert(err.getMessage.contains("sentinel"))
+  }
+
   test("temperatureSample flattens the domain distribution deterministically") {
     // 4000 en vs 250 de: with T=2 the de share of the sample should rise
     // well above its 1/17 corpus share
