@@ -472,6 +472,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window "), s"window rank must be gone:\n$p")
   }
 
+  test("dedup index add-batch: banded candidates only, semi-gated explodes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val none = docs.limit(0)
+    val (accepted, _) = graft.operators.Dedup.dedupIndexAddBatch(
+      graft.operators.Dedup.dedupIndexKeys(none), none, docs)
+    val p = plan(accepted)
+    // candidates must come from band-key equi-joins — an all-pairs
+    // product anywhere makes the batch quadratic
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$p")
+    // only candidate-involved docs may explode shingles for the verify
+    assert(p.contains("LeftSemi"),
+      s"shingle explode must be semi-join gated:\n$p")
+    assert(accepted.count() > 0)
+  }
+
   test("selectToTokenBudget plans no Window: no single-task global sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
