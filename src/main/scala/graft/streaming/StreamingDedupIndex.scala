@@ -10,17 +10,20 @@ import graft.operators.Dedup
   * applied per micro-batch, the streaming member of the dedup family
   * (exact streaming dedup has `StreamingDedup`; the ANN index has
   * `runVersionedWithAnnIndex`). Each batch dedups against everything
-  * accepted so far WITHOUT rescanning it: the state holds the accepted
-  * docs plus their LSH band keys.
+  * accepted so far WITHOUT rescanning the corpus it already accepted:
+  * the state holds the accepted docs plus their LSH band keys.
   *
-  * State layout under `stateRoot`: versioned snapshots `v<N>/accepted`
-  * (doc_id, text, batch) and `v<N>/keys` (band keys), with a `_current`
-  * marker file naming the live version, committed LAST by atomic rename.
-  * Crash-exactness is the marker discipline the ANN index uses: a batch
-  * that dies after writing `v<N+1>` but before the marker leaves
-  * `_current` at `v<N>`, so the checkpoint replay recomputes from the
-  * OLD state and overwrites the orphan — the state can never be half a
-  * batch ahead of the marker.
+  * State layout under `stateRoot`: APPEND-ONLY deltas — batch N writes
+  * exactly its own accepted docs and their band keys to
+  * `delta/d<N>/{accepted,keys}` and then commits the `_current` marker
+  * (atomic rename, LAST). Per-batch state I/O is O(batch), never
+  * O(corpus): the live state is the union of deltas 1..marker, which a
+  * long-running deployment compacts offline exactly like any other
+  * append-only log. Crash-exactness is the marker discipline the ANN
+  * index uses: a batch that dies after writing `delta/d<N+1>` but
+  * before the marker leaves `_current` at N, so the checkpoint replay
+  * recomputes from the OLD state and overwrites the orphan — the state
+  * can never be half a batch ahead of the marker.
   *
   * Replays are also SEMANTICALLY idempotent: a doc whose id is already
   * in the index shares all band keys with itself and verifies at
@@ -54,16 +57,24 @@ object StreamingDedupIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the live accepted/keys state, empty frames when none. */
+  /** Read the live accepted/keys state — the union of the committed
+    * deltas (1..marker; an orphan delta past the marker is invisible) —
+    * empty frames when no batch has committed.
+    */
   def readState(spark: SparkSession, stateRoot: String,
       idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame, Long) = {
     val (accSchema, keySchema) = stateSchemas(idCol, textCol)
     currentVersion(stateRoot) match {
-      case Some(v) => (
-        spark.read.parquet(s"$stateRoot/v$v/accepted"),
-        spark.read.parquet(s"$stateRoot/v$v/keys"), v)
-      case None => (
+      case Some(v) if v >= 1 =>
+        val acc = (1L to v).map(i =>
+          spark.read.parquet(s"$stateRoot/delta/d$i/accepted"))
+          .reduce(_ unionByName _)
+        val keys = (1L to v).map(i =>
+          spark.read.parquet(s"$stateRoot/delta/d$i/keys"))
+          .reduce(_ unionByName _)
+        (acc, keys, v)
+      case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], accSchema),
         spark.createDataFrame(spark.sparkContext
@@ -94,15 +105,14 @@ object StreamingDedupIndex {
         keys0, accepted0.select(col(idCol), col(textCol)),
         batch.select(col(idCol), col(textCol)), threshold,
         idCol = idCol, textCol = textCol)
-      // the accepted set feeds BOTH state files — materialize once
+      // the accepted set feeds BOTH delta files — materialize once
       val acc = accL.localCheckpoint()
       val next = v + 1
-      accepted0.unionByName(
-          acc.withColumn("batch", lit(next)))
-        .write.mode("overwrite").parquet(s"$stateRoot/v$next/accepted")
-      keys0.unionByName(Dedup.dedupIndexKeys(acc, idCol = idCol,
-          textCol = textCol))
-        .write.mode("overwrite").parquet(s"$stateRoot/v$next/keys")
+      acc.withColumn("batch", lit(next))
+        .write.mode("overwrite")
+        .parquet(s"$stateRoot/delta/d$next/accepted")
+      Dedup.dedupIndexKeys(acc, idCol = idCol, textCol = textCol)
+        .write.mode("overwrite").parquet(s"$stateRoot/delta/d$next/keys")
       commitVersion(stateRoot, next) // marker LAST: see crash note above
     }
   }

@@ -75,11 +75,11 @@ class StreamingDedupIndexSpec extends SparkSpec {
     StreamingDedupIndex.runAvailableNow(spark, src, schema,
       s"$root/state", s"$root/ckpt")
     val before = accepted(s"$root/state")
-    // an orphan snapshot a crashed batch left behind must be invisible
+    // an orphan delta a crashed batch left behind must be invisible
     // until its marker commit lands
     Seq((999L, "orphan row")).toDF("doc_id", "text")
       .withColumn("batch", col("doc_id"))
-      .write.parquet(s"$root/state/v99/accepted")
+      .write.parquet(s"$root/state/delta/d99/accepted")
     assert(accepted(s"$root/state") == before)
   }
 }
