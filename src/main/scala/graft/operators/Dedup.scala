@@ -823,6 +823,13 @@ object Dedup {
     * verify (semi-join gated, as in [[decontaminateNearDup]]); the index
     * is metadata-rows that a real deployment materializes between
     * batches (the returned frames are plain DataFrames — persist them).
+    * Honest cost note: the verify reads `acceptedDocs` once per batch to
+    * reach candidate witnesses' TEXTS — a linear scan (explosion stays
+    * candidate-gated). A deployment whose accepted corpus dwarfs its
+    * batches avoids even that scan by persisting per-doc distinct
+    * shingle-hash sets alongside the band keys and intersecting hashes
+    * instead of strings — exact up to 64-bit hash collisions; this
+    * operator keeps the string-exact verify as ground truth.
     *
     * Requires globally unique ids across `acceptedDocs` and all batches.
     * Returns (accepted batch docs, updated index keys).
