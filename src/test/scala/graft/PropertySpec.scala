@@ -537,4 +537,101 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"parts=$parts budget=$budget")
     }
   }
+
+  test("dedupIndexAddBatch equals a plain-Scala replay of the policy") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    import graft.operators.Dedup
+    // documents drawn from a tiny alphabet so shingle overlaps actually
+    // happen; the reference below re-derives banding + jaccard + the
+    // accept/reject rules with NO Spark involved
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "psi")
+    val docGen = Gen.listOfN(6,
+      Gen.oneOf(words)).map(_.mkString(" "))
+    val gen = for {
+      nIdx <- Gen.choose(0, 8)
+      idx <- Gen.listOfN(nIdx, docGen)
+      nB <- Gen.choose(0, 8)
+      bat <- Gen.listOfN(nB, docGen)
+      parts <- Gen.oneOf(1, 3)
+    } yield (idx.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      bat.zipWithIndex.map { case (t, i) => ((100 + i).toLong, t) }, parts)
+
+    def bandsOf(text: String): Set[(Int, String)] = {
+      val sig = TextKernels.minhashLanes(UTF8String.fromString(text), 8, 3)
+        .toLongArray()
+      (0 until 4).map(b => b -> s"${sig(2 * b)}_${sig(2 * b + 1)}").toSet
+    }
+    def shOf(text: String): Set[String] =
+      TextKernels.shingleStrings(UTF8String.fromString(text), 3).toSet
+    def jacOk(a: String, b: String): Boolean = {
+      val (sa, sb) = (shOf(a), shOf(b))
+      val i = sa.intersect(sb).size
+      i.toDouble >= 0.3 * (sa.size + sb.size - i)
+    }
+
+    forAllSampled(gen, n = 8) { case (accepted, batch, parts) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val accDf = accepted.toDF("doc_id", "text").repartition(parts)
+      val batDf = batch.toDF("doc_id", "text").repartition(parts)
+      val (got, _) = Dedup.dedupIndexAddBatch(
+        Dedup.dedupIndexKeys(accDf), accDf, batDf)
+      val gotIds = got.select("doc_id").as[Long].collect().toSet
+
+      val accBands = accepted.map { case (id, t) => id -> bandsOf(t) }
+      val batBands = batch.map { case (id, t) => id -> bandsOf(t) }.toMap
+      val texts = (accepted ++ batch).toMap
+      val wantIds = batch.collect { case (d, td)
+        if !(accBands.exists { case (a, bk) =>
+              bk.intersect(batBands(d)).nonEmpty && jacOk(td, texts(a)) } ||
+             batch.exists { case (a, ta) => a < d &&
+               batBands(a).intersect(batBands(d)).nonEmpty &&
+               jacOk(td, ta) }) => d }.toSet
+      assert(gotIds == wantIds, s"parts=$parts accepted=$accepted batch=$batch")
+    }
+  }
+
+  test("allocateEpochs equals a plain-Scala replay of the allocation") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextKernels
+    import graft.operators.Corpus
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
+        Gen.oneOf("aa", "bb", "cc"), Gen.option(Gen.choose(0L, 20L))))
+      budget <- Gen.oneOf(0L, 50L, 400L, 5000L)
+      maxE <- Gen.oneOf(1, 3)
+      parts <- Gen.oneOf(1, 4)
+    } yield (rows.distinctBy(_._1), budget, maxE, parts)
+    def pHash(s: String): Long =
+      TextKernels.portableHash(s.getBytes("UTF-8"))
+    forAllSampled(gen, n = 8) { case (rows, budget, maxE, parts) =>
+      val df = rows.toDF("doc_id", "lang", "nt").repartition(parts)
+      val got = Corpus.allocateEpochs(df, "lang", "doc_id", col("nt"),
+          budget, maxE)
+        .select("doc_id", "epoch").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val byDomain = rows.groupBy(_._2)
+      val want = if (rows.isEmpty) Map.empty[Long, Seq[Long]] else {
+        val target = BigInt(budget) / byDomain.size
+        rows.flatMap { case (id, d, _) =>
+          val n = byDomain(d).map(_._3.getOrElse(0L)).sum
+          if (n <= 0) Seq.empty
+          else {
+            val full = (target / n).min(BigInt(maxE)).toLong
+            val keep = if (full >= maxE) BigInt(0)
+              else (BigInt(1000000) * (target - full * n) / n)
+                .min(BigInt(1000000))
+            val fulls = (0L until full).map(id -> _)
+            val partial =
+              if (pHash(s"$d@$full|$id") % 1000000 < keep)
+                Seq(id -> full) else Seq.empty
+            fulls ++ partial
+          }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      }
+      assert(got == want, s"budget=$budget maxE=$maxE parts=$parts")
+    }
+  }
 }
