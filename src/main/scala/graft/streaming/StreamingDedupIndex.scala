@@ -40,45 +40,92 @@ object StreamingDedupIndex {
       StructField("band", org.apache.spark.sql.types.IntegerType),
       StructField("key", StringType))))
 
-  private def currentVersion(stateRoot: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(stateRoot, "_current")
+  private def marker(stateRoot: String, name: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(stateRoot, name)
     if (java.nio.file.Files.exists(p))
       Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
     else None
   }
 
-  private def commitVersion(stateRoot: String, v: Long): Unit = {
+  private def commitMarker(stateRoot: String, name: String, v: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateRoot)
     java.nio.file.Files.createDirectories(dir)
-    val tmp = java.nio.file.Files.createTempFile(dir, "_current_", ".tmp")
+    val tmp = java.nio.file.Files.createTempFile(dir, s"${name}_", ".tmp")
     java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("_current"),
+    java.nio.file.Files.move(tmp, dir.resolve(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the live accepted/keys state — the union of the committed
-    * deltas (1..marker; an orphan delta past the marker is invisible) —
-    * empty frames when no batch has committed.
+  /** Read the live accepted/keys state — the compacted snapshot (if one
+    * is committed) plus the deltas after it, up to the `_current`
+    * marker. Orphans past either marker are invisible. Empty frames
+    * when no batch has committed.
     */
   def readState(spark: SparkSession, stateRoot: String,
       idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame, Long) = {
     val (accSchema, keySchema) = stateSchemas(idCol, textCol)
-    currentVersion(stateRoot) match {
+    marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        val acc = (1L to v).map(i =>
-          spark.read.parquet(s"$stateRoot/delta/d$i/accepted"))
-          .reduce(_ unionByName _)
-        val keys = (1L to v).map(i =>
-          spark.read.parquet(s"$stateRoot/delta/d$i/keys"))
-          .reduce(_ unionByName _)
-        (acc, keys, v)
+        val c = marker(stateRoot, "_compacted").getOrElse(0L).min(v)
+        def union(sub: String): DataFrame = {
+          val snap =
+            if (c >= 1) Seq(s"$stateRoot/snapshot/s$c/$sub") else Seq.empty
+          val deltas = ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
+          (snap ++ deltas).map(spark.read.parquet(_)).reduce(_ unionByName _)
+        }
+        (union("accepted"), union("keys"), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], accSchema),
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], keySchema), 0L)
+    }
+  }
+
+  /** Fold the committed log into one snapshot — the offline compaction a
+    * long-running stream schedules so `readState` stops unioning an
+    * ever-growing delta list. Writes `snapshot/s<v>` from the current
+    * state, then commits `_compacted = v` LAST (atomic rename): a crash
+    * mid-compaction leaves an orphan snapshot that readers never see.
+    * Safe to run concurrently with reads; run it between batches (the
+    * AvailableNow runner is not executing) like any lakehouse OPTIMIZE.
+    */
+  def compact(spark: SparkSession, stateRoot: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // already compacted at the head version: re-running would overwrite
+    // the very snapshot the state is being read from — no-op instead
+    if (marker(stateRoot, "_compacted").contains(
+        marker(stateRoot, "_current").getOrElse(0L))) return
+    val (acc, keys, v) = readState(spark, stateRoot, idCol, textCol)
+    if (v >= 1) {
+      acc.write.mode("overwrite").parquet(s"$stateRoot/snapshot/s$v/accepted")
+      keys.write.mode("overwrite").parquet(s"$stateRoot/snapshot/s$v/keys")
+      commitMarker(stateRoot, "_compacted", v)
+    }
+  }
+
+  /** Delete delta directories the committed snapshot already covers
+    * (and superseded older snapshots). Destructive — callers schedule it
+    * AFTER [[compact]]'s marker landed; deleting only ≤ `_compacted`
+    * can never touch state a reader still needs.
+    */
+  def vacuum(stateRoot: String): Unit = {
+    val c = marker(stateRoot, "_compacted").getOrElse(0L)
+    (1L to c).foreach { i =>
+      graft.store.UpsertWriter.deleteRecursively(
+        java.nio.file.Paths.get(s"$stateRoot/delta/d$i"))
+    }
+    val snapRoot = java.nio.file.Paths.get(s"$stateRoot/snapshot")
+    if (java.nio.file.Files.isDirectory(snapRoot)) {
+      val ls = java.nio.file.Files.list(snapRoot)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < c)
+          graft.store.UpsertWriter.deleteRecursively(p)
+      } finally ls.close()
     }
   }
 
@@ -113,7 +160,7 @@ object StreamingDedupIndex {
         .parquet(s"$stateRoot/delta/d$next/accepted")
       Dedup.dedupIndexKeys(acc, idCol = idCol, textCol = textCol)
         .write.mode("overwrite").parquet(s"$stateRoot/delta/d$next/keys")
-      commitVersion(stateRoot, next) // marker LAST: see crash note above
+      commitMarker(stateRoot, "_current", next) // marker LAST: see crash note
     }
   }
 }

@@ -68,6 +68,35 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(accepted(s"$root/state") == first)
   }
 
+  test("compact + vacuum preserve the state; orphan snapshots invisible") {
+    val root = Files.createTempDirectory("graft_sdi4_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    val before = accepted(s"$root/state")
+    // an orphan snapshot (crashed compaction: no marker) is invisible
+    Seq((777L, "orphan snap", 1L)).toDF("doc_id", "text", "batch")
+      .write.parquet(s"$root/state/snapshot/s2/accepted")
+    assert(accepted(s"$root/state") == before)
+    // committed compaction preserves the state exactly...
+    StreamingDedupIndex.compact(spark, s"$root/state")
+    assert(accepted(s"$root/state") == before)
+    // re-compacting at the same head version is a safe no-op (it must
+    // not overwrite the snapshot it would be reading from)
+    StreamingDedupIndex.compact(spark, s"$root/state")
+    assert(accepted(s"$root/state") == before)
+    // ...and vacuum may then delete the covered deltas
+    StreamingDedupIndex.vacuum(s"$root/state")
+    assert(!Files.exists(Paths.get(s"$root/state/delta/d1")))
+    assert(accepted(s"$root/state") == before)
+    // the stream continues on top of the compacted state: a replay with
+    // a fresh checkpoint still rejects wholesale
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt2")
+    assert(accepted(s"$root/state") == before)
+  }
+
   test("readState trusts the marker, not stray version directories") {
     val root = Files.createTempDirectory("graft_sdi3_").toString
     val src = writeBacklog(root)
