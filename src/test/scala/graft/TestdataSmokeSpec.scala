@@ -38,4 +38,23 @@ class TestdataSmokeSpec extends SparkSpec {
     assume(present, s"$sfDir not present")
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // one query per table family — catches schema drift the bare loader
+  // pass can't (a changed props JSON type, an embedding element type
+  // drift, a date column becoming a string all die HERE, not in the
+  // driver run). Picks are cheap at sf0.001.
+  private val representatives = Seq(
+    "q01_pruned_scan", // lineitem: dates, decimals
+    "q55_profile", // orders: profile over every column class
+    "q30_dedup_exact", // documents: text kernels
+    "q38_sim_bruteforce", // embeddings: float-array vector ops
+    "q48_json_extract") // events: ts + props JSON
+
+  test("one representative query per table family runs on sf0.001") {
+    assume(present, s"$sfDir not present")
+    for (name <- representatives) {
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
 }
