@@ -1222,6 +1222,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // the round-9 curation pipeline end-to-end: train the quality
+    // classifier on the 80% split, keep positively-classified docs,
+    // budget-select the best margins, epoch-mix the survivors — four
+    // operators composed, one oracle replaying the whole chain
+    "q133_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val seed = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val model = graft.operators.Classify.centroidModel(
+        seed, col("lang") === "en")
+      val scored = graft.operators.Classify.scoreByModel(docs, model)
+        .where(col("quality_pred"))
+        .select(col("doc_id"), col("lang"),
+          // the integer margin IS the score; double cast is exact far
+          // beyond any realistic magnitude here
+          col("margin").cast(DoubleType).as("score"),
+          size(TextFunctions.tokens(col("text"))).cast(LongType).as("nt"))
+      val selected = graft.operators.Corpus.selectToTokenBudget(
+        scored, col("score"), "doc_id", col("nt"), tokenBudget = 6000L)
+      graft.operators.Corpus.allocateEpochs(
+          selected.select("doc_id", "lang", "nt"),
+          "lang", "doc_id", col("nt"), tokenBudget = 8000L, maxEpochs = 3)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3490,6 +3515,68 @@ object SparkEntry {
            |  FROM tk t JOIN plan p USING (lang)
            |  WHERE ${pHashSql(
                   "t.lang || '@' || CAST(p.fullep AS BIGINT) || '|' || t.doc_id")}
+           |    % 1000000 < p.keep)
+           |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+           |FROM (SELECT * FROM fullc UNION ALL SELECT * FROM part)
+           |ORDER BY doc_id, epoch""".stripMargin,
+
+      "q133_curation_pipeline" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |t2 AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+           |hh AS (SELECT doc_id, ${pHashSql("t")} AS hv FROM t2),
+           |v AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM hh GROUP BY 1, 2),
+           |seed AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
+           |  WHERE doc_id % 5 <> 0),
+           |s AS (SELECT bucket,
+           |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
+           |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
+           |  FROM v JOIN seed USING (doc_id) GROUP BY 1),
+           |n AS (SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+           |    SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg
+           |  FROM seed),
+           |dd AS (SELECT v.doc_id, SUM(v.v * s.sp) AS dp,
+           |    SUM(v.v * s.sn) AS dn
+           |  FROM v JOIN s USING (bucket) GROUP BY 1),
+           |kept AS (SELECT k.doc_id, k.lang,
+           |    CAST(n.nneg * coalesce(dd.dp, 0)
+           |      - n.npos * coalesce(dd.dn, 0) AS DOUBLE) AS score,
+           |    len(k.toks) AS nt
+           |  FROM tk k CROSS JOIN n
+           |  LEFT JOIN dd ON dd.doc_id = k.doc_id
+           |  WHERE n.nneg * coalesce(dd.dp, 0)
+           |      - n.npos * coalesce(dd.dn, 0) > 0),
+           |sel AS (SELECT doc_id, lang, nt FROM (
+           |    SELECT *, sum(nt) OVER (ORDER BY score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |    FROM kept)
+           |  WHERE cum <= 6000),
+           |cnt AS (SELECT lang,
+           |    CAST(SUM(coalesce(nt, 0)) AS HUGEINT) AS cn
+           |  FROM sel GROUP BY 1),
+           |tgt AS (SELECT CAST(8000 AS HUGEINT) // count(*) AS t
+           |  FROM cnt),
+           |p1 AS (SELECT lang, cn, t,
+           |    CASE WHEN cn <= 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE least(t // cn, CAST(3 AS HUGEINT)) END AS fullep
+           |  FROM cnt CROSS JOIN tgt),
+           |plan AS (SELECT lang, fullep,
+           |    CASE WHEN cn <= 0 OR fullep >= 3 THEN CAST(0 AS HUGEINT)
+           |         ELSE least((CAST(1000000 AS HUGEINT)
+           |             * (t - fullep * cn)) // cn,
+           |           CAST(1000000 AS HUGEINT)) END AS keep
+           |  FROM p1),
+           |fullc AS (SELECT x.doc_id, x.lang,
+           |    unnest(range(0, CAST(p.fullep AS BIGINT))) AS epoch
+           |  FROM sel x JOIN plan p USING (lang)),
+           |part AS (SELECT x.doc_id, x.lang,
+           |    CAST(p.fullep AS BIGINT) AS epoch
+           |  FROM sel x JOIN plan p USING (lang)
+           |  WHERE ${pHashSql(
+                  "x.lang || '@' || CAST(p.fullep AS BIGINT) || '|' || x.doc_id")}
            |    % 1000000 < p.keep)
            |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
            |FROM (SELECT * FROM fullc UNION ALL SELECT * FROM part)
