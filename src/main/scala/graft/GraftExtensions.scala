@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinhashSigExpr, RepetitionStatsExpr, ShinglesExpr, SimhashExpr, TokensExpr, VecDot, VecHyperplaneSig, VecL2Sq}
+import graft.functions.{MinhashSigExpr, NfcNormalizeExpr, RepetitionStatsExpr, ShinglesExpr, SimhashExpr, TokensExpr, VecDot, VecHyperplaneSig, VecL2Sq}
 
 /** SQL surface for the native kernels: install with
   * `.withExtensions(new GraftExtensions)` (or
@@ -58,6 +58,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
         "repetition_stats"),
       (args: Seq[Expression]) => RepetitionStatsExpr(args(0))),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))),
     (new FunctionIdentifier("vec_hyperplane_sig"),
       new ExpressionInfo(classOf[VecHyperplaneSig].getName, "vec_hyperplane_sig"),
       (args: Seq[Expression]) =>

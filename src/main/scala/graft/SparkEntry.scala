@@ -1247,6 +1247,26 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // Unicode NFC canonicalization (codegen'd kernel vs DuckDB's
+    // nfc_normalize): the ASCII corpus is salted in-query with a
+    // decomposed accent sequence on even ids so the normalization
+    // actually rewrites — lengths shrink, md5s match cross-engine.
+    // (Both engines count BMP chars identically here; the corpus plus
+    // the salt stay inside the BMP by construction.)
+    "q134_nfc_normalize" -> ((s, dir) => {
+      val decomposed = "Cafe\u0301 :: " // 'e' + U+0301 combining acute
+      val doc = t(s, dir, "documents")
+        .withColumn("raw", when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(decomposed), col("text"))).otherwise(col("text")))
+      val norm = TextFunctions.nfcNormalize(col("raw"))
+      doc.select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          length(norm).cast(LongType).as("len_nfc"),
+          md5(norm).as("nfc_md5"),
+          (norm =!= col("raw")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3581,6 +3601,19 @@ object SparkEntry {
            |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
            |FROM (SELECT * FROM fullc UNION ALL SELECT * FROM part)
            |ORDER BY doc_id, epoch""".stripMargin,
+
+      "q134_nfc_normalize" ->
+        """WITH r AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 0
+          |      THEN 'Cafe' || chr(769) || ' :: ' || text ELSE text END
+          |      AS raw
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(raw) AS BIGINT) AS len_raw,
+          |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+          |  md5(nfc_normalize(raw)) AS nfc_md5,
+          |  (nfc_normalize(raw) <> raw) AS changed
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

@@ -119,6 +119,12 @@ object TextFunctions {
   def repetitionStats(text: Column): Column =
     TextExpressions.repetitionStats(text)
 
+  /** Unicode NFC canonicalization (codegen'd kernel; the same form
+    * DuckDB's `nfc_normalize` produces) — run before hashing/dedup so
+    * decomposed accents and compatibility sequences hash identically.
+    */
+  def nfcNormalize(text: Column): Column = TextExpressions.nfcNormalize(text)
+
   /** BPE-ish sub-token count: runs of letters, runs of digits, or single
     * other non-space characters (the usual pre-tokenizer regex shape).
     */

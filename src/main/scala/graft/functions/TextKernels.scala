@@ -197,6 +197,24 @@ object TextKernels {
     sig
   }
 
+  /** Unicode NFC canonicalization — the normalization pass that runs
+    * BEFORE hashing/dedup in a text pipeline, so visually-identical
+    * strings with different code-point sequences (decomposed accents,
+    * compatibility forms a crawler emits) hash identically. Pure JDK
+    * `java.text.Normalizer` (Unicode-standard NFC, the same form
+    * DuckDB's `nfc_normalize` and Python's `unicodedata` produce), so
+    * the oracle is exact. ASCII-only strings round-trip untouched.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: Normalizer.isNormalized is O(n) with no allocation —
+    // the common (ASCII/already-NFC) case never copies
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
   def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = shingleStrings(text, n)
@@ -290,6 +308,19 @@ case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** nfc_normalize(text): string — codegen'd Unicode NFC canonicalization
+  * (see [[TextKernels.nfcNormalize]]).
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.nfcNormalize(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+}
+
 /** repetition_stats(text): array<long> — codegen'd one-pass Gopher
   * repetition statistics (see [[TextKernels.repetitionStatsOf]]).
   */
@@ -328,4 +359,6 @@ object TextExpressions {
     GraftColumnBridge.column(HashEmbedExpr(GraftColumnBridge.expression(text), dim))
   def repetitionStats(text: Column): Column =
     GraftColumnBridge.column(RepetitionStatsExpr(GraftColumnBridge.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(text)))
 }

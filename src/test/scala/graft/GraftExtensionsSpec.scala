@@ -69,6 +69,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.head == Seq(3L, 2L, 8L, 6L, 1L, 6L))
   }
 
+  test("nfc_normalize works from SQL and matches the Column API") {
+    import spark.implicits._
+    val rows = Seq("Cafe\u0301", "plain") // decomposed accent
+    rows.toDF("text").createOrReplaceTempView("t2n")
+    val viaSql = spark.sql("SELECT nfc_normalize(text) AS n FROM t2n")
+      .collect().map(_.getString(0)).toSeq
+    val viaApi = rows.toDF("text")
+      .select(graft.functions.TextExpressions.nfcNormalize($"text"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq("Caf\u00e9", "plain")) // composed out
+  }
+
   test("zvalue works from SQL and matches the ZOrder Column API") {
     import spark.implicits._
     Seq((5L, 3L, 1L)).toDF("x", "y", "w").createOrReplaceTempView("t3")

@@ -105,6 +105,23 @@ class TextKernelsSpec extends SparkSpec {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("nfcNormalize composes decomposed sequences, is idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "Cafe\u0301 bar" // 'e' + combining acute
+    val composed = "Caf\u00e9 bar" // precomposed U+00E9
+    def nfc(s: String): String =
+      TextKernels.nfcNormalize(UTF8String.fromString(s)).toString
+    assert(nfc(decomposed) == composed)
+    assert(nfc(composed) == composed) // already-NFC input is a no-op
+    assert(nfc("plain ascii 123") == "plain ascii 123")
+    // the Column path agrees and nulls propagate
+    val out = Seq[(java.lang.Long, String)]((1L, decomposed), (2L, null))
+      .toDF("id", "text")
+      .select(col("id"), TextExpressions.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed && out(2L) == null)
+  }
+
   test("hashEmbed matches the per-token hash histogram; edge cases hold") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, null))
       .toDF("doc_id", "text")
