@@ -1267,6 +1267,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // streaming curation as a PURE streaming query: PII-salted docs
+    // stream through the codegen'd scrub map and a stream-static
+    // broadcast join with the 1-row classifier model — no foreachBatch,
+    // no state store; append sink == batch result by construction,
+    // value-checked by the oracle (q126's salt + q130's model, scored
+    // on the SCRUBBED text)
+    "q135_stream_curate" -> ((s, dir) => {
+      val root = scratch("graft_scur_")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      // model trained batch-side on the raw 80% seed (the static side)
+      val model = graft.operators.Classify.centroidModel(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("lang") === "en").localCheckpoint()
+      // source backlog: q126's deterministic PII salt, two files
+      val salted = docs.withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" at 10."),
+            pmod(col("doc_id"), lit(200)).cast(StringType),
+            lit(".0.1"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call +1 555-01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
+          .otherwise(lit(""))))
+        .select("doc_id", "text")
+      val src = java.nio.file.Paths.get(s"$root/src")
+      java.nio.file.Files.createDirectories(src)
+      salted.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.parquet(s"$root/b1")
+      salted.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.parquet(s"$root/b2")
+      def firstPart(d: String): java.nio.file.Path = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.toString.endsWith(".parquet")).findFirst.get
+        finally ls.close()
+      }
+      java.nio.file.Files.copy(firstPart(s"$root/b1"),
+        src.resolve("a_even.parquet"))
+      java.nio.file.Files.copy(firstPart(s"$root/b2"),
+        src.resolve("b_odd.parquet"))
+      val schema = s.read.parquet(s"$root/b1").schema
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingCurate.runAvailableNow(
+          s, src.toString, schema, model, s"$root/out", s"$root/ckpt")
+      }
+      s.read.parquet(s"$root/out").orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3614,6 +3665,77 @@ object SparkEntry {
           |  md5(nfc_normalize(raw)) AS nfc_md5,
           |  (nfc_normalize(raw) <> raw) AS changed
           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q135_stream_curate" -> {
+        // regexes injected as Scala values: s-interpolated triple quotes
+        // process escapes, so backslashes must ride in via $-injection
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+        val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
+        val toksOfSc =
+          "list_filter(string_split_regex(sc, '\\s+'), t -> strlen(t) > 0)"
+        s"""WITH pii AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+           |      '@mail.example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || (doc_id % 200) ||
+           |      '.0.1' ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-01' ||
+           |      lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END AS t
+           |  FROM documents),
+           |sA AS (SELECT doc_id, t,
+           |    regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1
+           |  FROM pii),
+           |sB AS (SELECT doc_id, t, t1,
+           |    regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2 FROM sA),
+           |scr AS (SELECT doc_id, t, t1, t2,
+           |    regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS sc
+           |  FROM sB),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL),
+           |t2d AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+           |hh AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2d),
+           |v AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM hh GROUP BY 1, 2),
+           |seed AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
+           |  WHERE doc_id % 5 <> 0),
+           |smod AS (SELECT bucket,
+           |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
+           |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
+           |  FROM v JOIN seed USING (doc_id) GROUP BY 1),
+           |n AS (SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+           |    SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg
+           |  FROM seed),
+           |tksc AS (SELECT doc_id, $toksOfSc AS toks FROM scr
+           |  WHERE sc IS NOT NULL),
+           |t2s AS (SELECT doc_id, unnest(toks) AS tok FROM tksc),
+           |hs AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2s),
+           |vs AS (SELECT doc_id, hv % 64 AS bucket,
+           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+           |    AS BIGINT) AS v
+           |  FROM hs GROUP BY 1, 2),
+           |dd AS (SELECT vs.doc_id, SUM(vs.v * smod.sp) AS dp,
+           |    SUM(vs.v * smod.sn) AS dn
+           |  FROM vs JOIN smod USING (bucket) GROUP BY 1)
+           |SELECT scr.doc_id,
+           |  CAST(len(regexp_extract_all(scr.t, '$emailRe')) AS BIGINT)
+           |    AS n_email,
+           |  CAST(len(regexp_extract_all(scr.t1, '$ipRe')) AS BIGINT)
+           |    AS n_ip,
+           |  CAST(len(regexp_extract_all(scr.t2, '$phoneRe')) AS BIGINT)
+           |    AS n_phone,
+           |  md5(scr.sc) AS redacted_md5,
+           |  CASE WHEN scr.sc IS NULL THEN NULL
+           |    ELSE CAST(n.nneg * coalesce(dd.dp, 0)
+           |      - n.npos * coalesce(dd.dn, 0) AS BIGINT) END AS margin,
+           |  CASE WHEN scr.sc IS NULL THEN NULL
+           |    ELSE (n.nneg * coalesce(dd.dp, 0)
+           |      - n.npos * coalesce(dd.dn, 0)) > 0 END AS quality_pred
+           |FROM scr CROSS JOIN n
+           |LEFT JOIN dd ON dd.doc_id = scr.doc_id
+           |ORDER BY scr.doc_id""".stripMargin
+      },
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt
