@@ -1318,6 +1318,34 @@ object SparkEntry {
       s.read.parquet(s"$root/out").orderBy("doc_id")
     }),
 
+    // dedup-index unlearning: erase accepted docs (id%11=0) from the
+    // index, then replay EXACTLY those docs — re-admitted only if their
+    // erased selves were their sole witnesses; prior rejections stand
+    "q136_dedup_unlearn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val none = docs.limit(0)
+      val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val (a1r, idx1r) = graft.operators.Dedup.dedupIndexAddBatch(
+        graft.operators.Dedup.dedupIndexKeys(none), none, b1)
+      val (a1, idx1) = (a1r.localCheckpoint(), idx1r.localCheckpoint())
+      val (a2r, idx2r) = graft.operators.Dedup.dedupIndexAddBatch(idx1, a1, b2)
+      val (a2, idx2) = (a2r.localCheckpoint(), idx2r.localCheckpoint())
+      val acc12 = a1.withColumn("batch", lit(1L))
+        .unionByName(a2.withColumn("batch", lit(2L)))
+      val doomed = acc12.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select("doc_id")
+      val (accKept, idx3) = graft.operators.Dedup.dedupIndexRemove(
+        idx2, acc12, doomed)
+      val b3 = docs.join(doomed, Seq("doc_id")) // erased content re-arrives
+      val (a3, _) = graft.operators.Dedup.dedupIndexAddBatch(
+        idx3.localCheckpoint(),
+        accKept.select("doc_id", "text").localCheckpoint(), b3)
+      accKept.select(col("doc_id"), col("batch"))
+        .unionByName(a3.select(col("doc_id"), lit(3L).as("batch")))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2749,7 +2777,9 @@ object SparkEntry {
     // even ids (smaller-id-wins within batch), batch 2 = odd ids
     // (accepted-index witness wins on any id, then smaller-id within
     // batch); banding + exact-jaccard verify mirror Dedup.dedupIndexAddBatch
-    val dedupIndexOracle: String = {
+    // CTE prefix shared by q128/q129/q136: banding + jaccard verify +
+    // the two-batch accept sets (acc1 even ids, acc2 odd ids)
+    val dedupIndexCtes: String = {
       val bandKeys = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' " +
           s"|| CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
@@ -2779,12 +2809,37 @@ object SparkEntry {
          |  AND (aid IN (SELECT doc_id FROM acc1)
          |       OR (aid % 2 = 1 AND aid < bid))),
          |acc2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-         |  AND doc_id NOT IN (SELECT bid FROM rej2))
+         |  AND doc_id NOT IN (SELECT bid FROM rej2))""".stripMargin
+    }
+
+    val dedupIndexOracle: String =
+      s"""$dedupIndexCtes
          |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
          |UNION ALL
          |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM acc2
          |ORDER BY doc_id""".stripMargin
-    }
+
+    // q136: erase doc_id%11=0 from the index, then replay EXACTLY those
+    // docs as batch 3 — judged fresh against the post-removal index
+    // (index witness on any id, then smaller-id within the batch)
+    val dedupUnlearnOracle: String =
+      s"""$dedupIndexCtes,
+         |allacc AS (SELECT doc_id, 1 AS b FROM acc1
+         |  UNION ALL SELECT doc_id, 2 FROM acc2),
+         |rem AS (SELECT doc_id FROM allacc WHERE doc_id % 11 = 0),
+         |idx3 AS (SELECT doc_id FROM allacc
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
+         |rej3 AS (SELECT DISTINCT bid FROM ver
+         |  WHERE bid IN (SELECT doc_id FROM rem)
+         |  AND (aid IN (SELECT doc_id FROM idx3)
+         |       OR (aid IN (SELECT doc_id FROM rem) AND aid < bid))),
+         |acc3 AS (SELECT doc_id FROM rem
+         |  WHERE doc_id NOT IN (SELECT bid FROM rej3))
+         |SELECT a.doc_id, CAST(a.b AS BIGINT) AS batch FROM allacc a
+         |WHERE a.doc_id NOT IN (SELECT doc_id FROM rem)
+         |UNION ALL
+         |SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM acc3
+         |ORDER BY doc_id""".stripMargin
 
     def simhashCtes(bits: Int): String = {
       val sums = (0 until bits).map(b =>
@@ -3498,6 +3553,7 @@ object SparkEntry {
       // the streaming replay applies the IDENTICAL two-batch policy
       // (even-id file then odd-id file), so it shares q128's oracle
       "q129_stream_dedup_index" -> dedupIndexOracle,
+      "q136_dedup_unlearn" -> dedupUnlearnOracle,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

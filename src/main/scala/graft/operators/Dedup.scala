@@ -879,4 +879,22 @@ object Dedup {
       dedupIndexKeys(accepted, bands, rowsPerBand, shingleN, idCol, textCol))
     (accepted, newIndex)
   }
+
+  /** Unlearn docs from the dedup index (the GDPR-erasure path the
+    * versioned lake and the ANN index already have): drop `ids` from the
+    * band-key state and the accepted set. Two anti-joins — delta-sized,
+    * broadcastable when the erasure list is. Semantics are forward-only
+    * and deterministic: removed docs stop acting as witnesses from the
+    * NEXT batch on, but documents they already rejected stay rejected
+    * (no retroactive re-admission — an erased doc's past effect on the
+    * corpus is not re-litigated; if the content itself re-arrives it is
+    * judged fresh against the post-removal index, see the q136 replay).
+    */
+  def dedupIndexRemove(indexKeys: DataFrame, acceptedDocs: DataFrame,
+      ids: DataFrame, idCol: String = "doc_id")
+      : (DataFrame, DataFrame) = {
+    val doomed = ids.select(col(idCol))
+    (acceptedDocs.join(doomed, Seq(idCol), "left_anti"),
+      indexKeys.join(doomed, Seq(idCol), "left_anti"))
+  }
 }

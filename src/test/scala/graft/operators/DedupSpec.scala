@@ -311,4 +311,34 @@ class DedupSpec extends SparkSpec {
       a1.unionByName(a2), b2)
     assert(ids(a3) == Set.empty[Long])
   }
+
+  test("dedupIndexRemove unlearns; re-arrivals judge against what remains") {
+    val x = "the quick brown fox jumps over the lazy dog again and again"
+    val y = "completely different sentence about databases and query plans"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val acc0 = Seq((10L, x), (20L, y)).toDF("doc_id", "text")
+    val idx0 = Dedup.dedupIndexKeys(acc0)
+
+    // erase doc 10; index forgets its keys, accepted set shrinks
+    val (acc1, idx1) = Dedup.dedupIndexRemove(idx0, acc0,
+      Seq(Tuple1(10L)).toDF("doc_id"))
+    assert(ids(acc1) == Set(20L))
+    assert(idx1.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(20L))
+
+    // re-arrivals judge against the POST-removal state: the erased text
+    // re-admits (its only witness is gone), a near-dup of the SURVIVING
+    // doc still rejects, and within the batch the smaller id wins
+    val b3 = Seq(
+      (10L, x), // erased content returns -> re-admitted
+      (30L, y), // duplicates surviving doc 20 -> rejected by the index
+      (40L, x)) // duplicates re-arriving 10 -> rejected within batch
+      .toDF("doc_id", "text")
+    val (a3, idx3) = Dedup.dedupIndexAddBatch(idx1, acc1, b3)
+    assert(ids(a3) == Set(10L))
+    assert(idx3.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(10L, 20L))
+  }
 }
