@@ -51,4 +51,28 @@ class HarnessFailureSpec extends SparkSpec {
     assert(json.contains("\"failed\":[\"q_dead\"]"))
     assert(!json.contains("\"q_ok\":null"))
   }
+
+  test("Bench JSON fits the driver capture: short keys, int ms, summary first") {
+    assert(Bench.shortKey("q118_stream_ann_index") == "q118")
+    assert(Bench.shortKey("q79b_pipeline_excise") == "q79b")
+    assert(Bench.shortKey("q_dead") == "q_dead") // no qNN prefix → whole name
+    // registry-wide: short keys stay unique (a collision would silently
+    // merge two queries' timings in the driver artifact)
+    val keys = SparkEntry.queries.keys.toSeq.map(Bench.shortKey)
+    assert(keys.distinct.size == keys.size)
+    // a full-suite-sized line must fit the driver's ~2.2 KB capture
+    // (BENCH_r08/r09 were unparseable at ~5 KB — VERDICT r9 #2)
+    val fake = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => k -> (Some(12.345678901): Option[Double],
+        Some(98.765432109): Option[Double]))
+    val line = Bench.renderJson(fake, "/root/testdata/sf0.1")
+    assert(line.length < 2200, s"bench line is ${line.length} B — driver " +
+      "capture is ~2.2 KB; shorten keys or values")
+    assert(line.indexOf("\"failures\":") < line.indexOf("\"queries\":"))
+    assert(line.contains(":98765")) // integer milliseconds
+    // the sidecar keeps full fidelity
+    val full = Bench.renderJsonFull(fake.take(1), "sfX")
+    assert(full.contains(fake.head._1) && full.contains("98.765432109") &&
+      full.contains("\"cold\":12.345678901"))
+  }
 }
