@@ -1123,12 +1123,13 @@ object SparkEntry {
       val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
       val (a1r, idx1r) = graft.operators.Dedup.dedupIndexAddBatch(
-        graft.operators.Dedup.dedupIndexKeys(none), none, b1)
+        graft.operators.Dedup.dedupIndexKeys(none), b1)
       // materialize the state between batches — exactly what a real
-      // deployment does (the operator persists index + accepted set);
+      // deployment does (the operator persists the index, whose hashes
+      // column carries the witness sets; accepted TEXT is never re-read);
       // without it batch 2's lineage recomputes batch 1's whole dedup
       val (a1, idx1) = (a1r.localCheckpoint(), idx1r.localCheckpoint())
-      val (a2, _) = graft.operators.Dedup.dedupIndexAddBatch(idx1, a1, b2)
+      val (a2, _) = graft.operators.Dedup.dedupIndexAddBatch(idx1, b2)
       a1.select(col("doc_id"), lit(1L).as("batch"))
         .unionByName(a2.select(col("doc_id"), lit(2L).as("batch")))
         .orderBy("doc_id")
@@ -1327,9 +1328,9 @@ object SparkEntry {
       val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
       val (a1r, idx1r) = graft.operators.Dedup.dedupIndexAddBatch(
-        graft.operators.Dedup.dedupIndexKeys(none), none, b1)
+        graft.operators.Dedup.dedupIndexKeys(none), b1)
       val (a1, idx1) = (a1r.localCheckpoint(), idx1r.localCheckpoint())
-      val (a2r, idx2r) = graft.operators.Dedup.dedupIndexAddBatch(idx1, a1, b2)
+      val (a2r, idx2r) = graft.operators.Dedup.dedupIndexAddBatch(idx1, b2)
       val (a2, idx2) = (a2r.localCheckpoint(), idx2r.localCheckpoint())
       val acc12 = a1.withColumn("batch", lit(1L))
         .unionByName(a2.withColumn("batch", lit(2L)))
@@ -1339,8 +1340,7 @@ object SparkEntry {
         idx2, acc12, doomed)
       val b3 = docs.join(doomed, Seq("doc_id")) // erased content re-arrives
       val (a3, _) = graft.operators.Dedup.dedupIndexAddBatch(
-        idx3.localCheckpoint(),
-        accKept.select("doc_id", "text").localCheckpoint(), b3)
+        idx3.localCheckpoint(), b3)
       accKept.select(col("doc_id"), col("batch"))
         .unionByName(a3.select(col("doc_id"), lit(3L).as("batch")))
         .orderBy("doc_id")

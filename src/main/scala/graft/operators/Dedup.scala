@@ -86,16 +86,38 @@ object Dedup {
     * DuckDB oracles likewise share one `clusterCtes` banding fragment).
     */
   private[graft] def bandedKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      shingleN: Int, idCol: String, textCol: String, outIdCol: String)
-      : DataFrame =
-    minhashSignature(docs, bands * rowsPerBand, shingleN, idCol, textCol)
-      .select(col(idCol).as(outIdCol), explode(array(
+      shingleN: Int, idCol: String, textCol: String, outIdCol: String,
+      withHashes: Boolean = false): DataFrame = {
+    import graft.functions.TextExpressions
+    // `withHashes` (the dedup-index state shape) additionally carries each
+    // doc's DISTINCT shingle xxhash64 set as `hashes: array<long>`,
+    // materialized ONCE per doc on its band-0 row (a doc with any key has
+    // every band, so band 0 is a canonical representative) and null on the
+    // others — the persisted witness sets that let [[dedupIndexAddBatch]]
+    // verify jaccard by hash intersection without re-reading accepted text
+    val hashesCol =
+      if (withHashes)
+        transform(
+          array_distinct(TextExpressions.shingles(col(textCol), shingleN)),
+          s => xxhash64(s))
+      else lit(null).cast("array<long>")
+    val banded = docs
+      .select(col(idCol).as(outIdCol),
+        TextExpressions.minhashSig(col(textCol), bands * rowsPerBand,
+          shingleN).as("__sig"),
+        hashesCol.as("__h"))
+      .select(col(outIdCol), explode(array(
         (0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until rowsPerBand)
-              .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
-        }: _*)).as("bk"))
-      .select(col(outIdCol), col("bk.band"), col("bk.key"))
+              .map(r => col("__sig").getItem(b * rowsPerBand + r)): _*)
+              .as("key"))
+        }: _*)).as("bk"), col("__h"))
+      .select(col(outIdCol), col("bk.band").as("band"),
+        col("bk.key").as("key"),
+        when(col("bk.band") === 0, col("__h")).as("hashes"))
+    if (withHashes) banded else banded.drop("hashes")
+  }
 
   /** SimHash over token hashes: bit b of the signature is set when the sum
     * over DISTINCT tokens of ±1 (by bit b of the token hash) is positive.
@@ -789,14 +811,19 @@ object Dedup {
 
   /** LSH band keys of a doc set in index-state shape — the persisted
     * state of the incremental dedup index ([[dedupIndexAddBatch]]):
-    * (id, band, key), O(accepted × bands) rows, append-only. The same
-    * [[bandedKeys]] rule every batch operator uses, so index state and
-    * one-shot dedup can never disagree on candidates.
+    * (id, band, key, hashes), O(accepted × bands) rows, append-only.
+    * The same [[bandedKeys]] rule every batch operator uses, so index
+    * state and one-shot dedup can never disagree on candidates. The
+    * `hashes` column (each doc's distinct shingle xxhash64 set, on the
+    * band-0 row only) is the doc's persisted WITNESS SET: once a doc is
+    * admitted, every future batch verifies against these hashes and its
+    * text is never read again.
     */
   def dedupIndexKeys(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame =
-    bandedKeys(docs, bands, rowsPerBand, shingleN, idCol, textCol, idCol)
+    bandedKeys(docs, bands, rowsPerBand, shingleN, idCol, textCol, idCol,
+      withHashes = true)
 
   /** Online near-dup dedup — the incremental-maintenance member of the
     * dedup family (the inverted index and the ANN index have the same
@@ -807,9 +834,10 @@ object Dedup {
     *
     * Per batch, deterministically and with no iteration:
     *  1. a batch doc REJECTS AGAINST THE INDEX when it shares a band key
-    *     with an accepted doc AND the exact shingle jaccard against that
-    *     doc's text (from `acceptedDocs`) meets `threshold` — the index
-    *     always wins, whatever the ids;
+    *     with an accepted doc AND the shingle-hash jaccard against that
+    *     doc's persisted witness set (the `hashes` column of the index
+    *     state) meets `threshold` — the index always wins, whatever the
+    *     ids;
     *  2. a batch doc rejects WITHIN THE BATCH when a banded candidate
     *     with a SMALLER id verifies — the drop-the-larger-id pair rule
     *     the batch operators use, chosen over cluster representatives
@@ -819,23 +847,23 @@ object Dedup {
     *  3. survivors fold into the state: index ∪ bandKeys(accepted).
     *
     * Scale shape: candidates come from band-key equi-joins (never
-    * all-pairs); only candidate-involved docs explode shingles for the
+    * all-pairs); only candidate-involved docs explode hashes for the
     * verify (semi-join gated, as in [[decontaminateNearDup]]); the index
     * is metadata-rows that a real deployment materializes between
     * batches (the returned frames are plain DataFrames — persist them).
-    * Honest cost note: the verify reads `acceptedDocs` once per batch to
-    * reach candidate witnesses' TEXTS — a linear scan (explosion stays
-    * candidate-gated). A deployment whose accepted corpus dwarfs its
-    * batches avoids even that scan by persisting per-doc distinct
-    * shingle-hash sets alongside the band keys and intersecting hashes
-    * instead of strings — exact up to 64-bit hash collisions; this
-    * operator keeps the string-exact verify as ground truth.
+    * The verify intersects the PERSISTED per-doc shingle-hash sets
+    * (`hashes` in the index state) — per-batch work is O(batch +
+    * candidates); accepted docs' TEXT is never read after their
+    * admission batch, so a 100 TB accepted corpus costs each batch only
+    * its band-key join, not a lake re-scan. Hash-set jaccard equals the
+    * string-exact jaccard up to 64-bit xxhash collisions (the
+    * plain-Scala string-exact replay in PropertySpec pins the equality).
     *
-    * Requires globally unique ids across `acceptedDocs` and all batches.
+    * Requires globally unique ids across the index and all batches.
     * Returns (accepted batch docs, updated index keys).
     */
-  def dedupIndexAddBatch(indexKeys: DataFrame, acceptedDocs: DataFrame,
-      batch: DataFrame, threshold: Double = 0.3, bands: Int = 4,
+  def dedupIndexAddBatch(indexKeys: DataFrame, batch: DataFrame,
+      threshold: Double = 0.3, bands: Int = 4,
       rowsPerBand: Int = 2, shingleN: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, DataFrame) = {
     require(threshold > 0, "dedupIndexAddBatch needs threshold > 0 — a " +
@@ -854,18 +882,21 @@ object Dedup {
       .where(col("aid") < col("bid"))
       .select("bid", "aid")
     val cand = candIdx.union(candIn).distinct()
-    def shingleSet(df: DataFrame, out: String) = df.select(
-      col(idCol).as(out),
-      explode(array_distinct(graft.functions.TextExpressions
-        .shingles(col(textCol), shingleN))).as("sh"))
-    // witness texts: accepted docs for rule 1, batch docs for rule 2 —
-    // ONE frame, semi-joined so only candidate witnesses explode
-    val ws = shingleSet(
-        acceptedDocs.select(col(idCol), col(textCol))
-          .unionByName(batch.select(col(idCol), col(textCol))), "aid")
+    // a doc's witness set is its band-0 `hashes` row (null for docs with
+    // null text — they produce no rows on explode, exactly like the
+    // former string-shingle explode of a null text)
+    def hashRows(keys: DataFrame, out: String) = keys
+      .where(col("band") === 0)
+      .select(col(idCol).as(out), col("hashes"))
+    // witness hash sets: the index's PERSISTED sets for rule 1, the
+    // batch's own for rule 2 — ONE frame, semi-joined so only candidate
+    // witnesses explode
+    val ws = hashRows(indexKeys, "aid").unionByName(hashRows(batchKeys, "aid"))
       .join(cand.select("aid").distinct(), Seq("aid"), "left_semi")
-    val bs = shingleSet(batch, "bid")
+      .select(col("aid"), explode(col("hashes")).as("sh"))
+    val bs = hashRows(batchKeys, "bid")
       .join(cand.select("bid").distinct(), Seq("bid"), "left_semi")
+      .select(col("bid"), explode(col("hashes")).as("sh"))
     val inter = cand.join(bs, Seq("bid")).join(ws, Seq("aid", "sh"))
       .groupBy("bid", "aid").agg(count(lit(1)).as("i"))
     val szB = bs.groupBy("bid").agg(count(lit(1)).as("szb"))
@@ -875,8 +906,10 @@ object Dedup {
         lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
       .select(col("bid").as(idCol)).distinct()
     val accepted = batch.join(rejected, Seq(idCol), "left_anti")
+    // fold survivors in by pruning the already-computed batch keys —
+    // no re-shingling of accepted text
     val newIndex = indexKeys.unionByName(
-      dedupIndexKeys(accepted, bands, rowsPerBand, shingleN, idCol, textCol))
+      batchKeys.join(accepted.select(col(idCol)), Seq(idCol), "left_semi"))
     (accepted, newIndex)
   }
 

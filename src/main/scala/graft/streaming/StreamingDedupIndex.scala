@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 import graft.operators.Dedup
 
@@ -25,11 +25,16 @@ import graft.operators.Dedup
   * recomputes from the OLD state and overwrites the orphan — the state
   * can never be half a batch ahead of the marker.
   *
-  * Replays are also SEMANTICALLY idempotent: a doc whose id is already
-  * in the index shares all band keys with itself and verifies at
-  * jaccard 1, so a replayed batch rejects wholesale against the state
-  * its first run committed — nothing double-appends even if the marker
-  * did advance before the crash.
+  * Replays are also SEMANTICALLY idempotent BY ID: each batch first
+  * anti-joins away ids already in the accepted state (ids are required
+  * globally unique, so an id already present is by definition a
+  * replay), so a replayed batch — including docs with NULL text, which
+  * produce no band keys and so could never self-reject through the
+  * near-dup verify — appends nothing even if the marker advanced
+  * before the crash. The id read prunes the accepted parquet to its id
+  * column; accepted TEXT is never read after a doc's admission batch
+  * (the verify runs on the persisted `hashes` witness sets — see
+  * [[graft.operators.Dedup.dedupIndexKeys]]).
   */
 object StreamingDedupIndex {
 
@@ -38,7 +43,8 @@ object StreamingDedupIndex {
       StringType), StructField("batch", LongType))),
     StructType(Seq(StructField(idCol, LongType),
       StructField("band", org.apache.spark.sql.types.IntegerType),
-      StructField("key", StringType))))
+      StructField("key", StringType),
+      StructField("hashes", ArrayType(LongType)))))
 
   private def marker(stateRoot: String, name: String): Option[Long] = {
     val p = java.nio.file.Paths.get(stateRoot, name)
@@ -129,6 +135,28 @@ object StreamingDedupIndex {
     }
   }
 
+  /** One micro-batch's acceptance frame, LAZY — factored out of
+    * [[runAvailableNow]] so its executed plan can be audited (the
+    * read-schema pin that accepted TEXT is never re-read: the only scan
+    * of the accepted state is the id-column replay guard; the near-dup
+    * verify runs on the keys state's persisted `hashes` sets). Returns
+    * the accepted subset of `batch` judged against the committed state,
+    * plus the state version it read.
+    */
+  def batchAccepted(spark: SparkSession, stateRoot: String, batch: DataFrame,
+      threshold: Double = 0.3, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) = {
+    val (accepted0, keys0, v) = readState(spark, stateRoot, idCol, textCol)
+    // replay guard: an id already accepted is by definition a replay
+    // (ids are globally unique) — covers null-text docs, which have no
+    // band keys and could never self-reject through the verify
+    val fresh = batch.select(col(idCol), col(textCol))
+      .join(accepted0.select(col(idCol)), Seq(idCol), "left_anti")
+    val (acc, _) = Dedup.dedupIndexAddBatch(keys0, fresh, threshold,
+      idCol = idCol, textCol = textCol)
+    (acc, v)
+  }
+
   /** Replay a parquet backlog with AvailableNow, one file per micro-batch
     * by default. After the run, `readState` yields the accepted corpus
     * with each doc's acceptance batch number.
@@ -147,11 +175,8 @@ object StreamingDedupIndex {
     StreamingUpsert.runBatches(spark, sourceDir, schema, checkpointDir,
         maxFilesPerTrigger) { batch =>
       val s = batch.sparkSession
-      val (accepted0, keys0, v) = readState(s, stateRoot, idCol, textCol)
-      val (accL, _) = Dedup.dedupIndexAddBatch(
-        keys0, accepted0.select(col(idCol), col(textCol)),
-        batch.select(col(idCol), col(textCol)), threshold,
-        idCol = idCol, textCol = textCol)
+      val (accL, v) = batchAccepted(s, stateRoot, batch, threshold,
+        idCol, textCol)
       // the accepted set feeds BOTH delta files — materialize once
       val acc = accL.localCheckpoint()
       val next = v + 1

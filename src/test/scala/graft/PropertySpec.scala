@@ -491,7 +491,9 @@ class PropertySpec extends SparkSpec {
     val gen = for {
       n <- Gen.choose(0, 60)
       rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
-        Gen.oneOf("en", "fr", "de", "zz")))
+        // null is a group too: the heap port must sample the null
+        // partition exactly like the window form did (ADVICE r9)
+        Gen.oneOf("en", "fr", "de", "zz", null: String)))
       k <- Gen.oneOf(1, 3, 10)
       parts <- Gen.oneOf(1, 3, 8)
     } yield (rows.distinctBy(_._1), k, parts)
@@ -501,7 +503,8 @@ class PropertySpec extends SparkSpec {
         .select("doc_id", "lang").as[(Long, String)].collect().toSet
       val w = Window.partitionBy("lang").orderBy(
         TextFunctions.portableHash(
-          concat(col("lang"), lit("|"), col("doc_id").cast("string"))),
+          concat(org.apache.spark.sql.functions.coalesce(col("lang"),
+            lit(" ")), lit("|"), col("doc_id").cast("string"))),
         col("doc_id"))
       val want = df.withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= k).drop("__rk")
@@ -514,12 +517,15 @@ class PropertySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, sum}
     import graft.operators.Corpus
-    // score ties, null token counts, empty frames, every partitioning:
-    // the distributed prefix sum must keep EXACTLY the window's prefix
+    // score ties, null token counts, NULL SCORES (not selectable and
+    // must not pre-empt the budget — ADVICE r9), empty frames, every
+    // partitioning: the distributed prefix sum must keep EXACTLY the
+    // window's null-score-free prefix
     val gen = for {
       n <- Gen.choose(0, 60)
       rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
-        Gen.choose(0, 5).map(_.toDouble), Gen.option(Gen.choose(0L, 30L))))
+        Gen.option(Gen.choose(0, 5).map(_.toDouble)),
+        Gen.option(Gen.choose(0L, 30L))))
       parts <- Gen.oneOf(1, 3, 8)
       budget <- Gen.oneOf(0L, 10L, 100L, 10000L)
     } yield (rows.distinctBy(_._1), parts, budget)
@@ -530,7 +536,7 @@ class PropertySpec extends SparkSpec {
         .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
       val w = Window.orderBy(col("score").desc, col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val want = df.where(col("nt").isNotNull)
+      val want = df.where(col("nt").isNotNull && col("score").isNotNull)
         .withColumn("cum", sum(col("nt")).over(w))
         .where(col("cum") <= budget)
         .select("id", "cum").as[(Long, Long)].collect().toMap
@@ -576,7 +582,7 @@ class PropertySpec extends SparkSpec {
       val accDf = accepted.toDF("doc_id", "text").repartition(parts)
       val batDf = batch.toDF("doc_id", "text").repartition(parts)
       val (got, _) = Dedup.dedupIndexAddBatch(
-        Dedup.dedupIndexKeys(accDf), accDf, batDf)
+        Dedup.dedupIndexKeys(accDf), batDf)
       val gotIds = got.select("doc_id").as[Long].collect().toSet
 
       val accBands = accepted.map { case (id, t) => id -> bandsOf(t) }

@@ -291,7 +291,7 @@ class DedupSpec extends SparkSpec {
     // batch 1 from an empty index: 20 and 30 duplicate — the SMALLER id
     // survives; 40 is clean
     val b1 = Seq((20L, dup), (30L, dup), (40L, other)).toDF("doc_id", "text")
-    val (a1, idx1) = Dedup.dedupIndexAddBatch(idx(none), none, b1)
+    val (a1, idx1) = Dedup.dedupIndexAddBatch(idx(none), b1)
     assert(ids(a1) == Set(20L, 40L))
     // index state covers exactly the accepted docs
     assert(idx1.select("doc_id").distinct().as[Long].collect().toSet
@@ -301,14 +301,13 @@ class DedupSpec extends SparkSpec {
     // though 5 < 20; doc 50 is clean and folds in
     val b2 = Seq((5L, dup), (50L, "fresh unseen content never indexed"))
       .toDF("doc_id", "text")
-    val (a2, idx2) = Dedup.dedupIndexAddBatch(idx1, a1, b2)
+    val (a2, idx2) = Dedup.dedupIndexAddBatch(idx1, b2)
     assert(ids(a2) == Set(50L))
     assert(idx2.select("doc_id").distinct().as[Long].collect().toSet
       == Set(20L, 40L, 50L))
 
     // replaying the same batch against the grown index rejects everything
-    val (a3, _) = Dedup.dedupIndexAddBatch(idx2,
-      a1.unionByName(a2), b2)
+    val (a3, _) = Dedup.dedupIndexAddBatch(idx2, b2)
     assert(ids(a3) == Set.empty[Long])
   }
 
@@ -336,7 +335,7 @@ class DedupSpec extends SparkSpec {
       (30L, y), // duplicates surviving doc 20 -> rejected by the index
       (40L, x)) // duplicates re-arriving 10 -> rejected within batch
       .toDF("doc_id", "text")
-    val (a3, idx3) = Dedup.dedupIndexAddBatch(idx1, acc1, b3)
+    val (a3, idx3) = Dedup.dedupIndexAddBatch(idx1, b3)
     assert(ids(a3) == Set(10L))
     assert(idx3.select("doc_id").distinct().as[Long].collect().toSet
       == Set(10L, 20L))

@@ -68,6 +68,35 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(accepted(s"$root/state") == first)
   }
 
+  test("replay guard: null-text docs (no band keys) don't double-append") {
+    val root = Files.createTempDirectory("graft_sdi5_").toString
+    val src = s"$root/src"
+    Files.createDirectories(Paths.get(src))
+    // a null-text doc has no shingles and no band keys, so it can never
+    // reject against its indexed self through the near-dup verify — the
+    // id anti-join is the only thing keeping a checkpoint-lost replay
+    // from double-appending it under a second batch number
+    val d = s"$root/stage"
+    Seq((50L, null.asInstanceOf[String]), (60L, "perfectly normal words"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(d)
+    val ls = Files.list(Paths.get(d))
+    val part = try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    Files.copy(part, Paths.get(src, "a_b1.parquet"))
+    val schema = spark.read.parquet(src).schema
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    assert(accepted(s"$root/state") == Map(50L -> 1L, 60L -> 1L))
+    // same backlog, FRESH checkpoint (simulates the crash-after-marker
+    // replay): nothing re-appends, null text included
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt_replay")
+    assert(accepted(s"$root/state") == Map(50L -> 1L, 60L -> 1L))
+    val (acc, _, _) = StreamingDedupIndex.readState(spark, s"$root/state")
+    assert(acc.count() == 2) // no duplicate doc_ids under two batch numbers
+  }
+
   test("compact + vacuum preserve the state; orphan snapshots invisible") {
     val root = Files.createTempDirectory("graft_sdi4_").toString
     val src = writeBacklog(root)
