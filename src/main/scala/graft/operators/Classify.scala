@@ -51,17 +51,17 @@ object Classify {
     sums.crossJoin(counts) // 1 row × 1 row
   }
 
-  /** Integer dot product of two long arrays, accumulated in
-    * decimal(38,0) so the fold can never overflow however large the
-    * seed's per-bucket mass grows. (The elementwise products stay in
-    * long: a document's per-bucket count × a class's per-bucket sum is
-    * bounded by doc-tokens × seed-tokens — document the seed if it
-    * approaches 2⁶³.)
+  /** Integer dot product of two long arrays, EXACT at every step: the
+    * elementwise multiply widens one operand to decimal(38,0) first (a
+    * document's per-bucket count × a 100 TB seed's per-bucket sum can
+    * exceed 2⁶³, and a long multiply would wrap silently under non-ANSI
+    * semantics where the DuckDB oracle errors), and the fold accumulates
+    * in decimal(38,0).
     */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
+    aggregate(zip_with(a, b, (x, y) => x.cast("decimal(38,0)") * y),
       lit(0).cast("decimal(38,0)"),
-      (acc, x) => acc + x.cast("decimal(38,0)"))
+      (acc, x) => acc + x)
 
   /** Fold a ±1-signed change feed (`__sign`, label, text) into a
     * [[centroidModel]] with delta-sized work — the same sign-fold

@@ -163,14 +163,17 @@ object Corpus {
     * metadata, not data — so AQE plans it as a broadcast join at any
     * realistic k.
     *
-    * Requires `idCol` unique within its group (it is the sample's
-    * identity; duplicate ids would also have made the hash order
-    * ill-defined for the reservoir semantics).
+    * Requires `idCol` unique and NON-NULL within its group (it is the
+    * sample's identity; a null id has none and is excluded). A null
+    * GROUP is a group like any other — its hash input is null-coalesced
+    * and the recover join is null-safe on the group column, so the null
+    * partition samples exactly as the `row_number` window form did.
     */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     val negHash = negate(TextFunctions.portableHash(
-      concat(col(groupCol), lit("|"), col(idCol).cast("string")))
+      concat(coalesce(col(groupCol).cast("string"), lit(" ")),
+        lit("|"), col(idCol).cast("string")))
       .cast("double"))
     val keep = df
       .select(col(groupCol), col(idCol), negHash.as("__neg_hash"))
@@ -180,7 +183,7 @@ object Corpus {
       .select(col(groupCol).as("__keep_g"),
         explode(col("__top").getField("id")).as("__keep_id"))
     df.join(keep,
-        col(groupCol) === col("__keep_g") && col(idCol) === col("__keep_id"))
+        col(groupCol) <=> col("__keep_g") && col(idCol) === col("__keep_id"))
       .drop("__keep_g", "__keep_id")
   }
 
@@ -545,10 +548,11 @@ object Corpus {
     * count AFTER inclusion is ≤ budget, so the first overflowing doc and
     * everything ranked below it drop. Null token counts are not
     * selectable and do not advance the cumulative sum (same null rule as
-    * [[packSequences]]); a null score is only defined to coincide with a
-    * null token count (a scoreless doc is a countless doc — engines
-    * disagree on where DESC places nulls, so selectable docs must carry
-    * real scores).
+    * [[packSequences]]); a null SCORE is not selectable either —
+    * ENFORCED, not just documented: a null-score doc is treated exactly
+    * like a null-count doc (engines disagree on where DESC places
+    * nulls, and Spark's nulls-first ascending default would otherwise
+    * let a scoreless doc pre-empt the whole budget).
     *
     * Scale shape: the obvious `sum().over(Window.orderBy(score DESC))`
     * is a single-task GLOBAL sort — the worst window of all. Instead the
@@ -564,7 +568,12 @@ object Corpus {
     require(tokenBudget >= 0, "selectToTokenBudget needs a budget >= 0")
     val spark = docs.sparkSession
     val prepared = docs
-      .withColumn("__n_tokens", nTokensCol.cast("long"))
+      // the null-score guard: a scoreless doc is a countless doc — its
+      // cum stays null and the final filter drops it, wherever the
+      // engine's null ordering happened to place it
+      .withColumn("__n_tokens",
+        when(scoreCol.isNull, lit(null).cast("long"))
+          .otherwise(nTokensCol.cast("long")))
       .withColumn("__neg_score", negate(scoreCol.cast("double")))
       .withColumn("__grp", lit(0)) // single global group for the offsets
     val sorted = prepared

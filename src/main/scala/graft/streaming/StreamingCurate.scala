@@ -43,9 +43,11 @@ object StreamingCurate {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("basePath", base)
       .parquet(src)
-    // stream-static equi-join on a constant key (a broadcast of the
-    // 1-row model); the scrubbed text is what gets scored — score the
-    // corpus the trainer will actually see
+    // stream-static BROADCAST CROSS JOIN with the 1-row static model
+    // (Classify.scoreByModel issues docs.crossJoin(broadcast(model)) —
+    // stream-static cross joins are supported, and against a broadcast
+    // 1-row side the "product" is a constant-append); the scrubbed text
+    // is what gets scored — score the corpus the trainer will see
     val scrubbed = Scrub.redactPii(raw, textCol)
     val scored = Classify.scoreByModel(
       scrubbed.drop(textCol).withColumnRenamed("redacted", textCol),
