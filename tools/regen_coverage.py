@@ -13,6 +13,7 @@ ABSENT from the JSON renders ✗ (round 8's failure mode: dead queries
 simply had no correctness row, and hand-maintained ✓s went stale).
 Bare `qNN` mentions in prose are left untouched.
 """
+import datetime
 import glob
 import json
 import os
@@ -51,10 +52,23 @@ def main():
         return f"{q} {new}"
 
     new_text = re.sub(r"\b(q\d+[a-z]*) ([✓✗])", sub, text)
-    open(path, "w", encoding="utf-8").write(new_text)
     marked = set(re.findall(r"\b(q\d+[a-z]*) [✓✗]", new_text))
+    # stamp the regen note with the run it ACTUALLY used — the r9 verdict
+    # caught the prose saying "126/126" under a 137-query table because
+    # only the marks regenerated, not the note
+    green = sum(1 for q in marked if status.get(q, False))
+    stamp = (f"Last regenerated: {datetime.date.today().isoformat()} from "
+             f"{os.path.basename(src)} ({green}/{len(marked)} marked queries "
+             f"green; source file has {len(status)} query rows).")
+    new_text, n_stamped = re.subn(
+        r"Last regenerated:.*?(?=\n\n)", stamp, new_text, count=1,
+        flags=re.DOTALL)
+    if n_stamped != 1:
+        sys.exit("COVERAGE.md regen note ('Last regenerated:') not found — "
+                 "refusing to write marks without an accurate stamp")
+    open(path, "w", encoding="utf-8").write(new_text)
     print(f"source: {os.path.basename(src)}; marked queries: {len(marked)}; "
-          f"flips: {flips if flips else 'none'}")
+          f"green: {green}; flips: {flips if flips else 'none'}")
 
 
 if __name__ == "__main__":
