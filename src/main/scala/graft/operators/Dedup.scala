@@ -868,8 +868,11 @@ object Dedup {
       textCol: String = "text"): (DataFrame, DataFrame) = {
     require(threshold > 0, "dedupIndexAddBatch needs threshold > 0 — a " +
       "zero-overlap banded candidate produces no intersection row")
-    val batchKeys =
-      dedupIndexKeys(batch, bands, rowsPerBand, shingleN, idCol, textCol)
+    // candidate generation runs on hash-free band keys: the fat witness
+    // sets would otherwise be recomputed in every lineage use of the
+    // batch keys, and the candidate equi-joins never look at them
+    val batchKeys = bandedKeys(batch, bands, rowsPerBand, shingleN,
+      idCol, textCol, idCol)
     val candIdx = batchKeys
       .select(col("band"), col("key"), col(idCol).as("bid"))
       .join(indexKeys.select(col("band"), col("key"), col(idCol).as("aid")),
@@ -882,21 +885,28 @@ object Dedup {
       .where(col("aid") < col("bid"))
       .select("bid", "aid")
     val cand = candIdx.union(candIn).distinct()
-    // a doc's witness set is its band-0 `hashes` row (null for docs with
-    // null text — they produce no rows on explode, exactly like the
-    // former string-shingle explode of a null text)
-    def hashRows(keys: DataFrame, out: String) = keys
+    // batch-side hash sets are computed ONLY for candidate-involved docs:
+    // the semi-join gate runs on the raw (id, text) pairs BEFORE the
+    // shingle-hash transform, so non-candidates never pay it. A null
+    // text yields a null hash array — no rows on explode, exactly like
+    // the former string-shingle explode of a null text
+    def gatedBatchHashes(ids: DataFrame, out: String) = batch
+      .select(col(idCol).as(out), col(textCol))
+      .join(ids, Seq(out), "left_semi")
+      .select(col(out), explode(transform(
+        array_distinct(graft.functions.TextExpressions
+          .shingles(col(textCol), shingleN)),
+        s => xxhash64(s))).as("sh"))
+    // witness hash sets: the index's PERSISTED band-0 sets for rule 1
+    // (accepted text is never touched), the batch's own for rule 2 —
+    // each id lives on exactly one side (ids are globally unique)
+    val ws = indexKeys
       .where(col("band") === 0)
-      .select(col(idCol).as(out), col("hashes"))
-    // witness hash sets: the index's PERSISTED sets for rule 1, the
-    // batch's own for rule 2 — ONE frame, semi-joined so only candidate
-    // witnesses explode
-    val ws = hashRows(indexKeys, "aid").unionByName(hashRows(batchKeys, "aid"))
+      .select(col(idCol).as("aid"), col("hashes"))
       .join(cand.select("aid").distinct(), Seq("aid"), "left_semi")
       .select(col("aid"), explode(col("hashes")).as("sh"))
-    val bs = hashRows(batchKeys, "bid")
-      .join(cand.select("bid").distinct(), Seq("bid"), "left_semi")
-      .select(col("bid"), explode(col("hashes")).as("sh"))
+      .unionByName(gatedBatchHashes(cand.select("aid").distinct(), "aid"))
+    val bs = gatedBatchHashes(cand.select("bid").distinct(), "bid")
     val inter = cand.join(bs, Seq("bid")).join(ws, Seq("aid", "sh"))
       .groupBy("bid", "aid").agg(count(lit(1)).as("i"))
     val szB = bs.groupBy("bid").agg(count(lit(1)).as("szb"))
@@ -906,10 +916,10 @@ object Dedup {
         lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
       .select(col("bid").as(idCol)).distinct()
     val accepted = batch.join(rejected, Seq(idCol), "left_anti")
-    // fold survivors in by pruning the already-computed batch keys —
-    // no re-shingling of accepted text
+    // survivors fold in through dedupIndexKeys so their witness sets are
+    // computed (once, batch-sized) and persisted with their band keys
     val newIndex = indexKeys.unionByName(
-      batchKeys.join(accepted.select(col(idCol)), Seq(idCol), "left_semi"))
+      dedupIndexKeys(accepted, bands, rowsPerBand, shingleN, idCol, textCol))
     (accepted, newIndex)
   }
 
