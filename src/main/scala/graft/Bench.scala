@@ -94,9 +94,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // builder-local iteration only (mirrors Verify's third arg): bench a
-    // comma-separated subset; the driver never sets this
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // comma-separated subset IN THE ORDER GIVEN — ordered subsets are how
+    // the in-suite-inflation experiments place a query early vs late in
+    // a controlled prefix (SCALE.md round-10 q118 adjudication); the
+    // driver never sets this
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     // Bench-harness-only I/O setup (query semantics untouched): scratch
     // tables + streaming checkpoints go to tmpfs so the ~6 streaming
     // queries' per-micro-batch WAL/commit fsyncs measure memory writes,
@@ -116,11 +119,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        name -> benchOne(spark, sfDir, name, fn)
+    // per-query scratch wipe (default ON): each query's temp tables and
+    // streaming checkpoints are invocation-private, so wiping between
+    // queries is safe — and it stops the suite accumulating hundreds of
+    // checkpoint/state dirs on the tmpfs scratch, the round-10-profiled
+    // cause of late-suite streaming-query inflation (q118: two driver
+    // rounds >2× its dedicated band). SPARK_GRAFT_WIPE_SCRATCH=0
+    // reproduces the old accumulate-to-the-end behavior for A/B runs.
+    val wipeScratch =
+      sys.env.getOrElse("SPARK_GRAFT_WIPE_SCRATCH", "1") != "0"
+    val ordered = only match {
+      case Some(names) =>
+        names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      case None => SparkEntry.queries.toSeq
+    }
+    val results = ordered.map { case (name, fn) =>
+      val r = name -> benchOne(spark, sfDir, name, fn)
+      if (wipeScratch) sys.props.get("graft.scratch").foreach { root =>
+        val d = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.isDirectory(d)) {
+          val ls = java.nio.file.Files.list(d)
+          try ls.forEach(deleteRecursively) finally ls.close()
+        }
       }
+      r
+    }
     println(renderJson(results, sfDir))
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/bench_last_full.json")

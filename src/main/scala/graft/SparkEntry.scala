@@ -1346,6 +1346,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // greedy longest-match subword tokenization (WordPiece's MaxMatch
+    // rule over a BPE-ish piece vocabulary — Devlin et al. '19 §B;
+    // pieces = q86's frequent-word vocab + the corpus char alphabet as
+    // fallback): the vocab builds in-pipeline, collects driver-side as
+    // model metadata (vocab-sized, guard-checked), and applies through
+    // the codegen'd trie kernel — one narrow pass, no UDF, no shuffle
+    // beyond the vocab build. size(bpeEncode) is the REAL token count
+    // the packing/budget operators accept via their nTokens column
+    "q137_bpe_encode" -> ((s, dir) => {
+      // the synthetic corpus is whole frequent words — salt each doc
+      // with a deterministic COMPOUND (its first 16 chars, spaces
+      // removed) so the greedy matcher actually has to decompose
+      // unseen words into word-pieces, not just look up whole tokens
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(docs, "text",
+          minCount = 5, maxSize = 200))
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+            .as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast(LongType).as("n_pieces"),
+          md5(array_join(transform(col("__ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-k (brute force baseline; queries broadcast)
     "q38_sim_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3554,6 +3583,69 @@ object SparkEntry {
       // (even-id file then odd-id file), so it shares q128's oracle
       "q129_stream_dedup_index" -> dedupIndexOracle,
       "q136_dedup_unlearn" -> dedupUnlearnOracle,
+
+      // greedy longest-match subword encode, replayed relationally: the
+      // per-(word,position) LONGEST matching piece is precomputed as a
+      // table (equi-join on substr at each distinct piece length), and
+      // the greedy walk is a recursive CTE stepping p -> p + best_len(p)
+      // — position sets are word-lengths, never corpus-sized
+      "q137_bpe_encode" ->
+        s"""WITH RECURSIVE
+           |docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |ta AS (SELECT doc_id, $toksSql AS arr FROM docs2),
+           |toks AS (SELECT doc_id, unnest(arr) AS tok,
+           |    unnest(range(1, len(arr) + 1)) AS ord
+           |  FROM ta WHERE len(arr) > 0),
+           |words AS (SELECT DISTINCT tok FROM toks),
+           |tk AS (SELECT unnest($toksSql) AS token FROM docs2),
+           |wv0 AS (SELECT token, count(*) AS cnt FROM tk
+           |  GROUP BY token HAVING count(*) >= 5
+           |  ORDER BY cnt DESC, token LIMIT 200),
+           |wv AS (SELECT token AS piece,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+           |      AS id FROM wv0),
+           |wpos AS (SELECT tok,
+           |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
+           |  FROM words),
+           |alpha AS (SELECT ch,
+           |    CAST(200 + row_number() OVER (ORDER BY ch) AS INTEGER) AS id
+           |  FROM (SELECT DISTINCT substr(tok, p, 1) AS ch FROM wpos)),
+           |pieces AS (SELECT piece, MIN(id) AS id FROM (
+           |    SELECT piece, id FROM wv
+           |    UNION ALL SELECT ch AS piece, id FROM alpha) GROUP BY piece),
+           |lens AS (SELECT DISTINCT CAST(length(piece) AS INTEGER) AS l
+           |  FROM pieces),
+           |best AS (SELECT w.tok, w.p, MAX(length(pc.piece)) AS blen
+           |  FROM wpos w JOIN lens ln ON ln.l <= length(w.tok) - w.p + 1
+           |  JOIN pieces pc ON pc.piece = substr(w.tok, w.p, ln.l)
+           |  GROUP BY w.tok, w.p),
+           |bestid AS (SELECT b.tok, b.p, CAST(b.blen AS INTEGER) AS blen,
+           |    pc.id
+           |  FROM best b JOIN pieces pc
+           |    ON pc.piece = substr(b.tok, b.p, b.blen)),
+           |greedy AS (
+           |  SELECT tok, CAST(1 AS INTEGER) AS p, CAST(0 AS INTEGER) AS step
+           |    FROM words
+           |  UNION ALL
+           |  SELECT g.tok, CAST(g.p + b.blen AS INTEGER),
+           |      CAST(g.step + 1 AS INTEGER)
+           |    FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
+           |wp AS (SELECT g.tok, g.step, b.id
+           |  FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
+           |seq AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+           |    md5(string_agg(CAST(wp.id AS VARCHAR), ' '
+           |      ORDER BY t.ord, wp.step)) AS ids_md5
+           |  FROM toks t JOIN wp ON wp.tok = t.tok
+           |  GROUP BY t.doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(s.n_pieces, 0) END AS n_pieces,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(s.ids_md5, md5('')) END AS ids_md5
+           |FROM docs2 d LEFT JOIN seq s USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

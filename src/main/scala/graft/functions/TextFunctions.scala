@@ -37,6 +37,17 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     TextExpressions.shingles(text, n)
 
+  /** Greedy longest-match subword encoding (`array<int>` of piece ids in
+    * token order — [[TextExpressions.bpeEncode]]): apply a
+    * `Corpus.buildPieceVocab` piece vocabulary with the WordPiece
+    * MaxMatch rule; unmatched characters emit UNK (0). `size(bpeEncode(
+    * …))` is the REAL token count the packing/budget operators
+    * (`packSequences`, `selectToTokenBudget`, `allocateEpochs`) accept
+    * through their token-count column parameter.
+    */
+  def bpeEncode(text: Column, pieces: Seq[(String, Int)]): Column =
+    TextExpressions.bpeEncode(text, pieces)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

@@ -346,6 +346,106 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Longest-match piece trie for [[BpeEncodeExpr]] — built once per
+  * executor from the serialized piece list (the expression ships the
+  * pieces; the trie itself is a transient local rebuild). Children are
+  * flat sorted-array maps: the alphabet of a subword vocabulary is
+  * small, and a binary-searched char array beats a HashMap's boxing on
+  * the per-character hot path.
+  */
+final class BpeTrie(pieces: Seq[(String, Int)]) extends Serializable {
+  // node storage: parallel arrays — chars/children index into nodes
+  private final class Node {
+    var id: Int = -1 // accepting piece id, -1 = not a piece boundary
+    var keys: Array[Char] = Array.empty
+    var kids: Array[Node] = Array.empty
+    def child(c: Char): Node = {
+      val i = java.util.Arrays.binarySearch(keys, c)
+      if (i >= 0) kids(i) else null
+    }
+    def addChild(c: Char): Node = {
+      val i = java.util.Arrays.binarySearch(keys, c)
+      if (i >= 0) return kids(i)
+      val at = -i - 1
+      val nk = new Array[Char](keys.length + 1)
+      val nn = new Array[Node](keys.length + 1)
+      System.arraycopy(keys, 0, nk, 0, at)
+      System.arraycopy(kids, 0, nn, 0, at)
+      nk(at) = c
+      val fresh = new Node
+      nn(at) = fresh
+      System.arraycopy(keys, at, nk, at + 1, keys.length - at)
+      System.arraycopy(kids, at, nn, at + 1, keys.length - at)
+      keys = nk; kids = nn
+      fresh
+    }
+  }
+  private val root = new Node
+  pieces.foreach { case (p, id) =>
+    var n = root
+    var i = 0
+    while (i < p.length) { n = n.addChild(p.charAt(i)); i += 1 }
+    // ties on an identical piece string keep the smallest id — the same
+    // min(id) rule the piece-vocab builder and the SQL twin apply
+    if (n.id < 0 || id < n.id) n.id = id
+  }
+
+  /** Greedy longest-match-first encode of one word (the WordPiece /
+    * MaxMatch rule): at each position take the longest piece the trie
+    * accepts; an unmatched character emits UNK (id 0) and advances one.
+    */
+  def encodeWord(w: String, out: java.util.ArrayList[Integer]): Unit = {
+    var p = 0
+    while (p < w.length) {
+      var n = root
+      var i = p
+      var bestId = -1
+      var bestEnd = p
+      while (i < w.length && { n = n.child(w.charAt(i)); n != null }) {
+        i += 1
+        if (n.id >= 0) { bestId = n.id; bestEnd = i }
+      }
+      if (bestId >= 0) { out.add(bestId); p = bestEnd }
+      else { out.add(0); p += 1 } // UNK
+    }
+  }
+}
+
+/** bpe_encode(text, pieces): array<int> — greedy longest-match subword
+  * encoding of the whitespace tokens, in token order, against a piece
+  * vocabulary (frequent words + character fallback — see
+  * `Corpus.buildPieceVocab`). The piece list rides the expression (a
+  * vocabulary is model metadata, like the IVF codebooks); the trie is a
+  * transient per-executor rebuild, and the match loop is one primitive
+  * forward walk per character — codegen'd via a reference object, no
+  * boxing on the text side.
+  */
+case class BpeEncodeExpr(child: Expression, pieces: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  @transient private lazy val trie = new BpeTrie(pieces)
+  def encode(t: UTF8String): ArrayData = {
+    val words = TextKernels.tokenize(t)
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < words.length) { trie.encodeWord(words(i), out); i += 1 }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    encode(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this,
+      classOf[BpeEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -361,4 +461,7 @@ object TextExpressions {
     GraftColumnBridge.column(RepetitionStatsExpr(GraftColumnBridge.expression(text)))
   def nfcNormalize(text: Column): Column =
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(text)))
+  def bpeEncode(text: Column, pieces: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeEncodeExpr(GraftColumnBridge.expression(text), pieces))
 }

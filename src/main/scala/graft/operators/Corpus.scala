@@ -274,6 +274,55 @@ object Corpus {
       .select("token_id", "token", "cnt")
   }
 
+  /** Subword piece vocabulary for the greedy longest-match tokenizer
+    * ([[graft.functions.BpeEncodeExpr]]): the [[buildVocab]] frequent
+    * words keep their dense ids 1..maxSize, and the corpus's character
+    * alphabet joins as fallback pieces with ids maxSize+1… (dense rank
+    * by character, a FIXED offset so char ids never depend on how many
+    * words survived the frequency cut). A string present as both a
+    * 1-letter word and an alphabet char keeps its smaller (word) id —
+    * the min(id) rule the encode trie and the SQL twin share. Because
+    * the alphabet covers every character of every corpus token, encoding
+    * the training corpus never emits UNK; unseen text at apply time may
+    * (id 0).
+    *
+    * Scale shape: the char-alphabet rank window is alphabet-sized (the
+    * same O(vocab) single-partition window [[buildVocab]] already pays),
+    * and the distinct-token feed is the one shuffle buildVocab makes
+    * anyway. BMP caveat as q134: characters are UTF-16 units on the
+    * Spark side and codepoints in DuckDB — identical on BMP-only
+    * corpora like this one.
+    */
+  def buildPieceVocab(docs: DataFrame, textCol: String, minCount: Long,
+      maxSize: Int): DataFrame = {
+    val words = buildVocab(docs, textCol, minCount, maxSize)
+      .select(col("token").as("piece"), col("token_id").as("id"))
+    val alpha = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .select(explode(filter(split(col("tok"), ""), c => c =!= "")).as("ch"))
+      .distinct()
+    val w = Window.orderBy(col("ch"))
+    val chars = alpha
+      .withColumn("id", (row_number().over(w) + maxSize).cast("int"))
+      .select(col("ch").as("piece"), col("id"))
+    words.unionByName(chars).groupBy("piece").agg(min("id").as("id"))
+  }
+
+  /** Driver-side materialization of a [[buildPieceVocab]] frame for the
+    * encode kernel — size-guarded like the IVF codebook collects: a
+    * piece vocabulary is model metadata (≤ maxSize words + an
+    * alphabet), never data.
+    */
+  def collectPieces(pieceVocab: DataFrame, maxPieces: Int = 1 << 20)
+      : Seq[(String, Int)] = {
+    val rows = pieceVocab.select(col("piece"), col("id").cast("int"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"piece vocabulary exceeds $maxPieces entries — not a vocabulary")
+    rows.toSeq.map(r => (r.getString(0), r.getInt(1)))
+  }
+
   /** Token-budget sequence packing: within each shard (e.g. language),
     * docs are laid out in deterministic id order and cut into packs of at
     * most `tokenBudget` tokens by cumulative offset — pack_id =

@@ -164,6 +164,53 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(5L) == Seq(2L, 2L, 6L, 6L, 1L, 7L))  // héé = 3 code points
   }
 
+  test("bpeEncode: greedy longest-match, UNK fallback, min-id ties, nulls") {
+    val pieces = Seq("ab" -> 1, "abc" -> 2, "a" -> 10, "b" -> 11, "c" -> 12,
+      "a" -> 3) // duplicate piece string: the smaller id must win
+    val docs = Seq(
+      (1L, "abc ab ba zx"), // whole piece / piece / char+char / UNK+UNK
+      (2L, "abab"),         // greedy: ab+ab, never a+b+a+b
+      (3L, "abca"),         // longest first: abc then a(id 3, not 10)
+      (4L, ""),             // empty text -> empty encoding
+      (5L, null: String))   // null text -> null encoding
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextExpressions.bpeEncode(col("text"), pieces).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    // hand-computed greedy MaxMatch encodings
+    assert(got(1L) == Seq(2, 1, 11, 3, 0, 0))
+    assert(got(2L) == Seq(1, 1))
+    assert(got(3L) == Seq(2, 3))
+    assert(got(4L) == Seq.empty[Int])
+    assert(got(5L) == null)
+  }
+
+  test("bpeEncode over a built piece vocab decomposes unseen compounds") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "the quick brown fox"), (4L, "the quick brown fox"),
+      (5L, "the quick brown fox"), (6L, "quickbrown fox thequick"))
+      .toDF("doc_id", "text")
+    val vocab = graft.operators.Corpus.buildPieceVocab(docs, "text",
+      minCount = 5, maxSize = 200)
+    val pieces = graft.operators.Corpus.collectPieces(vocab)
+    val byPiece = pieces.toMap
+    // word ids are dense 1.. by (count desc, token asc): fox appears 6x
+    // (docs 1-5 plus doc 6), the rest 5x and rank alphabetically; the
+    // char alphabet starts at maxSize+1 = 201
+    assert(Set("brown", "fox", "quick", "the").subsetOf(byPiece.keySet))
+    assert(byPiece("fox") == 1 && byPiece("brown") == 2 &&
+      byPiece("quick") == 3 && byPiece("the") == 4)
+    assert(byPiece("b") > 200)
+    val got = docs.where(col("doc_id") === 6L)
+      .select(TextExpressions.bpeEncode(col("text"), pieces))
+      .collect().head.getSeq[Int](0)
+    // compounds split into the known word pieces, no chars needed
+    assert(got == Seq(byPiece("quick"), byPiece("brown"), byPiece("fox"),
+      byPiece("the"), byPiece("quick")))
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
