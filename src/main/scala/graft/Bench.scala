@@ -120,12 +120,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-query scratch wipe (default ON): each query's temp tables and
-    // streaming checkpoints are invocation-private, so wiping between
-    // queries is safe — and it stops the suite accumulating hundreds of
-    // checkpoint/state dirs on the tmpfs scratch, the round-10-profiled
-    // cause of late-suite streaming-query inflation (q118: two driver
-    // rounds >2× its dedicated band). SPARK_GRAFT_WIPE_SCRATCH=0
-    // reproduces the old accumulate-to-the-end behavior for A/B runs.
+    // streaming checkpoints are ephemeral, so wiping between queries
+    // bounds the checkpoint/state dirs a long suite accumulates on the
+    // tmpfs scratch. EXCEPT the `fixtures/` child: memoized fixture
+    // trees are cross-query by design (q115's centroids feed
+    // q116/q117/q118; the versioned-lake fixtures feed their incremental
+    // views) — round 10's first wipe-enabled run deleted them mid-suite
+    // and killed six queries with PATH_NOT_FOUND.
+    // SPARK_GRAFT_WIPE_SCRATCH=0 reproduces the old accumulate-to-the-
+    // end behavior for A/B runs.
     val wipeScratch =
       sys.env.getOrElse("SPARK_GRAFT_WIPE_SCRATCH", "1") != "0"
     val ordered = only match {
@@ -139,7 +142,9 @@ object Bench {
         val d = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.isDirectory(d)) {
           val ls = java.nio.file.Files.list(d)
-          try ls.forEach(deleteRecursively) finally ls.close()
+          try ls.forEach { p =>
+            if (p.getFileName.toString != "fixtures") deleteRecursively(p)
+          } finally ls.close()
         }
       }
       r

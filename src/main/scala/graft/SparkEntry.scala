@@ -112,14 +112,37 @@ object SparkEntry {
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def memoFixture(key: String, dir: String)(build: () => String): String =
-    fixtureCache.computeIfAbsent(s"$key|$dir", _ => build())
+    fixtureCache.compute(s"$key|$dir", (_, prev) =>
+      // revalidate: a memoized path may have been wiped from scratch by
+      // an external cleaner — a stale memo then fails every downstream
+      // query with PATH_NOT_FOUND, so rebuild into a fresh dir instead
+      if (prev != null &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
+      else build())
+
+  /** Scratch allocator for [[memoFixture]] trees: under the `fixtures/`
+    * child of the scratch root, which `Bench`'s per-query wipe PRESERVES.
+    * Fixtures are cross-query by design (q115's centroids feed
+    * q116/q117/q118; the versioned-lake fixtures feed their incremental
+    * views), so an ephemeral-scratch wipe between queries must not
+    * delete them — round 10's first wipe-enabled suite run killed six
+    * queries exactly that way.
+    */
+  private def fixtureScratch(prefix: String): String = {
+    val base = sys.props.get("graft.scratch")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .resolve("fixtures")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
 
   /** q95's input: a 3-version lake table (v0 = even orderkeys; v1 merges a
     * custkey-migrating batch; v2 merges a price-doubling batch).
     */
   private def q95Fixture(s: SparkSession, dir: String): String =
     memoFixture("q95", dir) { () =>
-      val root = scratch("graft_q95_") + "/tbl"
+      val root = fixtureScratch("graft_q95_") + "/tbl"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       graft.store.VersionedTable.write(
@@ -142,7 +165,7 @@ object SparkEntry {
     */
   private def q91Fixture(s: SparkSession, dir: String): String =
     memoFixture("q91", dir) { () =>
-      val root = scratch("graft_q91_") + "/tbl"
+      val root = fixtureScratch("graft_q91_") + "/tbl"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.store.VersionedTable.write(
@@ -160,7 +183,7 @@ object SparkEntry {
     */
   private def q99Fixture(s: SparkSession, dir: String): String =
     memoFixture("q99", dir) { () =>
-      val root = scratch("graft_q99_") + "/tbl"
+      val root = fixtureScratch("graft_q99_") + "/tbl"
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       graft.store.VersionedTable.write(
@@ -182,7 +205,7 @@ object SparkEntry {
     */
   private def q112Fixture(s: SparkSession, dir: String): String =
     memoFixture("q112", dir) { () =>
-      val root = scratch("graft_q112_") + "/tbl"
+      val root = fixtureScratch("graft_q112_") + "/tbl"
       val docs = t(s, dir, "documents").select("doc_id", "text")
       graft.store.VersionedTable.write(docs, root)
       graft.store.VersionedTable.upsert(s, root,
@@ -203,7 +226,7 @@ object SparkEntry {
     */
   private def q114Fixture(s: SparkSession, dir: String): String =
     memoFixture("q114", dir) { () =>
-      val base = scratch("graft_q114_")
+      val base = fixtureScratch("graft_q114_")
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.pqCodebooks(emb, m = 16, k = 64, iterations = 3)
       cb.write.parquet(s"$base/cb")
@@ -222,7 +245,7 @@ object SparkEntry {
     // must never re-enter the cache ("Recursive update")
     val pqBase = q114Fixture(s, dir)
     memoFixture("q115", dir) { () =>
-      val base = scratch("graft_q115_")
+      val base = fixtureScratch("graft_q115_")
       val emb = t(s, dir, "embeddings")
       val cb = s.read.parquet(s"$pqBase/cb")
       val cents = Similarity.kmeans(emb, k = 16, iterations = 3)
@@ -240,7 +263,7 @@ object SparkEntry {
   private def q116Fixture(s: SparkSession, dir: String): String = {
     val p115 = q115Fixture(s, dir) // outside the builder — no re-entry
     memoFixture("q116", dir) { () =>
-      val base = scratch("graft_q116_")
+      val base = fixtureScratch("graft_q116_")
       val emb = t(s, dir, "embeddings")
       val cents = s.read.parquet(s"$p115/cents")
       val rcb = Similarity.pqCodebooksResidual(emb, cents, m = 16, k = 64,
@@ -265,7 +288,7 @@ object SparkEntry {
     val p115 = q115Fixture(s, dir) // outside the builder — no re-entry
     val p114 = q114Fixture(s, dir)
     memoFixture("q117", dir) { () =>
-      val base = scratch("graft_q117_")
+      val base = fixtureScratch("graft_q117_")
       val emb = t(s, dir, "embeddings")
       val cents = s.read.parquet(s"$p115/cents")
       val cb = s.read.parquet(s"$p114/cb")
@@ -1373,6 +1396,28 @@ object SparkEntry {
           md5(array_join(transform(col("__ids"),
             i => i.cast(StringType)), " ")).as("ids_md5"))
         .orderBy("doc_id")
+    }),
+
+    // split-leakage audit: the q107 cluster-granularity split leaks ZERO
+    // near-dup pairs across the train/eval boundary (structural — the
+    // split is constant per connected component), while a per-document
+    // hash split over the SAME pair graph leaks at the pair rate. The
+    // audit is the operator under test; the naive column is the
+    // counterexample that shows it measures something real.
+    "q138_split_leak_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs)
+      val clusters = Dedup.nearDupClusters(docs, pairs)
+      val clusterAsg = graft.operators.Corpus.clusterSplit(docs, clusters, evalPct = 10)
+      val naiveAsg = docs.withColumn("split",
+        when(pmod(TextFunctions.portableHash(
+            concat(lit("split|"), col("doc_id").cast("string"))), lit(100))
+          < 10, lit("eval")).otherwise(lit("train")))
+      pairs.agg(count(lit(1)).as("pairs_total"))
+        .crossJoin(broadcast(graft.operators.Corpus.splitLeakCount(clusterAsg, pairs)
+          .withColumnRenamed("cross_pairs", "cross_pairs_cluster")))
+        .crossJoin(broadcast(graft.operators.Corpus.splitLeakCount(naiveAsg, pairs)
+          .withColumnRenamed("cross_pairs", "cross_pairs_naive")))
     }),
 
     // exact cosine top-k (brute force baseline; queries broadcast)
@@ -3997,6 +4042,31 @@ object SparkEntry {
            |${clusterCtes("documents")}
            |SELECT src AS doc_id, min(dst) AS root FROM reach
            |GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // the q107 cluster split vs a per-doc hash split, audited over the
+      // SAME pairs CTE the clusters were built from: cluster leaks 0
+      // (structural), naive leaks at the pair rate
+      "q138_split_leak_audit" ->
+        s"""WITH RECURSIVE $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |${clusterCtes("documents")},
+           |cr AS (SELECT src AS doc_id, min(dst) AS root FROM reach
+           |  GROUP BY src),
+           |casg AS (SELECT doc_id,
+           |  CASE WHEN ${pHashSql("'split|' || CAST(root AS VARCHAR)")} % 100 < 10
+           |    THEN 'eval' ELSE 'train' END AS split FROM cr),
+           |nasg AS (SELECT doc_id,
+           |  CASE WHEN ${pHashSql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+           |    THEN 'eval' ELSE 'train' END AS split FROM documents)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_total,
+           |  (SELECT CAST(count(*) FILTER (WHERE a.split <> b.split) AS BIGINT)
+           |     FROM pairs p JOIN casg a ON p.id_a = a.doc_id
+           |     JOIN casg b ON p.id_b = b.doc_id) AS cross_pairs_cluster,
+           |  (SELECT CAST(count(*) FILTER (WHERE a.split <> b.split) AS BIGINT)
+           |     FROM pairs p JOIN nasg a ON p.id_a = a.doc_id
+           |     JOIN nasg b ON p.id_b = b.doc_id) AS cross_pairs_naive""".stripMargin,
 
       "q108_winsorize" ->
         """WITH b AS (SELECT l_returnflag,

@@ -123,6 +123,25 @@ object Corpus {
         < evalPct, lit("eval")).otherwise(lit("train")))
   }
 
+  /** Split-leakage audit for [[clusterSplit]] (or any (id, split)
+    * assignment): the number of near-dup pairs whose endpoints sit on
+    * DIFFERENT sides of the split. Structurally zero for any assignment
+    * constant per connected component of the pair graph — so a nonzero
+    * count proves the assignment was NOT cluster-granular over (a
+    * superset of) these pairs, which is exactly the contamination a
+    * per-document hash split invites (eval docs whose near-twins remain
+    * in train). One row out; cost is two pair-sized equi-joins against
+    * the (id → split) labels — candidate-scale, never corpus-scale.
+    */
+  def splitLeakCount(assignment: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val lbl = assignment.select(col(idCol), col("split"))
+    pairs
+      .join(lbl.select(col(idCol).as("id_a"), col("split").as("sa")), "id_a")
+      .join(lbl.select(col(idCol).as("id_b"), col("split").as("sb")), "id_b")
+      .agg(count(when(col("sa") =!= col("sb"), 1)).as("cross_pairs"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = max |x| (the standard absmax scheme), each component mapped to
     * round(x·127/scale) via floor(y + 0.5) — floor keeps the rounding

@@ -70,6 +70,31 @@ class CorpusSpec extends SparkSpec {
     assert(all100 == Seq("eval"))
   }
 
+  test("splitLeakCount: zero on a cluster-granular split, counts naive straddles") {
+    val docs = (1L to 7L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // chain {1,2,3} root 1, pair {5,6} root 5, singletons 4 and 7
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
+      (6L, 5L), (7L, 7L)).toDF("doc_id", "root")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // any clusterSplit assignment is constant per component -> audit = 0
+    for (pct <- Seq(10, 50, 90)) {
+      val asg = Corpus.clusterSplit(docs, clusters, pct)
+      val n = Corpus.splitLeakCount(asg, pairs).collect()(0).getLong(0)
+      assert(n == 0L, s"cluster split must never straddle (pct=$pct)")
+    }
+    // a cluster-oblivious per-doc assignment (multiples of 3 → eval)
+    // splits the 2-3 and 5-6 edges but NOT 1-2: exactly 2 straddles
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val naive = docs.withColumn("split",
+      when(col("doc_id") % 3 === 0, lit("eval")).otherwise(lit("train")))
+    val bad = Corpus.splitLeakCount(naive, pairs).collect()(0).getLong(0)
+    assert(bad == 2L, s"expected the 2-3 and 5-6 straddles, got $bad")
+    // pairs mentioning ids absent from the assignment don't count (inner
+    // join semantics — audit is over the assigned universe)
+    val stale = pairs.union(Seq((8L, 9L)).toDF("id_a", "id_b"))
+    assert(Corpus.splitLeakCount(naive, stale).collect()(0).getLong(0) == 2L)
+  }
+
   test("clusterWeightedSample keeps roots always, thins big clusters by hash") {
     // clusters: {1,2,3,4} root 1, {5,6} root 5, singletons 7..10
     val docs = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
