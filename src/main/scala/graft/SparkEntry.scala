@@ -1398,6 +1398,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q68's sequence packing driven by REAL subword token counts
+    // (size(bpeEncode) over the q137 piece vocab) instead of whitespace
+    // tokens — the composition the packing/budget operators advertise
+    // (`nTokensCol` is caller-supplied); same salted corpus as q137 so
+    // the piece vocab exercises compound decomposition
+    "q139_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(docs, "text",
+          minCount = 5, maxSize = 200))
+      val withN = docs.select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
+          .cast(LongType).as("__n_tokens"))
+      graft.operators.Corpus.packSequences(withN, "lang", "doc_id",
+          col("__n_tokens"), tokenBudget = 2048)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // split-leakage audit: the q107 cluster-granularity split leaks ZERO
     // near-dup pairs across the train/eval boundary (structural — the
     // split is constant per connected component), while a per-document
@@ -2886,6 +2908,60 @@ object SparkEntry {
          |  AND doc_id NOT IN (SELECT bid FROM rej2))""".stripMargin
     }
 
+    // CTE block shared by q137/q139: the salted corpus, the piece vocab
+    // (frequent words + char alphabet, min-id on collisions), relational
+    // best-match lengths, the greedy MaxMatch walk as a recursive CTE,
+    // and per-doc piece counts/digests in `seq`
+    val bpeSeqCtes: String =
+      s"""docs2 AS (SELECT doc_id,
+         |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+         |      AS text FROM documents),
+         |ta AS (SELECT doc_id, $toksSql AS arr FROM docs2),
+         |toks AS (SELECT doc_id, unnest(arr) AS tok,
+         |    unnest(range(1, len(arr) + 1)) AS ord
+         |  FROM ta WHERE len(arr) > 0),
+         |words AS (SELECT DISTINCT tok FROM toks),
+         |tk AS (SELECT unnest($toksSql) AS token FROM docs2),
+         |wv0 AS (SELECT token, count(*) AS cnt FROM tk
+         |  GROUP BY token HAVING count(*) >= 5
+         |  ORDER BY cnt DESC, token LIMIT 200),
+         |wv AS (SELECT token AS piece,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+         |      AS id FROM wv0),
+         |wpos AS (SELECT tok,
+         |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
+         |  FROM words),
+         |alpha AS (SELECT ch,
+         |    CAST(200 + row_number() OVER (ORDER BY ch) AS INTEGER) AS id
+         |  FROM (SELECT DISTINCT substr(tok, p, 1) AS ch FROM wpos)),
+         |pieces AS (SELECT piece, MIN(id) AS id FROM (
+         |    SELECT piece, id FROM wv
+         |    UNION ALL SELECT ch AS piece, id FROM alpha) GROUP BY piece),
+         |lens AS (SELECT DISTINCT CAST(length(piece) AS INTEGER) AS l
+         |  FROM pieces),
+         |best AS (SELECT w.tok, w.p, MAX(length(pc.piece)) AS blen
+         |  FROM wpos w JOIN lens ln ON ln.l <= length(w.tok) - w.p + 1
+         |  JOIN pieces pc ON pc.piece = substr(w.tok, w.p, ln.l)
+         |  GROUP BY w.tok, w.p),
+         |bestid AS (SELECT b.tok, b.p, CAST(b.blen AS INTEGER) AS blen,
+         |    pc.id
+         |  FROM best b JOIN pieces pc
+         |    ON pc.piece = substr(b.tok, b.p, b.blen)),
+         |greedy AS (
+         |  SELECT tok, CAST(1 AS INTEGER) AS p, CAST(0 AS INTEGER) AS step
+         |    FROM words
+         |  UNION ALL
+         |  SELECT g.tok, CAST(g.p + b.blen AS INTEGER),
+         |      CAST(g.step + 1 AS INTEGER)
+         |    FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
+         |wp AS (SELECT g.tok, g.step, b.id
+         |  FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
+         |seq AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         |    md5(string_agg(CAST(wp.id AS VARCHAR), ' '
+         |      ORDER BY t.ord, wp.step)) AS ids_md5
+         |  FROM toks t JOIN wp ON wp.tok = t.tok
+         |  GROUP BY t.doc_id)""".stripMargin
+
     val dedupIndexOracle: String =
       s"""$dedupIndexCtes
          |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
@@ -3636,54 +3712,7 @@ object SparkEntry {
       // — position sets are word-lengths, never corpus-sized
       "q137_bpe_encode" ->
         s"""WITH RECURSIVE
-           |docs2 AS (SELECT doc_id,
-           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
-           |      AS text FROM documents),
-           |ta AS (SELECT doc_id, $toksSql AS arr FROM docs2),
-           |toks AS (SELECT doc_id, unnest(arr) AS tok,
-           |    unnest(range(1, len(arr) + 1)) AS ord
-           |  FROM ta WHERE len(arr) > 0),
-           |words AS (SELECT DISTINCT tok FROM toks),
-           |tk AS (SELECT unnest($toksSql) AS token FROM docs2),
-           |wv0 AS (SELECT token, count(*) AS cnt FROM tk
-           |  GROUP BY token HAVING count(*) >= 5
-           |  ORDER BY cnt DESC, token LIMIT 200),
-           |wv AS (SELECT token AS piece,
-           |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
-           |      AS id FROM wv0),
-           |wpos AS (SELECT tok,
-           |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
-           |  FROM words),
-           |alpha AS (SELECT ch,
-           |    CAST(200 + row_number() OVER (ORDER BY ch) AS INTEGER) AS id
-           |  FROM (SELECT DISTINCT substr(tok, p, 1) AS ch FROM wpos)),
-           |pieces AS (SELECT piece, MIN(id) AS id FROM (
-           |    SELECT piece, id FROM wv
-           |    UNION ALL SELECT ch AS piece, id FROM alpha) GROUP BY piece),
-           |lens AS (SELECT DISTINCT CAST(length(piece) AS INTEGER) AS l
-           |  FROM pieces),
-           |best AS (SELECT w.tok, w.p, MAX(length(pc.piece)) AS blen
-           |  FROM wpos w JOIN lens ln ON ln.l <= length(w.tok) - w.p + 1
-           |  JOIN pieces pc ON pc.piece = substr(w.tok, w.p, ln.l)
-           |  GROUP BY w.tok, w.p),
-           |bestid AS (SELECT b.tok, b.p, CAST(b.blen AS INTEGER) AS blen,
-           |    pc.id
-           |  FROM best b JOIN pieces pc
-           |    ON pc.piece = substr(b.tok, b.p, b.blen)),
-           |greedy AS (
-           |  SELECT tok, CAST(1 AS INTEGER) AS p, CAST(0 AS INTEGER) AS step
-           |    FROM words
-           |  UNION ALL
-           |  SELECT g.tok, CAST(g.p + b.blen AS INTEGER),
-           |      CAST(g.step + 1 AS INTEGER)
-           |    FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
-           |wp AS (SELECT g.tok, g.step, b.id
-           |  FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
-           |seq AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
-           |    md5(string_agg(CAST(wp.id AS VARCHAR), ' '
-           |      ORDER BY t.ord, wp.step)) AS ids_md5
-           |  FROM toks t JOIN wp ON wp.tok = t.tok
-           |  GROUP BY t.doc_id)
+           |$bpeSeqCtes
            |SELECT d.doc_id,
            |  CASE WHEN d.text IS NULL THEN NULL
            |    ELSE COALESCE(s.n_pieces, 0) END AS n_pieces,
@@ -3691,6 +3720,27 @@ object SparkEntry {
            |    ELSE COALESCE(s.ids_md5, md5('')) END AS ids_md5
            |FROM docs2 d LEFT JOIN seq s USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // the q137 per-doc subword counts fed through q68's pack
+      // arithmetic — the tokenizer × packing composition gate
+      "q139_bpe_pack" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |nt AS (SELECT d.doc_id, doc.lang,
+           |    CASE WHEN d.text IS NULL THEN NULL
+           |      ELSE COALESCE(s.n_pieces, 0) END AS n_tokens
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM nt),
+           |p AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id, n_tokens
+           |  FROM c)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
