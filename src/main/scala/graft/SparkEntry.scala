@@ -241,8 +241,8 @@ object SparkEntry {
     * index build.
     */
   private def q115Fixture(s: SparkSession, dir: String): String = {
-    // resolve the nested fixture OUTSIDE the memo builder: computeIfAbsent
-    // must never re-enter the cache ("Recursive update")
+    // resolve the nested fixture OUTSIDE the memo builder: the cache's
+    // compute must never re-enter itself ("Recursive update")
     val pqBase = q114Fixture(s, dir)
     memoFixture("q115", dir) { () =>
       val base = fixtureScratch("graft_q115_")

@@ -640,4 +640,77 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"budget=$budget maxE=$maxE parts=$parts")
     }
   }
+
+  test("bpeEncode equals a plain-Scala greedy MaxMatch for any vocab and text") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExpressions
+    // distinct piece strings (same-string min-id collisions are pinned by
+    // the hand tests); a 3-letter piece alphabet against 4-letter words so
+    // partial matches, char fallbacks, and UNKs all occur
+    val pieceGen = for {
+      n <- Gen.choose(1, 12)
+      strs <- Gen.listOfN(n, Gen.choose(1, 3).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    } yield strs.distinct.zipWithIndex.map { case (s, i) => s -> (i + 1) }
+    val textGen = for {
+      nw <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(nw, Gen.choose(1, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', 'z')).map(_.mkString)))
+    } yield ws.mkString(" ")
+    def ref(text: String, pieces: Seq[(String, Int)]): Seq[Int] = {
+      val m = pieces.toMap
+      text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var p = 0
+        while (p < w.length) {
+          (w.length to (p + 1) by -1).iterator
+            .map(e => w.substring(p, e)).find(m.contains) match {
+            case Some(s) => out += m(s); p += s.length
+            case None => out += 0; p += 1
+          }
+        }
+        out
+      }
+    }
+    forAllSampled(Gen.zip(pieceGen, Gen.listOfN(5, textGen)), n = 8) {
+      case (pieces, texts) =>
+        val df = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = df.select(col("doc_id"),
+            TextExpressions.bpeEncode(col("text"), pieces).as("ids"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          assert(got(i.toLong) == ref(t, pieces),
+            s"text='$t' pieces=$pieces")
+        }
+    }
+  }
+
+  test("clusterSplit never leaks a pair; naive leak count matches a reference") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.operators.{Corpus, Dedup}
+    val words = Vector("alpha", "beta", "gamma", "delta")
+    val docGen = Gen.listOfN(5, Gen.oneOf(words)).map(_.mkString(" "))
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      ds <- Gen.listOfN(n, docGen)
+      pct <- Gen.oneOf(10, 50, 90)
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, pct)
+    forAllSampled(gen, n = 6) { case (docs, pct) =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minhashLshPairs(df)
+      val clusters = Dedup.nearDupClusters(df, pairs)
+      // the structural invariant, on pair graphs of the real banding rule
+      val asg = Corpus.clusterSplit(df, clusters, pct)
+      assert(Corpus.splitLeakCount(asg, pairs).collect()(0).getLong(0) == 0L,
+        s"pct=$pct docs=$docs")
+      // an arbitrary per-doc assignment's leak count equals a plain count
+      val naive = df.withColumn("split",
+        when(col("doc_id") % 2 === 0, lit("eval")).otherwise(lit("train")))
+      val got = Corpus.splitLeakCount(naive, pairs).collect()(0).getLong(0)
+      val want = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+        .count { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      assert(got == want.toLong, s"docs=$docs")
+    }
+  }
 }
