@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-bound scaling measurement (builder-side; the driver never runs
+  * this). The cross-SF check in SCALE.md is overhead-dominated — sf0.1
+  * is small enough that fixed per-stage costs swamp per-row work — so
+  * this main amplifies the sf0.1 documents corpus ×8 and ×32 by
+  * replication with a deterministic per-replica word perturbation
+  * (every word flips to a replica-salted variant when its
+  * xxhash64(word, rep) lands under p=0.5), which keeps document length,
+  * vocabulary shape, and WITHIN-replica duplicate structure while
+  * killing most cross-replica shingle overlap — rows grow N×, the
+  * near-dup pair structure stays ~N× (not N²×, which naive replication
+  * of identical texts would produce: dup clusters are quadratic in pair
+  * space by definition and 32 verbatim copies of every doc is a
+  * different corpus, not a bigger one).
+  *
+  * Reports per-operator wall seconds at each multiplier (run twice,
+  * second reading reported — first pays codegen/JIT) as one JSON line.
+  * amplify() is materialized (localCheckpoint) before timing so the
+  * measured op never re-pays the amplification.
+  */
+object ScaleSmoke {
+  private def amplify(docs: DataFrame, mult: Int): DataFrame = {
+    val words = split(col("text"), "\\s+")
+    val perturbed = array_join(
+      transform(words, w =>
+        when(pmod(xxhash64(w, col("rep")), lit(10)) < 5,
+          concat(w, lit("_"), col("rep"))).otherwise(w)), " ")
+    docs.crossJoin(
+        docs.sparkSession.range(mult).select(col("id").cast("int").as("rep")))
+      .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("lang"),
+        when(col("rep") === 0 || col("text").isNull, col("text"))
+          .otherwise(perturbed).as("text"))
+  }
+
+  private def time(body: => Long): (Double, Long) = {
+    body // warm: codegen + JIT
+    val t0 = System.nanoTime()
+    val n = body
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 8, 32))
+    import graft.operators.{Corpus, Dedup}
+    import graft.functions.TextFunctions
+    val results = mults.map { m =>
+      val amp = amplify(base, m).localCheckpoint(true)
+      val rows = amp.count()
+      val ops: Seq[(String, () => Long)] = Seq(
+        "exact_dedup" -> (() => Dedup.exact(amp).count()),
+        "minhash_lsh_pairs" -> (() => Dedup.minhashLshPairs(amp).count()),
+        "neardup_clusters" -> (() =>
+          Dedup.nearDupClusters(amp, Dedup.minhashLshPairs(amp)).count()),
+        "span_dedup" -> (() => Dedup.duplicatedSpans(amp).count()),
+        "bpe_encode" -> {
+          val pieces = Corpus.collectPieces(
+            Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
+          // collect the sum, don't count() it: count() would prune the
+          // aggregate away and measure an empty plan
+          () => amp.select(
+            size(TextFunctions.bpeEncode(col("text"), pieces)).as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        },
+        "pack_sequences" -> (() => Corpus.packSequences(
+          amp.select(col("doc_id"), col("lang"),
+            TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
+          "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048).count()),
+        "budget_select" -> (() => Corpus.selectToTokenBudget(
+          amp.select(col("doc_id"),
+            TextFunctions.nTokens(col("text")).cast("long").as("nt"),
+            TextFunctions.nTokens(col("text")).cast("double").as("sc")),
+          col("sc"), "doc_id", col("nt"), rows * 10).count()),
+        "dedup_index_batch" -> (() => Dedup.dedupIndexAddBatch(
+          Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
+          amp.where(col("doc_id") % 2 === 1))._1.count())
+      )
+      val timed = ops.map { case (name, f) =>
+        val (sec, n) = time(f())
+        System.err.println(f"[scale] x$m $name%-18s $sec%7.2f s ($n rows)")
+        name -> sec
+      }
+      (m, rows, timed)
+    }
+    val json = results.map { case (m, rows, timed) =>
+      val qs = timed.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString("{", ",", "}")
+      s"""{"mult":$m,"rows":$rows,"ops":$qs}"""
+    }.mkString("[", ",", "]")
+    println(json)
+    spark.stop()
+  }
+}
