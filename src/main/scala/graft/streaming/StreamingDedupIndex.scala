@@ -160,6 +160,15 @@ object StreamingDedupIndex {
   /** Replay a parquet backlog with AvailableNow, one file per micro-batch
     * by default. After the run, `readState` yields the accepted corpus
     * with each doc's acceptance batch number.
+    *
+    * `prepare` runs on each micro-batch BEFORE the dedup judgment — the
+    * curation hook (scrub → score → gate, all stateless narrow/broadcast
+    * stages) that turns this runner into the full streaming corpus
+    * pipeline: what gets banded, verified, and persisted is the PREPARED
+    * text (the corpus the trainer will see), and a doc the gate drops is
+    * never judged, never a witness. Must be deterministic and
+    * slicing-invariant (per-row, no cross-batch state) — exactly the
+    * q135 stage contract — or replays would not be idempotent.
     */
   def runAvailableNow(
       spark: SparkSession,
@@ -171,11 +180,12 @@ object StreamingDedupIndex {
       maxFilesPerTrigger: Int = 1,
       idCol: String = "doc_id",
       textCol: String = "text",
+      prepare: DataFrame => DataFrame = identity,
   ): Unit = {
     StreamingUpsert.runBatches(spark, sourceDir, schema, checkpointDir,
         maxFilesPerTrigger) { batch =>
       val s = batch.sparkSession
-      val (accL, v) = batchAccepted(s, stateRoot, batch, threshold,
+      val (accL, v) = batchAccepted(s, stateRoot, prepare(batch), threshold,
         idCol, textCol)
       // the accepted set feeds BOTH delta files — materialize once
       val acc = accL.localCheckpoint()

@@ -53,6 +53,26 @@ class StreamingDedupIndexSpec extends SparkSpec {
       == Map(10L -> 1L, 30L -> 1L, 40L -> 2L))
   }
 
+  test("prepare hook: gated docs are never judged, never witnesses; text transformed") {
+    val root = Files.createTempDirectory("graft_sdi_prep_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    import org.apache.spark.sql.functions.{concat, lit}
+    // gate drops doc 10 (the batch-1 dup pair's SURVIVOR under no gate);
+    // the transform stamps every surviving text. With 10 gone, 20 is the
+    // smallest copy of `dup` in batch 1 and must now be ACCEPTED — and 5
+    // must still reject in batch 2 against 20's persisted witness set
+    StreamingDedupIndex.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt",
+      prepare = b => b.where(col("doc_id") =!= 10L)
+        .select(col("doc_id"), concat(lit("curated "), col("text")).as("text")))
+    assert(accepted(s"$root/state") == Map(20L -> 1L, 30L -> 1L, 40L -> 2L))
+    // the persisted state holds the PREPARED text, not the raw source
+    val (acc, _, _) = StreamingDedupIndex.readState(spark, s"$root/state")
+    val texts = acc.select("text").as[String].collect()
+    assert(texts.nonEmpty && texts.forall(_.startsWith("curated ")))
+  }
+
   test("a full backlog replay (fresh checkpoint) adds nothing") {
     val root = Files.createTempDirectory("graft_sdi2_").toString
     val src = writeBacklog(root)
