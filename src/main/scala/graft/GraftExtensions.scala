@@ -21,8 +21,36 @@ import graft.functions.{MinhashSigExpr, NfcNormalizeExpr, RepetitionStatsExpr, S
   * built-in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => BpeCountRewrite)
+  }
+}
+
+/** Rewrite `size(bpe_encode(text, pieces))` to the count-only kernel
+  * ([[graft.functions.BpeCountExpr]]): the packing/budget operators need
+  * token COUNTS, never the id arrays, and the naive spelling allocates
+  * an `array<int>` per document just to take its length. Same greedy
+  * MaxMatch walk, same nullability (`size` returns null on null input
+  * in the non-legacy mode — the only mode rewritten), no allocation.
+  * Injected by [[GraftExtensions]]; also applied by
+  * [[GraftExtensions.install]] through `spark.experimental
+  * .extraOptimizations` for sessions built without extensions.
+  */
+object BpeCountRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Size
+  import graft.functions.{BpeCountExpr, BpeEncodeExpr}
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      // legacy sizeOfNull (size(null) = -1) would change semantics:
+      // BpeCountExpr is null-on-null, so only the modern mode rewrites
+      case Size(enc: BpeEncodeExpr, false) =>
+        BpeCountExpr(enc.child, enc.pieces)
+    }
 }
 
 object GraftExtensions {
@@ -91,11 +119,18 @@ object GraftExtensions {
   }
 
   /** Register on an already-running session (withExtensions only applies
-    * at construction time).
+    * at construction time). Functions go through the registry; the
+    * [[BpeCountRewrite]] optimizer rule rides
+    * `spark.experimental.extraOptimizations`, the post-construction hook
+    * for logical rules.
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.GraftColumnBridge
         .registerFunction(spark, id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(BpeCountRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BpeCountRewrite
+  }
 }

@@ -77,6 +77,15 @@ object ScaleSmoke {
             size(TextFunctions.bpeEncode(col("text"), pieces)).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         },
+        "bpe_count" -> {
+          val pieces = Corpus.collectPieces(
+            Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
+          // the count-only kernel (no id-array allocation) — the form the
+          // packing/budget operators consume
+          () => amp.select(
+            TextFunctions.bpeCount(col("text"), pieces).as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        },
         "pack_sequences" -> (() => Corpus.packSequences(
           amp.select(col("doc_id"), col("lang"),
             TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),

@@ -1484,7 +1484,7 @@ object SparkEntry {
         graft.operators.Corpus.buildPieceVocab(docs, "text",
           minCount = 5, maxSize = 200))
       val withN = docs.select(col("doc_id"), col("lang"),
-        size(graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
+        graft.functions.TextFunctions.bpeCount(col("text"), pieces)
           .cast(LongType).as("__n_tokens"))
       graft.operators.Corpus.packSequences(withN, "lang", "doc_id",
           col("__n_tokens"), tokenBudget = 2048)

@@ -48,6 +48,15 @@ object TextFunctions {
   def bpeEncode(text: Column, pieces: Seq[(String, Int)]): Column =
     TextExpressions.bpeEncode(text, pieces)
 
+  /** `size(bpeEncode(…))` without materializing the id array — the same
+    * greedy MaxMatch walk counting emissions ([[graft.functions
+    * .BpeCountExpr]]). This is the form the packing/budget operators
+    * consume; the `size(bpeEncode(…))` spelling is rewritten to this
+    * node by [[graft.BpeCountRewrite]] when the extensions are installed.
+    */
+  def bpeCount(text: Column, pieces: Seq[(String, Int)]): Column =
+    TextExpressions.bpeCount(text, pieces)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

@@ -409,6 +409,29 @@ final class BpeTrie(pieces: Seq[(String, Int)]) extends Serializable {
       else { out.add(0); p += 1 } // UNK
     }
   }
+
+  /** Number of pieces [[encodeWord]] would emit, without materializing
+    * them — every match and every UNK emits exactly one id, so the count
+    * is the walk alone. The count-only token counter
+    * ([[BpeCountExpr]]) runs on this: packing/budget operators need
+    * `size(bpeEncode(…))`, never the ids.
+    */
+  def countWord(w: String): Int = {
+    var p = 0
+    var cnt = 0
+    while (p < w.length) {
+      var n = root
+      var i = p
+      var bestEnd = -1
+      while (i < w.length && { n = n.child(w.charAt(i)); n != null }) {
+        i += 1
+        if (n.id >= 0) bestEnd = i
+      }
+      cnt += 1
+      p = if (bestEnd >= 0) bestEnd else p + 1
+    }
+    cnt
+  }
 }
 
 /** bpe_encode(text, pieces): array<int> — greedy longest-match subword
@@ -446,6 +469,35 @@ case class BpeEncodeExpr(child: Expression, pieces: Seq[(String, Int)])
     copy(child = c)
 }
 
+/** bpe_count(text, pieces): int — `size(bpe_encode(text, pieces))`
+  * without materializing the id array: the same greedy MaxMatch walk,
+  * counting emissions. This is the form the packing/budget operators
+  * actually consume (they need token COUNTS, never ids);
+  * [[graft.BpeCountRewrite]] rewrites `Size(BpeEncodeExpr(…))` into this
+  * node so even the naive spelling skips the allocation.
+  */
+case class BpeCountExpr(child: Expression, pieces: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  @transient private lazy val trie = new BpeTrie(pieces)
+  def count(t: UTF8String): Int = {
+    val words = TextKernels.tokenize(t)
+    var i = 0
+    var n = 0
+    while (i < words.length) { n += trie.countWord(words(i)); i += 1 }
+    n
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    count(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCnt", this,
+      classOf[BpeCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeCountExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -464,4 +516,7 @@ object TextExpressions {
   def bpeEncode(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeEncodeExpr(GraftColumnBridge.expression(text), pieces))
+  def bpeCount(text: Column, pieces: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeCountExpr(GraftColumnBridge.expression(text), pieces))
 }

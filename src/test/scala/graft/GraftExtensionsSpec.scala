@@ -96,6 +96,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getLong(1) == viaApi.getLong(1))
   }
 
+  test("BpeCountRewrite: size(bpeEncode) optimizes to the count kernel, values equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size => sqlSize}
+    val pieces = Seq("ab" -> 1, "abc" -> 2, "a" -> 3, "b" -> 11, "c" -> 12)
+    // repartition keeps the relation non-local: over a bare Seq the
+    // ConvertToLocalRelation batch folds the whole projection before
+    // the injected rule is observable
+    val docs = Seq((1L, "abc ab ba zx"), (2L, "abab"), (3L, "abca"),
+      (4L, ""), (5L, null: String)).toDF("doc_id", "text").repartition(2)
+    val naive = docs.select(col("doc_id"),
+      sqlSize(graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
+        .as("n"))
+    // install() put the rule on experimental.extraOptimizations: the
+    // optimized plan must carry BpeCountExpr, not Size(BpeEncodeExpr)
+    val optimized = naive.queryExecution.optimizedPlan
+    val exprs = optimized.expressions.flatMap(_.collect {
+      case e: graft.functions.BpeCountExpr => e
+      case e: graft.functions.BpeEncodeExpr => e
+    })
+    assert(exprs.exists(_.isInstanceOf[graft.functions.BpeCountExpr]),
+      s"rewrite did not fire: $optimized")
+    assert(!exprs.exists(_.isInstanceOf[graft.functions.BpeEncodeExpr]),
+      s"encode survived the rewrite: $optimized")
+    // values: rewritten == direct count kernel == hand-computed
+    val got = naive.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else Integer.valueOf(r.getInt(1)))).toMap
+    val direct = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeCount(col("text"), pieces).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else Integer.valueOf(r.getInt(1)))).toMap
+    assert(got == direct)
+    assert(got == Map(1L -> 6, 2L -> 2, 3L -> 2, 4L -> 0, 5L -> null))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('x', 1 + 1, 3)").collect()
