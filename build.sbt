@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, not through sbt's logger:
+// the driver parses Bench's one-line JSON summary from stdout, and the
+// logger's `[info] ` prefix broke that parse three rounds running
+// (BENCH_r08..r10 all came back `"parsed": null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

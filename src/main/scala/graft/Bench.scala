@@ -104,13 +104,22 @@ object Bench {
     // tables + streaming checkpoints go to tmpfs so the ~6 streaming
     // queries' per-micro-batch WAL/commit fsyncs measure memory writes,
     // not disk latency; retain the minimum checkpoint history.
-    if (new java.io.File("/dev/shm").isDirectory) {
+    if (sys.props.get("graft.scratch").isEmpty &&
+        new java.io.File("/dev/shm").isDirectory) {
       // tmpfs is RAM: wipe leftovers from prior runs BEFORE pointing the
       // scratch property at it, else every bench invocation's per-query
       // temp tables + streaming checkpoints accumulate until reboot
+      // (an externally preset -Dgraft.scratch is respected, not clobbered)
       deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
       System.setProperty("graft.scratch", "/dev/shm/graft_bench")
     }
+    // stale-fixture hygiene for NON-default scratch roots (custom
+    // -Dgraft.scratch or the java.io.tmpdir fallback): memoFixture's
+    // cache is per-JVM and always builds into a fresh temp dir, so the
+    // preserved fixtures/ child would accumulate one tree per run
+    // forever. Wipe it ONCE at suite startup — before any query runs —
+    // mirroring the /dev/shm leftover wipe above.
+    SparkEntry.wipeStaleFixtures()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -149,7 +158,7 @@ object Bench {
       }
       r
     }
-    println(renderJson(results, sfDir))
+    val summary = renderJson(results, sfDir)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/bench_last_full.json")
     try {
@@ -159,9 +168,22 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
+    // machine-readable sidecar for the driver (BENCH parse fallback)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+        "/root/repo/bench_summary.json")), (summary + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
       deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
+    // the summary line prints LAST, after spark.stop()'s log chatter, so
+    // it is the final stdout line of the run; build.sbt's StdoutOutput
+    // strategy keeps it free of sbt's `[info] ` prefix — both halves of
+    // the r10 `"parsed": null` fix
+    println(summary)
+    System.out.flush()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

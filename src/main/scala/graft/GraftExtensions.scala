@@ -45,7 +45,10 @@ object BpeCountRewrite
   override def apply(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformAllExpressions {
+    // ...WithSubqueries: the spelling inside a scalar/IN/EXISTS subquery
+    // plan rewrites too (plain transformAllExpressions never descends
+    // into SubqueryExpression plans — a missed optimization, not a bug)
+    plan.transformAllExpressionsWithSubqueries {
       // legacy sizeOfNull (size(null) = -1) would change semantics:
       // BpeCountExpr is null-on-null, so only the modern mode rewrites
       case Size(enc: BpeEncodeExpr, false) =>

@@ -73,9 +73,23 @@ object ScaleSmoke {
             Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
           // collect the sum, don't count() it: count() would prune the
           // aggregate away and measure an empty plan
-          () => amp.select(
-            size(TextFunctions.bpeEncode(col("text"), pieces)).as("n"))
-            .agg(sum("n")).collect()(0).getLong(0)
+          () => {
+            val q = amp.select(
+              size(TextFunctions.bpeEncode(col("text"), pieces)).as("n"))
+              .agg(sum("n"))
+            // getOrCreate() can hand back a pre-existing session with
+            // BpeCountRewrite installed, which would silently rewrite
+            // size(bpe_encode) to the count kernel and time it TWICE;
+            // this measurement exists to compare the two, so refuse to
+            // run if the encode kernel got optimized away
+            val hasEncode = q.queryExecution.optimizedPlan.expressions
+              .exists(_.exists(
+                _.isInstanceOf[graft.functions.BpeEncodeExpr]))
+            require(hasEncode, "bpe_encode plan was rewritten to the " +
+              "count kernel (BpeCountRewrite active in this session) — " +
+              "the encode-vs-count comparison is void; run in a fresh JVM")
+            q.collect()(0).getLong(0)
+          }
         },
         "bpe_count" -> {
           val pieces = Corpus.collectPieces(

@@ -111,14 +111,54 @@ object SparkEntry {
     */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Sibling sentinel written AFTER a fixture build completes: a fixture
+    * at path P is trusted only when `P._GRAFT_OK` also exists, so a
+    * partially deleted tree (external cleaner removing children but not
+    * the root) or a build that died mid-write FAILS revalidation and
+    * rebuilds instead of feeding PATH_NOT_FOUND/corrupt reads to every
+    * downstream query. Sibling (not inside P) so store-format dirs like
+    * VersionedTable roots never see a foreign file.
+    */
+  private def fixtureSentinel(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path + "._GRAFT_OK")
   private def memoFixture(key: String, dir: String)(build: () => String): String =
     fixtureCache.compute(s"$key|$dir", (_, prev) =>
       // revalidate: a memoized path may have been wiped from scratch by
       // an external cleaner — a stale memo then fails every downstream
-      // query with PATH_NOT_FOUND, so rebuild into a fresh dir instead
+      // query with PATH_NOT_FOUND, so rebuild into a fresh dir instead.
+      // The check is on the completion sentinel, not the directory: a
+      // half-deleted or half-built tree must rebuild too.
       if (prev != null &&
+          java.nio.file.Files.exists(fixtureSentinel(prev)) &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
-      else build())
+      else {
+        val built = build()
+        java.nio.file.Files.createFile(fixtureSentinel(built))
+        built
+      })
+
+  /** Startup hygiene for Bench/Verify: delete stale `graft_*` fixture
+    * trees under the effective scratch root's `fixtures/` child. The
+    * per-query wipe preserves that child (cross-query fixtures), and
+    * [[memoFixture]]'s cache is per-JVM, so on a custom `graft.scratch`
+    * or the tmpdir fallback each run would otherwise leak one tree per
+    * fixture forever. Only `graft_`-prefixed children are touched — the
+    * tmpdir fallback may share `fixtures/` with unrelated software.
+    */
+  private[graft] def wipeStaleFixtures(): Unit = {
+    val base = sys.props.get("graft.scratch")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .resolve("fixtures")
+    if (java.nio.file.Files.isDirectory(base)) {
+      val ls = java.nio.file.Files.list(base)
+      try ls.forEach { p =>
+        if (p.getFileName.toString.startsWith("graft_"))
+          graft.store.UpsertWriter.deleteRecursively(p)
+      } finally ls.close()
+    }
+  }
 
   /** Scratch allocator for [[memoFixture]] trees: under the `fixtures/`
     * child of the scratch root, which `Bench`'s per-query wipe PRESERVES.

@@ -62,6 +62,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // drop stale fixture trees from prior runs (memoFixture's cache is
+    // per-JVM; without this, the tmpdir-fallback scratch accumulates one
+    // tree per verify run forever)
+    SparkEntry.wipeStaleFixtures()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
