@@ -1533,6 +1533,17 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // BPE merge LEARNING (Sennrich '16 learn_bpe, k-bounded): 16 rounds
+    // of pair-count → top-pair → greedy merge over the word-frequency
+    // dict; the twin unrolls the same 16 iterations as chained CTEs over
+    // sentinel-wrapped symbol strings (replace() is exactly the greedy
+    // left-to-right non-overlapping merge). Deterministic by the total
+    // tie-break (count DESC, lhs, rhs) on both engines.
+    "q142_bpe_learn" -> ((s, dir) =>
+      graft.operators.Corpus.learnBpeMerges(
+          t(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("merge_rank")),
+
     // split-leakage audit: the q107 cluster-granularity split leaks ZERO
     // near-dup pairs across the train/eval boundary (structural — the
     // split is constant per connected component), while a per-document
@@ -3075,6 +3086,49 @@ object SparkEntry {
          |  FROM toks t JOIN wp ON wp.tok = t.tok
          |  GROUP BY t.doc_id)""".stripMargin
 
+    // q142: the same 16 learn-BPE iterations the Spark side runs,
+    // UNROLLED as chained CTE stages (k is a bounded constant, so the
+    // loop unrolls at SQL-generation time). Symbols ride sentinel-
+    // wrapped strings — ESC||sym||FS per symbol — so adjacent pair
+    // occurrences share no characters and DuckDB's left-to-right
+    // non-overlapping replace() IS the greedy BPE merge; a merged
+    // symbol is strictly longer than its left half, so no within-pass
+    // cascade on either engine.
+    val bpeLearnOracle: String = {
+      val k = 16
+      val wrapInit = "regexp_replace(word, '(.)', e'\\x1b\\\\1\\x1c', 'g')"
+      val unwrapRe = "regexp_extract_all(syms, e'\\x1b([^\\x1c]*)\\x1c', 1)"
+      // every stage is AS MATERIALIZED: each blw/blt is referenced
+      // twice downstream, and DuckDB inlines non-materialized CTEs —
+      // a k-deep chain would otherwise expand to 2^k scans
+      val stages = (0 until k).map { i =>
+        s"""blp$i AS MATERIALIZED (SELECT a[u] AS lhs, a[u + 1] AS rhs, cnt FROM
+           |  (SELECT cnt, a, unnest(range(1, len(a))) AS u FROM
+           |    (SELECT cnt, $unwrapRe AS a FROM blw$i))),
+           |blt$i AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM blp$i GROUP BY 1, 2
+           |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+           |blw${i + 1} AS MATERIALIZED (SELECT w.cnt,
+           |  replace(w.syms,
+           |    e'\\x1b' || t.lhs || e'\\x1c\\x1b' || t.rhs || e'\\x1c',
+           |    e'\\x1b' || t.lhs || t.rhs || e'\\x1c') AS syms
+           |  FROM blw$i w CROSS JOIN blt$i t)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (0 until k).map { i =>
+        s"""SELECT CAST(${i + 1} AS INTEGER) AS merge_rank, lhs, rhs,
+           |  lhs || rhs AS merged, c AS pair_count FROM blt$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH blwc AS MATERIALIZED (SELECT token AS word,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |  GROUP BY 1),
+         |blw0 AS MATERIALIZED (SELECT cnt, $wrapInit AS syms
+         |  FROM blwc WHERE length(word) >= 2),
+         |$stages
+         |$ranks
+         |ORDER BY merge_rank""".stripMargin
+    }
+
     val dedupIndexOracle: String =
       s"""$dedupIndexCtes
          |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM acc1
@@ -3854,6 +3908,8 @@ object SparkEntry {
            |SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
            |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+      "q142_bpe_learn" -> bpeLearnOracle,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

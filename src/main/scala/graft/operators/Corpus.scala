@@ -342,6 +342,94 @@ object Corpus {
     rows.toSeq.map(r => (r.getString(0), r.getInt(1)))
   }
 
+  /** Bounded-iteration BPE merge LEARNING (Sennrich et al., ACL'16,
+    * `learn_bpe`): k rounds of count-pairs → pick-top → merge, run as
+    * Spark aggregates over the word-frequency DICTIONARY — BPE
+    * training's working set is distinct words × counts, never the
+    * corpus, so after the one corpus-wide word count every iteration
+    * touches only dict-sized state (and the state SHRINKS: a word
+    * reduced to one symbol can never pair again and is dropped).
+    *
+    * Per iteration: (1) adjacent symbol pairs explode from the symbol
+    * arrays (every adjacent position counts, overlapping included —
+    * Sennrich's `get_stats` convention), (2) a map-side-combined
+    * groupBy sums counts, (3) TakeOrdered(1) under the TOTAL order
+    * (count DESC, lhs ASC, rhs ASC — deterministic across engines)
+    * collects the winning pair (one 3-field row: model metadata), and
+    * (4) a fold-left `aggregate` HOF applies the merge greedily
+    * left-to-right non-overlapping (a merged symbol is strictly longer
+    * than its left half, so it can never cascade within the pass —
+    * byte-equal to string `replace` over sentinel-wrapped symbols,
+    * which is what the DuckDB twin does). `localCheckpoint` after each
+    * apply truncates the k-deep HOF lineage; the checkpointed frame is
+    * dict-sized.
+    *
+    * Cost model: one corpus scan + k × (dict-sized narrow pass +
+    * pair-agg shuffle + 1-row collect). k is bounded (≤ 4096) and the
+    * per-iteration shuffle is O(distinct adjacent pairs) ≤ O(dict ×
+    * avg word length) — at 100 TB the dict is millions of rows against
+    * billions of docs, so iterations are metadata-scale next to the
+    * initial count. Stops early when no pair reaches `minPairCount`.
+    *
+    * Returns the merge table: (merge_rank int, lhs, rhs,
+    * merged = lhs||rhs, pair_count long) — apply it by feeding
+    * `initial alphabet + merged pieces` to the
+    * [[graft.functions.BpeEncodeExpr]] trie (WordPiece-style greedy
+    * inference over a learned-BPE vocabulary).
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1, 4096], got $numMerges — the driver " +
+        "loop is k-bounded by design")
+    val spark = docs.sparkSession
+    val dict = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var state = dict
+      .select(col("cnt"),
+        filter(split(col("word"), ""), c => c =!= "").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = state
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("lhs"),
+            element_at(col("syms"), j + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("c"))
+        .where(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i + 1, l, r, c))
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        state = state.select(col("cnt"), applied.as("syms"))
+          .where(size(col("syms")) >= 2)
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"),
+        col("pair_count").cast("long").as("pair_count"))
+  }
+
   /** Token-budget sequence packing: within each shard (e.g. language),
     * docs are laid out in deterministic id order and cut into packs of at
     * most `tokenBudget` tokens by cumulative offset — pack_id =

@@ -386,4 +386,77 @@ class CorpusSpec extends SparkSpec {
       ("en", 1L, 1L, 3L, "d d d"),
       ("fr", 0L, 1L, 1L, "x")))
   }
+
+  test("learnBpeMerges matches the hand-trained Sennrich toy corpus") {
+    // the ACL'16 example dictionary: low×5 lower×2 newest×6 widest×3.
+    // Hand-run of count→top→merge under the (count DESC, lhs, rhs)
+    // tie-break:
+    //   1. (e,s)=9 ties (s,t)=9, lhs 'e' wins        → es
+    //   2. (es,t)=9                                  → est
+    //   3. (l,o)=7 ties (o,w)=7, lhs 'l' wins        → lo
+    //   4. (lo,w)=7                                  → low
+    //   5. (e,w)=6 ties (n,e),(w,est), lhs 'e' wins  → ew
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Corpus.learnBpeMerges(docs, "text", numMerges = 5)
+      .orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L)))
+    // slicing invariance: the dictionary aggregation makes the result
+    // independent of how docs are partitioned
+    val got7 = Corpus.learnBpeMerges(docs.repartition(7), "text", 5)
+      .orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got7 == got)
+  }
+
+  test("learned merges apply through the q137 trie (alphabet + merged pieces)") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merged = Corpus.learnBpeMerges(docs, "text", numMerges = 5)
+      .select("merged").as[String].collect().toSeq
+    // deployment vocabulary: corpus alphabet as fallback + the learned
+    // merge products; greedy longest-match inference (WordPiece MaxMatch
+    // over a learned-BPE vocabulary)
+    val alphabet = words.flatMap(_.toSeq).distinct.sorted.map(_.toString)
+    val pieces = (alphabet ++ merged).zipWithIndex
+      .map { case (p, i) => (p, i + 1) }
+    val id2piece = pieces.map(_.swap).toMap
+    val enc = docs.limit(0).sparkSession.createDataFrame(Seq(
+        Tuple1("newest"), Tuple1("lowest"), Tuple1("wider")))
+      .toDF("text")
+      .select(graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+        .as("ids"))
+      .as[Seq[Int]].collect().toSeq
+      .map(_.map(id2piece))
+    // newest = n + ew + est (exactly the hand-trained BPE segmentation);
+    // lowest reuses low + est on a word the training never saw whole;
+    // wider falls back through w,i,d + e,r singles
+    assert(enc == Seq(
+      Seq("n", "ew", "est"),
+      Seq("low", "est"),
+      Seq("w", "i", "d", "e", "r")))
+  }
+
+  test("learnBpeMerges stops early when no pair meets minPairCount") {
+    val docs = Seq((0L, "ab cd ab")).toDF("doc_id", "text")
+    val got = Corpus.learnBpeMerges(docs, "text", numMerges = 10,
+        minPairCount = 2L)
+      .select("merge_rank", "merged", "pair_count")
+      .as[(Int, String, Long)].collect().toSeq
+    // only (a,b)=2 reaches the floor; after that merge every surviving
+    // pair counts 1 and the loop stops at rank 1 of 10
+    assert(got == Seq((1, "ab", 2L)))
+  }
 }
