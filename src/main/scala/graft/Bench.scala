@@ -128,6 +128,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session surface as Verify: SQL kernels + the
+    // size(bpe_encode)->count rewrite (ScaleSmoke deliberately does NOT
+    // install it — its encode-vs-count comparison asserts the naive
+    // plan survived)
+    GraftExtensions.install(spark)
     // per-query scratch wipe (default ON): each query's temp tables and
     // streaming checkpoints are ephemeral, so wiping between queries
     // bounds the checkpoint/state dirs a long suite accumulates on the

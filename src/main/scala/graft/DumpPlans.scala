@@ -65,7 +65,9 @@ object DumpPlans {
       "q139_bpe_pack" ->
         "tokenizer x packing: count-only BPE kernel projection (no id-array allocation) feeding the range-shuffle prefix-sum packer — no Window, no data-sized sort",
       "q140_stream_curate_dedup" ->
-        "composed curation->dedup micro-batch shape: stateless narrow scrub + 1-row broadcast score IN FRONT of the band-key equi-join + hash-set verify — no new exchange or state vs the bare index add")
+        "composed curation->dedup micro-batch shape: stateless narrow scrub + 1-row broadcast score IN FRONT of the band-key equi-join + hash-set verify — no new exchange or state vs the bare index add",
+      "q141_corpus_to_packs" ->
+        "corpus->tokens->packs back half over the accepted curated corpus (front half = q140's pinned shape): vocab-build aggregation + count-kernel narrow projection + range-shuffle prefix-sum packer + pack materialization — no Window, no new shuffle class")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty
@@ -100,6 +102,36 @@ object DumpPlans {
           .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
             md5(col("text")).as("redacted_md5"),
             col("margin").cast("long").as("margin"), col("quality_pred"))
+      } else if (q == "q141_corpus_to_packs") {
+        // front half = q140's pinned micro-batch shape; plan the BACK
+        // half over a batch-identical accepted stand-in: piece-vocab
+        // build + count-kernel projection + prefix-sum packer + pack
+        // materialization (the registered query materializes the
+        // stream, so its own plan is just an output scan)
+        import org.apache.spark.sql.functions.{col, md5}
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "lang", "text")
+        val model = graft.operators.Classify.centroidModel(
+          docs.where(col("doc_id") % 5 =!= 0), col("lang") === "en")
+          .localCheckpoint()
+        val curated = graft.operators.Classify.scoreByModel(
+            graft.operators.Scrub.redactPii(docs.select("doc_id", "text"))
+              .drop("text").withColumnRenamed("redacted", "text"), model)
+          .where(col("quality_pred")).select("doc_id", "text")
+          .localCheckpoint()
+        val corpus = curated.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        val pieces = graft.operators.Corpus.collectPieces(
+          graft.operators.Corpus.buildPieceVocab(corpus, "text",
+            minCount = 5, maxSize = 200))
+        val withN = corpus.select(col("doc_id"), col("lang"), col("text"),
+          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+            .cast("long").as("__n_tokens"))
+        val packed = graft.operators.Corpus.packSequences(withN, "lang",
+          "doc_id", col("__n_tokens"), tokenBudget = 2048)
+        graft.operators.Corpus.materializePacks(packed, "lang", "doc_id",
+            "text")
+          .select(col("lang"), col("pack_id"), col("n_docs"),
+            col("pack_tokens"), md5(col("pack_text")).as("pack_md5"))
       } else if (q == "q140_stream_curate_dedup") {
         // like q135: the registered query materializes the stream and
         // returns a scan of its output — plan the batch-identical

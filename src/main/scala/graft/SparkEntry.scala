@@ -581,6 +581,75 @@ object SparkEntry {
     Models.fctPrices(fx, st).orderBy("symbol", "date_stamp")
   }
 
+  /** q140/q141 shared front half: stream two curated micro-batches
+    * through the dedup index — q135's deterministic PII salt on the
+    * corpus, scrub + broadcast-model scoring composed as the stateless
+    * per-row `prepare` hook IN FRONT of the stateful hash-set index —
+    * and return (accepted state, model). Fresh scratch per call; the
+    * accepted frame carries (doc_id, batch, text) with text already
+    * curated (scrubbed, quality-gated).
+    */
+  private def streamCurateDedupAccepted(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val root = scratch("graft_scd_")
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val model = graft.operators.Classify.centroidModel(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("lang") === "en").localCheckpoint()
+    // q135's deterministic PII salt
+    val salted = docs.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" at 10."),
+          pmod(col("doc_id"), lit(200)).cast(StringType),
+          lit(".0.1"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" call +1 555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
+        .otherwise(lit(""))))
+      .select("doc_id", "text")
+    val src = java.nio.file.Paths.get(s"$root/src")
+    java.nio.file.Files.createDirectories(src)
+    salted.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(s"$root/b1")
+    salted.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+      .write.parquet(s"$root/b2")
+    def firstPart(d: String): java.nio.file.Path = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    }
+    val f1 = src.resolve("a_even.parquet")
+    val f2 = src.resolve("b_odd.parquet")
+    java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
+    java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
+    java.nio.file.Files.setLastModifiedTime(f1,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(f2,
+      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+    val schema = s.read.parquet(s"$root/b1").schema
+    // the per-batch curation: scrub, score the SCRUBBED text, keep
+    // quality_pred — per-row and deterministic (the prepare contract)
+    def curate(batch: DataFrame): DataFrame = {
+      val scrubbed = graft.operators.Scrub.redactPii(batch, "text")
+        .drop("text").withColumnRenamed("redacted", "text")
+      graft.operators.Classify.scoreByModel(scrubbed, model, "text")
+        .where(col("quality_pred"))
+        .select("doc_id", "text")
+    }
+    withShufflePartitions(s, 2) {
+      graft.streaming.StreamingDedupIndex.runAvailableNow(
+        s, src.toString, schema, s"$root/state", s"$root/ckpt",
+        prepare = curate)
+    }
+    val (accepted, _, _) =
+      graft.streaming.StreamingDedupIndex.readState(s, s"$root/state")
+    (accepted, model)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1390,62 +1459,7 @@ object SparkEntry {
     // and a gate-dropped doc is never judged nor a witness. One oracle
     // replays scrub + model + gate + the two-batch dedup policy
     "q140_stream_curate_dedup" -> ((s, dir) => {
-      val root = scratch("graft_scd_")
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val model = graft.operators.Classify.centroidModel(
-        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
-        col("lang") === "en").localCheckpoint()
-      // q135's deterministic PII salt
-      val salted = docs.withColumn("text", concat(col("text"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit(" contact user"), col("doc_id").cast(StringType),
-            lit("@mail.example.com"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(lit(" at 10."),
-            pmod(col("doc_id"), lit(200)).cast(StringType),
-            lit(".0.1"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(lit(" call +1 555-01"),
-            lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
-          .otherwise(lit(""))))
-        .select("doc_id", "text")
-      val src = java.nio.file.Paths.get(s"$root/src")
-      java.nio.file.Files.createDirectories(src)
-      salted.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
-        .write.parquet(s"$root/b1")
-      salted.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
-        .write.parquet(s"$root/b2")
-      def firstPart(d: String): java.nio.file.Path = {
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
-        try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.toString.endsWith(".parquet")).findFirst.get
-        finally ls.close()
-      }
-      val f1 = src.resolve("a_even.parquet")
-      val f2 = src.resolve("b_odd.parquet")
-      java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
-      java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
-      java.nio.file.Files.setLastModifiedTime(f1,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-      java.nio.file.Files.setLastModifiedTime(f2,
-        java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
-      val schema = s.read.parquet(s"$root/b1").schema
-      // the per-batch curation: scrub, score the SCRUBBED text, keep
-      // quality_pred — per-row and deterministic (the prepare contract)
-      def curate(batch: DataFrame): DataFrame = {
-        val scrubbed = graft.operators.Scrub.redactPii(batch, "text")
-          .drop("text").withColumnRenamed("redacted", "text")
-        graft.operators.Classify.scoreByModel(scrubbed, model, "text")
-          .where(col("quality_pred"))
-          .select("doc_id", "text")
-      }
-      withShufflePartitions(s, 2) {
-        graft.streaming.StreamingDedupIndex.runAvailableNow(
-          s, src.toString, schema, s"$root/state", s"$root/ckpt",
-          prepare = curate)
-      }
-      val (accepted, _, _) =
-        graft.streaming.StreamingDedupIndex.readState(s, s"$root/state")
+      val (accepted, model) = streamCurateDedupAccepted(s, dir)
       // margin re-derived by scoring the persisted curated text with the
       // same model — deterministic, equals the gate-time margin
       graft.operators.Classify.scoreByModel(accepted, model, "text")
@@ -1453,6 +1467,33 @@ object SparkEntry {
           md5(col("text")).as("redacted_md5"),
           col("margin").cast(LongType).as("margin"))
         .orderBy("doc_id")
+    }),
+
+    // the full training-data pipeline, end to end under ONE oracle:
+    // q140's streamed curation→dedup front half (scrub + broadcast
+    // model gate composed in front of the stateful hash-set index),
+    // then the tokenizer × packing back half over the ACCEPTED curated
+    // corpus — piece vocab learned on the survivors, count-only BPE
+    // kernel for real token counts, range-shuffle prefix-sum packing,
+    // pack materialization. No new shuffle beyond the components'
+    // pinned shapes (q135 + q129 + q137 + q139/q123).
+    "q141_corpus_to_packs" -> ((s, dir) => {
+      val (accepted, _) = streamCurateDedupAccepted(s, dir)
+      val corpus = accepted.select("doc_id", "text")
+        .join(t(s, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(corpus, "text",
+          minCount = 5, maxSize = 200))
+      val withN = corpus.select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+          .cast(LongType).as("__n_tokens"))
+      val packed = graft.operators.Corpus.packSequences(withN, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializePacks(packed, "lang", "doc_id",
+          "text")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), md5(col("pack_text")).as("pack_md5"))
+        .orderBy("lang", "pack_id")
     }),
 
     // dedup-index unlearning: erase accepted docs (id%11=0) from the
@@ -3032,21 +3073,19 @@ object SparkEntry {
          |  AND doc_id NOT IN (SELECT bid FROM rej2))""".stripMargin
     }
 
-    // CTE block shared by q137/q139: the salted corpus, the piece vocab
-    // (frequent words + char alphabet, min-id on collisions), relational
-    // best-match lengths, the greedy MaxMatch walk as a recursive CTE,
-    // and per-doc piece counts/digests in `seq`
-    val bpeSeqCtes: String =
-      s"""docs2 AS (SELECT doc_id,
-         |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
-         |      AS text FROM documents),
-         |ta AS (SELECT doc_id, $toksSql AS arr FROM docs2),
+    // Parameterized BPE block (q137/q139/q141): over a source CTE
+    // exposing (doc_id, text), emits the piece vocab (frequent words +
+    // char alphabet, min-id on collisions), relational best-match
+    // lengths, the greedy MaxMatch walk as a recursive CTE, and
+    // per-doc piece counts/digests in `seq`
+    def bpePieceCtes(srcCte: String): String =
+      s"""ta AS (SELECT doc_id, $toksSql AS arr FROM $srcCte),
          |toks AS (SELECT doc_id, unnest(arr) AS tok,
          |    unnest(range(1, len(arr) + 1)) AS ord
          |  FROM ta WHERE len(arr) > 0),
          |words AS (SELECT DISTINCT tok FROM toks),
-         |tk AS (SELECT unnest($toksSql) AS token FROM docs2),
-         |wv0 AS (SELECT token, count(*) AS cnt FROM tk
+         |bptk AS (SELECT unnest($toksSql) AS token FROM $srcCte),
+         |wv0 AS (SELECT token, count(*) AS cnt FROM bptk
          |  GROUP BY token HAVING count(*) >= 5
          |  ORDER BY cnt DESC, token LIMIT 200),
          |wv AS (SELECT token AS piece,
@@ -3085,6 +3124,13 @@ object SparkEntry {
          |      ORDER BY t.ord, wp.step)) AS ids_md5
          |  FROM toks t JOIN wp ON wp.tok = t.tok
          |  GROUP BY t.doc_id)""".stripMargin
+
+    // q137/q139's instantiation: the compound-salted corpus
+    val bpeSeqCtes: String =
+      s"""docs2 AS (SELECT doc_id,
+         |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+         |      AS text FROM documents),
+         |${bpePieceCtes("docs2")}""".stripMargin
 
     // q142: the same 16 learn-BPE iterations the Spark side runs,
     // UNROLLED as chained CTE stages (k is a bounded constant, so the
@@ -3170,6 +3216,104 @@ object SparkEntry {
          |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
          |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
          |  FROM bits)""".stripMargin
+    }
+
+    // q135's scrub + model + gate, then the q128/q129 two-batch dedup
+    // policy over the GATED SCRUBBED corpus — the full streaming
+    // pipeline's batch-equivalent replay. CTE chain through gacc2;
+    // shared by q140 (accept list + margins) and q141 (the packs
+    // pipeline over the accepted corpus).
+    val streamCurateCtes: String = {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
+      val toksOfSc =
+        "list_filter(string_split_regex(sc, '\\s+'), t -> strlen(t) > 0)"
+      val marginSql =
+        "n.nneg * coalesce(dd.dp, 0) - n.npos * coalesce(dd.dn, 0)"
+      val gBandKeys = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, CAST(gmh${2 * b} AS VARCHAR) || '_' " +
+          s"|| CAST(gmh${2 * b + 1} AS VARCHAR) AS key FROM gsig"
+      }.mkString(" UNION ALL ")
+      val gMhTerms = Dedup.minhashCoeffs(8).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"min((hv * $a + $b) % ${Dedup.MinhashP}) AS gmh$i"
+      }.mkString(", ")
+      s"""pii AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+         |      '@mail.example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || (doc_id % 200) ||
+         |      '.0.1' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-01' ||
+         |      lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END AS t
+         |  FROM documents),
+         |sA AS (SELECT doc_id,
+         |    regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM pii),
+         |sB AS (SELECT doc_id,
+         |    regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2 FROM sA),
+         |scr AS (SELECT doc_id,
+         |    regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS sc FROM sB),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |t2d AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |hh AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2d),
+         |v AS (SELECT doc_id, hv % 64 AS bucket,
+         |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS v
+         |  FROM hh GROUP BY 1, 2),
+         |seed AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |smod AS (SELECT bucket,
+         |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
+         |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
+         |  FROM v JOIN seed USING (doc_id) GROUP BY 1),
+         |n AS (SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+         |    SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg
+         |  FROM seed),
+         |tksc AS (SELECT doc_id, $toksOfSc AS toks FROM scr
+         |  WHERE sc IS NOT NULL),
+         |t2s AS (SELECT doc_id, unnest(toks) AS tok FROM tksc),
+         |hs AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2s),
+         |vs AS (SELECT doc_id, hv % 64 AS bucket,
+         |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS v
+         |  FROM hs GROUP BY 1, 2),
+         |dd AS (SELECT vs.doc_id, SUM(vs.v * smod.sp) AS dp,
+         |    SUM(vs.v * smod.sn) AS dn
+         |  FROM vs JOIN smod USING (bucket) GROUP BY 1),
+         |gated AS (SELECT scr.doc_id, scr.sc AS text,
+         |    CAST($marginSql AS BIGINT) AS margin
+         |  FROM scr CROSS JOIN n
+         |  LEFT JOIN dd ON dd.doc_id = scr.doc_id
+         |  WHERE scr.sc IS NOT NULL AND $marginSql > 0),
+         |gtk AS (SELECT doc_id, $toksSql AS tk FROM gated),
+         |gsh AS (SELECT doc_id,
+         |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM gtk),
+         |gh AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM gsh),
+         |gsig AS (SELECT doc_id, $gMhTerms FROM gh GROUP BY doc_id),
+         |gband AS ($gBandKeys),
+         |gsz AS (SELECT doc_id, count(*) AS sz FROM gsh GROUP BY 1),
+         |gcand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+         |  FROM gband a JOIN gband b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+         |ginter AS (SELECT c.aid, c.bid, count(*) AS cnt
+         |  FROM gcand c
+         |  JOIN gsh x ON x.doc_id = c.aid
+         |  JOIN gsh y ON y.doc_id = c.bid AND y.s = x.s
+         |  GROUP BY 1, 2),
+         |gver AS (SELECT i.aid, i.bid FROM ginter i
+         |  JOIN gsz sa ON sa.doc_id = i.aid
+         |  JOIN gsz sb ON sb.doc_id = i.bid
+         |  WHERE i.cnt::DOUBLE >= 0.3 * (sa.sz + sb.sz - i.cnt)),
+         |grej1 AS (SELECT DISTINCT bid FROM gver
+         |  WHERE bid % 2 = 0 AND aid % 2 = 0 AND aid < bid),
+         |gacc1 AS (SELECT doc_id FROM gated WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT bid FROM grej1)),
+         |grej2 AS (SELECT DISTINCT bid FROM gver WHERE bid % 2 = 1
+         |  AND (aid IN (SELECT doc_id FROM gacc1)
+         |       OR (aid % 2 = 1 AND aid < bid))),
+         |gacc2 AS (SELECT doc_id FROM gated WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT bid FROM grej2))""".stripMargin
     }
 
     Map(
@@ -4149,108 +4293,46 @@ object SparkEntry {
            |ORDER BY scr.doc_id""".stripMargin
       },
 
-      // q135's scrub + model + gate, then the q128/q129 two-batch dedup
-      // policy over the GATED SCRUBBED corpus — the full streaming
-      // pipeline's batch-equivalent replay
-      "q140_stream_curate_dedup" -> {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-        val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
-        val toksOfSc =
-          "list_filter(string_split_regex(sc, '\\s+'), t -> strlen(t) > 0)"
-        val marginSql =
-          "n.nneg * coalesce(dd.dp, 0) - n.npos * coalesce(dd.dn, 0)"
-        val gBandKeys = (0 until 4).map { b =>
-          s"SELECT doc_id, $b AS band, CAST(gmh${2 * b} AS VARCHAR) || '_' " +
-            s"|| CAST(gmh${2 * b + 1} AS VARCHAR) AS key FROM gsig"
-        }.mkString(" UNION ALL ")
-        val gMhTerms = Dedup.minhashCoeffs(8).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"min((hv * $a + $b) % ${Dedup.MinhashP}) AS gmh$i"
-        }.mkString(", ")
-        s"""WITH pii AS (SELECT doc_id, text ||
-           |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
-           |      '@mail.example.com' ELSE '' END ||
-           |    CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || (doc_id % 200) ||
-           |      '.0.1' ELSE '' END ||
-           |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-01' ||
-           |      lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END AS t
-           |  FROM documents),
-           |sA AS (SELECT doc_id,
-           |    regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM pii),
-           |sB AS (SELECT doc_id,
-           |    regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2 FROM sA),
-           |scr AS (SELECT doc_id,
-           |    regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS sc FROM sB),
-           |tk AS (SELECT doc_id, $toksSql AS toks FROM documents
-           |  WHERE text IS NOT NULL),
-           |t2d AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-           |hh AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2d),
-           |v AS (SELECT doc_id, hv % 64 AS bucket,
-           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
-           |    AS BIGINT) AS v
-           |  FROM hh GROUP BY 1, 2),
-           |seed AS (SELECT doc_id, (lang = 'en') AS lab FROM documents
-           |  WHERE doc_id % 5 <> 0),
-           |smod AS (SELECT bucket,
-           |    SUM(CASE WHEN lab THEN v ELSE 0 END) AS sp,
-           |    SUM(CASE WHEN NOT lab THEN v ELSE 0 END) AS sn
-           |  FROM v JOIN seed USING (doc_id) GROUP BY 1),
-           |n AS (SELECT SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
-           |    SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg
-           |  FROM seed),
-           |tksc AS (SELECT doc_id, $toksOfSc AS toks FROM scr
-           |  WHERE sc IS NOT NULL),
-           |t2s AS (SELECT doc_id, unnest(toks) AS tok FROM tksc),
-           |hs AS (SELECT doc_id, ${pHashSql("tok")} AS hv FROM t2s),
-           |vs AS (SELECT doc_id, hv % 64 AS bucket,
-           |  CAST(SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END)
-           |    AS BIGINT) AS v
-           |  FROM hs GROUP BY 1, 2),
-           |dd AS (SELECT vs.doc_id, SUM(vs.v * smod.sp) AS dp,
-           |    SUM(vs.v * smod.sn) AS dn
-           |  FROM vs JOIN smod USING (bucket) GROUP BY 1),
-           |gated AS (SELECT scr.doc_id, scr.sc AS text,
-           |    CAST($marginSql AS BIGINT) AS margin
-           |  FROM scr CROSS JOIN n
-           |  LEFT JOIN dd ON dd.doc_id = scr.doc_id
-           |  WHERE scr.sc IS NOT NULL AND $marginSql > 0),
-           |gtk AS (SELECT doc_id, $toksSql AS tk FROM gated),
-           |gsh AS (SELECT doc_id,
-           |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM gtk),
-           |gh AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM gsh),
-           |gsig AS (SELECT doc_id, $gMhTerms FROM gh GROUP BY doc_id),
-           |gband AS ($gBandKeys),
-           |gsz AS (SELECT doc_id, count(*) AS sz FROM gsh GROUP BY 1),
-           |gcand AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
-           |  FROM gband a JOIN gband b
-           |  ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
-           |ginter AS (SELECT c.aid, c.bid, count(*) AS cnt
-           |  FROM gcand c
-           |  JOIN gsh x ON x.doc_id = c.aid
-           |  JOIN gsh y ON y.doc_id = c.bid AND y.s = x.s
-           |  GROUP BY 1, 2),
-           |gver AS (SELECT i.aid, i.bid FROM ginter i
-           |  JOIN gsz sa ON sa.doc_id = i.aid
-           |  JOIN gsz sb ON sb.doc_id = i.bid
-           |  WHERE i.cnt::DOUBLE >= 0.3 * (sa.sz + sb.sz - i.cnt)),
-           |grej1 AS (SELECT DISTINCT bid FROM gver
-           |  WHERE bid % 2 = 0 AND aid % 2 = 0 AND aid < bid),
-           |gacc1 AS (SELECT doc_id FROM gated WHERE doc_id % 2 = 0
-           |  AND doc_id NOT IN (SELECT bid FROM grej1)),
-           |grej2 AS (SELECT DISTINCT bid FROM gver WHERE bid % 2 = 1
-           |  AND (aid IN (SELECT doc_id FROM gacc1)
-           |       OR (aid % 2 = 1 AND aid < bid))),
-           |gacc2 AS (SELECT doc_id FROM gated WHERE doc_id % 2 = 1
-           |  AND doc_id NOT IN (SELECT bid FROM grej2))
+      // q135's scrub + model + gate, then the q128/q129 two-batch
+      // dedup policy over the GATED SCRUBBED corpus — the full
+      // streaming pipeline's batch-equivalent replay
+      "q140_stream_curate_dedup" ->
+        s"""WITH $streamCurateCtes
            |SELECT g.doc_id, b.batch, md5(g.text) AS redacted_md5, g.margin
            |FROM gated g JOIN (
            |  SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM gacc1
            |  UNION ALL
            |  SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM gacc2) b
            |  USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
-      },
+           |ORDER BY doc_id""".stripMargin,
+
+      // the capstone composition: q140's accepted curated corpus fed
+      // through the piece-vocab + greedy-walk block (learned on the
+      // SURVIVORS) and the q123 pack arithmetic — the whole
+      // corpus→tokens→packs pipeline under one oracle
+      "q141_corpus_to_packs" ->
+        s"""WITH RECURSIVE
+           |$streamCurateCtes,
+           |acc AS (SELECT g.doc_id, g.text FROM gated g
+           |  JOIN (SELECT doc_id FROM gacc1
+           |        UNION ALL SELECT doc_id FROM gacc2) b USING (doc_id)),
+           |corp AS (SELECT a.doc_id, d.lang, a.text
+           |  FROM acc a JOIN documents d USING (doc_id)),
+           |${bpePieceCtes("corp")},
+           |nt2 AS (SELECT c2.doc_id, c2.lang, c2.text,
+           |    COALESCE(s2.n_pieces, 0) AS n_tokens
+           |  FROM corp c2 LEFT JOIN seq s2 USING (doc_id)),
+           |cc AS (SELECT doc_id, lang, text, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM nt2),
+           |pk AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, text, n_tokens FROM cc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS pack_md5
+           |FROM pk GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

@@ -73,6 +73,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness sessions carry the full graft surface: SQL-registered
+    // kernels plus the size(bpe_encode)->count rewrite, so any query
+    // spelling the naive form gets the allocation-free kernel
+    GraftExtensions.install(spark)
     val errors = dumpQueries(spark, sfDir, outDir,
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) })

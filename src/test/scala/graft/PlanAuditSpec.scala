@@ -536,4 +536,34 @@ class PlanAuditSpec extends SparkSpec {
       col("n_chars").cast("double"), "doc_id", col("n_chars"), 5000L))
     assert(!p.contains("Window"), s"global-sort window crept back:\n$p")
   }
+
+  test("harness-wired session rewrites size(bpe_encode) to the count kernel") {
+    // newSession + install = exactly what Verify/Bench main do; the
+    // shared test session stays rule-free so kernel-semantics suites
+    // keep observing the un-rewritten plans
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val pieces = Seq("ab" -> 1, "a" -> 2, "b" -> 3)
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val naive = docs.select(
+      size(graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
+        .as("n"))
+    val opt = naive.queryExecution.optimizedPlan
+    assert(opt.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.BpeCountExpr])),
+      s"BpeCountRewrite did not fire on the harness-wired session:\n$opt")
+    assert(!opt.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.BpeEncodeExpr])),
+      s"encode expression survived the rewrite:\n$opt")
+    // and the rewrite must NOT leak into the shared, rule-free session
+    val plain = docs.sparkSession
+    assert(plain eq s, "docs bind to the new session") // sanity on setup
+    val bare = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(graft.functions.TextFunctions.bpeEncode(col("text"),
+        pieces)).as("n"))
+    assert(bare.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.BpeEncodeExpr])),
+      "rule leaked into the shared session")
+  }
 }
