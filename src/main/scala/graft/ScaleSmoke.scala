@@ -100,6 +100,20 @@ object ScaleSmoke {
             TextFunctions.bpeCount(col("text"), pieces).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         },
+        "bpe_learn" -> (() =>
+          // 8 merge iterations: the timed region includes the corpus
+          // word count AND the k dict-sized iterations — the point is
+          // that the latter stay flat as rows grow (dict saturates)
+          Corpus.learnBpeMerges(amp, "text", numMerges = 8).count()),
+        "bpe_merge_count" -> {
+          val merges = Corpus.learnBpeMerges(amp, "text", numMerges = 16)
+            .orderBy("merge_rank").select("lhs", "rhs")
+            .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          // rank-ordered apply kernel over the corpus (memoized per word)
+          () => amp.select(
+            TextFunctions.bpeMergeCount(col("text"), merges).as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        },
         "pack_sequences" -> (() => Corpus.packSequences(
           amp.select(col("doc_id"), col("lang"),
             TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
@@ -113,7 +127,12 @@ object ScaleSmoke {
           Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
           amp.where(col("doc_id") % 2 === 1))._1.count())
       )
-      val timed = ops.map { case (name, f) =>
+      // builder-local iteration: measure a comma-separated subset of
+      // ops (new-operator runs don't re-pay the whole sweep)
+      val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+        .map(_.split(",").toSet)
+      val timed = ops.filter(o => onlyOps.forall(_.contains(o._1)))
+        .map { case (name, f) =>
         val (sec, n) = time(f())
         System.err.println(f"[scale] x$m $name%-18s $sec%7.2f s ($n rows)")
         name -> sec

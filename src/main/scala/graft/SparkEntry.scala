@@ -1585,6 +1585,23 @@ object SparkEntry {
           t(s, dir, "documents"), "text", numMerges = 16)
         .orderBy("merge_rank")),
 
+    // learn → apply, closed in BPE's own semantics: the q142 merge
+    // table collects driver-side (model metadata, k rows) and applies
+    // IN RANK ORDER through the memoized codegen kernel — per-doc
+    // token counts under true Sennrich apply_bpe inference (vs q137's
+    // MaxMatch rule, which can segment differently)
+    "q143_bpe_learn_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Corpus.learnBpeMerges(
+          docs, "text", numMerges = 16)
+        .orderBy("merge_rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
+            .cast(LongType).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // split-leakage audit: the q107 cluster-granularity split leaks ZERO
     // near-dup pairs across the train/eval boundary (structural — the
     // split is constant per connected component), while a per-document
@@ -3140,40 +3157,66 @@ object SparkEntry {
     // non-overlapping replace() IS the greedy BPE merge; a merged
     // symbol is strictly longer than its left half, so no within-pass
     // cascade on either engine.
-    val bpeLearnOracle: String = {
-      val k = 16
+    val bpeLearnK = 16
+    val bpeLearnUnwrapRe =
+      "regexp_extract_all(syms, e'\\x1b([^\\x1c]*)\\x1c', 1)"
+    // the k learn iterations as chained CTEs (blwc word counts, blw0
+    // char-wrapped symbols, then per stage: pair explode → top-1 →
+    // replace-apply). `word` rides the whole chain so the APPLY twin
+    // (q143) can read each word's final segmentation off blw{k}.
+    val bpeLearnCtes: String = {
       val wrapInit = "regexp_replace(word, '(.)', e'\\x1b\\\\1\\x1c', 'g')"
-      val unwrapRe = "regexp_extract_all(syms, e'\\x1b([^\\x1c]*)\\x1c', 1)"
       // every stage is AS MATERIALIZED: each blw/blt is referenced
       // twice downstream, and DuckDB inlines non-materialized CTEs —
       // a k-deep chain would otherwise expand to 2^k scans
-      val stages = (0 until k).map { i =>
+      val stages = (0 until bpeLearnK).map { i =>
         s"""blp$i AS MATERIALIZED (SELECT a[u] AS lhs, a[u + 1] AS rhs, cnt FROM
            |  (SELECT cnt, a, unnest(range(1, len(a))) AS u FROM
-           |    (SELECT cnt, $unwrapRe AS a FROM blw$i))),
+           |    (SELECT cnt, $bpeLearnUnwrapRe AS a FROM blw$i))),
            |blt$i AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM blp$i GROUP BY 1, 2
            |  ORDER BY c DESC, lhs, rhs LIMIT 1),
-           |blw${i + 1} AS MATERIALIZED (SELECT w.cnt,
+           |blw${i + 1} AS MATERIALIZED (SELECT w.word, w.cnt,
            |  replace(w.syms,
            |    e'\\x1b' || t.lhs || e'\\x1c\\x1b' || t.rhs || e'\\x1c',
            |    e'\\x1b' || t.lhs || t.rhs || e'\\x1c') AS syms
            |  FROM blw$i w CROSS JOIN blt$i t)""".stripMargin
       }.mkString(",\n")
-      val ranks = (0 until k).map { i =>
-        s"""SELECT CAST(${i + 1} AS INTEGER) AS merge_rank, lhs, rhs,
-           |  lhs || rhs AS merged, c AS pair_count FROM blt$i""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH blwc AS MATERIALIZED (SELECT token AS word,
+      s"""blwc AS MATERIALIZED (SELECT token AS word,
          |    CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($toksSql) AS token FROM documents)
          |  GROUP BY 1),
-         |blw0 AS MATERIALIZED (SELECT cnt, $wrapInit AS syms
+         |blw0 AS MATERIALIZED (SELECT word, cnt, $wrapInit AS syms
          |  FROM blwc WHERE length(word) >= 2),
-         |$stages
+         |$stages""".stripMargin
+    }
+    // q142: the learned merge table itself
+    val bpeLearnOracle: String = {
+      val ranks = (0 until bpeLearnK).map { i =>
+        s"""SELECT CAST(${i + 1} AS INTEGER) AS merge_rank, lhs, rhs,
+           |  lhs || rhs AS merged, c AS pair_count FROM blt$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeLearnCtes
          |$ranks
          |ORDER BY merge_rank""".stripMargin
     }
+    // q143: rank-ordered APPLY of the learned merges — per-word symbol
+    // counts read off the final stage's segmentation (words of length
+    // 1 were never in the chain: one symbol each; docs with no tokens
+    // count 0; null text stays null)
+    val bpeLearnApplyOracle: String =
+      s"""WITH $bpeLearnCtes,
+         |wfin AS (SELECT word,
+         |    CAST(len($bpeLearnUnwrapRe) AS BIGINT) AS wc
+         |  FROM blw$bpeLearnK),
+         |dtk AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |dcnt AS (SELECT d.doc_id, SUM(COALESCE(w.wc, 1)) AS n
+         |  FROM dtk d LEFT JOIN wfin w USING (word) GROUP BY 1)
+         |SELECT doc.doc_id,
+         |  CASE WHEN doc.text IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(dc.n, 0) AS BIGINT) END AS n_bpe_tokens
+         |FROM documents doc LEFT JOIN dcnt dc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
     val dedupIndexOracle: String =
       s"""$dedupIndexCtes
@@ -4054,6 +4097,8 @@ object SparkEntry {
            |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
       "q142_bpe_learn" -> bpeLearnOracle,
+
+      "q143_bpe_learn_apply" -> bpeLearnApplyOracle,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

@@ -57,6 +57,16 @@ object TextFunctions {
   def bpeCount(text: Column, pieces: Seq[(String, Int)]): Column =
     TextExpressions.bpeCount(text, pieces)
 
+  /** TRUE rank-ordered BPE inference over a LEARNED merge table
+    * ([[graft.functions.BpeMergeCountExpr]]): per whitespace token,
+    * chars → one greedy pass per merge in rank order → symbol count.
+    * The apply-side companion of `Corpus.learnBpeMerges`; differs from
+    * [[bpeCount]]'s MaxMatch rule when a lower-rank merge consumes a
+    * character a longer piece would have taken.
+    */
+  def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
+    TextExpressions.bpeMergeCount(text, merges)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

@@ -498,6 +498,76 @@ case class BpeCountExpr(child: Expression, pieces: Seq[(String, Int)])
     copy(child = c)
 }
 
+/** bpe_merge_count(text, merges): int — TRUE rank-ordered BPE
+  * inference (Sennrich et al. ACL'16 `apply_bpe`): each whitespace
+  * token starts as characters and the learned merge table applies IN
+  * RANK ORDER, one greedy left-to-right non-overlapping pass per
+  * merge; the result is the symbol count. This is apply-by-merge-order
+  * — the same dynamics `Corpus.learnBpeMerges` trains — vs the
+  * MaxMatch trie's longest-match inference ([[BpeEncodeExpr]]): the
+  * two segmentations differ (e.g. merges [(b,c),(a,b)] segment "abc"
+  * as [a,bc]; MaxMatch over the same pieces takes [ab,c]). Packing and
+  * budget operators accept either count via their nTokensCol contract.
+  *
+  * A bounded per-expression word→count memo (ConcurrentHashMap — the
+  * reference object may be shared across a stage's tasks) amortizes
+  * the k passes: corpora repeat words heavily, so the common path is
+  * one hash probe per token.
+  */
+case class BpeMergeCountExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def countWordMerged(w: String): Int = {
+    if (w.length <= 1) return w.length
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var n = syms.length
+    val it = merges.iterator
+    while (it.hasNext && n > 1) {
+      val (l, r) = it.next()
+      val out = new Array[String](n)
+      var src = 0
+      var dst = 0
+      while (src < n) {
+        if (src + 1 < n && syms(src) == l && syms(src + 1) == r) {
+          out(dst) = l + r; src += 2
+        } else { out(dst) = syms(src); src += 1 }
+        dst += 1
+      }
+      syms = out; n = dst
+    }
+    n
+  }
+  def count(t: UTF8String): Int = {
+    val words = TextKernels.tokenize(t)
+    var i = 0
+    var n = 0
+    while (i < words.length) {
+      val w = words(i)
+      var c = memo.get(w)
+      if (c == null) {
+        c = Integer.valueOf(countWordMerged(w))
+        if (memo.size < (1 << 17)) memo.put(w, c)
+      }
+      n += c.intValue()
+      i += 1
+    }
+    n
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    count(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMrg", this,
+      classOf[BpeMergeCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeCountExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -519,4 +589,7 @@ object TextExpressions {
   def bpeCount(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeCountExpr(GraftColumnBridge.expression(text), pieces))
+  def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      BpeMergeCountExpr(GraftColumnBridge.expression(text), merges))
 }

