@@ -67,7 +67,11 @@ object DumpPlans {
       "q140_stream_curate_dedup" ->
         "composed curation->dedup micro-batch shape: stateless narrow scrub + 1-row broadcast score IN FRONT of the band-key equi-join + hash-set verify — no new exchange or state vs the bare index add",
       "q141_corpus_to_packs" ->
-        "corpus->tokens->packs back half over the accepted curated corpus (front half = q140's pinned shape): vocab-build aggregation + count-kernel narrow projection + range-shuffle prefix-sum packer + pack materialization — no Window, no new shuffle class")
+        "corpus->tokens->packs back half over the accepted curated corpus (front half = q140's pinned shape): vocab-build aggregation + count-kernel narrow projection + range-shuffle prefix-sum packer + pack materialization — no Window, no new shuffle class",
+      "q142_bpe_learn" ->
+        "one BPE-learn iteration's job shape (the query output itself is a k-row driver table): dict-sized adjacent-pair explode + map-side-combined pair aggregation + TakeOrdered(1) — the per-iteration cost the k-bounded loop repeats",
+      "q143_bpe_learn_apply" ->
+        "rank-ordered BPE apply: one narrow memoized kernel projection over the corpus (the learned merge table rides the expression as model metadata) — no exchange beyond the output sort")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty
@@ -102,6 +106,30 @@ object DumpPlans {
           .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
             md5(col("text")).as("redacted_md5"),
             col("margin").cast("long").as("margin"), col("quality_pred"))
+      } else if (q == "q142_bpe_learn") {
+        // the registered query returns the k-row merge table (a driver
+        // list) — the plan that matters is the ITERATION job the
+        // k-bounded loop repeats: adjacent-pair explode over the dict
+        // state + pair aggregation + top-1
+        import org.apache.spark.sql.functions._
+        val dict = spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        val state = dict
+          .select(col("cnt"),
+            filter(split(col("word"), ""), c => c =!= "").as("syms"))
+          .where(size(col("syms")) >= 2)
+          .localCheckpoint()
+        state
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            j => struct(element_at(col("syms"), j).as("lhs"),
+              element_at(col("syms"), j + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("lhs"), col("rhs"))
+          .limit(1)
       } else if (q == "q141_corpus_to_packs") {
         // front half = q140's pinned micro-batch shape; plan the BACK
         // half over a batch-identical accepted stand-in: piece-vocab
