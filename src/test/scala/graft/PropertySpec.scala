@@ -713,4 +713,74 @@ class PropertySpec extends SparkSpec {
       assert(got == want.toLong, s"docs=$docs")
     }
   }
+
+  /** Plain-Scala replay of the learn-BPE loop: adjacent-pair counts
+    * (overlaps included) over the word dictionary, top pair under
+    * (count DESC, lhs, rhs), fold-left greedy merge, early stop under
+    * `minPair` — the spec-level definition the Spark aggregates and
+    * the DuckDB CTE chain must both equal.
+    */
+  private def refLearnBpe(words: Seq[String], k: Int, minPair: Long)
+      : Seq[(Int, String, String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String, r: String)
+        : Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var state = words.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+      .filter(_._1.size >= 2)
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, c) =>
+        var j = 0
+        while (j + 1 < syms.size) {
+          val key = (syms(j), syms(j + 1))
+          counts(key) = counts.getOrElse(key, 0L) + c
+          j += 1
+        }
+      }
+      val valid = counts.filter(_._2 >= minPair)
+      if (valid.isEmpty) stop = true
+      else {
+        val ((l, r), c) = valid.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((i + 1, l, r, l + r, c))
+        state = state
+          .map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+          .filter(_._1.size >= 2)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnBpeMerges equals the plain-Scala replay on random corpora") {
+    // small alphabet forces dense pair collisions, repeats, and ties
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.zip(
+      Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, wordGen)),
+      Gen.oneOf(1L, 2L)) // minPairCount: both the always-merge and the floor path
+    forAllSampled(corpusGen, n = 6) { case (words, minPair) =>
+      // pack words into multi-token docs: tokenization must not matter
+      val docs = words.grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val got = graft.operators.Corpus.learnBpeMerges(docs, "text",
+          numMerges = 6,
+          minPairCount = minPair)
+        .orderBy("merge_rank")
+        .select("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      val want = refLearnBpe(words, k = 6, minPair = minPair)
+      assert(got == want, s"words=$words minPair=$minPair")
+    }
+  }
 }
