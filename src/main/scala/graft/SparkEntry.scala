@@ -1585,6 +1585,33 @@ object SparkEntry {
           t(s, dir, "documents"), "text", numMerges = 16)
         .orderBy("merge_rank")),
 
+    // token-ID pack materialization — the trainer-facing export: the
+    // q137 subword ids pack under the q68 prefix-sum arithmetic and
+    // each pack emits its FLAT ID STREAM (docs' id arrays concatenated
+    // in id order), digested for the oracle compare. Same salted
+    // corpus as q137 so compounds decompose.
+    "q144_token_packs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(docs, "text",
+          minCount = 5, maxSize = 200))
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+            .as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -3137,8 +3164,8 @@ object SparkEntry {
          |wp AS (SELECT g.tok, g.step, b.id
          |  FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
          |seq AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
-         |    md5(string_agg(CAST(wp.id AS VARCHAR), ' '
-         |      ORDER BY t.ord, wp.step)) AS ids_md5
+         |    string_agg(CAST(wp.id AS VARCHAR), ' '
+         |      ORDER BY t.ord, wp.step) AS ids_str
          |  FROM toks t JOIN wp ON wp.tok = t.tok
          |  GROUP BY t.doc_id)""".stripMargin
 
@@ -4071,7 +4098,7 @@ object SparkEntry {
            |  CASE WHEN d.text IS NULL THEN NULL
            |    ELSE COALESCE(s.n_pieces, 0) END AS n_pieces,
            |  CASE WHEN d.text IS NULL THEN NULL
-           |    ELSE COALESCE(s.ids_md5, md5('')) END AS ids_md5
+           |    ELSE md5(COALESCE(s.ids_str, '')) END AS ids_md5
            |FROM docs2 d LEFT JOIN seq s USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
 
@@ -4099,6 +4126,34 @@ object SparkEntry {
       "q142_bpe_learn" -> bpeLearnOracle,
 
       "q143_bpe_learn_apply" -> bpeLearnApplyOracle,
+
+      // the q137 per-doc id STRINGS packed under q68's arithmetic;
+      // empty-token docs stay in n_docs but contribute nothing to the
+      // stream (NULLed out of the string_agg), exactly as flatten
+      // skips their empty arrays
+      "q144_token_packs" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |nt3 AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens,
+           |    COALESCE(s.ids_str, '') AS ids_str
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |cc2 AS (SELECT doc_id, lang, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM nt3),
+           |pk2 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str FROM cc2)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5
+           |FROM pk2 GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

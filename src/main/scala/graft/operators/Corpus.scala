@@ -532,6 +532,29 @@ object Corpus {
             array_sort(collect_list(struct(col(idCol), col(textCol)))),
             x => x.getField(textCol)), sep).as("pack_text"))
 
+  /** Token-ID pack materialization — the trainer-facing sibling of
+    * [[materializePacks]]: within each (shard, pack), documents' token-id
+    * arrays concatenate in id order into one flat `pack_ids`
+    * (`array<int>`), the exact id stream a training loader consumes.
+    * Same ordering-safe shape (`array_sort(collect_list(struct(id,
+    * ids)))` — the unique id is the sort key, so the array field is
+    * never compared), same null discipline: a null ids array (null
+    * text) drops with its pack_id, a present-but-empty array keeps its
+    * row (it is a real zero-token document) and contributes nothing to
+    * the stream. One shuffle on (shard, pack_id); pack payloads are
+    * budget-bounded by construction, so the per-group state is
+    * O(tokenBudget), never corpus-scaled.
+    */
+  def materializeTokenPacks(packed: DataFrame, shardCol: String,
+      idCol: String, idsCol: String): DataFrame =
+    packed.where(col("pack_id").isNotNull && col(idsCol).isNotNull)
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        flatten(transform(
+            array_sort(collect_list(struct(col(idCol), col(idsCol)))),
+            x => x.getField(idsCol))).as("pack_ids"))
+
   /** The subtotal half of the distributed prefix sum [[packSequences]]
     * and [[shuffleShard]] share: one metadata-sized pass collects
     * per-(partition, group) weight subtotals in partition order, and the

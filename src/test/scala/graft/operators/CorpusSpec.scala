@@ -387,6 +387,28 @@ class CorpusSpec extends SparkSpec {
       ("fr", 0L, 1L, 1L, "x")))
   }
 
+  test("materializeTokenPacks concatenates id arrays in id order, null-safe") {
+    val docs = Seq(
+      (0L, "en", Seq(7, 8), Some(2L)),
+      (1L, "en", Seq(9), Some(1L)),
+      (2L, "en", Seq(1, 2, 3), Some(3L)),
+      (3L, "fr", Seq(4), Some(1L)),
+      (4L, "en", Seq.empty[Int], Some(0L)),        // real zero-token doc: stays
+      (5L, "en", null.asInstanceOf[Seq[Int]], None)) // null ids -> dropped
+      .toDF("doc_id", "lang", "__ids", "nt")
+    val packed = Corpus.packSequences(docs, "lang", "doc_id", col("nt"), 3)
+    val out = Corpus.materializeTokenPacks(packed, "lang", "doc_id", "__ids")
+      .orderBy("lang", "pack_id")
+      .select("lang", "pack_id", "n_docs", "pack_tokens", "pack_ids")
+      .as[(String, Long, Long, Long, Seq[Int])].collect().toSeq
+    // en offsets: doc0@0, doc1@2, doc2@3, doc4@6(zero) -> packs 0,0,1,2
+    assert(out == Seq(
+      ("en", 0L, 2L, 3L, Seq(7, 8, 9)),
+      ("en", 1L, 1L, 3L, Seq(1, 2, 3)),
+      ("en", 2L, 1L, 0L, Seq.empty[Int]),
+      ("fr", 0L, 1L, 1L, Seq(4))))
+  }
+
   test("learnBpeMerges matches the hand-trained Sennrich toy corpus") {
     // the ACL'16 example dictionary: low×5 lower×2 newest×6 widest×3.
     // Hand-run of count→top→merge under the (count DESC, lhs, rhs)
