@@ -71,7 +71,9 @@ object DumpPlans {
       "q142_bpe_learn" ->
         "one BPE-learn iteration's job shape (the query output itself is a k-row driver table): dict-sized adjacent-pair explode + map-side-combined pair aggregation + TakeOrdered(1) — the per-iteration cost the k-bounded loop repeats",
       "q143_bpe_learn_apply" ->
-        "rank-ordered BPE apply: one narrow memoized kernel projection over the corpus (the learned merge table rides the expression as model metadata) — no exchange beyond the output sort")
+        "rank-ordered BPE apply: one narrow memoized kernel projection over the corpus (the learned merge table rides the expression as model metadata) — no exchange beyond the output sort",
+      "q144_token_packs" ->
+        "token-ID pack export: encode-kernel projection -> range-shuffle prefix-sum packer -> ONE (shard, pack_id) group shuffle flattening id arrays in id order — per-group state bounded by tokenBudget, no Window")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

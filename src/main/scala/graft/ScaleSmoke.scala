@@ -62,13 +62,19 @@ object ScaleSmoke {
     val results = mults.map { m =>
       val amp = amplify(base, m).localCheckpoint(true)
       val rows = amp.count()
-      val ops: Seq[(String, () => Long)] = Seq(
-        "exact_dedup" -> (() => Dedup.exact(amp).count()),
-        "minhash_lsh_pairs" -> (() => Dedup.minhashLshPairs(amp).count()),
-        "neardup_clusters" -> (() =>
+      // each op is (name, setup): setup runs UNTIMED (vocab builds,
+      // merge learning) and returns the timed thunk — and it runs only
+      // AFTER the SPARK_GRAFT_SCALE_OPS filter, so excluded ops pay
+      // nothing (an eager Seq here once made a pack_sequences-only run
+      // pre-pay two vocab builds and a 16-iteration merge learn)
+      val ops: Seq[(String, () => (() => Long))] = Seq(
+        "exact_dedup" -> (() => () => Dedup.exact(amp).count()),
+        "minhash_lsh_pairs" ->
+          (() => () => Dedup.minhashLshPairs(amp).count()),
+        "neardup_clusters" -> (() => () =>
           Dedup.nearDupClusters(amp, Dedup.minhashLshPairs(amp)).count()),
-        "span_dedup" -> (() => Dedup.duplicatedSpans(amp).count()),
-        "bpe_encode" -> {
+        "span_dedup" -> (() => () => Dedup.duplicatedSpans(amp).count()),
+        "bpe_encode" -> (() => {
           val pieces = Corpus.collectPieces(
             Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
           // collect the sum, don't count() it: count() would prune the
@@ -81,17 +87,19 @@ object ScaleSmoke {
             // BpeCountRewrite installed, which would silently rewrite
             // size(bpe_encode) to the count kernel and time it TWICE;
             // this measurement exists to compare the two, so refuse to
-            // run if the encode kernel got optimized away
-            val hasEncode = q.queryExecution.optimizedPlan.expressions
-              .exists(_.exists(
-                _.isInstanceOf[graft.functions.BpeEncodeExpr]))
+            // run if the encode kernel got optimized away. Search the
+            // WHOLE tree: the projection sits below the aggregate, so
+            // the top node's expressions never mention the kernel.
+            val hasEncode = q.queryExecution.optimizedPlan.exists(
+              _.expressions.exists(_.exists(
+                _.isInstanceOf[graft.functions.BpeEncodeExpr])))
             require(hasEncode, "bpe_encode plan was rewritten to the " +
               "count kernel (BpeCountRewrite active in this session) — " +
               "the encode-vs-count comparison is void; run in a fresh JVM")
             q.collect()(0).getLong(0)
           }
-        },
-        "bpe_count" -> {
+        }),
+        "bpe_count" -> (() => {
           val pieces = Corpus.collectPieces(
             Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
           // the count-only kernel (no id-array allocation) — the form the
@@ -99,13 +107,13 @@ object ScaleSmoke {
           () => amp.select(
             TextFunctions.bpeCount(col("text"), pieces).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
-        },
-        "bpe_learn" -> (() =>
+        }),
+        "bpe_learn" -> (() => () =>
           // 8 merge iterations: the timed region includes the corpus
           // word count AND the k dict-sized iterations — the point is
           // that the latter stay flat as rows grow (dict saturates)
           Corpus.learnBpeMerges(amp, "text", numMerges = 8).count()),
-        "bpe_merge_count" -> {
+        "bpe_merge_count" -> (() => {
           val merges = Corpus.learnBpeMerges(amp, "text", numMerges = 16)
             .orderBy("merge_rank").select("lhs", "rhs")
             .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -113,17 +121,17 @@ object ScaleSmoke {
           () => amp.select(
             TextFunctions.bpeMergeCount(col("text"), merges).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
-        },
-        "pack_sequences" -> (() => Corpus.packSequences(
+        }),
+        "pack_sequences" -> (() => () => Corpus.packSequences(
           amp.select(col("doc_id"), col("lang"),
             TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
           "lang", "doc_id", col("__n_tokens"), tokenBudget = 2048).count()),
-        "budget_select" -> (() => Corpus.selectToTokenBudget(
+        "budget_select" -> (() => () => Corpus.selectToTokenBudget(
           amp.select(col("doc_id"),
             TextFunctions.nTokens(col("text")).cast("long").as("nt"),
             TextFunctions.nTokens(col("text")).cast("double").as("sc")),
           col("sc"), "doc_id", col("nt"), rows * 10).count()),
-        "dedup_index_batch" -> (() => Dedup.dedupIndexAddBatch(
+        "dedup_index_batch" -> (() => () => Dedup.dedupIndexAddBatch(
           Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
           amp.where(col("doc_id") % 2 === 1))._1.count())
       )
@@ -132,7 +140,8 @@ object ScaleSmoke {
       val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").toSet)
       val timed = ops.filter(o => onlyOps.forall(_.contains(o._1)))
-        .map { case (name, f) =>
+        .map { case (name, mk) =>
+        val f = mk()
         val (sec, n) = time(f())
         System.err.println(f"[scale] x$m $name%-18s $sec%7.2f s ($n rows)")
         name -> sec

@@ -151,10 +151,18 @@ object SparkEntry {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
       .resolve("fixtures")
+    // age guard: only trees untouched for an hour are stale — a
+    // CONCURRENT harness run's live fixtures (and one it is half-way
+    // through building) have fresh mtimes and must survive another
+    // process's startup wipe on a shared tmpdir
+    val cutoff = System.currentTimeMillis() - 60L * 60L * 1000L
     if (java.nio.file.Files.isDirectory(base)) {
       val ls = java.nio.file.Files.list(base)
       try ls.forEach { p =>
-        if (p.getFileName.toString.startsWith("graft_"))
+        val old =
+          try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
+        if (p.getFileName.toString.startsWith("graft_") && old)
           graft.store.UpsertWriter.deleteRecursively(p)
       } finally ls.close()
     }

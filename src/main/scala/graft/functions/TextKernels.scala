@@ -520,11 +520,22 @@ case class BpeMergeCountExpr(child: Expression,
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def countWordMerged(w: String): Int = {
-    if (w.length <= 1) return w.length
-    var syms = new Array[String](w.length)
+    // split by CODE POINT, not UTF-16 unit — learnBpeMerges'
+    // split(word, "") and the DuckDB twin's '(.)' regex are both
+    // code-point based, so a surrogate pair must be ONE base symbol
+    // here too or supplementary-plane merges could never match
+    var syms = new Array[String](w.codePointCount(0, w.length))
     var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val cc = Character.charCount(cp)
+      syms(k) = w.substring(i, i + cc)
+      i += cc
+      k += 1
+    }
     var n = syms.length
+    if (n <= 1) return n
     val it = merges.iterator
     while (it.hasNext && n > 1) {
       val (l, r) = it.next()

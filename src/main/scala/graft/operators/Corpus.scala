@@ -383,6 +383,16 @@ object Corpus {
       s"numMerges must be in [1, 4096], got $numMerges — the driver " +
         "loop is k-bounded by design")
     val spark = docs.sparkSession
+    // free a superseded checkpoint's blocks: localCheckpoint RDDs are
+    // not cacheManager entries, so df.unpersist() won't release them —
+    // unpersist the backing RDD off the LogicalRDD leaf. Without this,
+    // k iterations retain k dict-sized block sets for the session.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val dict = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -417,12 +427,15 @@ object Corpus {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        state = state.select(col("cnt"), applied.as("syms"))
+        val next = state.select(col("cnt"), applied.as("syms"))
           .where(size(col("syms")) >= 2)
-          .localCheckpoint()
+          .localCheckpoint() // eager: next materializes before prev frees
+        freeCheckpoint(state)
+        state = next
         i += 1
       }
     }
+    freeCheckpoint(state)
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),

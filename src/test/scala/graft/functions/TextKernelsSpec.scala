@@ -249,6 +249,23 @@ class TextKernelsSpec extends SparkSpec {
     assert(maxMatch == 2) // [ab, c] — same count, different segmentation
   }
 
+  test("bpeMergeCount splits by code point: surrogate pairs are one symbol") {
+    // U+1F600 is a surrogate PAIR in UTF-16: the word must start as
+    // 3 base symbols (a, emoji, b), matching learnBpeMerges'
+    // split(word, "") and the oracle's '(.)' — not 4 UTF-16 units.
+    // The (emoji, b) merge must then actually apply.
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"a${emoji}b")).toDF("doc_id", "text")
+    val noMerge = docs.select(
+        TextExpressions.bpeMergeCount(col("text"), Seq.empty))
+      .collect().head.getInt(0)
+    assert(noMerge == 3, "base symbols must be code points")
+    val merged = docs.select(
+        TextExpressions.bpeMergeCount(col("text"), Seq((emoji, "b"))))
+      .collect().head.getInt(0)
+    assert(merged == 2, "supplementary-plane merge must match")
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
