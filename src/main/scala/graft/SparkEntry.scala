@@ -1620,6 +1620,36 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // tokenizer ARTIFACT persistence: both artifacts — the piece vocab
+    // (q137's) and the learned merge table (q142's) — write to parquet
+    // model files, load back, and drive their inference kernels; the
+    // oracle recomputes both paths from the corpus, so a green row
+    // proves the persisted artifacts reproduce the built ones exactly
+    // (the ship-a-tokenizer contract)
+    "q145_artifact_roundtrip" -> ((s, dir) => {
+      val root = scratch("graft_tok_")
+      val raw = t(s, dir, "documents")
+      val salted = raw.withColumn("text", concat(col("text"), lit(" "),
+        regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      graft.operators.Corpus.buildPieceVocab(salted, "text",
+          minCount = 5, maxSize = 200)
+        .write.mode("overwrite").parquet(s"$root/vocab")
+      graft.operators.Corpus.learnBpeMerges(raw, "text", numMerges = 16)
+        .write.mode("overwrite").parquet(s"$root/merges")
+      val pieces = graft.operators.Corpus.collectPieces(
+        s.read.parquet(s"$root/vocab"))
+      val merges = s.read.parquet(s"$root/merges")
+        .orderBy("merge_rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      salted.select(col("doc_id"),
+          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+            .cast(LongType).as("n_pieces"))
+        .join(raw.select(col("doc_id"),
+          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
+            .cast(LongType).as("n_bpe_tokens")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -4134,6 +4164,31 @@ object SparkEntry {
       "q142_bpe_learn" -> bpeLearnOracle,
 
       "q143_bpe_learn_apply" -> bpeLearnApplyOracle,
+
+      // both artifact paths recomputed from the corpus: the MaxMatch
+      // count off the salted-vocab block, the merge-order count off
+      // the learn chain's final segmentations — a green row proves
+      // the parquet-persisted artifacts reproduce the built ones
+      "q145_artifact_roundtrip" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |$bpeLearnCtes,
+           |wfin2 AS (SELECT word,
+           |    CAST(len($bpeLearnUnwrapRe) AS BIGINT) AS wc
+           |  FROM blw$bpeLearnK),
+           |dtk2 AS (SELECT doc_id, unnest($toksSql) AS word
+           |  FROM documents),
+           |dcnt2 AS (SELECT d.doc_id, SUM(COALESCE(w.wc, 1)) AS n
+           |  FROM dtk2 d LEFT JOIN wfin2 w USING (word) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(s.n_pieces, 0) END AS n_pieces,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE CAST(COALESCE(dc.n, 0) AS BIGINT) END AS n_bpe_tokens
+           |FROM docs2 d
+           |LEFT JOIN seq s USING (doc_id)
+           |LEFT JOIN dcnt2 dc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // the q137 per-doc id STRINGS packed under q68's arithmetic;
       // empty-token docs stay in n_docs but contribute nothing to the
