@@ -73,7 +73,11 @@ object DumpPlans {
       "q143_bpe_learn_apply" ->
         "rank-ordered BPE apply: one narrow memoized kernel projection over the corpus (the learned merge table rides the expression as model metadata) — no exchange beyond the output sort",
       "q144_token_packs" ->
-        "token-ID pack export: encode-kernel projection -> range-shuffle prefix-sum packer -> ONE (shard, pack_id) group shuffle flattening id arrays in id order — per-group state bounded by tokenBudget, no Window")
+        "token-ID pack export: encode-kernel projection -> range-shuffle prefix-sum packer -> ONE (shard, pack_id) group shuffle flattening id arrays in id order — per-group state bounded by tokenBudget, no Window",
+      "q145_artifact_roundtrip" ->
+        "tokenizer artifact round-trip: the two persisted-artifact kernel projections (MaxMatch count, rank-ordered merge count) joined on doc_id — artifact load is model-metadata-sized driver work, the corpus passes stay narrow",
+      "q146_tokenizer_fertility" ->
+        "per-lang tokenizer eval: ONE narrow codegen projection (tokens + merge-count kernels) then ONE O(#langs) hash aggregate — per-word byte sums fold inside the row via functions.aggregate, no per-word explode or shuffle")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -1650,6 +1650,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tokenizer EVALUATION: per-language fertility/compression report
+    // over the learned (q142) tokenizer — words, word bytes, and BPE
+    // tokens roll up per lang as exact BIGINT sums (fertility =
+    // n_bpe_tokens/n_words and bytes-per-token = n_word_bytes/
+    // n_bpe_tokens are downstream divisions; sums keep the gate
+    // hash-exact). One narrow codegen projection (tokens + merge-count
+    // kernels) then ONE O(#langs) aggregate — no per-word shuffle
+    "q146_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Corpus.learnBpeMerges(
+          docs, "text", numMerges = 16)
+        .orderBy("merge_rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      docs.filter(col("text").isNotNull)
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"),
+          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
+            .cast(LongType).as("n_bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast(LongType)).as("n_words"),
+          sum(aggregate(col("tk"), lit(0L),
+            (a, x) => a + octet_length(x).cast(LongType)))
+            .as("n_word_bytes"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -4189,6 +4217,32 @@ object SparkEntry {
            |LEFT JOIN seq s USING (doc_id)
            |LEFT JOIN dcnt2 dc USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // per-lang rollup of the q143 per-word counts plus word/byte
+      // totals off the shared tokenizer (strlen = bytes = Spark
+      // octet_length; zh multi-byte text keeps both engines honest);
+      // every sum CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+      "q146_tokenizer_fertility" ->
+        s"""WITH $bpeLearnCtes,
+           |wf3 AS (SELECT word,
+           |    CAST(len($bpeLearnUnwrapRe) AS BIGINT) AS wc
+           |  FROM blw$bpeLearnK),
+           |dtk3 AS (SELECT doc_id, unnest($toksSql) AS word
+           |  FROM documents WHERE text IS NOT NULL),
+           |dw3 AS (SELECT d.doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(strlen(d.word)) AS BIGINT) AS n_bytes,
+           |    CAST(sum(COALESCE(w.wc, 1)) AS BIGINT) AS n_bpe
+           |  FROM dtk3 d LEFT JOIN wf3 w USING (word) GROUP BY 1)
+           |SELECT doc.lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(COALESCE(sum(dw3.n_words), 0) AS BIGINT) AS n_words,
+           |  CAST(COALESCE(sum(dw3.n_bytes), 0) AS BIGINT)
+           |    AS n_word_bytes,
+           |  CAST(COALESCE(sum(dw3.n_bpe), 0) AS BIGINT) AS n_bpe_tokens
+           |FROM documents doc LEFT JOIN dw3 USING (doc_id)
+           |WHERE doc.text IS NOT NULL
+           |GROUP BY 1 ORDER BY lang""".stripMargin,
 
       // the q137 per-doc id STRINGS packed under q68's arithmetic;
       // empty-token docs stay in n_docs but contribute nothing to the
