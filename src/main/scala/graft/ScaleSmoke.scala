@@ -122,6 +122,23 @@ object ScaleSmoke {
             TextFunctions.bpeMergeCount(col("text"), merges).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         }),
+        "token_packs" -> (() => {
+          // q144's shape: encode-kernel id arrays + count feed the
+          // prefix-sum packer, then the (shard, pack) flatten — the
+          // timed region is the whole trainer-facing export minus the
+          // vocab build (model setup, untimed)
+          val pieces = Corpus.collectPieces(
+            Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
+          val withIds = amp.select(col("doc_id"), col("lang"),
+              TextFunctions.bpeEncode(col("text"), pieces).as("__ids"))
+            .withColumn("__n_tokens", size(col("__ids")).cast("long"))
+          () => {
+            val packed = Corpus.packSequences(withIds, "lang", "doc_id",
+              col("__n_tokens"), tokenBudget = 2048)
+            Corpus.materializeTokenPacks(packed, "lang", "doc_id", "__ids")
+              .agg(sum(size(col("pack_ids")))).collect()(0).getLong(0)
+          }
+        }),
         "pack_sequences" -> (() => () => Corpus.packSequences(
           amp.select(col("doc_id"), col("lang"),
             TextFunctions.nTokens(col("text")).cast("long").as("__n_tokens")),
