@@ -77,7 +77,9 @@ object DumpPlans {
       "q145_artifact_roundtrip" ->
         "tokenizer artifact round-trip: the two persisted-artifact kernel projections (MaxMatch count, rank-ordered merge count) joined on doc_id — artifact load is model-metadata-sized driver work, the corpus passes stay narrow",
       "q146_tokenizer_fertility" ->
-        "per-lang tokenizer eval: ONE narrow codegen projection (tokens + merge-count kernels) then ONE O(#langs) hash aggregate — per-word byte sums fold inside the row via functions.aggregate, no per-word explode or shuffle")
+        "per-lang tokenizer eval: ONE narrow codegen projection (tokens + merge-count kernels) then ONE O(#langs) hash aggregate — per-word byte sums fold inside the row via functions.aggregate, no per-word explode or shuffle",
+      "q147_pack_efficiency" ->
+        "pack-efficiency audit: the pinned q139 packer shape + two metadata-sized rollups (per (shard,pack) then per shard) — the oversize census rides the first rollup, no new shuffle class")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -1678,6 +1678,41 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // pack-efficiency audit over q139's packing: per shard the pack
+    // count, capacity (n_packs × budget), actual token total, and the
+    // oversize-doc census (docs longer than the whole budget — the
+    // ones a trainer must chunk before packing). Two metadata-sized
+    // aggregates on top of the pinned packer shape; all-BIGINT output
+    // so utilization = total/capacity is a downstream division
+    "q147_pack_efficiency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(docs, "text",
+          minCount = 5, maxSize = 200))
+      val withN = docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+          .cast(LongType).as("__n_tokens"))
+      graft.operators.Corpus.packSequences(withN, "lang", "doc_id",
+          col("__n_tokens"), tokenBudget = 2048)
+        .where(col("pack_id").isNotNull)
+        .groupBy("lang", "pack_id")
+        .agg(sum(col("n_tokens")).as("pt"),
+          sum(when(col("n_tokens") > lit(2048L), lit(1L))
+            .otherwise(lit(0L))).as("os"),
+          max(col("n_tokens")).as("mx"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pt")).as("total_tokens"),
+          sum(col("os")).as("n_oversize_docs"),
+          max(col("mx")).as("max_doc_tokens"))
+        .withColumn("capacity_tokens", col("n_packs") * lit(2048L))
+        .select("lang", "n_packs", "capacity_tokens", "total_tokens",
+          "n_oversize_docs", "max_doc_tokens")
+        .orderBy("lang")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -4243,6 +4278,37 @@ object SparkEntry {
            |FROM documents doc LEFT JOIN dw3 USING (doc_id)
            |WHERE doc.text IS NOT NULL
            |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      // q139's pack arithmetic rolled up twice: per (lang, pack) then
+      // per lang, with the oversize census (n_tokens > budget) riding
+      // the first rollup
+      "q147_pack_efficiency" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |nt4 AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |c4 AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM nt4),
+           |p4 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  n_tokens FROM c4),
+           |pp4 AS (SELECT lang, pack_id,
+           |    CAST(sum(n_tokens) AS BIGINT) AS pt,
+           |    CAST(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS os,
+           |    CAST(max(n_tokens) AS BIGINT) AS mx
+           |  FROM p4 GROUP BY 1, 2)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+           |  CAST(count(*) * 2048 AS BIGINT) AS capacity_tokens,
+           |  CAST(sum(pt) AS BIGINT) AS total_tokens,
+           |  CAST(sum(os) AS BIGINT) AS n_oversize_docs,
+           |  CAST(max(mx) AS BIGINT) AS max_doc_tokens
+           |FROM pp4 GROUP BY 1 ORDER BY lang""".stripMargin,
 
       // the q137 per-doc id STRINGS packed under q68's arithmetic;
       // empty-token docs stay in n_docs but contribute nothing to the
