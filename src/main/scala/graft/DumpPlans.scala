@@ -79,7 +79,9 @@ object DumpPlans {
       "q146_tokenizer_fertility" ->
         "per-lang tokenizer eval: ONE narrow codegen projection (tokens + merge-count kernels) then ONE O(#langs) hash aggregate — per-word byte sums fold inside the row via functions.aggregate, no per-word explode or shuffle",
       "q147_pack_efficiency" ->
-        "pack-efficiency audit: the pinned q139 packer shape + two metadata-sized rollups (per (shard,pack) then per shard) — the oversize census rides the first rollup, no new shuffle class")
+        "pack-efficiency audit: the pinned q139 packer shape + two metadata-sized rollups (per (shard,pack) then per shard) — the oversize census rides the first rollup, no new shuffle class",
+      "q148_vocab_coverage" ->
+        "vocabulary-coverage audit: en-trained vocab applied cross-lingually — ONE narrow projection with the count + UNK-count kernels side by side (vocab rides both expressions as model metadata), no exchange beyond the output sort")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

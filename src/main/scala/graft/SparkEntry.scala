@@ -1713,6 +1713,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // vocabulary-coverage audit: the piece vocab trains on ENGLISH
+    // docs only, then tokenizes every OTHER language — n_unk counts
+    // the MaxMatch walk's UNK emissions (positions where no piece, not
+    // even the single character, matches: zero by construction on the
+    // build corpus, real character-level OOV at apply time). The
+    // synthetic corpus is all-lowercase ASCII in every lang, so the
+    // eval slice gets the classic casing-OOV perturbation — an
+    // UPPERCASED prefix echo — and every uppercase char is a
+    // guaranteed UNK. Per-doc (n_pieces, n_unk) is the coverage
+    // report a tokenizer ships with; one narrow two-kernel
+    // projection, no shuffle beyond the output sort
+    "q148_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(
+          docs.where(col("lang") === "en"), "text",
+          minCount = 5, maxSize = 200))
+      docs.where(col("lang") =!= "en" && col("text").isNotNull)
+        .withColumn("text", concat(col("text"), lit(" "),
+          upper(substring(col("text"), 1, 12))))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+            .cast(LongType).as("n_pieces"),
+          graft.functions.TextFunctions.bpeUnkCount(col("text"), pieces)
+            .cast(LongType).as("n_unk"))
+        .orderBy("doc_id")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -4309,6 +4337,77 @@ object SparkEntry {
            |  CAST(sum(os) AS BIGINT) AS n_oversize_docs,
            |  CAST(max(mx) AS BIGINT) AS max_doc_tokens
            |FROM pp4 GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      // vocab trained on the en slice (same wv/alpha/min(id)
+      // construction as q137's twin), applied to every other lang with
+      // an UNK-tolerant greedy walk: a position with no matching piece
+      // (LEFT JOIN miss) advances one char and counts as UNK — the
+      // kernel's exact rule
+      "q148_vocab_coverage" ->
+        s"""WITH RECURSIVE
+           |tr AS (SELECT doc_id, text FROM documents
+           |  WHERE lang = 'en'),
+           |ev AS (SELECT doc_id, lang,
+           |    text || ' ' || upper(substr(text, 1, 12)) AS text
+           |  FROM documents
+           |  WHERE lang <> 'en' AND text IS NOT NULL),
+           |bptk8 AS (SELECT unnest($toksSql) AS token FROM tr),
+           |wv08 AS (SELECT token, count(*) AS cnt FROM bptk8
+           |  GROUP BY token HAVING count(*) >= 5
+           |  ORDER BY cnt DESC, token LIMIT 200),
+           |wv8 AS (SELECT token AS piece,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, token)
+           |      AS INTEGER) AS id FROM wv08),
+           |trw8 AS (SELECT DISTINCT tok FROM
+           |  (SELECT unnest($toksSql) AS tok FROM tr)),
+           |trpos8 AS (SELECT tok,
+           |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
+           |  FROM trw8),
+           |alpha8 AS (SELECT ch,
+           |    CAST(200 + row_number() OVER (ORDER BY ch) AS INTEGER)
+           |      AS id
+           |  FROM (SELECT DISTINCT substr(tok, p, 1) AS ch FROM trpos8)),
+           |pieces8 AS (SELECT piece, MIN(id) AS id FROM (
+           |    SELECT piece, id FROM wv8
+           |    UNION ALL SELECT ch AS piece, id FROM alpha8)
+           |  GROUP BY piece),
+           |lens8 AS (SELECT DISTINCT CAST(length(piece) AS INTEGER) AS l
+           |  FROM pieces8),
+           |eta8 AS (SELECT doc_id, $toksSql AS arr FROM ev),
+           |etoks8 AS (SELECT doc_id, unnest(arr) AS tok
+           |  FROM eta8 WHERE len(arr) > 0),
+           |ew8 AS (SELECT DISTINCT tok FROM etoks8),
+           |ewpos8 AS (SELECT tok,
+           |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
+           |  FROM ew8),
+           |ebest8 AS (SELECT w.tok, w.p,
+           |    CAST(MAX(length(pc.piece)) AS INTEGER) AS blen
+           |  FROM ewpos8 w JOIN lens8 ln ON ln.l <= length(w.tok) - w.p + 1
+           |  JOIN pieces8 pc ON pc.piece = substr(w.tok, w.p, ln.l)
+           |  GROUP BY w.tok, w.p),
+           |ebid8 AS MATERIALIZED (SELECT w.tok, w.p,
+           |    COALESCE(b.blen, 1) AS blen,
+           |    CASE WHEN b.blen IS NULL THEN 1 ELSE 0 END AS unk
+           |  FROM ewpos8 w LEFT JOIN ebest8 b
+           |    ON b.tok = w.tok AND b.p = w.p),
+           |egreedy8 AS (
+           |  SELECT tok, CAST(1 AS INTEGER) AS p FROM ew8
+           |  UNION ALL
+           |  SELECT g.tok, CAST(g.p + b.blen AS INTEGER)
+           |    FROM egreedy8 g JOIN ebid8 b ON b.tok = g.tok AND b.p = g.p),
+           |ewc8 AS (SELECT g.tok, CAST(count(*) AS BIGINT) AS wc,
+           |    CAST(sum(b.unk) AS BIGINT) AS wunk
+           |  FROM egreedy8 g JOIN ebid8 b ON b.tok = g.tok AND b.p = g.p
+           |  GROUP BY g.tok),
+           |eseq8 AS (SELECT t.doc_id,
+           |    CAST(sum(w.wc) AS BIGINT) AS n_pieces,
+           |    CAST(sum(w.wunk) AS BIGINT) AS n_unk
+           |  FROM etoks8 t JOIN ewc8 w ON w.tok = t.tok GROUP BY 1)
+           |SELECT e.doc_id, e.lang,
+           |  COALESCE(s.n_pieces, 0) AS n_pieces,
+           |  COALESCE(s.n_unk, 0) AS n_unk
+           |FROM ev e LEFT JOIN eseq8 s USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // the q137 per-doc id STRINGS packed under q68's arithmetic;
       // empty-token docs stay in n_docs but contribute nothing to the

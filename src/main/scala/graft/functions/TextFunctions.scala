@@ -67,6 +67,15 @@ object TextFunctions {
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     TextExpressions.bpeMergeCount(text, merges)
 
+  /** UNK emissions of the [[bpeCount]] MaxMatch walk
+    * ([[graft.functions.BpeUnkCountExpr]]): positions where no piece —
+    * not even the single character — matches. Zero on the vocabulary's
+    * own build corpus; on held-out or cross-lingual text this is the
+    * character-level OOV count, the vocabulary-coverage audit.
+    */
+  def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
+    TextExpressions.bpeUnkCount(text, pieces)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

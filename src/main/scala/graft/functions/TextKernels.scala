@@ -432,6 +432,29 @@ final class BpeTrie(pieces: Seq[(String, Int)]) extends Serializable {
     }
     cnt
   }
+
+  /** Number of UNK emissions [[encodeWord]] would produce — the
+    * positions where NO piece (not even the single character) matches.
+    * On the corpus a vocab was built from this is always 0 (the builder
+    * embeds the full alphabet); applied to a DIFFERENT corpus it is the
+    * character-level out-of-vocabulary count, the coverage-audit
+    * quantity.
+    */
+  def unkCountWord(w: String): Int = {
+    var p = 0
+    var unk = 0
+    while (p < w.length) {
+      var n = root
+      var i = p
+      var bestEnd = -1
+      while (i < w.length && { n = n.child(w.charAt(i)); n != null }) {
+        i += 1
+        if (n.id >= 0) bestEnd = i
+      }
+      if (bestEnd >= 0) p = bestEnd else { unk += 1; p += 1 }
+    }
+    unk
+  }
 }
 
 /** bpe_encode(text, pieces): array<int> — greedy longest-match subword
@@ -495,6 +518,36 @@ case class BpeCountExpr(child: Expression, pieces: Seq[(String, Int)])
     defineCodeGen(ctx, ev, c => s"$ref.count($c)")
   }
   override protected def withNewChildInternal(c: Expression): BpeCountExpr =
+    copy(child = c)
+}
+
+/** bpe_unk_count(text, pieces): int — the UNK emissions of the same
+  * greedy MaxMatch walk as [[BpeCountExpr]]: positions where no piece
+  * (not even the single character) matches advance one character and
+  * count here instead. Zero by construction on the vocabulary's own
+  * build corpus (the builder embeds its full alphabet); on held-out or
+  * cross-lingual text it is the character-level OOV count — the
+  * vocabulary-coverage audit a tokenizer ships with.
+  */
+case class BpeUnkCountExpr(child: Expression, pieces: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  @transient private lazy val trie = new BpeTrie(pieces)
+  def unkCount(t: UTF8String): Int = {
+    val words = TextKernels.tokenize(t)
+    var i = 0
+    var n = 0
+    while (i < words.length) { n += trie.unkCountWord(words(i)); i += 1 }
+    n
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    unkCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeUnk", this,
+      classOf[BpeUnkCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.unkCount($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeUnkCountExpr =
     copy(child = c)
 }
 
@@ -603,4 +656,7 @@ object TextExpressions {
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(
       BpeMergeCountExpr(GraftColumnBridge.expression(text), merges))
+  def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))
 }

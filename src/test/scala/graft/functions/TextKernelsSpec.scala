@@ -211,6 +211,56 @@ class TextKernelsSpec extends SparkSpec {
       byPiece("the"), byPiece("quick")))
   }
 
+  test("bpeUnkCount: counts exactly the UNK emissions of the encode walk") {
+    val pieces = Seq("ab" -> 1, "abc" -> 2, "a" -> 10, "b" -> 11, "c" -> 12)
+    val docs = Seq(
+      (1L, "abc ab ba zx"), // encodes [2,1,11,10,0,0] -> 2 UNKs (z, x)
+      (2L, "zzz"),          // all-UNK word: 3
+      (3L, "abcabc"),       // fully covered: 0
+      (4L, ""),             // empty text: 0
+      (5L, null: String))   // null text -> null
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextExpressions.bpeUnkCount(col("text"), pieces).as("u"),
+        TextExpressions.bpeCount(col("text"), pieces).as("n"),
+        size(TextExpressions.bpeEncode(col("text"), pieces)).as("sz"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == (2, 6))
+    assert(got(2L) == (3, 3))
+    assert(got(3L) == (0, 2))
+    assert(got(4L) == (0, 0))
+    assert(got(5L) == null)
+    // invariant: unk emissions are a subset of all emissions, and the
+    // count kernel agrees with size(encode) even through UNK paths
+    val rows = docs.where(col("text").isNotNull).select(
+      TextExpressions.bpeUnkCount(col("text"), pieces).as("u"),
+      TextExpressions.bpeCount(col("text"), pieces).as("n"),
+      size(TextExpressions.bpeEncode(col("text"), pieces)).as("sz"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) <= r.getInt(1) && r.getInt(1) == r.getInt(2))
+    }
+  }
+
+  test("bpeUnkCount is zero on the vocab's own build corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "the quick brown fox"), (4L, "the quick brown fox"),
+      (5L, "the quick brown fox"), (6L, "quickbrown fox thequick"))
+      .toDF("doc_id", "text")
+    val pieces = graft.operators.Corpus.collectPieces(
+      graft.operators.Corpus.buildPieceVocab(docs, "text",
+        minCount = 5, maxSize = 200))
+    val unks = docs.select(
+      TextExpressions.bpeUnkCount(col("text"), pieces)).collect()
+    assert(unks.forall(_.getInt(0) == 0))
+    // but uppercase (absent from the lowercase alphabet) is OOV
+    val up = docs.select(TextExpressions.bpeUnkCount(
+      concat(col("text"), lit(" FOX")), pieces)).collect()
+    assert(up.forall(_.getInt(0) == 3))
+  }
+
   test("bpeMergeCount: rank-ordered apply, differs from MaxMatch, overlaps, nulls") {
     // merges ranked (b,c) BEFORE (a,b): the rank-1 merge consumes the
     // b of "abc" first, so merge-order segments "abc" as [a, bc] — the
