@@ -1741,6 +1741,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the fix q147's oversize census calls for, gated: chunk at 64
+    // whitespace tokens (bounded subword inflation: ≤ word-length
+    // pieces per word, so a 64-word chunk can never reach the 2048
+    // budget), re-pack by REAL BPE counts, and prove n_oversize == 0
+    // while the packing arithmetic still balances. cid = doc_id*4096 +
+    // chunk_id keeps chunk order inside doc order (docs are ≤ 4096
+    // chunks = 256k words at this chunk size; assert-worthy at ingest
+    // for larger corpora). Same shuffle classes as q139/q147 — the
+    // chunk explode is narrow
+    "q149_chunk_repack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val pieces = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(docs, "text",
+          minCount = 5, maxSize = 200))
+      val chunks = graft.operators.Corpus
+        .chunkDocuments(docs, maxTokens = 64)
+        .select(col("doc_id"),
+          (col("doc_id") * 4096 + col("chunk_id")).as("cid"), col("text"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val withN = chunks.select(col("cid"), col("lang"),
+        graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+          .cast(LongType).as("__n_tokens"))
+      graft.operators.Corpus.packSequences(withN, "lang", "cid",
+          col("__n_tokens"), tokenBudget = 2048)
+        .where(col("pack_id").isNotNull)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("nch"), sum(col("n_tokens")).as("pt"),
+          sum(when(col("n_tokens") > lit(2048L), lit(1L))
+            .otherwise(lit(0L))).as("os"),
+          max(col("n_tokens")).as("mx"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("nch")).as("n_chunks"),
+          sum(col("pt")).as("total_tokens"),
+          sum(col("os")).as("n_oversize_chunks"),
+          max(col("mx")).as("max_chunk_tokens"))
+        .withColumn("capacity_tokens", col("n_packs") * lit(2048L))
+        .select("lang", "n_chunks", "n_packs", "capacity_tokens",
+          "total_tokens", "n_oversize_chunks", "max_chunk_tokens")
+        .orderBy("lang")
+    }),
+
     // learn → apply, closed in BPE's own semantics: the q142 merge
     // table collects driver-side (model metadata, k rows) and applies
     // IN RANK ORDER through the memoized codegen kernel — per-doc
@@ -4408,6 +4452,46 @@ object SparkEntry {
            |  COALESCE(s.n_unk, 0) AS n_unk
            |FROM ev e LEFT JOIN eseq8 s USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // chunk at 64 whitespace tokens off the shared ord column
+      // (token at ord lands in chunk (ord-1)//64), per-chunk BPE
+      // counts = sum of the greedy walk's per-word piece counts,
+      // then q139's pack arithmetic over cid order and q147's two
+      // rollups with the oversize census
+      "q149_chunk_repack" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |wcnt9 AS (SELECT tok, CAST(count(*) AS BIGINT) AS wc
+           |  FROM wp GROUP BY tok),
+           |ct9 AS (SELECT t.doc_id,
+           |    CAST((t.ord - 1) // 64 AS BIGINT) AS chunk_id, w.wc
+           |  FROM toks t JOIN wcnt9 w USING (tok)),
+           |chk9 AS (SELECT doc_id, doc_id * 4096 + chunk_id AS cid,
+           |    CAST(sum(wc) AS BIGINT) AS n_tokens
+           |  FROM ct9 GROUP BY 1, 2),
+           |lg9 AS (SELECT c.cid, d.lang, c.n_tokens
+           |  FROM chk9 c JOIN documents d USING (doc_id)),
+           |cc9 AS (SELECT cid, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY cid
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM lg9),
+           |p9 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  n_tokens FROM cc9),
+           |pp9 AS (SELECT lang, pack_id,
+           |    CAST(count(*) AS BIGINT) AS nch,
+           |    CAST(sum(n_tokens) AS BIGINT) AS pt,
+           |    CAST(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS os,
+           |    CAST(max(n_tokens) AS BIGINT) AS mx
+           |  FROM p9 GROUP BY 1, 2)
+           |SELECT lang, CAST(sum(nch) AS BIGINT) AS n_chunks,
+           |  CAST(count(*) AS BIGINT) AS n_packs,
+           |  CAST(count(*) * 2048 AS BIGINT) AS capacity_tokens,
+           |  CAST(sum(pt) AS BIGINT) AS total_tokens,
+           |  CAST(sum(os) AS BIGINT) AS n_oversize_chunks,
+           |  CAST(max(mx) AS BIGINT) AS max_chunk_tokens
+           |FROM pp9 GROUP BY 1 ORDER BY lang""".stripMargin,
 
       // the q137 per-doc id STRINGS packed under q68's arithmetic;
       // empty-token docs stay in n_docs but contribute nothing to the
