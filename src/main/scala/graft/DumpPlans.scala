@@ -81,7 +81,7 @@ object DumpPlans {
       "q147_pack_efficiency" ->
         "pack-efficiency audit: the pinned q139 packer shape + two metadata-sized rollups (per (shard,pack) then per shard) — the oversize census rides the first rollup, no new shuffle class",
       "q148_vocab_coverage" ->
-        "vocabulary-coverage audit: en-trained vocab applied cross-lingually — ONE narrow projection with the count + UNK-count kernels side by side (vocab rides both expressions as model metadata), no exchange beyond the output sort",
+        "vocabulary-coverage audit: en-trained vocab applied cross-lingually — ONE narrow projection with the FUSED count+UNK kernel (a single tokenize + trie walk emits both; vocab rides the expression as model metadata), no exchange beyond the output sort",
       "q149_chunk_repack" ->
         "chunk-then-repack (the q147 oversize fix, gated): narrow chunk explode (slice off one tokens array, no per-token explode) -> count-kernel projection -> the pinned packer + two rollups — oversize census provably zero, same shuffle classes as q139/q147")
     // args: query names to APPEND to PLANS.md (preserves the manually

@@ -114,9 +114,8 @@ object ScaleSmoke {
           // that the latter stay flat as rows grow (dict saturates)
           Corpus.learnBpeMerges(amp, "text", numMerges = 8).count()),
         "bpe_merge_count" -> (() => {
-          val merges = Corpus.learnBpeMerges(amp, "text", numMerges = 16)
-            .orderBy("merge_rank").select("lhs", "rhs")
-            .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          val merges = Corpus.collectMerges(
+            Corpus.learnBpeMerges(amp, "text", numMerges = 16))
           // rank-ordered apply kernel over the corpus (memoized per word)
           () => amp.select(
             TextFunctions.bpeMergeCount(col("text"), merges).as("n"))

@@ -76,6 +76,29 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** The q137-family compound salt — each doc's first 16 chars, spaces
+    * removed, appended as ONE synthetic compound word so the greedy
+    * matcher must decompose unseen compounds into word-pieces. MUST stay
+    * byte-identical to the oracle side's shared `docs2` CTE
+    * (`bpeSeqCtes`): every BPE-vocab query and its SQL twin flow through
+    * this single definition — editing one without the other desyncs the
+    * whole family's gates.
+    */
+  private def saltCompound(c: Column): Column =
+    concat(c, lit(" "), regexp_replace(substring(c, 1, 16), " ", ""))
+
+  private def saltedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("text", saltCompound(col("text")))
+
+  /** The shared q137-family piece vocabulary (minCount 5, size cap 200 —
+    * the same constants as the twins' `wv0`/`alpha` CTEs), collected as
+    * kernel model metadata.
+    */
+  private def q137Pieces(docs: DataFrame): Seq[(String, Int)] =
+    graft.operators.Corpus.collectPieces(
+      graft.operators.Corpus.buildPieceVocab(docs, "text",
+        minCount = 5, maxSize = 200))
+
   /** Streaming state cost scales with shuffle partitions (one state-store
     * instance + delta files per partition per batch); the harness's
     * streams carry tiny state, so run them at few partitions and restore
@@ -1489,9 +1512,7 @@ object SparkEntry {
       val (accepted, _) = streamCurateDedupAccepted(s, dir)
       val corpus = accepted.select("doc_id", "text")
         .join(t(s, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(corpus, "text",
-          minCount = 5, maxSize = 200))
+      val pieces = q137Pieces(corpus)
       val withN = corpus.select(col("doc_id"), col("lang"), col("text"),
         graft.functions.TextFunctions.bpeCount(col("text"), pieces)
           .cast(LongType).as("__n_tokens"))
@@ -1544,12 +1565,8 @@ object SparkEntry {
       // with a deterministic COMPOUND (its first 16 chars, spaces
       // removed) so the greedy matcher actually has to decompose
       // unseen words into word-pieces, not just look up whole tokens
-      val docs = t(s, dir, "documents")
-        .withColumn("text", concat(col("text"), lit(" "),
-          regexp_replace(substring(col("text"), 1, 16), " ", "")))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(docs, "text",
-          minCount = 5, maxSize = 200))
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
       docs.select(col("doc_id"),
           graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
             .as("__ids"))
@@ -1566,12 +1583,8 @@ object SparkEntry {
     // (`nTokensCol` is caller-supplied); same salted corpus as q137 so
     // the piece vocab exercises compound decomposition
     "q139_bpe_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("text", concat(col("text"), lit(" "),
-          regexp_replace(substring(col("text"), 1, 16), " ", "")))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(docs, "text",
-          minCount = 5, maxSize = 200))
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
       val withN = docs.select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.bpeCount(col("text"), pieces)
           .cast(LongType).as("__n_tokens"))
@@ -1599,12 +1612,8 @@ object SparkEntry {
     // in id order), digested for the oracle compare. Same salted
     // corpus as q137 so compounds decompose.
     "q144_token_packs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("text", concat(col("text"), lit(" "),
-          regexp_replace(substring(col("text"), 1, 16), " ", "")))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(docs, "text",
-          minCount = 5, maxSize = 200))
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
       val withIds = docs.select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
             .as("__ids"))
@@ -1629,8 +1638,7 @@ object SparkEntry {
     "q145_artifact_roundtrip" -> ((s, dir) => {
       val root = scratch("graft_tok_")
       val raw = t(s, dir, "documents")
-      val salted = raw.withColumn("text", concat(col("text"), lit(" "),
-        regexp_replace(substring(col("text"), 1, 16), " ", "")))
+      val salted = raw.withColumn("text", saltCompound(col("text")))
       graft.operators.Corpus.buildPieceVocab(salted, "text",
           minCount = 5, maxSize = 200)
         .write.mode("overwrite").parquet(s"$root/vocab")
@@ -1638,9 +1646,8 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$root/merges")
       val pieces = graft.operators.Corpus.collectPieces(
         s.read.parquet(s"$root/vocab"))
-      val merges = s.read.parquet(s"$root/merges")
-        .orderBy("merge_rank").select("lhs", "rhs")
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val merges = graft.operators.Corpus.collectMerges(
+        s.read.parquet(s"$root/merges"))
       salted.select(col("doc_id"),
           graft.functions.TextFunctions.bpeCount(col("text"), pieces)
             .cast(LongType).as("n_pieces"))
@@ -1655,14 +1662,15 @@ object SparkEntry {
     // tokens roll up per lang as exact BIGINT sums (fertility =
     // n_bpe_tokens/n_words and bytes-per-token = n_word_bytes/
     // n_bpe_tokens are downstream divisions; sums keep the gate
-    // hash-exact). One narrow codegen projection (tokens + merge-count
-    // kernels) then ONE O(#langs) aggregate — no per-word shuffle
+    // hash-exact). Byte accounting is octet_length/strlen on the two
+    // engines — equal on this pure-ASCII corpus, so the multi-byte
+    // semantics are pinned by TextKernelsSpec, not this gate. One
+    // narrow codegen projection (tokens + merge-count kernels) then
+    // ONE O(#langs) aggregate — no per-word shuffle
     "q146_tokenizer_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.Corpus.learnBpeMerges(
-          docs, "text", numMerges = 16)
-        .orderBy("merge_rank").select("lhs", "rhs")
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val merges = graft.operators.Corpus.collectMerges(
+        graft.operators.Corpus.learnBpeMerges(docs, "text", numMerges = 16))
       docs.filter(col("text").isNotNull)
         .select(col("lang"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"),
@@ -1671,8 +1679,7 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("tk")).cast(LongType)).as("n_words"),
-          sum(aggregate(col("tk"), lit(0L),
-            (a, x) => a + octet_length(x).cast(LongType)))
+          sum(graft.functions.TextFunctions.tokenByteSum(col("tk")))
             .as("n_word_bytes"),
           sum(col("n_bpe")).as("n_bpe_tokens"))
         .orderBy("lang")
@@ -1685,12 +1692,8 @@ object SparkEntry {
     // aggregates on top of the pinned packer shape; all-BIGINT output
     // so utilization = total/capacity is a downstream division
     "q147_pack_efficiency" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("text", concat(col("text"), lit(" "),
-          regexp_replace(substring(col("text"), 1, 16), " ", "")))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(docs, "text",
-          minCount = 5, maxSize = 200))
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
       val withN = docs.select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.bpeCount(col("text"), pieces)
           .cast(LongType).as("__n_tokens"))
@@ -1722,45 +1725,43 @@ object SparkEntry {
     // eval slice gets the classic casing-OOV perturbation — an
     // UPPERCASED prefix echo — and every uppercase char is a
     // guaranteed UNK. Per-doc (n_pieces, n_unk) is the coverage
-    // report a tokenizer ships with; one narrow two-kernel
-    // projection, no shuffle beyond the output sort
+    // report a tokenizer ships with; ONE narrow projection with the
+    // fused count+UNK kernel (a single tokenize + trie walk emits
+    // both), no shuffle beyond the output sort
     "q148_vocab_coverage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(
-          docs.where(col("lang") === "en"), "text",
-          minCount = 5, maxSize = 200))
+      val pieces = q137Pieces(docs.where(col("lang") === "en"))
       docs.where(col("lang") =!= "en" && col("text").isNotNull)
         .withColumn("text", concat(col("text"), lit(" "),
           upper(substring(col("text"), 1, 12))))
         .select(col("doc_id"), col("lang"),
-          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
-            .cast(LongType).as("n_pieces"),
-          graft.functions.TextFunctions.bpeUnkCount(col("text"), pieces)
-            .cast(LongType).as("n_unk"))
+          graft.functions.TextFunctions.bpeCountUnk(col("text"), pieces)
+            .as("__cu"))
+        .select(col("doc_id"), col("lang"),
+          col("__cu.n_pieces").cast(LongType).as("n_pieces"),
+          col("__cu.n_unk").cast(LongType).as("n_unk"))
         .orderBy("doc_id")
     }),
 
-    // the fix q147's oversize census calls for, gated: chunk at 64
-    // whitespace tokens (bounded subword inflation: ≤ word-length
-    // pieces per word, so a 64-word chunk can never reach the 2048
-    // budget), re-pack by REAL BPE counts, and prove n_oversize == 0
-    // while the packing arithmetic still balances. cid = doc_id*4096 +
-    // chunk_id keeps chunk order inside doc order (docs are ≤ 4096
-    // chunks = 256k words at this chunk size; assert-worthy at ingest
-    // for larger corpora). Same shuffle classes as q139/q147 — the
-    // chunk explode is narrow
+    // the remediation pipeline q147's oversize census feeds, gated:
+    // chunk at 64 whitespace tokens, re-pack by REAL BPE counts, and
+    // prove n_oversize == 0 while the packing arithmetic balances.
+    // The zero is corpus-conditional, not universal: a chunk's BPE
+    // count is bounded by 64 × max-word-chars (char fallback), which
+    // stays under the 2048 budget only while words are ≤ 32 chars —
+    // true here (plain words ≤ ~12 chars, salt compounds ≤ 16), and
+    // exactly what the gated census verifies. cid = doc_id·2³² +
+    // chunk_id keeps chunk order inside doc order with no reachable
+    // collision (2³² chunks = a 274-billion-token document). Same
+    // shuffle classes as q139/q147 — the chunk explode is narrow
     "q149_chunk_repack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("text", concat(col("text"), lit(" "),
-          regexp_replace(substring(col("text"), 1, 16), " ", "")))
-      val pieces = graft.operators.Corpus.collectPieces(
-        graft.operators.Corpus.buildPieceVocab(docs, "text",
-          minCount = 5, maxSize = 200))
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
       val chunks = graft.operators.Corpus
         .chunkDocuments(docs, maxTokens = 64)
         .select(col("doc_id"),
-          (col("doc_id") * 4096 + col("chunk_id")).as("cid"), col("text"))
+          (col("doc_id") * lit(4294967296L) + col("chunk_id")).as("cid"),
+          col("text"))
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       val withN = chunks.select(col("cid"), col("lang"),
         graft.functions.TextFunctions.bpeCount(col("text"), pieces)
@@ -1792,10 +1793,8 @@ object SparkEntry {
     // MaxMatch rule, which can segment differently)
     "q143_bpe_learn_apply" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.Corpus.learnBpeMerges(
-          docs, "text", numMerges = 16)
-        .orderBy("merge_rank").select("lhs", "rhs")
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val merges = graft.operators.Corpus.collectMerges(
+        graft.operators.Corpus.learnBpeMerges(docs, "text", numMerges = 16))
       docs.select(col("doc_id"),
           graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
             .cast(LongType).as("n_bpe_tokens"))
@@ -4466,7 +4465,7 @@ object SparkEntry {
            |ct9 AS (SELECT t.doc_id,
            |    CAST((t.ord - 1) // 64 AS BIGINT) AS chunk_id, w.wc
            |  FROM toks t JOIN wcnt9 w USING (tok)),
-           |chk9 AS (SELECT doc_id, doc_id * 4096 + chunk_id AS cid,
+           |chk9 AS (SELECT doc_id, doc_id * 4294967296 + chunk_id AS cid,
            |    CAST(sum(wc) AS BIGINT) AS n_tokens
            |  FROM ct9 GROUP BY 1, 2),
            |lg9 AS (SELECT c.cid, d.lang, c.n_tokens

@@ -67,6 +67,20 @@ object TextFunctions {
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     TextExpressions.bpeMergeCount(text, merges)
 
+  /** Sum of the UTF-8 BYTE lengths of an already-tokenized text (an
+    * in-row `aggregate` fold, `octet_length` per token — no explode) —
+    * the denominator of bytes-per-token tokenizer compression, fed by
+    * [[tokens]]. Deliberately bytes, not characters: DuckDB's `strlen`
+    * twin is byte-based too, and TextKernelsSpec pins the multi-byte
+    * behavior (the shipped test corpus is pure ASCII, where the two
+    * are indistinguishable — the spec is what holds this to bytes).
+    */
+  def tokenByteSum(toks: Column): Column =
+    org.apache.spark.sql.functions.aggregate(toks,
+      org.apache.spark.sql.functions.lit(0L),
+      (a, x) => a + org.apache.spark.sql.functions.octet_length(x)
+        .cast("long"))
+
   /** UNK emissions of the [[bpeCount]] MaxMatch walk
     * ([[graft.functions.BpeUnkCountExpr]]): positions where no piece —
     * not even the single character — matches. Zero on the vocabulary's
@@ -75,6 +89,14 @@ object TextFunctions {
     */
   def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
     TextExpressions.bpeUnkCount(text, pieces)
+
+  /** [[bpeCount]] and [[bpeUnkCount]] from ONE fused walk
+    * (`struct<n_pieces:int, n_unk:int>` —
+    * [[graft.functions.BpeCountUnkExpr]]): for consumers that need both
+    * per row, halving the tokenize + trie passes.
+    */
+  def bpeCountUnk(text: Column, pieces: Seq[(String, Int)]): Column =
+    TextExpressions.bpeCountUnk(text, pieces)
 
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer

@@ -455,6 +455,28 @@ final class BpeTrie(pieces: Seq[(String, Int)]) extends Serializable {
     }
     unk
   }
+
+  /** [[countWord]] and [[unkCountWord]] in ONE fused walk: total
+    * emissions ride the high int, UNK emissions the low int. The
+    * coverage audit needs both per row; fusing halves the trie passes.
+    */
+  def countUnkWord(w: String): Long = {
+    var p = 0
+    var cnt = 0
+    var unk = 0
+    while (p < w.length) {
+      var n = root
+      var i = p
+      var bestEnd = -1
+      while (i < w.length && { n = n.child(w.charAt(i)); n != null }) {
+        i += 1
+        if (n.id >= 0) bestEnd = i
+      }
+      cnt += 1
+      if (bestEnd >= 0) p = bestEnd else { unk += 1; p += 1 }
+    }
+    (cnt.toLong << 32) | (unk.toLong & 0xffffffffL)
+  }
 }
 
 /** bpe_encode(text, pieces): array<int> — greedy longest-match subword
@@ -548,6 +570,47 @@ case class BpeUnkCountExpr(child: Expression, pieces: Seq[(String, Int)])
     defineCodeGen(ctx, ev, c => s"$ref.unkCount($c)")
   }
   override protected def withNewChildInternal(c: Expression): BpeUnkCountExpr =
+    copy(child = c)
+}
+
+/** bpe_count_unk(text, pieces): struct<n_pieces:int, n_unk:int> — the
+  * [[BpeCountExpr]] and [[BpeUnkCountExpr]] quantities from ONE fused
+  * MaxMatch walk (each emission is classified as it is counted), for
+  * consumers that need both per row: the coverage audit reads total
+  * and UNK emissions together, and fusing halves the tokenize + trie
+  * passes and the per-executor trie instances.
+  */
+case class BpeCountUnkExpr(child: Expression, pieces: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_unk",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  @transient private lazy val trie = new BpeTrie(pieces)
+  def countUnk(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = TextKernels.tokenize(t)
+    var i = 0
+    var c = 0
+    var u = 0
+    while (i < words.length) {
+      val cu = trie.countUnkWord(words(i))
+      c += (cu >>> 32).toInt
+      u += cu.toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c, u))
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    countUnk(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCu", this,
+      classOf[BpeCountUnkExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countUnk($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeCountUnkExpr =
     copy(child = c)
 }
 
@@ -659,4 +722,7 @@ object TextExpressions {
   def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))
+  def bpeCountUnk(text: Column, pieces: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeCountUnkExpr(GraftColumnBridge.expression(text), pieces))
 }

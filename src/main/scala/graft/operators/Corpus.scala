@@ -342,6 +342,16 @@ object Corpus {
     rows.toSeq.map(r => (r.getString(0), r.getInt(1)))
   }
 
+  /** Driver-side materialization of a [[learnBpeMerges]] table for the
+    * apply kernels ([[graft.functions.BpeMergeCountExpr]]) — the
+    * orderBy is load-bearing: merges apply IN RANK ORDER and parquet
+    * read order is not rank order, so every consumer goes through this
+    * one definition. Merge tables are model metadata (k rows).
+    */
+  def collectMerges(mergeTable: DataFrame): Seq[(String, String)] =
+    mergeTable.orderBy("merge_rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Bounded-iteration BPE merge LEARNING (Sennrich et al., ACL'16,
     * `learn_bpe`): k rounds of count-pairs → pick-top → merge, run as
     * Spark aggregates over the word-frequency DICTIONARY — BPE

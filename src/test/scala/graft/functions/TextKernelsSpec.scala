@@ -243,6 +243,37 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("bpeCountUnk fuses count+unk in one walk; tokenByteSum counts UTF-8 bytes") {
+    val pieces = Seq("ab" -> 1, "abc" -> 2, "a" -> 10, "b" -> 11, "c" -> 12)
+    val docs = Seq((1L, "abc ab ba zx"), (2L, "zzz"), (3L, "abcabc"),
+      (4L, ""), (5L, null: String)).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        TextExpressions.bpeCountUnk(col("text"), pieces).as("cu"),
+        TextExpressions.bpeCount(col("text"), pieces).as("n"),
+        TextExpressions.bpeUnkCount(col("text"), pieces).as("u"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val cu = r.getStruct(1)
+        assert(cu.getInt(0) == r.getInt(2)) // n_pieces == bpeCount
+        assert(cu.getInt(1) == r.getInt(3)) // n_unk == bpeUnkCount
+      }
+    }
+    // tokenByteSum: UTF-8 BYTES, not characters — ö is 2 bytes, 汉 is
+    // 3; a swap to char-based length() would fail this pin (the parquet
+    // corpora are pure ASCII, where the two are indistinguishable)
+    val multi = Seq((1L, "naïve 汉字 ab"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = multi.select(col("doc_id"), TextFunctions.tokenByteSum(
+        TextFunctions.tokens(col("text"))).as("b")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(1L) == 6L + 6L + 2L) // naïve=6B, 汉字=6B, ab=2B
+    assert(got(2L) == 0L)
+    assert(got(3L) == null)
+  }
+
   test("bpeUnkCount is zero on the vocab's own build corpus") {
     val docs = Seq(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
