@@ -83,7 +83,9 @@ object DumpPlans {
       "q148_vocab_coverage" ->
         "vocabulary-coverage audit: en-trained vocab applied cross-lingually — ONE narrow projection with the FUSED count+UNK kernel (a single tokenize + trie walk emits both; vocab rides the expression as model metadata), no exchange beyond the output sort",
       "q149_chunk_repack" ->
-        "chunk-then-repack (the q147 oversize fix, gated): narrow chunk explode (slice off one tokens array, no per-token explode) -> count-kernel projection -> the pinned packer + two rollups — oversize census provably zero, same shuffle classes as q139/q147")
+        "chunk-then-repack (the q147 oversize fix, gated): narrow chunk explode (slice off one tokens array, no per-token explode) -> count-kernel projection -> the pinned packer + two rollups — oversize census provably zero, same shuffle classes as q139/q147",
+      "q150_tokenizer_compare" ->
+        "tokenizer A/B report: both inference kernels (MaxMatch vocab, rank-ordered merges) side by side in ONE narrow projection over the same corpus, then one O(#langs) aggregate with the win census — no shuffle beyond the rollup")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -1685,6 +1685,36 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // tokenizer A/B comparison: the two shipped tokenizers — the
+    // frequency piece vocab under MaxMatch inference (q137 family) and
+    // the learned merge table under rank-ordered inference (q142/q143
+    // family) — run over the SAME raw corpus, reporting per-language
+    // token totals and per-doc win counts (which tokenizer compresses
+    // each doc better). The model-selection report a pipeline runs
+    // before committing to a tokenizer; one narrow projection carrying
+    // both kernels, one O(#langs) aggregate
+    "q150_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = q137Pieces(docs)
+      val merges = graft.operators.Corpus.collectMerges(
+        graft.operators.Corpus.learnBpeMerges(docs, "text", numMerges = 16))
+      docs.filter(col("text").isNotNull)
+        .select(col("lang"),
+          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+            .cast(LongType).as("nmax"),
+          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
+            .cast(LongType).as("nmrg"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nmax")).as("n_maxmatch_tokens"),
+          sum(col("nmrg")).as("n_merge_tokens"),
+          sum(when(col("nmrg") < col("nmax"), lit(1L)).otherwise(lit(0L)))
+            .as("n_merge_wins"),
+          sum(when(col("nmax") < col("nmrg"), lit(1L)).otherwise(lit(0L)))
+            .as("n_maxmatch_wins"))
+        .orderBy("lang")
+    }),
+
     // pack-efficiency audit over q139's packing: per shard the pack
     // count, capacity (n_packs × budget), actual token total, and the
     // oversize-doc census (docs longer than the whole budget — the
@@ -4349,6 +4379,39 @@ object SparkEntry {
            |FROM documents doc LEFT JOIN dw3 USING (doc_id)
            |WHERE doc.text IS NOT NULL
            |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      // both tokenizer chains over the SAME raw corpus: the q137-style
+      // vocab/greedy-walk block instantiated on `rawd` gives per-doc
+      // MaxMatch counts (seq), the learn chain's last stage gives
+      // per-word merge counts — joined per doc, rolled up per lang
+      // with the win census
+      "q150_tokenizer_compare" ->
+        s"""WITH RECURSIVE
+           |rawd AS (SELECT doc_id, text FROM documents),
+           |${bpePieceCtes("rawd")},
+           |$bpeLearnCtes,
+           |wfm AS (SELECT word,
+           |    CAST(len($bpeLearnUnwrapRe) AS BIGINT) AS wc
+           |  FROM blw$bpeLearnK),
+           |dtm AS (SELECT doc_id, unnest($toksSql) AS word
+           |  FROM documents WHERE text IS NOT NULL),
+           |dcm AS (SELECT d.doc_id,
+           |    CAST(sum(COALESCE(w.wc, 1)) AS BIGINT) AS nm
+           |  FROM dtm d LEFT JOIN wfm w USING (word) GROUP BY 1),
+           |per AS (SELECT doc.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS nmax,
+           |    COALESCE(dc.nm, 0) AS nmrg
+           |  FROM documents doc LEFT JOIN seq s USING (doc_id)
+           |  LEFT JOIN dcm dc USING (doc_id)
+           |  WHERE doc.text IS NOT NULL)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nmax) AS BIGINT) AS n_maxmatch_tokens,
+           |  CAST(sum(nmrg) AS BIGINT) AS n_merge_tokens,
+           |  CAST(sum(CASE WHEN nmrg < nmax THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_merge_wins,
+           |  CAST(sum(CASE WHEN nmax < nmrg THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_maxmatch_wins
+           |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
 
       // q139's pack arithmetic rolled up twice: per (lang, pack) then
       // per lang, with the oversize census (n_tokens > budget) riding
