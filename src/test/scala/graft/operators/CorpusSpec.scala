@@ -471,6 +471,33 @@ class CorpusSpec extends SparkSpec {
       Seq("w", "i", "d", "e", "r")))
   }
 
+  test("collectMerges restores rank order from any table order") {
+    // the load-bearing property: merges apply IN RANK ORDER, and a
+    // persisted table read back (parquet, shuffled, reversed) does not
+    // arrive rank-ordered — collectMerges must re-impose it
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val table = Corpus.learnBpeMerges(docs, "text", numMerges = 5)
+    val expect = Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w",
+      "e" -> "w")
+    assert(Corpus.collectMerges(table) == expect)
+    assert(Corpus.collectMerges(
+      table.orderBy(col("merge_rank").desc)) == expect)
+    assert(Corpus.collectMerges(table.repartition(7)) == expect)
+    // and the apply kernel really is order-sensitive: rank order and
+    // reversed order segment "newest" differently under these merges
+    // (rank: es,est,ew -> n|ew|est = 3; reversed applies (e,w) first)
+    val one = Seq((1L, "newest")).toDF("doc_id", "text")
+    val byRank = one.select(graft.functions.TextFunctions
+      .bpeMergeCount(col("text"), expect)).collect()(0).getInt(0)
+    val reversed = one.select(graft.functions.TextFunctions
+      .bpeMergeCount(col("text"), expect.reverse)).collect()(0).getInt(0)
+    assert(byRank == 3)
+    assert(byRank != reversed)
+  }
+
   test("learnBpeMerges stops early when no pair meets minPairCount") {
     val docs = Seq((0L, "ab cd ab")).toDF("doc_id", "text")
     val got = Corpus.learnBpeMerges(docs, "text", numMerges = 10,
