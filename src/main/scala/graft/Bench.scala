@@ -180,9 +180,16 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")
     }
-    spark.stop()
-    if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
-      deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
+    // nothing between here and the summary println may throw: a failed
+    // stop() or a racing writer under /dev/shm would otherwise skip the
+    // one line the driver parses (the sidecar is only the fallback)
+    try {
+      spark.stop()
+      if (sys.props.get("graft.scratch").contains("/dev/shm/graft_bench"))
+        deleteRecursively(java.nio.file.Paths.get("/dev/shm/graft_bench"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
+    }
     // the summary line prints LAST, after spark.stop()'s log chatter, so
     // it is the final stdout line of the run; build.sbt's StdoutOutput
     // strategy keeps it free of sbt's `[info] ` prefix — both halves of

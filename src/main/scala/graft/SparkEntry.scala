@@ -145,6 +145,31 @@ object SparkEntry {
     */
   private def fixtureSentinel(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path + "._GRAFT_OK")
+
+  /** The shared `fixtures/` scratch child ([[wipeStaleFixtures]] spares
+    * it; [[fixtureScratch]] allocates under it). */
+  private def fixturesBase: java.nio.file.Path =
+    sys.props.get("graft.scratch")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .resolve("fixtures")
+
+  /** Refresh the mtime of the `graft_*` tree (the direct `fixtures/`
+    * child) containing `path`: directory mtimes only change when direct
+    * children come and go, so a fixture CONSUMED for over an hour would
+    * otherwise look stale to a concurrent run's [[wipeStaleFixtures]]
+    * and be deleted mid-use. Best-effort — a failed touch only narrows
+    * the wipe guard back to build-time freshness.
+    */
+  private def touchFixtureTree(path: String): Unit = try {
+    val base = fixturesBase.toAbsolutePath.normalize
+    var p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    while (p.getParent != null && p.getParent != base) p = p.getParent
+    if (p.getParent == base)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  } catch { case _: java.io.IOException => () }
+
   private def memoFixture(key: String, dir: String)(build: () => String): String =
     fixtureCache.compute(s"$key|$dir", (_, prev) =>
       // revalidate: a memoized path may have been wiped from scratch by
@@ -154,7 +179,10 @@ object SparkEntry {
       // half-deleted or half-built tree must rebuild too.
       if (prev != null &&
           java.nio.file.Files.exists(fixtureSentinel(prev)) &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
+          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) {
+        touchFixtureTree(prev) // keep a hot fixture out of the stale window
+        prev
+      }
       else {
         val built = build()
         java.nio.file.Files.createFile(fixtureSentinel(built))
@@ -170,14 +198,13 @@ object SparkEntry {
     * tmpdir fallback may share `fixtures/` with unrelated software.
     */
   private[graft] def wipeStaleFixtures(): Unit = {
-    val base = sys.props.get("graft.scratch")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .resolve("fixtures")
+    val base = fixturesBase
     // age guard: only trees untouched for an hour are stale — a
     // CONCURRENT harness run's live fixtures (and one it is half-way
     // through building) have fresh mtimes and must survive another
-    // process's startup wipe on a shared tmpdir
+    // process's startup wipe on a shared tmpdir. [[touchFixtureTree]]
+    // refreshes the tree mtime on every memoFixture cache HIT, so
+    // long-running consumers stay inside the window too.
     val cutoff = System.currentTimeMillis() - 60L * 60L * 1000L
     if (java.nio.file.Files.isDirectory(base)) {
       val ls = java.nio.file.Files.list(base)
@@ -200,10 +227,7 @@ object SparkEntry {
     * queries exactly that way.
     */
   private def fixtureScratch(prefix: String): String = {
-    val base = sys.props.get("graft.scratch")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .resolve("fixtures")
+    val base = fixturesBase
     java.nio.file.Files.createDirectories(base)
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
@@ -3385,7 +3409,11 @@ object SparkEntry {
     // occurrences share no characters and DuckDB's left-to-right
     // non-overlapping replace() IS the greedy BPE merge; a merged
     // symbol is strictly longer than its left half, so no within-pass
-    // cascade on either engine.
+    // cascade on either engine. Stages past corpus exhaustion (blt$i
+    // empty — fewer than k learnable merges) propagate state unchanged
+    // via LEFT JOIN ON true, mirroring the Spark loop's early stop; a
+    // CROSS JOIN would empty every later blw and silently desync the
+    // q143/q145/q146/q150 twins on sparse corpora.
     val bpeLearnK = 16
     val bpeLearnUnwrapRe =
       "regexp_extract_all(syms, e'\\x1b([^\\x1c]*)\\x1c', 1)"
@@ -3406,10 +3434,10 @@ object SparkEntry {
            |  FROM blp$i GROUP BY 1, 2
            |  ORDER BY c DESC, lhs, rhs LIMIT 1),
            |blw${i + 1} AS MATERIALIZED (SELECT w.word, w.cnt,
-           |  replace(w.syms,
+           |  CASE WHEN t.lhs IS NULL THEN w.syms ELSE replace(w.syms,
            |    e'\\x1b' || t.lhs || e'\\x1c\\x1b' || t.rhs || e'\\x1c',
-           |    e'\\x1b' || t.lhs || t.rhs || e'\\x1c') AS syms
-           |  FROM blw$i w CROSS JOIN blt$i t)""".stripMargin
+           |    e'\\x1b' || t.lhs || t.rhs || e'\\x1c') END AS syms
+           |  FROM blw$i w LEFT JOIN blt$i t ON true)""".stripMargin
       }.mkString(",\n")
       s"""blwc AS MATERIALIZED (SELECT token AS word,
          |    CAST(count(*) AS BIGINT) AS cnt
