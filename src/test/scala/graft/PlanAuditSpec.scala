@@ -566,4 +566,36 @@ class PlanAuditSpec extends SparkSpec {
         _.isInstanceOf[graft.functions.BpeEncodeExpr])),
       "rule leaked into the shared session")
   }
+
+  test("BpeCountRewrite descends into subquery plans") {
+    // the spelling inside a SubqueryExpression: plain
+    // transformAllExpressions never enters a subquery's plan, so this
+    // pins the ...WithSubqueries variant. A non-correlated SCALAR
+    // subquery is the surviving case — EXISTS/IN are de-subqueried
+    // into semi-joins by RewritePredicateSubquery before user-provided
+    // rules run, but ScalarSubquery rides the optimized plan all the
+    // way to physical planning.
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val pieces = Seq("ab" -> 1, "a" -> 2, "b" -> 3)
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tot = docs.agg(
+      sum(size(graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
+        .cast("long")).as("t")).scalar()
+    val q = docs.select(col("doc_id")).filter(tot > 0L)
+    val opt = q.queryExecution.optimizedPlan
+    // traverse the subquery plans too — that is where the kernel lives
+    val subExprs = opt.collectWithSubqueries { case n => n.expressions }
+      .flatten
+    assert(subExprs.exists(_.exists(
+        _.isInstanceOf[graft.functions.BpeCountExpr])),
+      s"rewrite did not reach the scalar subquery plan:\n$opt")
+    assert(!subExprs.exists(_.exists(
+        _.isInstanceOf[graft.functions.BpeEncodeExpr])),
+      s"encode expression survived inside the subquery:\n$opt")
+    // and the rewritten query still answers: every doc row comes back
+    assert(q.count() == docs.where(col("text").isNotNull).count()
+      || q.count() == docs.count())
+  }
 }
