@@ -1653,6 +1653,35 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // the trainer-facing export under the LEARNED tokenizer: q142's
+    // merge table drives rank-ordered id emission (BpeMergeEncodeExpr
+    // over the buildMergeVocab symbol ids — alphabet 1..A, then merges
+    // at A+rank), feeding the SAME packer + token-pack materialization
+    // as q144. This closes the learning arc at the artifact a trainer
+    // consumes: q144 could only ship MaxMatch ids; a pipeline that
+    // selects the learned tokenizer (q150's A/B) exports through this
+    "q151_merge_token_packs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mergeTable = graft.operators.Corpus.learnBpeMerges(docs, "text",
+        numMerges = 16)
+      val merges = graft.operators.Corpus.collectMerges(mergeTable)
+      val vocab = graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildMergeVocab(docs, "text", mergeTable))
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeMergeEncode(col("text"), merges,
+            vocab).as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // tokenizer ARTIFACT persistence: both artifacts — the piece vocab
     // (q137's) and the learned merge table (q142's) — write to parquet
     // model files, load back, and drive their inference kernels; the
@@ -4610,6 +4639,68 @@ object SparkEntry {
            |    ORDER BY doc_id), '')) AS ids_md5
            |FROM pk2 GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
+
+      // q151: q144's packing arithmetic fed by the LEARNED tokenizer's
+      // id stream — per-word final segmentations off blw16 (1-char
+      // words never entered the chain: they segment as themselves),
+      // each symbol mapped through the merge vocab (alphabet sorted =
+      // ids 1..A, merged symbol = A + rank, min(id) on collisions,
+      // unseen → 0)
+      "q151_merge_token_packs" -> {
+        val mergedRanks = (0 until bpeLearnK).map { i =>
+          s"SELECT lhs, rhs, ${i + 1} AS r FROM blt$i"
+        }.mkString(" UNION ALL ")
+        s"""WITH $bpeLearnCtes,
+           |mvch AS (SELECT DISTINCT
+           |    unnest(regexp_extract_all(word, '(.)', 1)) AS ch
+           |  FROM blwc),
+           |mva AS (SELECT ch AS piece,
+           |    CAST(row_number() OVER (ORDER BY ch) AS INTEGER) AS id
+           |  FROM mvch),
+           |mvn AS (SELECT CAST(count(*) AS INTEGER) AS a FROM mva),
+           |mvm AS (SELECT lhs || rhs AS piece, CAST(r + a AS INTEGER) AS id
+           |  FROM ($mergedRanks) CROSS JOIN mvn),
+           |mvv AS (SELECT piece, MIN(id) AS id FROM
+           |  (SELECT piece, id FROM mva
+           |   UNION ALL SELECT piece, id FROM mvm) GROUP BY piece),
+           |mwall AS (SELECT word, $bpeLearnUnwrapRe AS sa FROM blw$bpeLearnK
+           |  UNION ALL SELECT word, [word] AS sa FROM blwc
+           |  WHERE length(word) < 2),
+           |mwsym AS (SELECT word, unnest(sa) AS s,
+           |    unnest(range(1, len(sa) + 1)) AS p FROM mwall),
+           |mwids AS (SELECT word, CAST(count(*) AS BIGINT) AS wc,
+           |    string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' '
+           |      ORDER BY w.p) AS ids_str
+           |  FROM mwsym w LEFT JOIN mvv v ON v.piece = w.s
+           |  GROUP BY word),
+           |mta AS (SELECT doc_id, $toksSql AS arr FROM documents
+           |  WHERE text IS NOT NULL),
+           |mtk AS (SELECT doc_id, unnest(arr) AS word,
+           |    unnest(range(1, len(arr) + 1)) AS ord
+           |  FROM mta WHERE len(arr) > 0),
+           |mseq AS (SELECT t.doc_id, CAST(sum(w.wc) AS BIGINT) AS n_tokens,
+           |    string_agg(w.ids_str, ' ' ORDER BY t.ord) AS ids_str
+           |  FROM mtk t JOIN mwids w USING (word) GROUP BY t.doc_id),
+           |mnt AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_tokens, 0) AS n_tokens,
+           |    COALESCE(s.ids_str, '') AS ids_str
+           |  FROM mta d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN mseq s USING (doc_id)),
+           |mcc AS (SELECT doc_id, lang, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM mnt),
+           |mpk AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str FROM mcc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5
+           |FROM mpk GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin
+      },
 
       "q130_quality_classifier" ->
         s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents

@@ -67,6 +67,18 @@ object TextFunctions {
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     TextExpressions.bpeMergeCount(text, merges)
 
+  /** Token IDS under the same rank-ordered inference as
+    * [[bpeMergeCount]] ([[graft.functions.BpeMergeEncodeExpr]]): final
+    * symbols map through the merge tokenizer's vocabulary
+    * (`Corpus.collectMergeVocab` — corpus alphabet then merged symbols
+    * in rank order; unseen symbols emit UNK 0). The id stream the
+    * trainer-facing pack export ships when the LEARNED tokenizer wins
+    * model selection; `size(...)` of it equals [[bpeMergeCount]].
+    */
+  def bpeMergeEncode(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column =
+    TextExpressions.bpeMergeEncode(text, merges, vocab)
+
   /** Sum of the UTF-8 BYTE lengths of an already-tokenized text (an
     * in-row `aggregate` fold, `octet_length` per token — no explode) —
     * the denominator of bytes-per-token tokenizer compression, fed by

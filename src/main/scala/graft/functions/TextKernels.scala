@@ -635,39 +635,6 @@ case class BpeMergeCountExpr(child: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def countWordMerged(w: String): Int = {
-    // split by CODE POINT, not UTF-16 unit — learnBpeMerges'
-    // split(word, "") and the DuckDB twin's '(.)' regex are both
-    // code-point based, so a surrogate pair must be ONE base symbol
-    // here too or supplementary-plane merges could never match
-    var syms = new Array[String](w.codePointCount(0, w.length))
-    var i = 0
-    var k = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      val cc = Character.charCount(cp)
-      syms(k) = w.substring(i, i + cc)
-      i += cc
-      k += 1
-    }
-    var n = syms.length
-    if (n <= 1) return n
-    val it = merges.iterator
-    while (it.hasNext && n > 1) {
-      val (l, r) = it.next()
-      val out = new Array[String](n)
-      var src = 0
-      var dst = 0
-      while (src < n) {
-        if (src + 1 < n && syms(src) == l && syms(src + 1) == r) {
-          out(dst) = l + r; src += 2
-        } else { out(dst) = syms(src); src += 1 }
-        dst += 1
-      }
-      syms = out; n = dst
-    }
-    n
-  }
   def count(t: UTF8String): Int = {
     val words = TextKernels.tokenize(t)
     var i = 0
@@ -676,7 +643,7 @@ case class BpeMergeCountExpr(child: Expression,
       val w = words(i)
       var c = memo.get(w)
       if (c == null) {
-        c = Integer.valueOf(countWordMerged(w))
+        c = Integer.valueOf(BpeMergeKernel.mergeWord(w, merges).length)
         if (memo.size < (1 << 17)) memo.put(w, c)
       }
       n += c.intValue()
@@ -692,6 +659,135 @@ case class BpeMergeCountExpr(child: Expression,
     defineCodeGen(ctx, ev, c => s"$ref.count($c)")
   }
   override protected def withNewChildInternal(c: Expression): BpeMergeCountExpr =
+    copy(child = c)
+}
+
+/** The rank-ordered merge walk shared by [[BpeMergeCountExpr]] (symbol
+  * counts) and [[BpeMergeEncodeExpr]] (symbol ids): one word in, its
+  * final symbol sequence out.
+  */
+object BpeMergeKernel {
+  /** Final symbol sequence of one word under the learned merge table
+    * applied IN RANK ORDER, one greedy left-to-right non-overlapping
+    * pass per merge (Sennrich ACL'16 `apply_bpe` — see the
+    * [[BpeMergeCountExpr]] Scaladoc for the vs-MaxMatch contrast).
+    */
+  def mergeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
+    // split by CODE POINT, not UTF-16 unit — learnBpeMerges'
+    // split(word, "") and the DuckDB twin's '(.)' regex are both
+    // code-point based, so a surrogate pair must be ONE base symbol
+    // here too or supplementary-plane merges could never match
+    var syms = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val cc = Character.charCount(cp)
+      syms(k) = w.substring(i, i + cc)
+      i += cc
+      k += 1
+    }
+    var n = syms.length
+    if (n <= 1) return syms
+    val it = merges.iterator
+    while (it.hasNext && n > 1) {
+      val (l, r) = it.next()
+      val out = new Array[String](n)
+      var src = 0
+      var dst = 0
+      while (src < n) {
+        if (src + 1 < n && syms(src) == l && syms(src + 1) == r) {
+          out(dst) = l + r; src += 2
+        } else { out(dst) = syms(src); src += 1 }
+        dst += 1
+      }
+      syms = out; n = dst
+    }
+    if (n == syms.length) syms else java.util.Arrays.copyOf(syms, n)
+  }
+}
+
+/** bpe_merge_encode(text, merges, vocab): array<int> — the id-emitting
+  * sibling of [[BpeMergeCountExpr]]: the SAME rank-ordered Sennrich
+  * apply walk ([[BpeMergeKernel.mergeWord]]), then each final symbol
+  * maps through the merge tokenizer's vocabulary (corpus alphabet +
+  * merged symbols — `Corpus.collectMergeVocab`) to its id; a symbol
+  * outside the vocabulary (an unseen character at apply time) emits
+  * UNK (id 0), the same convention as the MaxMatch trie. This is the
+  * kernel the trainer-facing id-pack export runs on when the LEARNED
+  * tokenizer ships, so `size(result)` always equals
+  * [[BpeMergeCountExpr]]'s count over the same merge table.
+  *
+  * Both the merge table and the vocabulary ride the expression as
+  * model metadata; a bounded word→ids memo (shared across a stage's
+  * tasks, like the count kernel's) makes the common path one hash
+  * probe per token.
+  */
+case class BpeMergeEncodeExpr(child: Expression,
+    merges: Seq[(String, String)],
+    vocab: Seq[(String, Int)]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  @transient private lazy val vmap = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (s, id) =>
+      val prev = m.get(s)
+      // string collisions keep the smallest id — the min(id) rule the
+      // piece trie and the SQL twins share
+      if (prev == null || id < prev.intValue()) m.put(s, Integer.valueOf(id))
+    }
+    m
+  }
+  // ids arrays are heavier than the count kernel's boxed ints, so the
+  // memo bound is one power of two tighter
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private def encodeWord(w: String): Array[Int] = {
+    val syms = BpeMergeKernel.mergeWord(w, merges)
+    val out = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = vmap.get(syms(i))
+      out(i) = if (id == null) 0 else id.intValue() // UNK = 0
+      i += 1
+    }
+    out
+  }
+  def encode(t: UTF8String): ArrayData = {
+    val words = TextKernels.tokenize(t)
+    val perWord = new Array[Array[Int]](words.length)
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var ids = memo.get(w)
+      if (ids == null) {
+        ids = encodeWord(w)
+        if (memo.size < (1 << 16)) memo.put(w, ids)
+      }
+      perWord(i) = ids
+      total += ids.length
+      i += 1
+    }
+    val flat = new Array[Any](total)
+    var k = 0
+    i = 0
+    while (i < words.length) {
+      val a = perWord(i)
+      var j = 0
+      while (j < a.length) { flat(k) = a(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(flat)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    encode(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMrgEnc", this,
+      classOf[BpeMergeEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeEncodeExpr =
     copy(child = c)
 }
 
@@ -719,6 +815,10 @@ object TextExpressions {
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(
       BpeMergeCountExpr(GraftColumnBridge.expression(text), merges))
+  def bpeMergeEncode(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeMergeEncodeExpr(GraftColumnBridge.expression(text), merges, vocab))
   def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))

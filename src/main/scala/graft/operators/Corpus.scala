@@ -328,6 +328,40 @@ object Corpus {
     words.unionByName(chars).groupBy("piece").agg(min("id").as("id"))
   }
 
+  /** Symbol→id vocabulary for the LEARNED merge tokenizer
+    * ([[graft.functions.BpeMergeEncodeExpr]]): the corpus's character
+    * alphabet sorted ascending takes ids 1..A, then the merged symbols
+    * take A + merge_rank — base vocabulary first, merges in learn
+    * order, the layout a BPE tokenizer artifact ships (id 0 stays
+    * UNK). A merged symbol colliding with another string keeps the
+    * smaller id via the shared min(id) rule. The alphabet offset is
+    * data-dependent (A = |alphabet|) but deterministic on both
+    * engines: character sort is UTF-8 binary order in Spark and
+    * DuckDB alike.
+    *
+    * Scale shape: same as [[buildPieceVocab]] — the only corpus-wide
+    * work is the distinct-token feed; the rank window orders the
+    * alphabet (metadata-sized), and the merge table is k rows riding a
+    * broadcast of the 1-row alphabet count. Same BMP caveat as
+    * buildPieceVocab on the char split.
+    */
+  def buildMergeVocab(docs: DataFrame, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val alpha = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .select(explode(filter(split(col("tok"), ""), c => c =!= "")).as("ch"))
+      .distinct()
+    val w = Window.orderBy(col("ch"))
+    val chars = alpha.withColumn("id", row_number().over(w).cast("int"))
+      .select(col("ch").as("piece"), col("id"))
+    val a = chars.agg(count(lit(1)).cast("int").as("__a"))
+    val merged = mergeTable.crossJoin(broadcast(a))
+      .select(col("merged").as("piece"),
+        (col("merge_rank") + col("__a")).cast("int").as("id"))
+    chars.unionByName(merged).groupBy("piece").agg(min("id").as("id"))
+  }
+
   /** Driver-side materialization of a [[buildPieceVocab]] frame for the
     * encode kernel — size-guarded like the IVF codebook collects: a
     * piece vocabulary is model metadata (≤ maxSize words + an

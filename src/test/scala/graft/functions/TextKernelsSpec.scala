@@ -347,6 +347,44 @@ class TextKernelsSpec extends SparkSpec {
     assert(merged == 2, "supplementary-plane merge must match")
   }
 
+  test("bpeMergeEncode: id-level emission, UNK, collisions, count parity") {
+    // vocab laid out the buildMergeVocab way: alphabet a=1,b=2,c=3,
+    // then merges (b,c)→4, (a,b)→5 at alphabet + rank
+    val merges = Seq(("b", "c"), ("a", "b"))
+    val vocab = Seq("a" -> 1, "b" -> 2, "c" -> 3, "bc" -> 4, "ab" -> 5)
+    val docs = Seq(
+      (1L, "abc abc"), // rank order: a,bc per word → 1 4 1 4
+      (2L, "ab"),      // (b,c) finds nothing; (a,b) merges → 5
+      (3L, "xyz"),     // symbols outside the vocab → UNK 0 each
+      (4L, ""),        // no tokens → empty array, not null
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextExpressions.bpeMergeEncode(col("text"), merges, vocab).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(got(1L) == Seq(1, 4, 1, 4))
+    assert(got(2L) == Seq(5))
+    assert(got(3L) == Seq(0, 0, 0))
+    assert(got(4L) == Seq.empty[Int])
+    assert(got(5L) == null)
+    // a vocab string collision keeps the smallest id (the shared
+    // min(id) rule)
+    val dup = docs.where(col("doc_id") === 3L)
+      .select(TextExpressions.bpeMergeEncode(col("text"), Nil,
+        Seq("x" -> 9, "x" -> 2, "y" -> 6)).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(dup == Seq(2, 6, 0))
+    // size(encode) ≡ the count kernel over the same merge table
+    val parity = docs.select(
+        size(TextExpressions.bpeMergeEncode(col("text"), merges, vocab))
+          .as("a"),
+        TextExpressions.bpeMergeCount(col("text"), merges).as("b"))
+      .collect()
+    assert(parity.forall(r => r.isNullAt(0) == r.isNullAt(1)
+      && (r.isNullAt(0) || r.getInt(0) == r.getInt(1))))
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))

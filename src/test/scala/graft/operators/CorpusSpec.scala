@@ -508,4 +508,26 @@ class CorpusSpec extends SparkSpec {
     // pair counts 1 and the loop stops at rank 1 of 10
     assert(got == Seq((1, "ab", 2L)))
   }
+
+  test("buildMergeVocab: sorted alphabet 1..A, merges at A+rank, min-id") {
+    val docs = Seq((1L, "cab cab ba")).toDF("doc_id", "text")
+    // alphabet {a,b,c} sorted → a=1 b=2 c=3; merges offset by A=3
+    val mt = Seq((1, "c", "a", "ca", 2L), (2, "ca", "b", "cab", 2L))
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val v = Corpus.buildMergeVocab(docs, "text", mt).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v == Map("a" -> 1, "b" -> 2, "c" -> 3, "ca" -> 4, "cab" -> 5))
+    // two merges producing the same string keep the lower-rank id
+    val mt2 = Seq((1, "a", "b", "ab", 9L), (2, "x", "y", "ab", 1L))
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val v2 = Corpus.buildMergeVocab(docs, "text", mt2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v2("ab") == 4)
+    // and it drives the encode kernel end to end: the learned
+    // tokenizer's ids match a hand segmentation
+    val ids = docs.select(graft.functions.TextFunctions.bpeMergeEncode(
+        col("text"), Seq(("c", "a"), ("ca", "b")), v.toSeq).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(ids == Seq(5, 5, 2, 1)) // cab cab b a
+  }
 }
