@@ -1689,24 +1689,31 @@ object SparkEntry {
     // proves the persisted artifacts reproduce the built ones exactly
     // (the ship-a-tokenizer contract)
     "q145_artifact_roundtrip" -> ((s, dir) => {
+      import graft.operators.{MaxMatchTokenizer, MergeTokenizer, Tokenizer}
       val root = scratch("graft_tok_")
       val raw = t(s, dir, "documents")
       val salted = raw.withColumn("text", saltCompound(col("text")))
-      graft.operators.Corpus.buildPieceVocab(salted, "text",
-          minCount = 5, maxSize = 200)
-        .write.mode("overwrite").parquet(s"$root/vocab")
-      graft.operators.Corpus.learnBpeMerges(raw, "text", numMerges = 16)
-        .write.mode("overwrite").parquet(s"$root/merges")
-      val pieces = graft.operators.Corpus.collectPieces(
-        s.read.parquet(s"$root/vocab"))
-      val merges = graft.operators.Corpus.collectMerges(
-        s.read.parquet(s"$root/merges"))
+      val builtMax = MaxMatchTokenizer(graft.operators.Corpus.collectPieces(
+        graft.operators.Corpus.buildPieceVocab(salted, "text",
+          minCount = 5, maxSize = 200)))
+      val mergeTable =
+        graft.operators.Corpus.learnBpeMerges(raw, "text", numMerges = 16)
+      val builtMerge = MergeTokenizer(
+        graft.operators.Corpus.collectMerges(mergeTable),
+        graft.operators.Corpus.collectPieces(
+          graft.operators.Corpus.buildMergeVocab(raw, "text", mergeTable)))
+      // both kinds persist in the ONE unified schema and come back
+      // through the ONE loader — the artifact's kind column, not the
+      // call site, decides which kernel family runs
+      Tokenizer.save(s, builtMax, s"$root/max")
+      Tokenizer.save(s, builtMerge, s"$root/mrg")
+      val loadedMax = Tokenizer.load(s, s"$root/max")
+      val loadedMerge = Tokenizer.load(s, s"$root/mrg")
       salted.select(col("doc_id"),
-          graft.functions.TextFunctions.bpeCount(col("text"), pieces)
-            .cast(LongType).as("n_pieces"))
+          loadedMax.count(col("text")).cast(LongType).as("n_pieces"))
         .join(raw.select(col("doc_id"),
-          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
-            .cast(LongType).as("n_bpe_tokens")), Seq("doc_id"))
+          loadedMerge.count(col("text")).cast(LongType)
+            .as("n_bpe_tokens")), Seq("doc_id"))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** A shipped tokenizer — the inference-side handle the unified artifact
+  * loader returns. Both shipped families expose the same surface: token
+  * COUNTS (what packing/budget operators consume) and token IDS (what a
+  * trainer consumes), each dispatching to its codegen'd kernel with the
+  * model riding the expression as metadata.
+  */
+sealed trait Tokenizer {
+  /** Artifact discriminator — the `tokenizer_kind` column value. */
+  def kind: String
+  /** Token count of a text column under this tokenizer's inference. */
+  def count(text: Column): Column
+  /** Token ids of a text column; `size(encode(t)) == count(t)`. */
+  def encode(text: Column): Column
+}
+
+/** Frequency piece vocabulary under greedy longest-match (WordPiece /
+  * MaxMatch) inference — `Corpus.buildPieceVocab` builds it.
+  */
+final case class MaxMatchTokenizer(pieces: Seq[(String, Int)])
+    extends Tokenizer {
+  val kind: String = Tokenizer.MaxMatch
+  def count(text: Column): Column = TextFunctions.bpeCount(text, pieces)
+  def encode(text: Column): Column = TextFunctions.bpeEncode(text, pieces)
+}
+
+/** Learned merge table under rank-ordered (Sennrich apply_bpe)
+  * inference — `Corpus.learnBpeMerges` trains the table,
+  * `Corpus.buildMergeVocab` lays out the symbol ids.
+  */
+final case class MergeTokenizer(merges: Seq[(String, String)],
+    vocab: Seq[(String, Int)]) extends Tokenizer {
+  val kind: String = Tokenizer.Merge
+  def count(text: Column): Column = TextFunctions.bpeMergeCount(text, merges)
+  def encode(text: Column): Column =
+    TextFunctions.bpeMergeEncode(text, merges, vocab)
+}
+
+/** ONE artifact schema for every tokenizer kind, so a loader never has
+  * to know which shape it is reading:
+  *
+  * {{{
+  *   tokenizer_kind string,  -- every row; exactly one distinct value
+  *   piece string, id int,   -- vocabulary rows (both kinds)
+  *   merge_rank int, lhs string, rhs string  -- merge rows (merge kind)
+  * }}}
+  *
+  * A MaxMatch artifact is vocabulary rows only; a merge artifact is its
+  * symbol vocabulary PLUS the rank-ordered merge table. [[load]] reads
+  * the kind column and returns the matching [[Tokenizer]] — the single
+  * entry point the ship-a-tokenizer contract goes through. Artifacts
+  * are model metadata (vocab + k merges), so the collects here are
+  * bounded exactly like `Corpus.collectPieces`.
+  */
+object Tokenizer {
+  val MaxMatch = "maxmatch"
+  val Merge = "merge"
+
+  /** The unified-artifact frame for a tokenizer (one small DataFrame —
+    * write it wherever model files live). */
+  def toArtifact(spark: SparkSession, tok: Tokenizer): DataFrame = {
+    import spark.implicits._
+    def vocabRows(vocab: Seq[(String, Int)]): DataFrame =
+      vocab.toDF("piece", "id").select(
+        lit(tok.kind).as("tokenizer_kind"), col("piece"),
+        col("id").cast("int"),
+        lit(null).cast("int").as("merge_rank"),
+        lit(null).cast("string").as("lhs"),
+        lit(null).cast("string").as("rhs"))
+    tok match {
+      case MaxMatchTokenizer(pieces) => vocabRows(pieces)
+      case MergeTokenizer(merges, vocab) =>
+        val mergeRows = merges.zipWithIndex
+          .map { case ((l, r), i) => (i + 1, l, r) }
+          .toDF("merge_rank", "lhs", "rhs")
+          .select(lit(tok.kind).as("tokenizer_kind"),
+            lit(null).cast("string").as("piece"),
+            lit(null).cast("int").as("id"),
+            col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+        vocabRows(vocab).unionByName(mergeRows)
+    }
+  }
+
+  /** Persist `tok` at `path` (parquet, overwrite) in the unified
+    * schema. */
+  def save(spark: SparkSession, tok: Tokenizer, path: String): Unit =
+    toArtifact(spark, tok).write.mode("overwrite").parquet(path)
+
+  /** Load whatever tokenizer kind lives at `path`. Parquet read order
+    * is arbitrary, so vocab rows re-sort by id and merge rows by rank —
+    * the same load-bearing reorder as `Corpus.collectMerges`.
+    */
+  def load(spark: SparkSession, path: String): Tokenizer =
+    fromArtifact(spark.read.parquet(path))
+
+  /** [[load]] without the IO — accepts any frame in the unified
+    * schema. */
+  def fromArtifact(artifact: DataFrame, maxRows: Int = 1 << 20): Tokenizer = {
+    val rows = artifact
+      .select(col("tokenizer_kind"), col("piece"), col("id").cast("int"),
+        col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"tokenizer artifact exceeds $maxRows rows — not a model file")
+    val kinds = rows.map(_.getString(0)).distinct
+    require(kinds.length == 1,
+      s"tokenizer artifact must carry exactly one kind, got " +
+        kinds.mkString("[", ", ", "]"))
+    val vocab = rows.filter(!_.isNullAt(1))
+      .map(r => (r.getString(1), r.getInt(2))).sortBy(_._2).toSeq
+    kinds.head match {
+      case MaxMatch =>
+        require(rows.length == vocab.length,
+          "a maxmatch artifact carries vocabulary rows only")
+        MaxMatchTokenizer(vocab)
+      case Merge =>
+        val merges = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
+          .map(r => (r.getInt(3), r.getString(4), r.getString(5)))
+          .sortBy(_._1).map(m => (m._2, m._3)).toSeq
+        MergeTokenizer(merges, vocab)
+      case other =>
+        throw new IllegalArgumentException(s"unknown tokenizer_kind $other")
+    }
+  }
+}

@@ -530,4 +530,41 @@ class CorpusSpec extends SparkSpec {
       .collect().head.getSeq[Int](0)
     assert(ids == Seq(5, 5, 2, 1)) // cab cab b a
   }
+
+  test("unified tokenizer artifact round-trips both kinds, one loader") {
+    val docs = Seq((1L, "low lower low low"), (2L, "newest widest lowest"))
+      .toDF("doc_id", "text")
+    val builtMax = MaxMatchTokenizer(Corpus.collectPieces(
+      Corpus.buildPieceVocab(docs, "text", minCount = 2, maxSize = 10)))
+    val mt = Corpus.learnBpeMerges(docs, "text", numMerges = 3)
+    val builtMerge = MergeTokenizer(Corpus.collectMerges(mt),
+      Corpus.collectPieces(Corpus.buildMergeVocab(docs, "text", mt)))
+    val dir = java.nio.file.Files.createTempDirectory("tok_art_").toString
+    Tokenizer.save(spark, builtMax, s"$dir/max")
+    Tokenizer.save(spark, builtMerge, s"$dir/mrg")
+    // the artifact's kind column, not the call site, picks the family
+    val lm = Tokenizer.load(spark, s"$dir/max") match {
+      case m: MaxMatchTokenizer => m
+      case other => fail(s"maxmatch artifact loaded as $other")
+    }
+    val lg = Tokenizer.load(spark, s"$dir/mrg") match {
+      case m: MergeTokenizer => m
+      case other => fail(s"merge artifact loaded as $other")
+    }
+    // model equality: vocabularies order-normalized, merges RANK order
+    assert(lm.pieces.toSet == builtMax.pieces.toSet)
+    assert(lg.merges == builtMerge.merges)
+    assert(lg.vocab.toSet == builtMerge.vocab.toSet)
+    // loaded handles drive the kernels identically to the built ones
+    val r = docs.select(
+      builtMax.count(col("text")).as("a"), lm.count(col("text")).as("b"),
+      builtMerge.encode(col("text")).as("c"), lg.encode(col("text")).as("d"))
+      .collect()
+    assert(r.forall(x => x.getInt(0) == x.getInt(1)
+      && x.getSeq[Int](2) == x.getSeq[Int](3)))
+    // a frame carrying two kinds is not an artifact
+    val mixed = Tokenizer.toArtifact(spark, builtMax)
+      .unionByName(Tokenizer.toArtifact(spark, builtMerge))
+    intercept[IllegalArgumentException] { Tokenizer.fromArtifact(mixed) }
+  }
 }
