@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * measured op never re-pays the amplification.
   */
 object ScaleSmoke {
-  private def amplify(docs: DataFrame, mult: Int): DataFrame = {
+  private[graft] def amplify(docs: DataFrame, mult: Int): DataFrame = {
     val words = split(col("text"), "\\s+")
     val perturbed = array_join(
       transform(words, w =>
@@ -36,11 +36,42 @@ object ScaleSmoke {
           .otherwise(perturbed).as("text"))
   }
 
-  private def time(body: => Long): (Double, Long) = {
+  /** Cumulative shuffle-byte tally (SPARK_GRAFT_SCALE_SHUFFLE=1): the
+    * ×128-class runs record per-op shuffle traffic next to wall time —
+    * a constant that only bites past the usual envelope shows up here
+    * first. Listener delivery is async, so snapshots sit behind a
+    * settle sleep and the numbers are ~exact, not exact.
+    */
+  private final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def snapshot(): (Long, Long) = {
+      Thread.sleep(800) // let the listener bus drain
+      (write.get, read.get)
+    }
+  }
+
+  /** (steady seconds, result rows, shuffle write bytes, read bytes) —
+    * the shuffle deltas bracket the TIMED run only (zero without a
+    * tally). */
+  private def time(body: => Long, tally: Option[ShuffleTally])
+      : (Double, Long, Long, Long) = {
     body // warm: codegen + JIT
+    val (w0, r0) = tally.fold((0L, 0L))(_.snapshot())
     val t0 = System.nanoTime()
     val n = body
-    ((System.nanoTime() - t0) / 1e9, n)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (w1, r1) = tally.fold((0L, 0L))(_.snapshot())
+    (sec, n, w1 - w0, r1 - r0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,6 +84,12 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally: Option[ShuffleTally] =
+      if (sys.env.get("SPARK_GRAFT_SCALE_SHUFFLE").contains("1")) {
+        val t = new ShuffleTally
+        spark.sparkContext.addSparkListener(t)
+        Some(t)
+      } else None
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang", "text")
     val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq)
@@ -121,6 +158,25 @@ object ScaleSmoke {
             TextFunctions.bpeMergeCount(col("text"), merges).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         }),
+        "merge_token_packs" -> (() => {
+          // q151's shape: the LEARNED tokenizer's id stream (rank-ordered
+          // merge-encode kernel) through the same packer + flatten; merge
+          // learning and vocab layout are model setup, untimed
+          val mt = Corpus.learnBpeMerges(amp, "text", numMerges = 16)
+          val merges = Corpus.collectMerges(mt)
+          val vocab = Corpus.collectPieces(
+            Corpus.buildMergeVocab(amp, "text", mt))
+          val withIds = amp.select(col("doc_id"), col("lang"),
+              TextFunctions.bpeMergeEncode(col("text"), merges, vocab)
+                .as("__ids"))
+            .withColumn("__n_tokens", size(col("__ids")).cast("long"))
+          () => {
+            val packed = Corpus.packSequences(withIds, "lang", "doc_id",
+              col("__n_tokens"), tokenBudget = 2048)
+            Corpus.materializeTokenPacks(packed, "lang", "doc_id", "__ids")
+              .agg(sum(size(col("pack_ids")))).collect()(0).getLong(0)
+          }
+        }),
         "token_packs" -> (() => {
           // q144's shape: encode-kernel id arrays + count feed the
           // prefix-sum packer, then the (shard, pack) flatten — the
@@ -158,15 +214,21 @@ object ScaleSmoke {
       val timed = ops.filter(o => onlyOps.forall(_.contains(o._1)))
         .map { case (name, mk) =>
         val f = mk()
-        val (sec, n) = time(f())
-        System.err.println(f"[scale] x$m $name%-18s $sec%7.2f s ($n rows)")
-        name -> sec
+        val (sec, n, sw, sr) = time(f(), tally)
+        val shuf = if (tally.isDefined)
+          f" shufW=${sw / 1e9}%.2fGB shufR=${sr / 1e9}%.2fGB" else ""
+        System.err.println(
+          f"[scale] x$m $name%-18s $sec%7.2f s ($n rows)$shuf")
+        (name, sec, sw, sr)
       }
       (m, rows, timed)
     }
     val json = results.map { case (m, rows, timed) =>
-      val qs = timed.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-        .mkString("{", ",", "}")
+      val qs = timed.map { case (k, v, sw, sr) =>
+        val shuf = if (tally.isDefined)
+          s""","shuffle_write":$sw,"shuffle_read":$sr""" else ""
+        s""""$k":{"sec":${f"$v%.3f"}$shuf}"""
+      }.mkString("{", ",", "}")
       s"""{"mult":$m,"rows":$rows,"ops":$qs}"""
     }.mkString("[", ",", "]")
     println(json)

@@ -422,7 +422,13 @@ object Corpus {
     * inference over a learned-BPE vocabulary).
     */
   def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 1L): DataFrame = {
+      minPairCount: Long = 1L,
+      // per-iteration observer (iteration 1-based, dict rows AFTER the
+      // merge applied): progress/telemetry for real-k runs — a 100 TB
+      // learn is hours of driver loop and needs a heartbeat. The dict
+      // count is an extra dict-sized job, so it runs ONLY when a probe
+      // is installed; None keeps the loop's job count unchanged.
+      probe: Option[(Int, Long) => Unit] = None): DataFrame = {
     require(numMerges >= 1 && numMerges <= 4096,
       s"numMerges must be in [1, 4096], got $numMerges — the driver " +
         "loop is k-bounded by design")
@@ -477,6 +483,7 @@ object Corpus {
         freeCheckpoint(state)
         state = next
         i += 1
+        probe.foreach(_(i, state.count()))
       }
     }
     freeCheckpoint(state)
