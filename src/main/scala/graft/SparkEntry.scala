@@ -1653,6 +1653,36 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // pack DECODE-integrity audit: every pack's id stream decodes back
+    // through the vocabulary (BpeDecodeExpr id→piece concat) and the
+    // reconstruction is judged against raw text — decode∘encode must
+    // equal the corpus text minus whitespace (word boundaries are not
+    // in the id stream), so the oracle rebuilds each pack's digest
+    // straight from regexp-stripped document text with NO tokenizer at
+    // all. A version-skewed vocab, corrupted pack, or lossy kernel
+    // surfaces as a digest mismatch (unknown ids decode to U+FFFD,
+    // never silently). The check a trainer runs before trusting packs.
+    "q152_pack_decode_audit" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+            .as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          size(col("pack_ids")).cast(LongType).as("n_ids"),
+          graft.functions.TextFunctions.bpeDecode(col("pack_ids"), pieces)
+            .as("__txt"))
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("n_ids"),
+          length(col("__txt")).cast(LongType).as("decoded_chars"),
+          md5(col("__txt")).as("decoded_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // the trainer-facing export under the LEARNED tokenizer: q142's
     // merge table drives rank-ordered id emission (BpeMergeEncodeExpr
     // over the buildMergeVocab symbol ids — alphabet 1..A, then merges
@@ -4645,6 +4675,36 @@ object SparkEntry {
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
            |    ORDER BY doc_id), '')) AS ids_md5
            |FROM pk2 GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
+
+      // q152: the decode-integrity twin needs NO tokenizer on the
+      // decode side — decode∘encode over the MaxMatch vocab must equal
+      // the (salted) document text minus whitespace, so each pack's
+      // digest rebuilds from regexp-stripped text while the pack
+      // arithmetic still rides the piece counts
+      "q152_pack_decode_audit" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |dnt AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens,
+           |    regexp_replace(d.text, '\\s+', '', 'g') AS dec
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |dcc AS (SELECT doc_id, lang, n_tokens, dec,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM dnt),
+           |dpk AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, dec FROM dcc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_ids,
+           |  CAST(length(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
+           |    AS BIGINT) AS decoded_chars,
+           |  md5(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
+           |    AS decoded_md5
+           |FROM dpk GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
 
       // q151: q144's packing arithmetic fed by the LEARNED tokenizer's

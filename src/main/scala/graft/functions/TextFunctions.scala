@@ -79,6 +79,16 @@ object TextFunctions {
       vocab: Seq[(String, Int)]): Column =
     TextExpressions.bpeMergeEncode(text, merges, vocab)
 
+  /** Token ids back to text ([[graft.functions.BpeDecodeExpr]]):
+    * pieces concatenate in stream order through the vocabulary's
+    * id→piece reverse table; unknown/null ids emit U+FFFD. Over either
+    * tokenizer family's vocabulary, `decode(encode(text))` equals
+    * `text` minus its whitespace on the vocabulary's own corpus — the
+    * pack-integrity audit's contract.
+    */
+  def bpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
+    TextExpressions.bpeDecode(ids, vocab)
+
   /** Sum of the UTF-8 BYTE lengths of an already-tokenized text (an
     * in-row `aggregate` fold, `octet_length` per token — no explode) —
     * the denominator of bytes-per-token tokenizer compression, fed by

@@ -662,6 +662,53 @@ case class BpeMergeCountExpr(child: Expression,
     copy(child = c)
 }
 
+/** bpe_decode(ids, vocab): string — token ids back to text: each id
+  * maps through the vocabulary's reverse (id→piece) table and the
+  * pieces concatenate in stream order. Works over EITHER tokenizer
+  * family's vocabulary (MaxMatch pieces or the merge tokenizer's
+  * symbol vocab): both encode by segmenting whitespace tokens into
+  * substrings, so decode∘encode reconstructs the corpus text exactly
+  * minus its whitespace (word boundaries are not represented in the
+  * id stream) — the pack-integrity audit rides that contract. An id
+  * outside the vocabulary (UNK 0, version-skewed artifacts) or a null
+  * element decodes to U+FFFD so corruption is visible, never silent.
+  */
+case class BpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  @transient private lazy val idToPiece = {
+    val m = new java.util.HashMap[Integer, String](vocab.size * 2)
+    vocab.foreach { case (p, id) =>
+      val prev = m.get(id)
+      // an id carrying two strings is a malformed artifact; keep the
+      // lexicographically smallest for determinism
+      if (prev == null || p.compareTo(prev) < 0)
+        m.put(Integer.valueOf(id), p)
+    }
+    m
+  }
+  def decode(ids: ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val p = if (ids.isNullAt(i)) null else idToPiece.get(ids.getInt(i))
+      sb.append(if (p == null) "\uFFFD" else p)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def nullSafeEval(ids: Any): Any =
+    decode(ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDec", this,
+      classOf[BpeDecodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeDecodeExpr =
+    copy(child = c)
+}
+
 /** The rank-ordered merge walk shared by [[BpeMergeCountExpr]] (symbol
   * counts) and [[BpeMergeEncodeExpr]] (symbol ids): one word in, its
   * final symbol sequence out.
@@ -819,6 +866,9 @@ object TextExpressions {
       vocab: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeMergeEncodeExpr(GraftColumnBridge.expression(text), merges, vocab))
+  def bpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      BpeDecodeExpr(GraftColumnBridge.expression(ids), vocab))
   def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))

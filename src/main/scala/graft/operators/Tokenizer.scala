@@ -18,6 +18,13 @@ sealed trait Tokenizer {
   def count(text: Column): Column
   /** Token ids of a text column; `size(encode(t)) == count(t)`. */
   def encode(text: Column): Column
+  /** The symbol→id vocabulary [[decode]] reverses (for the MaxMatch
+    * family this is the piece vocab itself). */
+  def vocabulary: Seq[(String, Int)]
+  /** Ids back to text: `decode(encode(t))` == `t` minus whitespace on
+    * the vocabulary's own corpus; unknown ids surface as U+FFFD. */
+  def decode(ids: Column): Column =
+    TextFunctions.bpeDecode(ids, vocabulary)
 }
 
 /** Frequency piece vocabulary under greedy longest-match (WordPiece /
@@ -28,6 +35,7 @@ final case class MaxMatchTokenizer(pieces: Seq[(String, Int)])
   val kind: String = Tokenizer.MaxMatch
   def count(text: Column): Column = TextFunctions.bpeCount(text, pieces)
   def encode(text: Column): Column = TextFunctions.bpeEncode(text, pieces)
+  def vocabulary: Seq[(String, Int)] = pieces
 }
 
 /** Learned merge table under rank-ordered (Sennrich apply_bpe)
@@ -40,6 +48,7 @@ final case class MergeTokenizer(merges: Seq[(String, String)],
   def count(text: Column): Column = TextFunctions.bpeMergeCount(text, merges)
   def encode(text: Column): Column =
     TextFunctions.bpeMergeEncode(text, merges, vocab)
+  def vocabulary: Seq[(String, Int)] = vocab
 }
 
 /** ONE artifact schema for every tokenizer kind, so a loader never has

@@ -385,6 +385,37 @@ class TextKernelsSpec extends SparkSpec {
       && (r.isNullAt(0) || r.getInt(0) == r.getInt(1))))
   }
 
+  test("bpeDecode inverts both tokenizer families up to whitespace") {
+    import graft.operators.Corpus
+    val docs = Seq((1L, "low lower  low\nnewest low"), (2L, "widest"),
+      (3L, ""), (4L, null: String)).toDF("doc_id", "text")
+    // decode∘encode == text minus whitespace, on the vocab's own corpus
+    val pieces = Corpus.collectPieces(
+      Corpus.buildPieceVocab(docs, "text", minCount = 2, maxSize = 10))
+    val mt = Corpus.learnBpeMerges(docs, "text", numMerges = 4)
+    val merges = Corpus.collectMerges(mt)
+    val mv = Corpus.collectPieces(Corpus.buildMergeVocab(docs, "text", mt))
+    val r = docs.select(
+        regexp_replace(col("text"), "\\s+", "").as("want"),
+        TextExpressions.bpeDecode(
+          TextExpressions.bpeEncode(col("text"), pieces), pieces).as("mm"),
+        TextExpressions.bpeDecode(
+          TextExpressions.bpeMergeEncode(col("text"), merges, mv), mv)
+          .as("mg"))
+      .collect()
+    r.foreach { x =>
+      if (x.isNullAt(0)) assert(x.isNullAt(1) && x.isNullAt(2))
+      else {
+        assert(x.getString(1) == x.getString(0), "MaxMatch round trip")
+        assert(x.getString(2) == x.getString(0), "merge round trip")
+      }
+    }
+    // an id outside the vocabulary decodes VISIBLY, never silently
+    val unk = docs.limit(1).select(TextExpressions.bpeDecode(
+        array(lit(999999), lit(0)), pieces)).collect().head.getString(0)
+    assert(unk == "\uFFFD\uFFFD")
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
