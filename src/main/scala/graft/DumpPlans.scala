@@ -85,7 +85,13 @@ object DumpPlans {
       "q149_chunk_repack" ->
         "chunk-then-repack (the q147 oversize fix, gated): narrow chunk explode (slice off one tokens array, no per-token explode) -> count-kernel projection -> the pinned packer + two rollups — oversize census provably zero, same shuffle classes as q139/q147",
       "q150_tokenizer_compare" ->
-        "tokenizer A/B report: both inference kernels (MaxMatch vocab, rank-ordered merges) side by side in ONE narrow projection over the same corpus, then one O(#langs) aggregate with the win census — no shuffle beyond the rollup")
+        "tokenizer A/B report: both inference kernels (MaxMatch vocab, rank-ordered merges) side by side in ONE narrow projection over the same corpus, then one O(#langs) aggregate with the win census — no shuffle beyond the rollup",
+      "q153_stream_token_packs" ->
+        "streaming packer micro-batch shape: stateless codegen tokenize projection -> ONE hash exchange on shard -> FlatMapGroupsWithState (one Long cursor per shard) — no Window, no second shuffle; per-batch work O(batch)",
+      "q154_token_decontaminate" ->
+        "token-level 13-gram decontamination: eval windows DISTINCT then BROADCAST, corpus pass = ONE typed sliding-window traversal (MapPartitions) -> BroadcastHashJoin -> partial-agg per-doc count — the only exchange carries the hit set, never corpus windows",
+      "q155_stream_pack_export" ->
+        "streaming closed-pack export micro-batch shape: stateless codegen encode projection -> ONE hash exchange on shard -> FlatMapGroupsWithState (budget-bounded open-pack buffer) — the q144 artifact emitted incrementally, no Window, no second shuffle")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty
@@ -200,6 +206,43 @@ object DumpPlans {
           curate(docs.where(col("doc_id") % 2 === 0)))
         graft.operators.Dedup.dedupIndexAddBatch(idx1.localCheckpoint(),
           curate(docs.where(col("doc_id") % 2 === 1)))._1
+      } else if (q == "q153_stream_token_packs") {
+        // the registered query materializes the stream and returns a
+        // scan of its output — plan the batch-identical stateful shape
+        // instead: the stateless tokenize projection (codegen count
+        // kernel) feeding packTyped's groupByKey(shard) pass (batch
+        // mode plans the same FlatMapGroupsWithState operator the
+        // micro-batch runs, minus source/sink machinery)
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("text").isNotNull).select("doc_id", "lang", "text")
+        val pieces = graft.operators.Corpus.collectPieces(
+          graft.operators.Corpus.buildPieceVocab(docs, "text",
+            minCount = 5, maxSize = 200))
+        val typed = docs.select(col("lang").cast("string").as("shard"),
+            col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+              .cast("long").as("n_tokens"))
+          .as[graft.streaming.StreamingPack.PackDocIn]
+        graft.streaming.StreamingPack.packTyped(typed, 2048L).toDF()
+      } else if (q == "q155_stream_pack_export") {
+        // batch-identical stateful shape, as q153: encode projection
+        // into materializeTyped's groupByKey(shard) pass
+        import org.apache.spark.sql.functions.{col, size}
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("text").isNotNull).select("doc_id", "lang", "text")
+        val pieces = graft.operators.Corpus.collectPieces(
+          graft.operators.Corpus.buildPieceVocab(docs, "text",
+            minCount = 5, maxSize = 200))
+        val typed = docs.select(col("lang").cast("string").as("shard"),
+            col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+              .cast("array<int>").as("ids"))
+          .where(size(col("ids")) >= 0)
+          .as[graft.streaming.StreamingPack.PackDocIds]
+        graft.streaming.StreamingPack.materializeTyped(typed, 2048L).toDF()
       } else SparkEntry.queries(q)(spark, dir)
       df.count() // force AQE final plan
       sb.append(s"\n## $q — $why\n\n```\n")

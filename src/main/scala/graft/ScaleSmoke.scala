@@ -205,7 +205,72 @@ object ScaleSmoke {
           col("sc"), "doc_id", col("nt"), rows * 10).count()),
         "dedup_index_batch" -> (() => () => Dedup.dedupIndexAddBatch(
           Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
-          amp.where(col("doc_id") % 2 === 1))._1.count())
+          amp.where(col("doc_id") % 2 === 1))._1.count()),
+        "decontaminate_tokens" -> (() => {
+          // q154's operator at scale, the REALISTIC shape: the eval
+          // side is FIXED (the unamplified ×1 corpus's id%50=0 slice —
+          // a benchmark does not grow with the training corpus) while
+          // the train side amplifies. Vocab build + encode-kernel model
+          // setup untimed; the timed region is both window explodes,
+          // the eval distinct, the (broadcast) join, and the per-doc
+          // count. The adversarial growing-eval variant is recorded
+          // once in SCALE.md — it degrades into the shuffle-join
+          // fallback by design, not a bigger broadcast.
+          val pieces = Corpus.collectPieces(
+            Corpus.buildPieceVocab(amp, "text", minCount = 5,
+              maxSize = 200))
+          val evalIds = base.where(col("doc_id") % 50 === 0)
+            .select(col("doc_id"),
+              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+            .localCheckpoint(true)
+          val trainIds = amp.where(col("doc_id") % 50 =!= 0)
+            .select(col("doc_id"),
+              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+          () => Dedup.decontaminateTokenNgrams(
+            trainIds, evalIds, n = 13).count()
+        }),
+        "stream_pack" -> (() => {
+          // q153's operator: the amplified corpus becomes a 4-file
+          // id-range backlog (setup, untimed); the timed region is the
+          // whole AvailableNow replay — source listing, the Long-cursor
+          // state pass, and the parquet sink, the deployment-shaped
+          // cost. Token counts are the cheap whitespace kernel so the
+          // packer's streaming cost isn't confounded with BPE kernel
+          // cost (bpe_count measures that separately). Fresh
+          // checkpoint/sink per invocation: AvailableNow against an
+          // already-committed checkpoint would replay nothing.
+          val root =
+            java.nio.file.Files.createTempDirectory("graft_ssmp_").toString
+          val withN = amp.where(col("text").isNotNull)
+            .select(col("lang").as("shard"), col("doc_id"),
+              TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"))
+            .localCheckpoint(true)
+          val maxId = withN.agg(max("doc_id")).collect()(0).getLong(0)
+          val src = java.nio.file.Paths.get(s"$root/src")
+          java.nio.file.Files.createDirectories(src)
+          (0 until 4).foreach { i =>
+            val lo = maxId / 4 * i
+            val hi = if (i == 3) maxId else maxId / 4 * (i + 1) - 1
+            withN.where(col("doc_id").between(lo, hi)).coalesce(1)
+              .write.parquet(s"$root/f$i")
+            val ls = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$root/f$i"))
+            val part =
+              try ls.filter(p => p.getFileName.toString.startsWith("part-")
+                  && p.toString.endsWith(".parquet")).findFirst.get
+              finally ls.close()
+            java.nio.file.Files.move(part, src.resolve(f"b$i%02d.parquet"))
+          }
+          val schema = spark.read.parquet(src.toString).schema
+          var run = 0
+          () => {
+            run += 1
+            graft.streaming.StreamingPack.runAvailableNow(spark,
+              src.toString, schema, s"$root/out$run", s"$root/ckpt$run",
+              tokenBudget = 2048)
+            spark.read.parquet(s"$root/out$run").count()
+          }
+        })
       )
       // builder-local iteration: measure a comma-separated subset of
       // ops (new-operator runs don't re-pay the whole sweep)

@@ -125,6 +125,39 @@ object SparkEntry {
     }
   }
 
+  /** Two-file id-range backlog for the ordered-ingest streaming queries
+    * (q153/q155): the low half then the high half of `df` by `doc_id`,
+    * names and mtimes pinned so FileStreamSource replays them in id
+    * order one per micro-batch — arrival order IS id order, the
+    * contract under which the streamed result equals the batch
+    * (shard, id)-order arithmetic. Returns (source dir, file schema).
+    */
+  private def idRangeBacklog(s: SparkSession, root: String,
+      df: DataFrame): (String, StructType) = {
+    val midId = df.agg(max(col("doc_id"))).first.getLong(0) / 2
+    val src = java.nio.file.Paths.get(s"$root/src")
+    java.nio.file.Files.createDirectories(src)
+    df.where(col("doc_id") <= midId).coalesce(1)
+      .write.parquet(s"$root/b1")
+    df.where(col("doc_id") > midId).coalesce(1)
+      .write.parquet(s"$root/b2")
+    def firstPart(d: String): java.nio.file.Path = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    }
+    val f1 = src.resolve("a_low.parquet")
+    val f2 = src.resolve("b_high.parquet")
+    java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
+    java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
+    java.nio.file.Files.setLastModifiedTime(f1,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(f2,
+      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+    (src.toString, s.read.parquet(s"$root/b1").schema)
+  }
+
   /** Memoized per-(query, sf-dir) fixture construction: a bench's timed
     * reps must measure the operator, not the parquet writes that build its
     * input (the judge-flagged r5/r6 outlier class), so each q##Fixture
@@ -1681,6 +1714,101 @@ object SparkEntry {
           length(col("__txt")).cast(LongType).as("decoded_chars"),
           md5(col("__txt")).as("decoded_md5"))
         .orderBy("lang", "pack_id")
+    }),
+
+    // STREAMING sequence packing: the batch packer's prefix sum turned
+    // into flatMapGroupsWithState state (ONE Long cursor per shard),
+    // fed by a stateless in-stream tokenize (the q137 MaxMatch count
+    // kernel as a codegen projection) over an id-RANGE-split two-file
+    // backlog (mtime-pinned arrival order, one file per micro-batch).
+    // Under an id-ordered ingest the streamed assignment must equal the
+    // batch (shard, id)-order pack arithmetic doc-for-doc — which only
+    // holds if the cursor survives the micro-batch boundary (a fresh
+    // batch-2 cursor would restart every shard's packs at 0)
+    "q153_stream_token_packs" -> ((s, dir) => {
+      val root = scratch("graft_spack_")
+      val salted = saltedDocs(s, dir) // vocab input: UNFILTERED, as q144
+      val pieces = q137Pieces(salted)
+      val (src, schema) = idRangeBacklog(s, root,
+        salted.where(col("text").isNotNull)
+          .select("doc_id", "lang", "text"))
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingPack.runAvailableNow(
+          s, src, schema, s"$root/out", s"$root/ckpt",
+          tokenBudget = 2048,
+          prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
+            graft.functions.TextFunctions.bpeCount(col("text"), pieces)
+              .cast(LongType).as("n_tokens")))
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("shard").as("lang"), col("doc_id"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
+    // streaming CLOSED-pack export — q144's trainer-facing artifact
+    // produced INCREMENTALLY: the state buffers each shard's one open
+    // pack (budget-bounded ids) and emits a pack the moment a doc lands
+    // past its boundary, so a trainer consumes packs while ingest still
+    // runs. Emitted packs must be byte-identical to the batch export's
+    // (same digest, same membership); each shard's final open pack
+    // stays in state — completeness is unknowable mid-stream — so the
+    // oracle excludes exactly the per-shard max pack
+    "q155_stream_pack_export" -> ((s, dir) => {
+      val root = scratch("graft_spexp_")
+      val salted = saltedDocs(s, dir)
+      val pieces = q137Pieces(salted)
+      val (src, schema) = idRangeBacklog(s, root,
+        salted.where(col("text").isNotNull)
+          .select("doc_id", "lang", "text"))
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingPack.runMaterializeAvailableNow(
+          s, src, schema, s"$root/out", s"$root/ckpt",
+          tokenBudget = 2048,
+          prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
+            graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+              .as("ids"))
+            .where(col("ids").isNotNull))
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // token-LEVEL decontamination (GPT-3 Appendix C's 13-gram rule):
+    // train/eval id streams under the q137 tokenizer, a train doc
+    // flagged per eval-overlapping 13-token window. The eval set is the
+    // canonical leak shape — benchmark prompts QUOTING web documents
+    // verbatim: each eval doc (id%50=0) carries its successor doc's
+    // full token stream as a quote (array concat == tokenizing the
+    // concatenated text, the tokenizer is word-local), so every
+    // id%50=1 train doc of >=13 tokens must flag with its full window
+    // census, on top of the corpus's natural duplicate overlap. The
+    // text-level family (q71 exact / q96 bloom / q113 near-dup) judges
+    // surface text; this judges the stream the model trains on — eval
+    // windows broadcast, corpus pass is explode → broadcast join →
+    // per-doc count, one exchange over the hit set only
+    "q154_token_decontaminate" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
+      val withIds = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+          .as("ids"))
+      val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
+        col("ids").as("sib_ids"))
+      // a token-less eval doc carries no quote either (the twin's inner
+      // join on the token table drops it) — mirror that here
+      val ev = withIds.where(col("doc_id") % 50 === 0 &&
+          size(col("ids")) > 0)
+        .join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"), concat(col("ids"),
+          coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+      graft.operators.Dedup.decontaminateTokenNgrams(
+          withIds.where(col("doc_id") % 50 =!= 0), ev, n = 13)
+        .orderBy("doc_id")
     }),
 
     // the trainer-facing export under the LEARNED tokenizer: q142's
@@ -4706,6 +4834,92 @@ object SparkEntry {
            |    AS decoded_md5
            |FROM dpk GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
+
+      // q153: the STREAMED per-doc pack assignment must equal the batch
+      // (lang, doc_id)-order prefix-sum arithmetic doc-for-doc — the
+      // fixture's id-range file split makes arrival order the id order,
+      // so the batch window cumsum IS the streaming cursor's trajectory
+      "q153_stream_token_packs" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |snt AS (SELECT d.doc_id, doc.lang,
+           |    CAST(COALESCE(s.n_pieces, 0) AS BIGINT) AS n_tokens
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |scc AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM snt)
+           |SELECT lang, doc_id, n_tokens,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+           |FROM scc ORDER BY doc_id""".stripMargin,
+
+      // q154: token windows off the shared seq CTE's id strings —
+      // list_slice windows of the split id list; the eval side is each
+      // id%50=0 doc's ids CONCATENATED with its successor's (the
+      // planted verbatim quote — list concat == tokenizing the
+      // concatenated text since the tokenizer is word-local); train
+      // windows counted per doc on exact string equality (the same
+      // space-joined representation the Spark side joins on)
+      "q154_token_decontaminate" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |tws AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
+           |  FROM seq),
+           |twin AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM tws WHERE len(ids) >= 13)),
+           |evq AS (SELECT e.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM documents e
+           |  JOIN tws l1 ON l1.doc_id = e.doc_id
+           |  LEFT JOIN tws l2 ON l2.doc_id = e.doc_id + 1
+           |  WHERE e.doc_id % 50 = 0),
+           |evw AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM evq WHERE len(ids) >= 13)),
+           |evg AS (SELECT DISTINCT gram FROM evw)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM twin t JOIN evg USING (gram)
+           |WHERE t.doc_id % 50 <> 0
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      // q155: q144's pack rows (same CTE chain) minus each shard's LAST
+      // pack — the streamed export can only emit a pack once a doc
+      // lands past its boundary, so the final open pack per shard is
+      // structurally unemittable mid-stream
+      "q155_stream_pack_export" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |nt5 AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens,
+           |    COALESCE(s.ids_str, '') AS ids_str
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |cc5 AS (SELECT doc_id, lang, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM nt5),
+           |pk5 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str FROM cc5),
+           |ag5 AS (SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5
+           |  FROM pk5 GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5
+           |FROM ag5 a JOIN (SELECT lang, max(pack_id) AS mp
+           |  FROM ag5 GROUP BY lang) m USING (lang)
+           |WHERE a.pack_id < m.mp
+           |ORDER BY a.lang, a.pack_id""".stripMargin,
 
       // q151: q144's packing arithmetic fed by the LEARNED tokenizer's
       // id stream — per-word final segmentations off blw16 (1-char

@@ -444,6 +444,72 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Token-LEVEL n-gram decontamination — the GPT-3 Appendix-C rule
+    * (Brown et al. '20: flag a training doc sharing any 13-gram TOKEN
+    * overlap with an eval set) re-expressed relationally over
+    * PRE-TOKENIZED id arrays, so it composes with either shipped
+    * tokenizer (MaxMatch piece ids or rank-ordered merge ids).
+    * Word-shingle decontamination ([[decontaminate]]) judges surface
+    * text; the token form judges exactly the stream the model trains
+    * on — overlaps that only align after tokenization (and the
+    * canonical n is counted in tokens, not words).
+    *
+    * Returns (idCol, n_hits): each contaminated train doc with how many
+    * of its length-`n` token windows appear among the eval set's
+    * windows (a doc repeating a leaked window counts each occurrence —
+    * a leak-severity signal, not just a flag; anti-join the ids against
+    * `train` to drop). Shape: the eval side's DISTINCT windows are
+    * benchmark-sized by definition — guard-checked, and BROADCAST while
+    * they fit (`broadcastWindows` rows; a 13-id window string is ~70
+    * bytes, so the default ~35 MB of relation) — making the corpus pass
+    * explode → broadcast hash join → partial-agg count per doc: the
+    * only exchange is over the (tiny) hit set. An oversized eval side
+    * falls back to a plain shuffled hash join — still one linear pass,
+    * just with the corpus windows shuffling on the gram — instead of
+    * forcing a multi-hundred-MB broadcast build onto every executor.
+    * Windows ride as space-joined id strings so the DuckDB twin
+    * reproduces them exactly; a 100 TB deployment hashes each window to
+    * int64 inside the same plan (collision-tolerant for a drop-list,
+    * 8 bytes instead of ~4n string bytes through the join).
+    */
+  def decontaminateTokenNgrams(train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String = "doc_id", idsCol: String = "ids",
+      maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L): DataFrame = {
+    require(n >= 1, "decontaminateTokenNgrams needs a positive n")
+    // ONE typed pass per doc, not an expression tree: the declarative
+    // form — transform(sequence(1, L-n+1), p -> array_join(slice(strs,
+    // p, n))) — re-evaluates `strs` (the element-cast array and its
+    // whole upstream) once per WINDOW inside the lambda, an O(L²)/doc
+    // trap the amplified sweep measured as 12× superlinear. sliding()
+    // is one traversal; the ser/deser boundary it costs is amortized by
+    // the per-doc window loop. Ids must be non-null elements (the
+    // tokenizers never emit null ids).
+    def windows(df: DataFrame) = {
+      val s = df.sparkSession
+      import s.implicits._
+      df.where(col(idsCol).isNotNull)
+        .select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+        .as[(Long, Seq[Int])]
+        .flatMap { case (id, ids) =>
+          if (ids.length >= n) ids.sliding(n).map(w => (id, w.mkString(" ")))
+          else Iterator.empty
+        }
+        .toDF(idCol, "gram")
+    }
+    val evalW = windows(eval).select("gram").distinct()
+    val nEval = evalW.count()
+    require(nEval <= maxEvalWindows,
+      s"decontaminateTokenNgrams: eval set has $nEval distinct windows — " +
+        s"the broadcast side is capped at $maxEvalWindows; shard the eval " +
+        "set or lower n")
+    val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
+    windows(train)
+      .join(evalSide, Seq("gram")) // right side distinct: no fanout
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Scale path for [[decontaminate]]: a driver-built Bloom filter over
     * the eval shingles (eval/benchmark sets are small BY DEFINITION — the
     * guard refuses loudly otherwise) broadcasts inside a codegen'd

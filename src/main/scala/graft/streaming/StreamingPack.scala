@@ -1,0 +1,204 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming sequence packing — the stateful streaming twin of
+  * [[graft.operators.Corpus.packSequences]]: as documents arrive, each
+  * gets the pack it lands in under a per-shard running token cursor,
+  * `pack_id = (tokens placed in this shard before it) div budget` — the
+  * batch packer's prefix sum turned into `flatMapGroupsWithState` state.
+  * This closes the streaming story for the tokenizer×packing arc: curate
+  * (StreamingCurate) → dedup (StreamingDedupIndex) → tokenize (a
+  * stateless codegen kernel projection riding the stream) → pack (here)
+  * is the full training-data pipeline as one continuous ingest.
+  *
+  * State sizing: ONE Long per shard (the cursor), the smallest state in
+  * the streaming family — against 100 TB the state store holds
+  * #shards × 8 bytes however much text flowed through. Per-batch work is
+  * O(batch): the tokenize projection is a narrow codegen map, the group
+  * shuffle moves only (shard, id, n_tokens), and nothing ever re-reads
+  * placed documents. Within a micro-batch each shard's docs sort by id
+  * before applying the cursor (arrival order inside a batch is not
+  * deterministic); ACROSS batches the assignment is arrival-order by
+  * construction — the deployment contract is a per-shard id/time-ordered
+  * ingest (what a log-ordered source gives), under which the streamed
+  * assignment equals the batch packer's (shard, id)-order result exactly,
+  * and the q153 oracle checks that equality value-for-value across a
+  * multi-file backlog.
+  *
+  * Skew note: one shard's micro-batch slice lands on one state-store
+  * task, so a single giant micro-batch on a single shard serializes
+  * there; the trigger bounds the slice (files/rows per trigger), which
+  * is the knob a real deployment sizes — the state itself never grows.
+  */
+object StreamingPack {
+
+  case class PackDocIn(shard: String, doc_id: Long, n_tokens: Long)
+  case class PackCursor(cum: Long)
+  case class PackAssigned(shard: String, doc_id: Long, n_tokens: Long,
+      pack_id: Long)
+
+  /** Assign packs to a (possibly streaming) typed doc set under a
+    * per-shard running cursor. Docs within one micro-batch sort by id
+    * per shard before placement; the cursor carries across batches via
+    * the checkpointed state store. `n_tokens` must be non-null upstream
+    * (a null count has nothing to place — the batch packer parks it with
+    * a null pack_id; a stream filters it before the stateful stage).
+    */
+  def packTyped(docs: Dataset[PackDocIn], tokenBudget: Long)
+      : Dataset[PackAssigned] = {
+    require(tokenBudget >= 1, "packTyped needs a positive token budget")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackCursor, PackAssigned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, it: Iterator[PackDocIn],
+            state: GroupState[PackCursor]) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = sorted.map { d =>
+            val before = cum
+            cum += d.n_tokens
+            PackAssigned(shard, d.doc_id, d.n_tokens, before / tokenBudget)
+          }
+          if (sorted.nonEmpty) state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
+
+  case class PackDocIds(shard: String, doc_id: Long, ids: Seq[Int])
+  case class OpenPack(packId: Long, cum: Long, nDocs: Long, ids: Seq[Int])
+  case class ClosedPack(shard: String, pack_id: Long, n_docs: Long,
+      pack_tokens: Long, pack_ids: Seq[Int])
+
+  /** Streaming CLOSED-pack export — the trainer-facing artifact
+    * ([[graft.operators.Corpus.materializeTokenPacks]]) produced
+    * incrementally: per shard the state buffers the one OPEN pack (its
+    * member count and concatenated token ids) and emits a pack the
+    * moment a doc lands past its boundary — a trainer can consume packs
+    * while ingest is still running, which no batch export gives. The
+    * stream's final open pack per shard stays in state, never emitted:
+    * completeness is unknowable mid-stream by construction (the q155
+    * oracle excludes each shard's last pack for exactly this reason).
+    *
+    * State is bounded by the TOKEN BUDGET, not the corpus — one open
+    * pack of ~budget ids (plus the straddling doc's tail), the same
+    * bound the batch materializer's per-group state has. Pack identity
+    * and membership are IDENTICAL to the batch packer's arithmetic:
+    * pack_id = (cum before the doc) div budget, docs never split, a
+    * doc longer than the whole budget closes its pack and SKIPS the
+    * intermediate ids (exactly as the batch form emits no rows for
+    * empty packs). Zero-token docs join their pack's n_docs and add
+    * nothing to the stream. `ids` must be non-null upstream (the q144
+    * contract: a null array is a dropped doc, filtered before the
+    * stateful stage).
+    */
+  def materializeTyped(docs: Dataset[PackDocIds], tokenBudget: Long)
+      : Dataset[ClosedPack] = {
+    require(tokenBudget >= 1, "materializeTyped needs a positive budget")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[OpenPack, ClosedPack](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, it: Iterator[PackDocIds],
+            state: GroupState[OpenPack]) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(OpenPack(0L, 0L, 0L, Nil))
+          val closed = Seq.newBuilder[ClosedPack]
+          sorted.foreach { d =>
+            val p = st.cum / tokenBudget
+            if (p > st.packId) {
+              if (st.nDocs > 0)
+                closed += ClosedPack(shard, st.packId, st.nDocs,
+                  st.ids.length.toLong, st.ids)
+              st = OpenPack(p, st.cum, 0L, Nil)
+            }
+            st = OpenPack(st.packId, st.cum + d.ids.length,
+              st.nDocs + 1, st.ids ++ d.ids)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Replay a parquet backlog through the streaming packer with
+    * AvailableNow, one file per micro-batch by default, appending
+    * per-doc pack assignments to `targetPath`. `prepare` is the
+    * stateless per-row front half (tokenize/project — the q135 stage
+    * contract: deterministic, slicing-invariant, no cross-batch state)
+    * and must yield non-null (`shard` string, `doc_id` long,
+    * `n_tokens` long).
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetPath: String,
+      checkpointDir: String,
+      tokenBudget: Long,
+      maxFilesPerTrigger: Int = 1,
+      prepare: DataFrame => DataFrame = identity,
+  ): Unit = {
+    import spark.implicits._
+    val (src, base) = StreamingUpsert.globAndBase(sourceDir)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", base)
+      .parquet(src)
+    val typed = prepare(raw)
+      .select(col("shard").cast("string").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[PackDocIn]
+    val query = packTyped(typed, tokenBudget)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", targetPath)
+      .format("parquet")
+      .start()
+    query.awaitTermination()
+  }
+
+  /** [[materializeTyped]]'s backlog runner: `prepare` must yield
+    * (`shard` string, `doc_id` long, `ids` array&lt;int&gt;, non-null —
+    * null-ids docs are dropped docs per the batch materializer's
+    * contract and must be filtered in `prepare`). Appends CLOSED packs
+    * to `targetPath`; each shard's final open pack stays in state.
+    */
+  def runMaterializeAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetPath: String,
+      checkpointDir: String,
+      tokenBudget: Long,
+      maxFilesPerTrigger: Int = 1,
+      prepare: DataFrame => DataFrame = identity,
+  ): Unit = {
+    import spark.implicits._
+    val (src, base) = StreamingUpsert.globAndBase(sourceDir)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", base)
+      .parquet(src)
+    val typed = prepare(raw)
+      .select(col("shard").cast("string").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("ids").cast("array<int>").as("ids"))
+      .as[PackDocIds]
+    val query = materializeTyped(typed, tokenBudget)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", targetPath)
+      .format("parquet")
+      .start()
+    query.awaitTermination()
+  }
+}

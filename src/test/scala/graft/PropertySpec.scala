@@ -452,6 +452,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming packer equals the batch packer for any corpus and budget") {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.operators.Corpus
+    import graft.streaming.StreamingPack
+    import StreamingPack.{PackDocIds, PackDocIn}
+    // random corpora (including empty frames, empty id arrays,
+    // single-shard skew) × random budgets: batch-mode packTyped must
+    // equal packSequences doc-for-doc, and materializeTyped must equal
+    // materializeTokenPacks on every CLOSED pack (all but each shard's
+    // last) — the invariant the q153/q155 gates rest on
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
+        Gen.oneOf("a", "b", "zz"),
+        Gen.choose(0, 30).flatMap(k =>
+          Gen.listOfN(k, Gen.choose(0, 99)))))
+      budget <- Gen.oneOf(1L, 8L, 64L)
+    } yield (rows.distinctBy(_._1), budget)
+    forAllSampled(gen, n = 6) { case (rows, budget) =>
+      val typedIn = rows.map { case (id, sh, ids) =>
+        PackDocIds(sh, id, ids) }
+      val assigned = StreamingPack.packTyped(
+          typedIn.map(d => PackDocIn(d.shard, d.doc_id,
+            d.ids.length.toLong)).toDS(), budget)
+        .collect().map(a => (a.shard, a.doc_id) -> a.pack_id).toMap
+      val idsDf = typedIn.toDF()
+        .withColumn("__n_tokens", size(col("ids")).cast("long"))
+      val packed = Corpus.packSequences(idsDf, "shard", "doc_id",
+        col("__n_tokens"), budget)
+      val wantAssign = packed.select("shard", "doc_id", "pack_id")
+        .as[(String, Long, Long)].collect()
+        .map { case (s, d, p) => (s, d) -> p }.toMap
+      assert(assigned == wantAssign, s"budget=$budget")
+      val closed = StreamingPack.materializeTyped(typedIn.toDS(), budget)
+        .collect().map(p => (p.shard, p.pack_id) ->
+          ((p.n_docs, p.pack_tokens, p.pack_ids.toList))).toMap
+      val batch = Corpus.materializeTokenPacks(packed, "shard", "doc_id",
+          "ids")
+        .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids")
+        .as[(String, Long, Long, Long, Seq[Int])].collect()
+      val lastPack = batch.groupBy(_._1).map { case (s, ps) =>
+        s -> ps.map(_._2).max }
+      val wantClosed = batch.filter(p => p._2 < lastPack(p._1))
+        .map(p => (p._1, p._2) -> ((p._3, p._4, p._5.toList))).toMap
+      assert(closed == wantClosed, s"budget=$budget")
+    }
+  }
+
   test("bounded cell pairs equal the unbounded join for any corpus and cap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, Similarity}

@@ -124,6 +124,30 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("decontaminateTokenNgrams counts eval-overlapping token windows") {
+    // n=3 over id arrays: doc 1 contains eval's (1,2,3) twice and (2,3,9)
+    // zero times -> n_hits 2; doc 2 shares nothing; doc 3 is shorter than
+    // n (no windows); doc 4 has null ids (dropped, not an error)
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 1, 2, 3))), // windows: 123,231,312,123
+      (2L, Some(Seq(7, 7, 7, 7))),
+      (3L, Some(Seq(1, 2))),
+      (4L, None)
+    ).toDF("doc_id", "ids")
+    val ev = Seq(
+      (100L, Some(Seq(0, 1, 2, 3))), // eval windows: 012, 123
+      (101L, Some(Seq(5, 6)))        // too short: no windows
+    ).toDF("doc_id", "ids")
+    val got = Dedup.decontaminateTokenNgrams(train, ev, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+    // token windows are id-sequence equality, not substring equality:
+    // ids (1, 23) must NOT match (12, 3)
+    val t2 = Seq((1L, Some(Seq(1, 23)))).toDF("doc_id", "ids")
+    val e2 = Seq((9L, Some(Seq(12, 3)))).toDF("doc_id", "ids")
+    assert(Dedup.decontaminateTokenNgrams(t2, e2, n = 2).count() == 0)
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Corpus
+
+class StreamingPackSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingPack.PackDocIn
+
+  private def writeFile(df: org.apache.spark.sql.DataFrame,
+      dest: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_w_").toString + "/out"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+  }
+
+  // deterministic little corpus: two shards, token counts chosen so packs
+  // straddle both a doc boundary and (later) the file split at id 6
+  private val docs = Seq(
+    ("en", 1L, 3L), ("en", 2L, 4L), ("en", 3L, 2L), ("en", 4L, 5L),
+    ("en", 5L, 1L), ("en", 6L, 4L), ("en", 7L, 3L), ("en", 8L, 6L),
+    ("de", 1L, 7L), ("de", 2L, 2L), ("de", 3L, 3L), ("de", 4L, 4L),
+    ("de", 5L, 0L), ("de", 6L, 5L))
+
+  private def batchPackIds(budget: Long): Map[(String, Long), Long] =
+    Corpus.packSequences(
+        docs.toDF("shard", "doc_id", "nt"), "shard", "doc_id",
+        col("nt"), budget)
+      .select("shard", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, p) => (s, d) -> p }.toMap
+
+  test("batch-mode packTyped equals the batch prefix-sum packer") {
+    val got = StreamingPack.packTyped(
+        docs.map { case (s, d, n) => PackDocIn(s, d, n) }.toDS(), 8L)
+      .collect().map(a => (a.shard, a.doc_id) -> a.pack_id).toMap
+    assert(got == batchPackIds(8L))
+  }
+
+  test("zero-token docs keep their row and advance nothing") {
+    val got = StreamingPack.packTyped(Seq(
+        PackDocIn("x", 1L, 8L), PackDocIn("x", 2L, 0L),
+        PackDocIn("x", 3L, 1L)).toDS(), 8L)
+      .collect().map(a => a.doc_id -> a.pack_id).toMap
+    // doc 2 sits exactly at the boundary cum=8 -> pack 1, doc 3 follows it
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("batch-mode materializeTyped equals the batch export minus last packs") {
+    import StreamingPack.PackDocIds
+    // ids lengths mirror `docs`' token counts; budget 8 gives en packs
+    // 0,1,2(open) and de packs 0,1(open)
+    val withIds = docs.map { case (s, d, n) =>
+      PackDocIds(s, d, (0 until n.toInt).map(i => (d * 100 + i).toInt))
+    }
+    val got = StreamingPack.materializeTyped(withIds.toDS(), 8L)
+      .collect().map(p => (p.shard, p.pack_id) ->
+        ((p.n_docs, p.pack_tokens, p.pack_ids))).toMap
+    val idsDf = withIds.toDF()
+      .withColumn("__n_tokens", size(col("ids")).cast("long"))
+    val packed = Corpus.packSequences(idsDf, "shard", "doc_id",
+      col("__n_tokens"), 8L)
+    val batch = Corpus.materializeTokenPacks(packed, "shard", "doc_id",
+        "ids")
+      .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids")
+      .as[(String, Long, Long, Long, Seq[Int])].collect()
+    val lastPack = batch.groupBy(_._1).map { case (s, ps) =>
+      s -> ps.map(_._2).max }
+    val want = batch.filter(p => p._2 < lastPack(p._1))
+      .map(p => (p._1, p._2) -> ((p._3, p._4, p._5))).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("a doc longer than the budget closes its pack and skips ids") {
+    import StreamingPack.PackDocIds
+    val ds = Seq(
+      PackDocIds("x", 1L, Seq(1, 2)),          // pack 0
+      PackDocIds("x", 2L, (10 to 30).map(identity)), // straddles: pack 0
+      PackDocIds("x", 3L, Seq(7)),             // cum 23 -> pack 2 (skip 1)
+      PackDocIds("x", 4L, (40 to 60).map(identity))  // cum 24 -> pack 3
+    ).toDS()
+    val got = StreamingPack.materializeTyped(ds, 8L)
+      .collect().map(p => p.pack_id ->
+        ((p.n_docs, p.pack_tokens, p.pack_ids))).toMap
+    // pack 0 holds docs 1+2 (23 tokens, over budget — docs never split);
+    // pack 1 is empty, never emitted; pack 2 closes when doc 4 opens 3
+    assert(got == Map(
+      0L -> ((2L, 23L, Seq(1, 2) ++ (10 to 30))),
+      2L -> ((1L, 1L, Seq(7)))))
+  }
+
+  test("the cursor carries across micro-batch boundaries") {
+    val root = Files.createTempDirectory("graft_spk_").toString
+    val src = s"$root/src"
+    val df = docs.toDF("shard", "doc_id", "n_tokens")
+    writeFile(df.where(col("doc_id") <= 3), s"$src/a_low.parquet")
+    writeFile(df.where(col("doc_id") > 3), s"$src/b_high.parquet")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/a_low.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/b_high.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+    val schema = spark.read.parquet(src).schema
+    StreamingPack.runAvailableNow(spark, src, schema,
+      s"$root/out", s"$root/ckpt", tokenBudget = 8L)
+    val got = spark.read.parquet(s"$root/out")
+      .select("shard", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, p) => (s, d) -> p }.toMap
+    val want = batchPackIds(8L)
+    assert(got == want)
+    // the equality is only probative if the batch-1 cursor MATTERS: a
+    // shard whose batch-1 token total were a multiple of the budget
+    // would assign batch-2 docs identically from a fresh (lost) cursor
+    val batch1Cum = docs.filter(_._2 <= 3L)
+      .groupBy(_._1).map { case (s, ds) => s -> ds.map(_._3).sum }
+    assert(batch1Cum.values.exists(_ % 8L != 0L),
+      "fixture no longer exercises the cross-batch cursor")
+  }
+}
