@@ -245,28 +245,13 @@ object ScaleSmoke {
             .select(col("lang").as("shard"), col("doc_id"),
               TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"))
             .localCheckpoint(true)
-          val maxId = withN.agg(max("doc_id")).collect()(0).getLong(0)
-          val src = java.nio.file.Paths.get(s"$root/src")
-          java.nio.file.Files.createDirectories(src)
-          (0 until 4).foreach { i =>
-            val lo = maxId / 4 * i
-            val hi = if (i == 3) maxId else maxId / 4 * (i + 1) - 1
-            withN.where(col("doc_id").between(lo, hi)).coalesce(1)
-              .write.parquet(s"$root/f$i")
-            val ls = java.nio.file.Files.list(
-              java.nio.file.Paths.get(s"$root/f$i"))
-            val part =
-              try ls.filter(p => p.getFileName.toString.startsWith("part-")
-                  && p.toString.endsWith(".parquet")).findFirst.get
-              finally ls.close()
-            java.nio.file.Files.move(part, src.resolve(f"b$i%02d.parquet"))
-          }
-          val schema = spark.read.parquet(src.toString).schema
+          val (src, schema) =
+            SparkEntry.idRangeBacklog(spark, root, withN, nFiles = 4)
           var run = 0
           () => {
             run += 1
             graft.streaming.StreamingPack.runAvailableNow(spark,
-              src.toString, schema, s"$root/out$run", s"$root/ckpt$run",
+              src, schema, s"$root/out$run", s"$root/ckpt$run",
               tokenBudget = 2048)
             spark.read.parquet(s"$root/out$run").count()
           }

@@ -125,37 +125,41 @@ object SparkEntry {
     }
   }
 
-  /** Two-file id-range backlog for the ordered-ingest streaming queries
-    * (q153/q155): the low half then the high half of `df` by `doc_id`,
-    * names and mtimes pinned so FileStreamSource replays them in id
-    * order one per micro-batch — arrival order IS id order, the
-    * contract under which the streamed result equals the batch
-    * (shard, id)-order arithmetic. Returns (source dir, file schema).
+  /** Id-range backlog for the ordered-ingest streaming queries
+    * (q153/q155) and the ScaleSmoke stream op: `df` split into
+    * `nFiles` ascending `doc_id` ranges, one parquet file each, names
+    * AND mtimes pinned so FileStreamSource replays them in id order one
+    * per micro-batch — arrival order IS id order, the contract under
+    * which the streamed result equals the batch (shard, id)-order
+    * arithmetic. Returns (source dir, file schema).
     */
-  private def idRangeBacklog(s: SparkSession, root: String,
-      df: DataFrame): (String, StructType) = {
-    val midId = df.agg(max(col("doc_id"))).first.getLong(0) / 2
+  private[graft] def idRangeBacklog(s: SparkSession, root: String,
+      df: DataFrame, nFiles: Int = 2): (String, StructType) = {
+    require(nFiles >= 1, "idRangeBacklog needs at least one file")
+    val maxId = df.agg(max(col("doc_id"))).first.getLong(0)
     val src = java.nio.file.Paths.get(s"$root/src")
     java.nio.file.Files.createDirectories(src)
-    df.where(col("doc_id") <= midId).coalesce(1)
-      .write.parquet(s"$root/b1")
-    df.where(col("doc_id") > midId).coalesce(1)
-      .write.parquet(s"$root/b2")
     def firstPart(d: String): java.nio.file.Path = {
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
       try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
           p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     }
-    val f1 = src.resolve("a_low.parquet")
-    val f2 = src.resolve("b_high.parquet")
-    java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
-    java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
-    java.nio.file.Files.setLastModifiedTime(f1,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-    java.nio.file.Files.setLastModifiedTime(f2,
-      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
-    (src.toString, s.read.parquet(s"$root/b1").schema)
+    (0 until nFiles).foreach { i =>
+      val lo = maxId * i / nFiles
+      val hi = maxId * (i + 1) / nFiles
+      val slice =
+        if (i == 0) df.where(col("doc_id") <= hi)
+        else if (i == nFiles - 1) df.where(col("doc_id") > lo)
+        else df.where(col("doc_id") > lo && col("doc_id") <= hi)
+      slice.coalesce(1).write.parquet(s"$root/b$i")
+      val f = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(firstPart(s"$root/b$i"), f)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + i * 600000L))
+    }
+    (src.toString, s.read.parquet(s"$root/b0").schema)
   }
 
   /** Memoized per-(query, sf-dir) fixture construction: a bench's timed
@@ -1765,10 +1769,13 @@ object SparkEntry {
         graft.streaming.StreamingPack.runMaterializeAvailableNow(
           s, src, schema, s"$root/out", s"$root/ckpt",
           tokenBudget = 2048,
-          prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
-            graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-              .as("ids"))
-            .where(col("ids").isNotNull))
+          // null-doc guard on the SOURCE column (pushes to the scan):
+          // a where on the computed ids column would sink below the
+          // projection and run the encode kernel twice per row
+          prepare = df => df.where(col("text").isNotNull)
+            .select(col("lang").as("shard"), col("doc_id"),
+              graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+                .as("ids")))
       }
       s.read.parquet(s"$root/out")
         .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
@@ -1794,9 +1801,13 @@ object SparkEntry {
     "q154_token_decontaminate" -> ((s, dir) => {
       val docs = saltedDocs(s, dir)
       val pieces = q137Pieces(docs)
+      // ONE encode pass over the corpus: train, eval, and the sibling
+      // quote join all read this materialization — lazy, the kernel
+      // would run up to three times (and push below computed-column
+      // filters, doubling again: the r12 review's finding)
       val withIds = docs.select(col("doc_id"),
         graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-          .as("ids"))
+          .as("ids")).localCheckpoint()
       val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
         col("ids").as("sib_ids"))
       // a token-less eval doc carries no quote either (the twin's inner

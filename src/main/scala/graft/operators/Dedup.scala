@@ -483,26 +483,32 @@ object Dedup {
     // whole upstream) once per WINDOW inside the lambda, an O(L²)/doc
     // trap the amplified sweep measured as 12× superlinear. sliding()
     // is one traversal; the ser/deser boundary it costs is amortized by
-    // the per-doc window loop. Ids must be non-null elements (the
-    // tokenizers never emit null ids).
+    // the per-doc window loop. Null-ids docs (dropped docs) are skipped
+    // INSIDE the pass — a column-level isNotNull filter on a computed
+    // ids column would push below the projection and evaluate the
+    // (dominant-cost) tokenize kernel twice per row. Ids elements must
+    // be non-null (the tokenizers never emit null ids).
     def windows(df: DataFrame) = {
       val s = df.sparkSession
       import s.implicits._
-      df.where(col(idsCol).isNotNull)
-        .select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
         .as[(Long, Seq[Int])]
         .flatMap { case (id, ids) =>
-          if (ids.length >= n) ids.sliding(n).map(w => (id, w.mkString(" ")))
+          if (ids != null && ids.length >= n)
+            ids.sliding(n).map(w => (id, w.mkString(" ")))
           else Iterator.empty
         }
         .toDF(idCol, "gram")
     }
-    val evalW = windows(eval).select("gram").distinct()
+    // materialize the (benchmark-sized) eval windows ONCE: the guard
+    // count below and the join would otherwise each execute the whole
+    // eval branch — including its tokenize passes — from scratch
+    val evalW = windows(eval).select("gram").distinct().localCheckpoint()
     val nEval = evalW.count()
     require(nEval <= maxEvalWindows,
       s"decontaminateTokenNgrams: eval set has $nEval distinct windows — " +
         s"the broadcast side is capped at $maxEvalWindows; shard the eval " +
-        "set or lower n")
+        "set or raise n (windows per doc shrink as n grows)")
     val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
     windows(train)
       .join(evalSide, Seq("gram")) // right side distinct: no fanout

@@ -106,20 +106,33 @@ object StreamingPack {
         (shard: String, it: Iterator[PackDocIds],
             state: GroupState[OpenPack]) =>
           val sorted = it.toSeq.sortBy(_.doc_id)
-          var st = state.getOption.getOrElse(OpenPack(0L, 0L, 0L, Nil))
+          val st = state.getOption.getOrElse(OpenPack(0L, 0L, 0L, Nil))
+          // mutable buffer within the batch — `st.ids ++ d.ids` per doc
+          // would copy the whole open pack per arrival, quadratic in
+          // docs-per-pack; the immutable snapshot lands in the state
+          // store once per (shard, batch)
+          var packId = st.packId
+          var cum = st.cum
+          var nDocs = st.nDocs
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          buf ++= st.ids
           val closed = Seq.newBuilder[ClosedPack]
           sorted.foreach { d =>
-            val p = st.cum / tokenBudget
-            if (p > st.packId) {
-              if (st.nDocs > 0)
-                closed += ClosedPack(shard, st.packId, st.nDocs,
-                  st.ids.length.toLong, st.ids)
-              st = OpenPack(p, st.cum, 0L, Nil)
+            val p = cum / tokenBudget
+            if (p > packId) {
+              if (nDocs > 0)
+                closed += ClosedPack(shard, packId, nDocs,
+                  buf.length.toLong, buf.toVector)
+              packId = p
+              nDocs = 0L
+              buf.clear()
             }
-            st = OpenPack(st.packId, st.cum + d.ids.length,
-              st.nDocs + 1, st.ids ++ d.ids)
+            cum += d.ids.length
+            nDocs += 1
+            buf ++= d.ids
           }
-          if (sorted.nonEmpty) state.update(st)
+          if (sorted.nonEmpty)
+            state.update(OpenPack(packId, cum, nDocs, buf.toVector))
           closed.result().iterator
       }
   }
