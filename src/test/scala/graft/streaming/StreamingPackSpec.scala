@@ -96,6 +96,31 @@ class StreamingPackSpec extends SparkSpec {
       2L -> ((1L, 1L, Seq(7)))))
   }
 
+  test("a restart against the same checkpoint resumes, not recomputes") {
+    // run 1 sees only the low file; the high file lands AFTER the query
+    // terminated; run 2 reuses the checkpoint — the cursor must resume
+    // from the state store (not restart at 0, not re-emit batch 1) and
+    // the union of both runs' sink output must equal the batch result
+    val root = Files.createTempDirectory("graft_spk2_").toString
+    val src = s"$root/src"
+    val df = docs.toDF("shard", "doc_id", "n_tokens")
+    writeFile(df.where(col("doc_id") <= 3), s"$src/a_low.parquet")
+    val schema = spark.read.parquet(src).schema
+    StreamingPack.runAvailableNow(spark, src, schema,
+      s"$root/out", s"$root/ckpt", tokenBudget = 8L)
+    val afterRun1 = spark.read.parquet(s"$root/out").count()
+    writeFile(df.where(col("doc_id") > 3), s"$src/b_high.parquet")
+    StreamingPack.runAvailableNow(spark, src, schema,
+      s"$root/out", s"$root/ckpt", tokenBudget = 8L)
+    val got = spark.read.parquet(s"$root/out")
+      .select("shard", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect()
+    assert(afterRun1 == docs.count(_._2 <= 3L) &&
+      got.length == docs.length, "run 2 re-emitted or dropped docs")
+    assert(got.map { case (s, d, p) => (s, d) -> p }.toMap
+      == batchPackIds(8L))
+  }
+
   test("the cursor carries across micro-batch boundaries") {
     val root = Files.createTempDirectory("graft_spk_").toString
     val src = s"$root/src"
