@@ -91,7 +91,9 @@ object DumpPlans {
       "q154_token_decontaminate" ->
         "token-level 13-gram decontamination: eval windows DISTINCT then BROADCAST, corpus pass = ONE typed sliding-window traversal (MapPartitions) -> BroadcastHashJoin -> partial-agg per-doc count — the only exchange carries the hit set, never corpus windows",
       "q155_stream_pack_export" ->
-        "streaming closed-pack export micro-batch shape: stateless codegen encode projection -> ONE hash exchange on shard -> FlatMapGroupsWithState (budget-bounded open-pack buffer) — the q144 artifact emitted incrementally, no Window, no second shuffle")
+        "streaming closed-pack export micro-batch shape: stateless codegen encode projection -> ONE hash exchange on shard -> FlatMapGroupsWithState (budget-bounded open-pack buffer) — the q144 artifact emitted incrementally, no Window, no second shuffle",
+      "q156_token_decontaminate_bloom" ->
+        "bloom-prefiltered token decontamination: driver bloom rides the typed sliding pass (clean docs emit ZERO rows), only the candidate sliver reaches the exact verify join — the corpus stage is one narrow traversal, no corpus-window relation anywhere")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

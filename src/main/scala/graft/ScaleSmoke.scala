@@ -229,6 +229,24 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13).count()
         }),
+        "decontaminate_tokens_bloom" -> (() => {
+          // q156's scale path on the same fixed-eval shape as
+          // decontaminate_tokens: the corpus pass is the bloom-gated
+          // sliding traversal (clean docs emit zero rows); only the
+          // candidate sliver joins
+          val pieces = Corpus.collectPieces(
+            Corpus.buildPieceVocab(amp, "text", minCount = 5,
+              maxSize = 200))
+          val evalIds = base.where(col("doc_id") % 50 === 0)
+            .select(col("doc_id"),
+              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+            .localCheckpoint(true)
+          val trainIds = amp.where(col("doc_id") % 50 =!= 0)
+            .select(col("doc_id"),
+              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+          () => Dedup.decontaminateTokenNgramsBloom(
+            trainIds, evalIds, n = 13).count()
+        }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
           // id-range backlog (setup, untimed); the timed region is the

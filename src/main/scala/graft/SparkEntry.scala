@@ -1822,6 +1822,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q154's SCALE path (the q96↔q71 relationship at token level): a
+    // driver Bloom over the eval windows rides the typed sliding pass,
+    // so a clean doc emits zero rows and only the candidate sliver pays
+    // the exact verify join. Bloom = no false negatives, so the result
+    // EQUALS the exact operator's — the oracle is q154's twin verbatim
+    "q156_token_decontaminate_bloom" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
+      val withIds = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+          .as("ids")).localCheckpoint()
+      val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
+        col("ids").as("sib_ids"))
+      val ev = withIds.where(col("doc_id") % 50 === 0 &&
+          size(col("ids")) > 0)
+        .join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"), concat(col("ids"),
+          coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+      graft.operators.Dedup.decontaminateTokenNgramsBloom(
+          withIds.where(col("doc_id") % 50 =!= 0), ev, n = 13)
+        .orderBy("doc_id")
+    }),
+
     // the trainer-facing export under the LEARNED tokenizer: q142's
     // merge table drives rank-ordered id emission (BpeMergeEncodeExpr
     // over the buildMergeVocab symbol ids — alphabet 1..A, then merges
@@ -3821,6 +3844,35 @@ object SparkEntry {
          |  AND doc_id NOT IN (SELECT bid FROM grej2))""".stripMargin
     }
 
+    // q154/q156 share this twin: the Bloom path is gated on EQUALITY
+    // with the exact operator (same relationship as q96 to q71)
+    val tokenDecontamSql: String =
+      s"""WITH RECURSIVE
+         |$bpeSeqCtes,
+         |tws AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
+         |  FROM seq),
+         |twin AS (SELECT doc_id,
+         |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+         |  FROM (SELECT doc_id, ids,
+         |      unnest(range(1, len(ids) - 13 + 2)) AS u
+         |    FROM tws WHERE len(ids) >= 13)),
+         |evq AS (SELECT e.doc_id,
+         |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+         |  FROM documents e
+         |  JOIN tws l1 ON l1.doc_id = e.doc_id
+         |  LEFT JOIN tws l2 ON l2.doc_id = e.doc_id + 1
+         |  WHERE e.doc_id % 50 = 0),
+         |evw AS (SELECT doc_id,
+         |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+         |  FROM (SELECT doc_id, ids,
+         |      unnest(range(1, len(ids) - 13 + 2)) AS u
+         |    FROM evq WHERE len(ids) >= 13)),
+         |evg AS (SELECT DISTINCT gram FROM evw)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM twin t JOIN evg USING (gram)
+         |WHERE t.doc_id % 50 <> 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
     Map(
       "q01_pruned_scan" ->
         """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -4873,32 +4925,12 @@ object SparkEntry {
       // concatenated text since the tokenizer is word-local); train
       // windows counted per doc on exact string equality (the same
       // space-joined representation the Spark side joins on)
-      "q154_token_decontaminate" ->
-        s"""WITH RECURSIVE
-           |$bpeSeqCtes,
-           |tws AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
-           |  FROM seq),
-           |twin AS (SELECT doc_id,
-           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
-           |  FROM (SELECT doc_id, ids,
-           |      unnest(range(1, len(ids) - 13 + 2)) AS u
-           |    FROM tws WHERE len(ids) >= 13)),
-           |evq AS (SELECT e.doc_id,
-           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
-           |  FROM documents e
-           |  JOIN tws l1 ON l1.doc_id = e.doc_id
-           |  LEFT JOIN tws l2 ON l2.doc_id = e.doc_id + 1
-           |  WHERE e.doc_id % 50 = 0),
-           |evw AS (SELECT doc_id,
-           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
-           |  FROM (SELECT doc_id, ids,
-           |      unnest(range(1, len(ids) - 13 + 2)) AS u
-           |    FROM evq WHERE len(ids) >= 13)),
-           |evg AS (SELECT DISTINCT gram FROM evw)
-           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-           |FROM twin t JOIN evg USING (gram)
-           |WHERE t.doc_id % 50 <> 0
-           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      "q154_token_decontaminate" -> tokenDecontamSql,
+
+      // q156: the Bloom-prefiltered scale path must EQUAL the exact
+      // operator (no false negatives; false positives die in the exact
+      // verify join) — the oracle is q154's twin, verbatim
+      "q156_token_decontaminate_bloom" -> tokenDecontamSql,
 
       // q155: q144's pack rows (same CTE chain) minus each shard's LAST
       // pack — the streamed export can only emit a pack once a doc

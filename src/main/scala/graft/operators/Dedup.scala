@@ -477,41 +477,89 @@ object Dedup {
       maxEvalWindows: Long = 10000000L,
       broadcastWindows: Long = 500000L): DataFrame = {
     require(n >= 1, "decontaminateTokenNgrams needs a positive n")
-    // ONE typed pass per doc, not an expression tree: the declarative
-    // form — transform(sequence(1, L-n+1), p -> array_join(slice(strs,
-    // p, n))) — re-evaluates `strs` (the element-cast array and its
-    // whole upstream) once per WINDOW inside the lambda, an O(L²)/doc
-    // trap the amplified sweep measured as 12× superlinear. sliding()
-    // is one traversal; the ser/deser boundary it costs is amortized by
-    // the per-doc window loop. Null-ids docs (dropped docs) are skipped
-    // INSIDE the pass — a column-level isNotNull filter on a computed
-    // ids column would push below the projection and evaluate the
-    // (dominant-cost) tokenize kernel twice per row. Ids elements must
-    // be non-null (the tokenizers never emit null ids).
-    def windows(df: DataFrame) = {
-      val s = df.sparkSession
-      import s.implicits._
-      df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
-        .as[(Long, Seq[Int])]
-        .flatMap { case (id, ids) =>
-          if (ids != null && ids.length >= n)
-            ids.sliding(n).map(w => (id, w.mkString(" ")))
-          else Iterator.empty
-        }
-        .toDF(idCol, "gram")
-    }
     // materialize the (benchmark-sized) eval windows ONCE: the guard
     // count below and the join would otherwise each execute the whole
     // eval branch — including its tokenize passes — from scratch
-    val evalW = windows(eval).select("gram").distinct().localCheckpoint()
+    val evalW = tokenWindows(eval, idCol, idsCol, n)
+      .select("gram").distinct().localCheckpoint()
     val nEval = evalW.count()
     require(nEval <= maxEvalWindows,
       s"decontaminateTokenNgrams: eval set has $nEval distinct windows — " +
         s"the broadcast side is capped at $maxEvalWindows; shard the eval " +
         "set or raise n (windows per doc shrink as n grows)")
     val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
-    windows(train)
+    tokenWindows(train, idCol, idsCol, n)
       .join(evalSide, Seq("gram")) // right side distinct: no fanout
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** ONE typed pass per doc, not an expression tree: the declarative
+    * form — transform(sequence(1, L-n+1), p -> array_join(slice(strs,
+    * p, n))) — re-evaluates `strs` (the element-cast array and its
+    * whole upstream) once per WINDOW inside the lambda, an O(L²)/doc
+    * trap the amplified sweep measured as 12× superlinear. sliding() is
+    * one traversal; the ser/deser boundary it costs is amortized by the
+    * per-doc window loop. Null-ids docs (dropped docs) are skipped
+    * INSIDE the pass — a column-level isNotNull filter on a computed
+    * ids column would push below the projection and evaluate the
+    * (dominant-cost) tokenize kernel twice per row. Ids elements must
+    * be non-null (the tokenizers never emit null ids). `keep` prunes
+    * windows in-loop (the Bloom path's candidate test) so non-candidate
+    * windows never materialize as rows.
+    */
+  private def tokenWindows(df: DataFrame, idCol: String, idsCol: String,
+      n: Int, keep: String => Boolean = _ => true): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, ids) =>
+        if (ids != null && ids.length >= n)
+          ids.sliding(n).map(_.mkString(" ")).filter(keep).map((id, _))
+        else Iterator.empty
+      }
+      .toDF(idCol, "gram")
+  }
+
+  /** Scale path for [[decontaminateTokenNgrams]] — the q96↔q71
+    * relationship at token level: a driver-built Bloom filter over the
+    * eval windows broadcasts into the typed sliding pass, so a clean
+    * doc emits ZERO rows — the corpus-wide stage is one narrow
+    * traversal, and only the candidate sliver (true hits plus the fpp
+    * false-positive residue) pays the exact window join that restores
+    * exactness. Bloom filters have no false negatives, so the result
+    * EQUALS the exact operator's — which is what the q156 oracle (the
+    * q154 twin, verbatim) asserts. Against 100 TB this is the
+    * difference between shipping a multi-GB window relation through a
+    * join and streaming the corpus once past a few MB of broadcast
+    * bits.
+    */
+  def decontaminateTokenNgramsBloom(train: DataFrame, eval: DataFrame,
+      n: Int, idCol: String = "doc_id", idsCol: String = "ids",
+      fpp: Double = 0.01, maxEvalWindows: Long = 10000000L): DataFrame = {
+    require(n >= 1, "decontaminateTokenNgramsBloom needs a positive n")
+    val evalW = tokenWindows(eval, idCol, idsCol, n)
+      .select("gram").distinct().localCheckpoint()
+    val nEval = evalW.count()
+    if (nEval == 0) // nothing to leak against — no contaminated docs
+      return evalW.sparkSession.createDataFrame(
+        evalW.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_hits",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    require(nEval <= maxEvalWindows,
+      s"decontaminateTokenNgramsBloom: eval set has $nEval distinct " +
+        s"windows — the bloom is driver state, capped at $maxEvalWindows; " +
+        "shard the eval set or raise n")
+    val bloom = evalW.stat.bloomFilter("gram", nEval, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    tokenWindows(train, idCol, idsCol, n,
+        keep = g => bc.value.mightContainString(g))
+      .join(broadcast(evalW), Seq("gram")) // exact verify on the sliver
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }

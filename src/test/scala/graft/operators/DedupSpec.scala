@@ -148,6 +148,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminateTokenNgrams(t2, e2, n = 2).count() == 0)
   }
 
+  test("bloom-prefiltered token decontamination equals the exact operator") {
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 1, 2, 3))),
+      (2L, Some(Seq(7, 7, 7, 7))),
+      (3L, Some(Seq(1, 2))),
+      (4L, None),
+      (5L, Some(Seq(0, 1, 2, 3, 4)))
+    ).toDF("doc_id", "ids")
+    val ev = Seq(
+      (100L, Some(Seq(0, 1, 2, 3))),
+      (101L, Some(Seq(5, 6)))
+    ).toDF("doc_id", "ids")
+    val exact = Dedup.decontaminateTokenNgrams(train, ev, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fpp 0.5 forces false positives through the bloom — the exact
+    // verify join must kill every one of them
+    val bloomed = Dedup.decontaminateTokenNgramsBloom(train, ev, n = 3,
+        fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed == exact && exact == Map(1L -> 2L, 5L -> 2L))
+    // empty eval: no contaminated docs, schema intact
+    val none = Dedup.decontaminateTokenNgramsBloom(train,
+      Seq.empty[(Long, Option[Seq[Int]])].toDF("doc_id", "ids"), n = 3)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "n_hits"))
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),
