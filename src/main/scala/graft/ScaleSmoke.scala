@@ -74,6 +74,27 @@ object ScaleSmoke {
     (sec, n, w1 - w0, r1 - r0)
   }
 
+  /** Shared fixed-eval fixture for the two decontaminate ops (see the
+    * ops list): train = the amplified corpus's id%50≠0 slice, eval =
+    * the UNAMPLIFIED base's id%50=0 slice, both under the amp-built
+    * vocab; eval checkpointed (it is re-read per rep).
+    */
+  private def decontamFixture(amp: DataFrame, base: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Corpus
+    import graft.functions.TextFunctions
+    val pieces = Corpus.collectPieces(
+      Corpus.buildPieceVocab(amp, "text", minCount = 5, maxSize = 200))
+    val evalIds = base.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+      .localCheckpoint(true)
+    val trainIds = amp.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+    (trainIds, evalIds)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -206,44 +227,24 @@ object ScaleSmoke {
         "dedup_index_batch" -> (() => () => Dedup.dedupIndexAddBatch(
           Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
           amp.where(col("doc_id") % 2 === 1))._1.count()),
+        // q154/q156 at scale, the REALISTIC shape: the eval side is
+        // FIXED (the unamplified ×1 corpus's id%50=0 slice — a
+        // benchmark does not grow with the training corpus) while the
+        // train side amplifies. Vocab build + encode-kernel model setup
+        // untimed. ONE fixture builder for both ops — the SCALE.md
+        // head-to-head is only valid while they read identical shapes.
+        // The adversarial growing-eval variant is recorded once in
+        // SCALE.md — it degrades into the shuffle-join fallback by
+        // design, not a bigger broadcast.
         "decontaminate_tokens" -> (() => {
-          // q154's operator at scale, the REALISTIC shape: the eval
-          // side is FIXED (the unamplified ×1 corpus's id%50=0 slice —
-          // a benchmark does not grow with the training corpus) while
-          // the train side amplifies. Vocab build + encode-kernel model
-          // setup untimed; the timed region is both window explodes,
-          // the eval distinct, the (broadcast) join, and the per-doc
-          // count. The adversarial growing-eval variant is recorded
-          // once in SCALE.md — it degrades into the shuffle-join
-          // fallback by design, not a bigger broadcast.
-          val pieces = Corpus.collectPieces(
-            Corpus.buildPieceVocab(amp, "text", minCount = 5,
-              maxSize = 200))
-          val evalIds = base.where(col("doc_id") % 50 === 0)
-            .select(col("doc_id"),
-              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
-            .localCheckpoint(true)
-          val trainIds = amp.where(col("doc_id") % 50 =!= 0)
-            .select(col("doc_id"),
-              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+          val (trainIds, evalIds) = decontamFixture(amp, base)
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13).count()
         }),
         "decontaminate_tokens_bloom" -> (() => {
-          // q156's scale path on the same fixed-eval shape as
-          // decontaminate_tokens: the corpus pass is the bloom-gated
-          // sliding traversal (clean docs emit zero rows); only the
-          // candidate sliver joins
-          val pieces = Corpus.collectPieces(
-            Corpus.buildPieceVocab(amp, "text", minCount = 5,
-              maxSize = 200))
-          val evalIds = base.where(col("doc_id") % 50 === 0)
-            .select(col("doc_id"),
-              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
-            .localCheckpoint(true)
-          val trainIds = amp.where(col("doc_id") % 50 =!= 0)
-            .select(col("doc_id"),
-              TextFunctions.bpeEncode(col("text"), pieces).as("ids"))
+          // the bloom-gated sliding traversal: clean docs emit zero
+          // rows; only the candidate sliver joins
+          val (trainIds, evalIds) = decontamFixture(amp, base)
           () => Dedup.decontaminateTokenNgramsBloom(
             trainIds, evalIds, n = 13).count()
         }),

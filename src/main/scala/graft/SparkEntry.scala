@@ -162,6 +162,33 @@ object SparkEntry {
     (src.toString, s.read.parquet(s"$root/b0").schema)
   }
 
+  /** The q154/q156 train/eval construction — ONE place because the
+    * shared `tokenDecontamSql` twin is valid for BOTH queries only
+    * while this shape stays byte-identical between them. One encode
+    * pass over the corpus (checkpointed: train, eval, and the sibling
+    * quote join all read the materialization — lazy, the kernel would
+    * run up to three times and push below computed-column filters).
+    * Eval = each id%50=0 doc's ids ++ its successor's (the planted
+    * verbatim-quote leak); a token-less eval doc carries no quote
+    * either, mirroring the twin's inner join on the token table.
+    */
+  private def tokenDecontamFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = saltedDocs(s, dir)
+    val pieces = q137Pieces(docs)
+    val withIds = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+        .as("ids")).localCheckpoint()
+    val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
+      col("ids").as("sib_ids"))
+    val ev = withIds.where(col("doc_id") % 50 === 0 &&
+        size(col("ids")) > 0)
+      .join(sib, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat(col("ids"),
+        coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+    (withIds.where(col("doc_id") % 50 =!= 0), ev)
+  }
+
   /** Memoized per-(query, sf-dir) fixture construction: a bench's timed
     * reps must measure the operator, not the parquet writes that build its
     * input (the judge-flagged r5/r6 outlier class), so each q##Fixture
@@ -1799,26 +1826,8 @@ object SparkEntry {
     // windows broadcast, corpus pass is explode → broadcast join →
     // per-doc count, one exchange over the hit set only
     "q154_token_decontaminate" -> ((s, dir) => {
-      val docs = saltedDocs(s, dir)
-      val pieces = q137Pieces(docs)
-      // ONE encode pass over the corpus: train, eval, and the sibling
-      // quote join all read this materialization — lazy, the kernel
-      // would run up to three times (and push below computed-column
-      // filters, doubling again: the r12 review's finding)
-      val withIds = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-          .as("ids")).localCheckpoint()
-      val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
-        col("ids").as("sib_ids"))
-      // a token-less eval doc carries no quote either (the twin's inner
-      // join on the token table drops it) — mirror that here
-      val ev = withIds.where(col("doc_id") % 50 === 0 &&
-          size(col("ids")) > 0)
-        .join(sib, Seq("doc_id"), "left")
-        .select(col("doc_id"), concat(col("ids"),
-          coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
-      graft.operators.Dedup.decontaminateTokenNgrams(
-          withIds.where(col("doc_id") % 50 =!= 0), ev, n = 13)
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateTokenNgrams(train, ev, n = 13)
         .orderBy("doc_id")
     }),
 
@@ -1828,20 +1837,8 @@ object SparkEntry {
     // the exact verify join. Bloom = no false negatives, so the result
     // EQUALS the exact operator's — the oracle is q154's twin verbatim
     "q156_token_decontaminate_bloom" -> ((s, dir) => {
-      val docs = saltedDocs(s, dir)
-      val pieces = q137Pieces(docs)
-      val withIds = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-          .as("ids")).localCheckpoint()
-      val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
-        col("ids").as("sib_ids"))
-      val ev = withIds.where(col("doc_id") % 50 === 0 &&
-          size(col("ids")) > 0)
-        .join(sib, Seq("doc_id"), "left")
-        .select(col("doc_id"), concat(col("ids"),
-          coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
-      graft.operators.Dedup.decontaminateTokenNgramsBloom(
-          withIds.where(col("doc_id") % 50 =!= 0), ev, n = 13)
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateTokenNgramsBloom(train, ev, n = 13)
         .orderBy("doc_id")
     }),
 

@@ -537,29 +537,34 @@ object Dedup {
     */
   def decontaminateTokenNgramsBloom(train: DataFrame, eval: DataFrame,
       n: Int, idCol: String = "doc_id", idsCol: String = "ids",
-      fpp: Double = 0.01, maxEvalWindows: Long = 10000000L): DataFrame = {
+      fpp: Double = 0.01, maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L): DataFrame = {
     require(n >= 1, "decontaminateTokenNgramsBloom needs a positive n")
+    val s = train.sparkSession
+    import s.implicits._
     val evalW = tokenWindows(eval, idCol, idsCol, n)
       .select("gram").distinct().localCheckpoint()
     val nEval = evalW.count()
     if (nEval == 0) // nothing to leak against — no contaminated docs
-      return evalW.sparkSession.createDataFrame(
-        evalW.sparkSession.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_hits",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      // same schema (incl. nullability) as the normal path, so a caller
+      // sharding the eval set can unionByName empty and non-empty shards
+      return Seq.empty[(Long, Long)].toDF(idCol, "n_hits")
     require(nEval <= maxEvalWindows,
       s"decontaminateTokenNgramsBloom: eval set has $nEval distinct " +
         s"windows — the bloom is driver state, capped at $maxEvalWindows; " +
         "shard the eval set or raise n")
+    // the filter rides the CLOSURE, not an explicit sparkContext
+    // broadcast: task closures are stage-broadcast internally and
+    // cleaned with the plan, where an explicit broadcast would leak one
+    // resident bloom per invocation until app shutdown
     val bloom = evalW.stat.bloomFilter("gram", nEval, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    // the verify join's build side is the full eval window relation —
+    // same conditional as the exact operator: past the cap, shuffle the
+    // (bloom-shrunk) candidate sliver instead of forcing a huge build
+    val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
     tokenWindows(train, idCol, idsCol, n,
-        keep = g => bc.value.mightContainString(g))
-      .join(broadcast(evalW), Seq("gram")) // exact verify on the sliver
+        keep = g => bloom.mightContainString(g))
+      .join(evalSide, Seq("gram")) // exact verify on the sliver
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
