@@ -20,24 +20,46 @@ object Bench {
 
   /** Each query runs FOUR times: the first (untimed, recorded as cold)
     * pays one-shot janino codegen compilation and JIT; the next three are
-    * timed and the MEDIAN reported — single-run numbers at this scale
-    * carry ±20% scheduler/GC noise, and a median-of-3 pins real
-    * regressions apart from it. Returns (cold, steady-median); either is
-    * None when the query threw (a cold-run failure skips the repeats —
-    * a dead query shouldn't pay three more throws; a repeat-run failure
-    * counts as failed too).
+    * timed, kept INDIVIDUALLY (run order preserved), and the MEDIAN
+    * reported — single-run numbers at this scale carry ±20%
+    * scheduler/GC noise, and a median-of-3 pins real regressions apart
+    * from it. Returns (cold, the three reps); cold is None when the
+    * query threw (a cold-run failure skips the repeats — a dead query
+    * shouldn't pay three more throws), and any rep's None makes
+    * [[median]] None too. Per-rep values exist because of the r12
+    * driver artifact: a host stall inflates ONE rep 10–15× while the
+    * others sit in-band, and only the rep list makes that mechanically
+    * distinguishable from a real regression.
     */
   private[graft] def benchOne(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => DataFrame)
-      : (Option[Double], Option[Double]) = {
+      : (Option[Double], Seq[Option[Double]]) = {
     val cold = attempt(spark, sfDir, name, fn)
-    val steady = if (cold.isEmpty) None
-      else Seq.fill(3)(attempt(spark, sfDir, name, fn)).sorted match {
-        case Seq(Some(_), m @ Some(_), Some(_)) => m
-        case _ => None
-      }
-    (cold, steady)
+    val reps = if (cold.isEmpty) Seq.empty
+      else Seq.fill(3)(attempt(spark, sfDir, name, fn))
+    (cold, reps)
   }
+
+  /** Median of the three reps; None unless all three completed. */
+  private[graft] def median(reps: Seq[Option[Double]]): Option[Double] =
+    if (reps.length == 3 && reps.forall(_.isDefined)) reps.sorted(
+      Ordering.by[Option[Double], Double](_.get))(1)
+    else None
+
+  /** A rep set is SPREAD-flagged when its fastest and slowest differ by
+    * both >2× and >0.3 s absolute — the r12 stall signature (one rep
+    * 10–15× over its siblings), sized above scheduler jitter on
+    * sub-100 ms queries. A flagged query's median is still reported;
+    * the flag tells the reader the host was unstable DURING this
+    * query, so treat an out-of-band median as a measurement artifact
+    * until a dedicated band says otherwise.
+    */
+  private[graft] def spreadFlag(reps: Seq[Option[Double]]): Boolean =
+    reps.length == 3 && reps.forall(_.isDefined) && {
+      val v = reps.map(_.get)
+      val (lo, hi) = (v.min, v.max)
+      hi - lo > 0.3 && hi > 2.0 * lo
+    }
 
   /** Driver-short query key: the `qNN`/`qNNx` prefix of a registered
     * query name (`q118_stream_ann_index` → `q118`); names without that
@@ -60,32 +82,50 @@ object Bench {
     * Full names + float seconds live in the sidecar file `main` writes.
     */
   private[graft] def renderJson(
-      results: Seq[(String, (Option[Double], Option[Double]))],
-      sfDir: String): String = {
-    val qs = results.map { case (k, (_, w)) =>
+      results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
+      sfDir: String, withReps: Boolean = false): String = {
+    val qs = results.map { case (k, (_, reps)) =>
       Verify.jsonStr(shortKey(k)) +
-        ":" + w.fold("null")(s => Math.round(s * 1000).toString) }
+        ":" + median(reps).fold("null")(s => Math.round(s * 1000).toString) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, None)) => k }
+    val failed = results.collect {
+      case (k, (_, reps)) if median(reps).isEmpty => k }
     val failedJson = failed.map(f => Verify.jsonStr(shortKey(f)))
+      .mkString("[", ",", "]")
+    // the stall detector: queries whose three reps disagree >2× AND
+    // >0.3 s — on a healthy host this list is empty, on the r12-style
+    // stalled host it names exactly the polluted medians
+    val spread = results.collect {
+      case (k, (_, reps)) if spreadFlag(reps) => k }
+    val spreadJson = spread.map(f => Verify.jsonStr(shortKey(f)))
       .mkString("[", ",", "]")
     def sec3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = sec3(results.flatMap(_._2._2).sum)
+    val total = sec3(results.flatMap(r => median(r._2._2)).sum)
     val coldTotal = sec3(results.flatMap(_._2._1).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","cold_total":$coldTotal,"failures":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // per-rep int-ms arrays — ~3.5 KB for the full suite, so they ride
+    // ONLY the sidecar file (withReps), never the size-capped stdout line
+    val reps = if (!withReps) "" else results.map { case (k, (_, rs)) =>
+      Verify.jsonStr(shortKey(k)) + ":" + rs.map(
+        _.fold("null")(s => Math.round(s * 1000).toString))
+        .mkString("[", ",", "]")
+    }.mkString(""","reps":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","cold_total":$coldTotal,"failures":${failed.size},"failed":$failedJson,"spread_flagged":${spread.size},"spread":$spreadJson,"queries":$qs,"sf":"$sfDir"$reps}"""
   }
 
   /** Full-fidelity sidecar (full query names, float seconds, cold AND
-    * steady) — the builder's SCALE.md source of record; the driver only
-    * sees the short line from [[renderJson]].
+    * every rep) — the builder's SCALE.md source of record; the driver
+    * only sees the short line from [[renderJson]].
     */
   private[graft] def renderJsonFull(
-      results: Seq[(String, (Option[Double], Option[Double]))],
+      results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
       sfDir: String): String = {
     def opt(v: Option[Double]) = v.fold("null")(_.toString)
-    val qs = results.map { case (k, (c, w)) =>
-      Verify.jsonStr(k) + ":{\"cold\":" + opt(c) + ",\"steady\":" + opt(w) + "}"
+    val qs = results.map { case (k, (c, reps)) =>
+      Verify.jsonStr(k) + ":{\"cold\":" + opt(c) +
+        ",\"steady\":" + opt(median(reps)) +
+        ",\"reps\":" + reps.map(opt).mkString("[", ",", "]") +
+        ",\"spread_flag\":" + spreadFlag(reps) + "}"
     }.mkString("{", ",", "}")
     s"""{"sf":${Verify.jsonStr(sfDir)},"queries":$qs}"""
   }
@@ -173,10 +213,14 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    // machine-readable sidecar for the driver (BENCH parse fallback)
+    // machine-readable sidecar for the driver (BENCH parse fallback) —
+    // the FILE additionally carries the per-rep arrays (no capture-size
+    // cap applies to it; summary fields still print first, so a parser
+    // that reads it like the line sees the same prefix)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
-        "/root/repo/bench_summary.json")), (summary + "\n").getBytes("UTF-8"))
+        "/root/repo/bench_summary.json")),
+      (renderJson(results, sfDir, withReps = true) + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")
     }

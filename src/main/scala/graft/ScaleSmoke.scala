@@ -39,10 +39,14 @@ object ScaleSmoke {
   /** Cumulative shuffle-byte tally (SPARK_GRAFT_SCALE_SHUFFLE=1): the
     * ×128-class runs record per-op shuffle traffic next to wall time —
     * a constant that only bites past the usual envelope shows up here
-    * first. Listener delivery is async, so snapshots sit behind a
-    * settle sleep and the numbers are ~exact, not exact.
+    * first. Listener delivery is async, so each snapshot DRAINS the bus
+    * first (`listenerBus.waitUntilEmpty` via reflection — the member is
+    * private[spark], which is public at the bytecode level) so no task-end
+    * event from the warm run leaks into the timed delta; if the
+    * reflective drain is unavailable the old settle sleep stands in and
+    * the numbers degrade to ~exact.
     */
-  private final class ShuffleTally
+  private final class ShuffleTally(sc: org.apache.spark.SparkContext)
       extends org.apache.spark.scheduler.SparkListener {
     val write = new java.util.concurrent.atomic.AtomicLong
     val read = new java.util.concurrent.atomic.AtomicLong
@@ -54,8 +58,13 @@ object ScaleSmoke {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       }
     }
+    private def drain(): Unit =
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Exception => Thread.sleep(800) }
     def snapshot(): (Long, Long) = {
-      Thread.sleep(800) // let the listener bus drain
+      drain()
       (write.get, read.get)
     }
   }
@@ -107,7 +116,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val tally: Option[ShuffleTally] =
       if (sys.env.get("SPARK_GRAFT_SCALE_SHUFFLE").contains("1")) {
-        val t = new ShuffleTally
+        val t = new ShuffleTally(spark.sparkContext)
         spark.sparkContext.addSparkListener(t)
         Some(t)
       } else None
@@ -301,6 +310,9 @@ object ScaleSmoke {
       s"""{"mult":$m,"rows":$rows,"ops":$qs}"""
     }.mkString("[", ",", "]")
     println(json)
+    // unregister before stop: a tally left on the bus would keep
+    // counting the session teardown's task events into a live reference
+    tally.foreach(spark.sparkContext.removeSparkListener)
     spark.stop()
   }
 }

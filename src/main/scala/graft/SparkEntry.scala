@@ -136,7 +136,10 @@ object SparkEntry {
   private[graft] def idRangeBacklog(s: SparkSession, root: String,
       df: DataFrame, nFiles: Int = 2): (String, StructType) = {
     require(nFiles >= 1, "idRangeBacklog needs at least one file")
-    val maxId = df.agg(max(col("doc_id"))).first.getLong(0)
+    val maxRow = df.agg(max(col("doc_id"))).first()
+    require(!maxRow.isNullAt(0),
+      "idRangeBacklog needs a non-empty frame (max(doc_id) is null)")
+    val maxId = maxRow.getLong(0)
     val src = java.nio.file.Paths.get(s"$root/src")
     java.nio.file.Files.createDirectories(src)
     def firstPart(d: String): java.nio.file.Path = {
@@ -145,9 +148,13 @@ object SparkEntry {
           p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     }
+    // boundary(i) == floor(maxId * i / nFiles) computed without the
+    // maxId * i intermediate, which overflows Long for very large ids
+    def boundary(i: Int): Long =
+      maxId / nFiles * i + maxId % nFiles * i / nFiles
     (0 until nFiles).foreach { i =>
-      val lo = maxId * i / nFiles
-      val hi = maxId * (i + 1) / nFiles
+      val lo = boundary(i)
+      val hi = boundary(i + 1)
       val slice =
         if (i == 0) df.where(col("doc_id") <= hi)
         else if (i == nFiles - 1) df.where(col("doc_id") > lo)

@@ -467,20 +467,29 @@ object Dedup {
     * falls back to a plain shuffled hash join — still one linear pass,
     * just with the corpus windows shuffling on the gram — instead of
     * forcing a multi-hundred-MB broadcast build onto every executor.
-    * Windows ride as space-joined id strings so the DuckDB twin
-    * reproduces them exactly; a 100 TB deployment hashes each window to
-    * int64 inside the same plan (collision-tolerant for a drop-list,
-    * 8 bytes instead of ~4n string bytes through the join).
+    * Windows ride as space-joined id strings by default so the DuckDB
+    * twin reproduces them exactly; `hashWindows = true` is the 100 TB
+    * representation — each window collapses to an int64
+    * ([[hashTokenWindow]]) INSIDE the same typed pass on both the eval
+    * and corpus sides, so 8 bytes ride the join instead of ~4n string
+    * bytes and the window string is never even materialized.
+    * Collision-tolerant for a drop-list (a 64-bit collision could only
+    * over-flag, never miss a leak); the q158 oracle gates the hashed
+    * result on EQUALITY with the string-window twin.
     */
   def decontaminateTokenNgrams(train: DataFrame, eval: DataFrame, n: Int,
       idCol: String = "doc_id", idsCol: String = "ids",
       maxEvalWindows: Long = 10000000L,
-      broadcastWindows: Long = 500000L): DataFrame = {
+      broadcastWindows: Long = 500000L,
+      hashWindows: Boolean = false): DataFrame = {
     require(n >= 1, "decontaminateTokenNgrams needs a positive n")
+    def windows(df: DataFrame) =
+      if (hashWindows) tokenWindowHashes(df, idCol, idsCol, n)
+      else tokenWindows(df, idCol, idsCol, n)
     // materialize the (benchmark-sized) eval windows ONCE: the guard
     // count below and the join would otherwise each execute the whole
     // eval branch — including its tokenize passes — from scratch
-    val evalW = tokenWindows(eval, idCol, idsCol, n)
+    val evalW = windows(eval)
       .select("gram").distinct().localCheckpoint()
     val nEval = evalW.count()
     require(nEval <= maxEvalWindows,
@@ -488,7 +497,7 @@ object Dedup {
         s"the broadcast side is capped at $maxEvalWindows; shard the eval " +
         "set or raise n (windows per doc shrink as n grows)")
     val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
-    tokenWindows(train, idCol, idsCol, n)
+    windows(train)
       .join(evalSide, Seq("gram")) // right side distinct: no fanout
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

@@ -121,7 +121,11 @@ object Tokenizer {
     require(kinds.length == 1,
       s"tokenizer artifact must carry exactly one kind, got " +
         kinds.mkString("[", ", ", "]"))
-    val vocab = rows.filter(!_.isNullAt(1))
+    val vocabRows = rows.filter(!_.isNullAt(1))
+    vocabRows.foreach(r => require(!r.isNullAt(2),
+      s"tokenizer artifact: vocabulary row '${r.getString(1)}' has a " +
+        "null id"))
+    val vocab = vocabRows
       .map(r => (r.getString(1), r.getInt(2))).sortBy(_._2).toSeq
     kinds.head match {
       case MaxMatch =>
@@ -129,7 +133,22 @@ object Tokenizer {
           "a maxmatch artifact carries vocabulary rows only")
         MaxMatchTokenizer(vocab)
       case Merge =>
-        val merges = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
+        val mergeRows = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
+        // a malformed artifact must fail as loudly as the kind/row-count
+        // checks, not load silently: every row is vocab or merge, merge
+        // rows carry non-null lhs/rhs, and ranks are exactly 1..k (a
+        // duplicate or gapped rank would silently reorder the
+        // rank-ordered apply walk)
+        require(rows.length == vocab.length + mergeRows.length,
+          "merge artifact carries rows that are neither vocabulary " +
+            "(piece, id) nor merge (merge_rank, lhs, rhs)")
+        mergeRows.foreach(r => require(!r.isNullAt(4) && !r.isNullAt(5),
+          s"merge artifact: rank ${r.getInt(3)} has a null lhs/rhs"))
+        val ranks = mergeRows.map(_.getInt(3)).sorted
+        require(ranks.sameElements(1 to mergeRows.length),
+          s"merge artifact: merge_rank values must be exactly " +
+            s"1..${mergeRows.length}, got ${ranks.mkString("[", ",", "]")}")
+        val merges = mergeRows
           .map(r => (r.getInt(3), r.getString(4), r.getString(5)))
           .sortBy(_._1).map(m => (m._2, m._3)).toSeq
         MergeTokenizer(merges, vocab)

@@ -137,6 +137,21 @@ object StreamingPack {
       }
   }
 
+  /** Enforce the runners' non-null `prepare` contract LOUDLY: a null in
+    * any of the three columns otherwise fails deep inside the typed
+    * deserializer with an opaque null-value-in-non-nullable-field error
+    * mid-stream. A guard expression, not a `.where`: a filter on a
+    * computed column pushes below `prepare`'s projection and would run
+    * an expensive tokenize kernel twice per row, while this `when`
+    * references the column twice, which keeps CollapseProject from
+    * inlining a non-cheap producer.
+    */
+  private def guarded(name: String, to: String) =
+    when(col(name).isNotNull, col(name).cast(to))
+      .otherwise(raise_error(lit(s"StreamingPack: null $name from " +
+        "prepare — dropped docs must be filtered in prepare (see the " +
+        "runner's contract)"))).as(name)
+
   /** Replay a parquet backlog through the streaming packer with
     * AvailableNow, one file per micro-batch by default, appending
     * per-doc pack assignments to `targetPath`. `prepare` is the
@@ -162,9 +177,8 @@ object StreamingPack {
       .option("basePath", base)
       .parquet(src)
     val typed = prepare(raw)
-      .select(col("shard").cast("string").as("shard"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("n_tokens").cast("long").as("n_tokens"))
+      .select(guarded("shard", "string"), guarded("doc_id", "long"),
+        guarded("n_tokens", "long"))
       .as[PackDocIn]
     val query = packTyped(typed, tokenBudget)
       .writeStream
@@ -200,9 +214,8 @@ object StreamingPack {
       .option("basePath", base)
       .parquet(src)
     val typed = prepare(raw)
-      .select(col("shard").cast("string").as("shard"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("ids").cast("array<int>").as("ids"))
+      .select(guarded("shard", "string"), guarded("doc_id", "long"),
+        guarded("ids", "array<int>"))
       .as[PackDocIds]
     val query = materializeTyped(typed, tokenBudget)
       .writeStream

@@ -42,14 +42,59 @@ class HarnessFailureSpec extends SparkSpec {
     val results = Seq(
       "q_ok" -> Bench.benchOne(spark, "unused", "q_ok", good),
       "q_dead" -> Bench.benchOne(spark, "unused", "q_dead", boom))
-    val (coldOk, steadyOk) = results.head._2
-    assert(coldOk.exists(_ > 0) && steadyOk.exists(_ > 0))
-    assert(results(1)._2 == (None, None))
+    val (coldOk, repsOk) = results.head._2
+    assert(coldOk.exists(_ > 0) && Bench.median(repsOk).exists(_ > 0))
+    assert(repsOk.length == 3 && repsOk.forall(_.exists(_ > 0)))
+    assert(results(1)._2 == ((None, Seq.empty)))
     val json = Bench.renderJson(results, "sfX")
     assert(json.contains("\"q_dead\":null"))
     assert(json.contains("\"failures\":1"))
     assert(json.contains("\"failed\":[\"q_dead\"]"))
     assert(!json.contains("\"q_ok\":null"))
+  }
+
+  test("Bench flags a stalled rep as spread, and keeps reps off the line") {
+    // one rep 12× its siblings — the r12 driver-stall signature
+    val stalled = Seq(Some(0.5), Some(6.0), Some(0.52))
+    val tight = Seq(Some(0.50), Some(0.55), Some(0.52))
+    assert(Bench.spreadFlag(stalled))
+    assert(!Bench.spreadFlag(tight))
+    // sub-threshold absolute jitter on a tiny query never flags, even at 3×
+    assert(!Bench.spreadFlag(Seq(Some(0.05), Some(0.15), Some(0.06))))
+    // the median still reports (the flag annotates, not censors)
+    assert(Bench.median(stalled).contains(0.52))
+    val results = Seq("q_stall" -> ((Option(1.0), stalled)),
+      "q_fine" -> ((Option(1.0), tight)))
+    val line = Bench.renderJson(results, "sfX")
+    assert(line.contains("\"spread_flagged\":1"))
+    assert(line.contains("\"spread\":[\"q_stall\"]"))
+    assert(!line.contains("\"reps\"")) // per-rep arrays are file-only
+    val file = Bench.renderJson(results, "sfX", withReps = true)
+    assert(file.contains("\"reps\":{"))
+    assert(file.contains("\"q_stall\":[500,6000,520]"))
+    val full = Bench.renderJsonFull(results, "sfX")
+    assert(full.contains("\"reps\":[0.5,6.0,0.52]"))
+    assert(full.contains("\"spread_flag\":true"))
+    assert(full.contains("\"spread_flag\":false"))
+  }
+
+  test("idRangeBacklog: loud on empty input, overflow-safe boundaries") {
+    import org.apache.spark.sql.functions.col
+    // empty frame → a named require, not an opaque NPE on max(doc_id)
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.idRangeBacklog(spark,
+        Files.createTempDirectory("graft_irb0_").toString,
+        Seq.empty[Long].toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("non-empty"))
+    // ids near Long.MaxValue: the old maxId * i boundary math overflowed
+    // negative and silently dropped rows from the slices
+    val big = Seq(3L, Long.MaxValue / 2, Long.MaxValue - 1).toDF("doc_id")
+    val (src, _) = SparkEntry.idRangeBacklog(spark,
+      Files.createTempDirectory("graft_irb1_").toString, big, nFiles = 3)
+    val got = spark.read.parquet(src).select(col("doc_id"))
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L, Long.MaxValue / 2, Long.MaxValue - 1))
   }
 
   test("Bench JSON fits the driver capture: short keys, int ms, summary first") {
@@ -63,8 +108,8 @@ class HarnessFailureSpec extends SparkSpec {
     // a full-suite-sized line must fit the driver's ~2.2 KB capture
     // (BENCH_r08/r09 were unparseable at ~5 KB — VERDICT r9 #2)
     val fake = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => k -> (Some(12.345678901): Option[Double],
-        Some(98.765432109): Option[Double]))
+      .map(k => k -> ((Some(12.345678901): Option[Double],
+        Seq.fill(3)(Some(98.765432109): Option[Double]))))
     val line = Bench.renderJson(fake, "/root/testdata/sf0.1")
     assert(line.length < 2200, s"bench line is ${line.length} B — driver " +
       "capture is ~2.2 KB; shorten keys or values")

@@ -567,4 +567,39 @@ class CorpusSpec extends SparkSpec {
       .unionByName(Tokenizer.toArtifact(spark, builtMerge))
     intercept[IllegalArgumentException] { Tokenizer.fromArtifact(mixed) }
   }
+
+  test("malformed tokenizer artifacts fail loudly, never load silently") {
+    def art(rows: Seq[(String, String, Integer, Integer, String, String)]) =
+      rows.toDF("tokenizer_kind", "piece", "id", "merge_rank", "lhs", "rhs")
+    // a null lhs in a merge row
+    val nullLhs = art(Seq(
+      ("merge", "a", 1, null, null, null),
+      ("merge", null, null, 1, null, "b")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(nullLhs) }.getMessage.contains("null lhs/rhs"))
+    // duplicate merge_rank values
+    val dupRank = art(Seq(
+      ("merge", "a", 1, null, null, null),
+      ("merge", null, null, 1, "a", "b"),
+      ("merge", null, null, 1, "b", "a")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(dupRank) }.getMessage.contains("merge_rank"))
+    // a gapped rank (1,3) reorders the apply walk — refused too
+    val gapRank = art(Seq(
+      ("merge", "a", 1, null, null, null),
+      ("merge", null, null, 1, "a", "b"),
+      ("merge", null, null, 3, "b", "a")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(gapRank) }.getMessage.contains("merge_rank"))
+    // a vocabulary row with a null id
+    val nullId = art(Seq(("maxmatch", "a", null, null, null, null)))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(nullId) }.getMessage.contains("null id"))
+    // a merge-kind row that is neither vocab nor merge
+    val stray = art(Seq(
+      ("merge", "a", 1, null, null, null),
+      ("merge", null, null, null, null, null)))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(stray) }.getMessage.contains("neither"))
+  }
 }

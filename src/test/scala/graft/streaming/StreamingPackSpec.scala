@@ -121,6 +121,26 @@ class StreamingPackSpec extends SparkSpec {
       == batchPackIds(8L))
   }
 
+  test("a null n_tokens from prepare fails loudly, naming the contract") {
+    val root = Files.createTempDirectory("graft_spkn_").toString
+    val src = s"$root/src"
+    val df = Seq(("x", 1L, Some(3L)), ("x", 2L, None))
+      .toDF("shard", "doc_id", "n_tokens")
+    writeFile(df, s"$src/a.parquet")
+    val schema = spark.read.parquet(src).schema
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPack.runAvailableNow(spark, src, schema,
+        s"$root/out", s"$root/ckpt", tokenBudget = 8L)
+    }
+    // the guard's message, not the typed deserializer's opaque
+    // null-value-in-non-nullable-field failure
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("StreamingPack: null n_tokens")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("the cursor carries across micro-batch boundaries") {
     val root = Files.createTempDirectory("graft_spk_").toString
     val src = s"$root/src"
