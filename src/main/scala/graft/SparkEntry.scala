@@ -1849,6 +1849,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q154's 100 TB REPRESENTATION: each 13-id window collapses to an
+    // int64 fingerprint inside the same typed sliding pass on BOTH
+    // sides, so 8 bytes ride the join instead of ~4·13 string bytes and
+    // no window string is ever materialized. Collisions can only
+    // over-flag (drop-list one-sidedness); the oracle is q154's twin
+    // VERBATIM, so the gate asserts hashed == string-window exactly
+    "q157_token_decontaminate_hashed" -> ((s, dir) => {
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateTokenNgrams(train, ev, n = 13,
+          hashWindows = true)
+        .orderBy("doc_id")
+    }),
+
+    // the capstone arc TOKEN-DECONTAMINATED end to end: q140's streamed
+    // curate→dedup survivors, piece vocab learned on them, then the
+    // streaming closed-pack export (q155) with the GPT-3 Appendix-C
+    // 13-gram gate composed INTO the stream's stateless prepare — eval
+    // window fingerprints (benchmark-sized, driver-collected before
+    // ingest) binary-searched inside the tokenize projection, so a
+    // contaminated doc never reaches the stateful packer and the
+    // artifact a trainer consumes carries the guarantee, not just a
+    // batch audit. Eval = each accepted id%50=0 doc quoting its
+    // accepted successor verbatim (the q154 leak shape); emitted packs
+    // equal the batch arithmetic over the clean corpus, minus each
+    // shard's structurally-unemittable final open pack
+    "q158_stream_decontam_packs" -> ((s, dir) => {
+      val root = scratch("graft_sdp_")
+      val (accepted, _) = streamCurateDedupAccepted(s, dir)
+      val corpus = accepted.select("doc_id", "text")
+        .join(t(s, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+      val pieces = q137Pieces(corpus)
+      val withIds = corpus.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+            .as("ids")).localCheckpoint()
+      val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
+        col("ids").as("sib_ids"))
+      val ev = withIds.where(col("doc_id") % 50 === 0 &&
+          size(col("ids")) > 0)
+        .join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"), concat(col("ids"),
+          coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+      val evalHashes = graft.operators.Dedup.evalWindowHashSet(ev, n = 13)
+      val (src, schema) = idRangeBacklog(s, root,
+        corpus.where(col("doc_id") % 50 =!= 0)
+          .select("doc_id", "lang", "text"))
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingPack.runMaterializeAvailableNow(
+          s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
+          prepare = df => graft.operators.Dedup.dropContaminatedStream(
+            df.select(col("lang").as("shard"), col("doc_id"),
+              graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+                .as("ids")),
+            evalHashes, n = 13))
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // the trainer-facing export under the LEARNED tokenizer: q142's
     // merge table drives rank-ordered id emission (BpeMergeEncodeExpr
     // over the buildMergeVocab symbol ids — alphabet 1..A, then merges
@@ -4936,6 +4998,11 @@ object SparkEntry {
       // verify join) — the oracle is q154's twin, verbatim
       "q156_token_decontaminate_bloom" -> tokenDecontamSql,
 
+      // q157: the int64 window-hash representation must EQUAL the
+      // string-window result — same twin, so the gate IS the equality
+      // (a fingerprint collision on this corpus would go red here)
+      "q157_token_decontaminate_hashed" -> tokenDecontamSql,
+
       // q155: q144's pack rows (same CTE chain) minus each shard's LAST
       // pack — the streamed export can only emit a pack once a doc
       // lands past its boundary, so the final open pack per shard is
@@ -5308,6 +5375,71 @@ object SparkEntry {
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS pack_md5
            |FROM pk GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+      // q158: the q141 arc with the q154 13-gram gate BETWEEN tokenize
+      // and pack — q140's accepted survivors, piece ids off the shared
+      // seq CTE, eval = accepted id%50=0 docs quoting their accepted
+      // successors (the q154 leak shape over the CURATED corpus), train
+      // docs with any eval-overlapping window dropped, then the q155
+      // closed-pack arithmetic (per-shard max pack excluded — the
+      // stream's final open pack is structurally unemittable)
+      "q158_stream_decontam_packs" ->
+        s"""WITH RECURSIVE
+           |$streamCurateCtes,
+           |acc AS (SELECT g.doc_id, g.text FROM gated g
+           |  JOIN (SELECT doc_id FROM gacc1
+           |        UNION ALL SELECT doc_id FROM gacc2) b USING (doc_id)),
+           |corp AS (SELECT a.doc_id, d.lang, a.text
+           |  FROM acc a JOIN documents d USING (doc_id)),
+           |${bpePieceCtes("corp")},
+           |dcorp AS MATERIALIZED (SELECT doc_id, lang FROM corp),
+           |dseq AS MATERIALIZED (SELECT doc_id, n_pieces, ids_str
+           |  FROM seq),
+           |dtw AS MATERIALIZED (SELECT doc_id,
+           |    string_split(ids_str, ' ') AS ids
+           |  FROM dseq),
+           |devq AS (SELECT c.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM dcorp c
+           |  JOIN dtw l1 ON l1.doc_id = c.doc_id
+           |  LEFT JOIN dtw l2 ON l2.doc_id = c.doc_id + 1
+           |  WHERE c.doc_id % 50 = 0),
+           |devw AS (SELECT DISTINCT
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM devq WHERE len(ids) >= 13)),
+           |dtrw AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM dtw WHERE len(ids) >= 13)),
+           |dcont AS (SELECT DISTINCT t.doc_id
+           |  FROM dtrw t JOIN devw USING (gram)),
+           |dcln AS (SELECT c.doc_id, c.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens,
+           |    COALESCE(s.ids_str, '') AS ids_str
+           |  FROM dcorp c LEFT JOIN dseq s USING (doc_id)
+           |  WHERE c.doc_id % 50 <> 0
+           |    AND c.doc_id NOT IN (SELECT doc_id FROM dcont)),
+           |dcc8 AS (SELECT doc_id, lang, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM dcln),
+           |dpk8 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str FROM dcc8),
+           |dag8 AS (SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5
+           |  FROM dpk8 GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5
+           |FROM dag8 a JOIN (SELECT lang, max(pack_id) AS mp
+           |  FROM dag8 GROUP BY lang) m USING (lang)
+           |WHERE a.pack_id < m.mp
+           |ORDER BY a.lang, a.pack_id""".stripMargin,
 
       "q127_budget_select" ->
         s"""WITH tk AS (SELECT doc_id, n_chars, len($toksSql) AS nt

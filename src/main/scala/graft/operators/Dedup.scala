@@ -474,7 +474,7 @@ object Dedup {
     * and corpus sides, so 8 bytes ride the join instead of ~4n string
     * bytes and the window string is never even materialized.
     * Collision-tolerant for a drop-list (a 64-bit collision could only
-    * over-flag, never miss a leak); the q158 oracle gates the hashed
+    * over-flag, never miss a leak); the q157 oracle gates the hashed
     * result on EQUALITY with the string-window twin.
     */
   def decontaminateTokenNgrams(train: DataFrame, eval: DataFrame, n: Int,
@@ -529,6 +529,127 @@ object Dedup {
         else Iterator.empty
       }
       .toDF(idCol, "gram")
+  }
+
+  /** 64-bit fingerprint of one length-n id window — FNV-1a over the
+    * int stream followed by MurmurHash3's fmix64 finalizer (both
+    * public-domain constructions), computed directly off the backing
+    * array so a window never allocates a sub-seq or a string. 8 bytes
+    * ride the decontamination join instead of ~4n string bytes; a
+    * collision can only OVER-flag a doc (Bloom-style one-sidedness for
+    * a drop list), and the oracle gates the hashed result on equality
+    * with the string-window result, so a collision on the gated corpus
+    * would surface as a red row, not a silent miss.
+    */
+  private[graft] def hashTokenWindow(ids: Seq[Int], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      h ^= ids(start + i).toLong & 0xffffffffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** [[tokenWindows]] with each window collapsed to its
+    * [[hashTokenWindow]] int64 INSIDE the same single traversal — the
+    * 100 TB representation: the window string is never materialized on
+    * either side of the join. Indexing is O(1) per element (the typed
+    * deserializer hands back an IndexedSeq for array<int>), so the pass
+    * is the same one-traversal shape as the string form, minus the
+    * per-window string allocation.
+    */
+  private def tokenWindowHashes(df: DataFrame, idCol: String, idsCol: String,
+      n: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, ids) =>
+        if (ids != null && ids.length >= n) {
+          val arr = ids match {
+            case ix: scala.collection.IndexedSeq[Int] => ix
+            case other => other.toIndexedSeq
+          }
+          (0 to arr.length - n).iterator
+            .map(p => (id, hashTokenWindow(arr, p, n)))
+        } else Iterator.empty
+      }
+      .toDF(idCol, "gram")
+  }
+
+  /** Driver-collected SORTED int64 fingerprints of an eval set's
+    * distinct token windows — the decontamination list an ingest
+    * pipeline carries into a stream's stateless prepare stage
+    * ([[dropContaminatedStream]]). Eval/benchmark sets are small by
+    * definition; the count guard refuses loudly past `maxEvalWindows`
+    * (80 MB of driver longs at the cap). 8 bytes per window ride the
+    * task closure — the same representation [[hashTokenWindow]] gives
+    * the batch operator's 100 TB path.
+    */
+  def evalWindowHashSet(eval: DataFrame, n: Int, idCol: String = "doc_id",
+      idsCol: String = "ids", maxEvalWindows: Long = 10000000L)
+      : Array[Long] = {
+    require(n >= 1, "evalWindowHashSet needs a positive n")
+    val s = eval.sparkSession
+    import s.implicits._
+    // checkpoint: the count guard and the collect would otherwise each
+    // run the whole eval branch (including any tokenize kernel upstream)
+    val hs = tokenWindowHashes(eval, idCol, idsCol, n)
+      .select("gram").distinct().localCheckpoint()
+    val nw = hs.count()
+    require(nw <= maxEvalWindows,
+      s"evalWindowHashSet: eval set has $nw distinct windows — driver " +
+        s"state is capped at $maxEvalWindows; shard the eval set or raise n")
+    val arr = hs.as[Long].collect()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Stateless per-row contaminated-doc filter for a STREAMING prepare
+    * stage: keeps only docs none of whose length-`n` token windows
+    * fingerprint into `evalHashes` ([[evalWindowHashSet]]'s sorted
+    * array, binary-searched per window). This is the composition that
+    * token-decontaminates the stream a trainer actually consumes —
+    * contaminated docs never reach the stateful packer, so the emitted
+    * pack artifact carries the GPT-3 Appendix-C guarantee END TO END,
+    * not just in a batch audit. Per-row cost is O(windows × (n + log
+    * m)) with no string materialization and no extra exchange (the
+    * filter rides the narrow tokenize projection); deterministic and
+    * slicing-invariant, satisfying the runners' prepare contract. A
+    * fingerprint collision can only over-DROP (fail-closed for a
+    * training corpus); the q158 oracle gates the composed stream
+    * against the exact string-window twin, so a collision on the gated
+    * corpus surfaces as a red row. Null-ids rows pass through for the
+    * runner's null guard to flag loudly. Columns are unchanged.
+    */
+  def dropContaminatedStream(df: DataFrame, evalHashes: Array[Long],
+      n: Int, idsCol: String = "ids"): DataFrame = {
+    require(n >= 1, "dropContaminatedStream needs a positive n")
+    val sorted = evalHashes.clone()
+    java.util.Arrays.sort(sorted)
+    df.filter { row =>
+      val idx = row.fieldIndex(idsCol)
+      if (row.isNullAt(idx)) true
+      else {
+        val ids = row.getSeq[Int](idx)
+        val arr = ids match {
+          case ix: scala.collection.IndexedSeq[Int] => ix
+          case other => other.toIndexedSeq
+        }
+        var p = 0
+        var clean = true
+        while (clean && p <= arr.length - n) {
+          if (java.util.Arrays.binarySearch(sorted,
+              hashTokenWindow(arr, p, n)) >= 0) clean = false
+          p += 1
+        }
+        clean
+      }
+    }
   }
 
   /** Scale path for [[decontaminateTokenNgrams]] — the q96↔q71

@@ -148,6 +148,68 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminateTokenNgrams(t2, e2, n = 2).count() == 0)
   }
 
+  test("hashed-window token decontamination equals the string-window form") {
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 1, 2, 3))),
+      (2L, Some(Seq(7, 7, 7, 7))),
+      (3L, Some(Seq(1, 2))),
+      (4L, None),
+      (5L, Some(Seq(0, 1, 2, 3, 4)))
+    ).toDF("doc_id", "ids")
+    val ev = Seq(
+      (100L, Some(Seq(0, 1, 2, 3))),
+      (101L, Some(Seq(5, 6)))
+    ).toDF("doc_id", "ids")
+    val exact = Dedup.decontaminateTokenNgrams(train, ev, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashed = Dedup.decontaminateTokenNgrams(train, ev, n = 3,
+        hashWindows = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == exact && exact == Map(1L -> 2L, 5L -> 2L))
+    // the fingerprint is position-sensitive and boundary-sensitive:
+    // ids (1, 23) must not hash-match (12, 3), and a permuted window
+    // must not match its sorted twin
+    val t2 = Seq((1L, Some(Seq(1, 23))), (2L, Some(Seq(3, 2)))
+    ).toDF("doc_id", "ids")
+    val e2 = Seq((9L, Some(Seq(12, 3))), (10L, Some(Seq(2, 3)))
+    ).toDF("doc_id", "ids")
+    assert(Dedup.decontaminateTokenNgrams(t2, e2, n = 2,
+      hashWindows = true).count() == 0)
+    // negative ids (valid ints) round-trip the widening mask correctly:
+    // -1 must collide with itself across sides, not with 0xffffffff-free
+    // encodings of other values
+    val t3 = Seq((1L, Some(Seq(-1, 5))), (2L, Some(Seq(4294967295L.toInt, 5)))
+    ).toDF("doc_id", "ids")
+    val e3 = Seq((9L, Some(Seq(-1, 5)))).toDF("doc_id", "ids")
+    val got3 = Dedup.decontaminateTokenNgrams(t3, e3, n = 2,
+        hashWindows = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L)) // -1 IS 0xffffffff as int
+  }
+
+  test("evalWindowHashSet + dropContaminatedStream drop exactly the " +
+      "docs the exact operator flags") {
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 1, 2, 3))), // shares window (1,2,3)
+      (2L, Some(Seq(7, 7, 7, 7))),
+      (3L, Some(Seq(1, 2))),             // shorter than n: clean
+      (4L, None),                        // null ids pass through
+      (5L, Some(Seq(0, 1, 2, 3, 4)))     // shares (0,1,2) and (1,2,3)
+    ).toDF("doc_id", "ids")
+    val ev = Seq((100L, Some(Seq(0, 1, 2, 3)))).toDF("doc_id", "ids")
+    val hashes = Dedup.evalWindowHashSet(ev, n = 3)
+    assert(hashes.length == 2 && hashes.sorted.sameElements(hashes))
+    val kept = Dedup.dropContaminatedStream(train, hashes, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = Dedup.decontaminateTokenNgrams(train, ev, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L) && flagged == Set(1L, 5L) &&
+      (kept & flagged).isEmpty)
+    // empty eval set: everything (incl. the null-ids row) passes
+    assert(Dedup.dropContaminatedStream(train, Array.empty[Long], n = 3)
+      .count() == 5)
+  }
+
   test("bloom-prefiltered token decontamination equals the exact operator") {
     val train = Seq(
       (1L, Some(Seq(1, 2, 3, 1, 2, 3))),

@@ -170,4 +170,57 @@ class StreamingPackSpec extends SparkSpec {
     assert(batch1Cum.values.exists(_ % 8L != 0L),
       "fixture no longer exercises the cross-batch cursor")
   }
+
+  test("a contaminated doc never reaches a pack when decontamination " +
+      "rides prepare") {
+    import graft.operators.Dedup
+    // doc 3 contains the eval 2-gram (20,21); docs 2 and 3 straddle the
+    // file split so the drop happens in DIFFERENT micro-batches
+    val all = Seq(
+      ("x", 1L, Seq(1, 2, 3)),
+      ("x", 2L, Seq(4, 5, 6, 7)),
+      ("x", 3L, Seq(19, 20, 21, 22)), // contaminated
+      ("x", 4L, Seq(8, 9)),
+      ("x", 5L, Seq(10, 11, 12)))
+    val ev = Seq((100L, Seq(20, 21))).toDF("doc_id", "ids")
+    val hashes = Dedup.evalWindowHashSet(ev, n = 2)
+    val root = Files.createTempDirectory("graft_spkd_").toString
+    val src = s"$root/src"
+    val df = all.toDF("shard", "doc_id", "ids")
+    writeFile(df.where(col("doc_id") <= 2), s"$src/a_low.parquet")
+    writeFile(df.where(col("doc_id") > 2), s"$src/b_high.parquet")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/a_low.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/b_high.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+    val schema = spark.read.parquet(src).schema
+    StreamingPack.runMaterializeAvailableNow(spark, src, schema,
+      s"$root/out", s"$root/ckpt", tokenBudget = 4L,
+      prepare = d => Dedup.dropContaminatedStream(d, hashes, n = 2))
+    val packs = spark.read.parquet(s"$root/out")
+      .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids")
+      .as[(String, Long, Long, Long, Seq[Int])].collect()
+    // no emitted pack carries any of doc 3's ids
+    assert(packs.nonEmpty &&
+      packs.forall(p => p._5.intersect(Seq(19, 20, 21, 22)).isEmpty))
+    // and the emitted packs equal the batch arithmetic over the CLEAN
+    // corpus, minus the shard's final open pack
+    val clean = all.filterNot(_._2 == 3L)
+    val idsDf = clean.toDF("shard", "doc_id", "ids")
+      .withColumn("__n_tokens", size(col("ids")).cast("long"))
+    val packed = Corpus.packSequences(idsDf, "shard", "doc_id",
+      col("__n_tokens"), 4L)
+    val batch = Corpus.materializeTokenPacks(packed, "shard", "doc_id",
+        "ids")
+      .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids")
+      .as[(String, Long, Long, Long, Seq[Int])].collect()
+    val lastPack = batch.groupBy(_._1).map { case (s, ps) =>
+      s -> ps.map(_._2).max }
+    val want = batch.filter(p => p._2 < lastPack(p._1))
+      .map(p => (p._1, p._2) -> ((p._3, p._4, p._5))).toMap
+    val got = packs.map(p => (p._1, p._2) -> ((p._3, p._4, p._5))).toMap
+    assert(want.nonEmpty && got == want)
+  }
 }
