@@ -169,6 +169,16 @@ object SparkEntry {
     (src.toString, s.read.parquet(s"$root/b0").schema)
   }
 
+  /** q159's multi-byte salt — every UTF-8 width on purpose: 2-byte
+    * (é U+00E9), 3-byte (CJK, → U+2192, λ U+03BB), and 4-byte
+    * supplementary-plane (😀 U+1F600, a surrogate pair in the JVM),
+    * plus doubled/leading whitespace so the whitespace-preserving
+    * pretokenizer is exercised, not just ASCII words. ONE constant so
+    * the Spark query and the DuckDB twin can never drift.
+    */
+  private val byteBpeSalt =
+    "  néé 日本語→λ 😀 "
+
   /** The q154/q156 train/eval construction — ONE place because the
     * shared `tokenDecontamSql` twin is valid for BOTH queries only
     * while this shape stays byte-identical between them. One encode
@@ -1720,7 +1730,9 @@ object SparkEntry {
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"),
           md5(array_join(transform(col("pack_ids"),
-            i => i.cast(StringType)), " ")).as("ids_md5"))
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -1747,10 +1759,25 @@ object SparkEntry {
         .select(col("lang"), col("pack_id"), col("n_docs"),
           size(col("pack_ids")).cast(LongType).as("n_ids"),
           graft.functions.TextFunctions.bpeDecode(col("pack_ids"), pieces)
-            .as("__txt"))
+            .as("__txt"),
+          // PER-SEGMENT audit: slice each member doc's id range out of
+          // the flat stream by its doc_offsets boundaries and decode it
+          // alone — pins that the offsets actually delineate documents
+          // (a shifted boundary changes some segment's digest even when
+          // the whole-pack digest still matches). slice/element_at ride
+          // plain attributes, so each pack id is touched once across
+          // the lambda, not once per segment
+          transform(sequence(lit(1), size(col("doc_offsets")) - 1),
+            i => md5(graft.functions.TextFunctions.bpeDecode(
+              slice(col("pack_ids"),
+                element_at(col("doc_offsets"), i) + 1,
+                element_at(col("doc_offsets"), i + 1)
+                  - element_at(col("doc_offsets"), i)),
+              pieces))).as("__segs"))
         .select(col("lang"), col("pack_id"), col("n_docs"), col("n_ids"),
           length(col("__txt")).cast(LongType).as("decoded_chars"),
-          md5(col("__txt")).as("decoded_md5"))
+          md5(col("__txt")).as("decoded_md5"),
+          md5(array_join(col("__segs"), " ")).as("segs_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -1815,7 +1842,9 @@ object SparkEntry {
         .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"),
           md5(array_join(transform(col("pack_ids"),
-            i => i.cast(StringType)), " ")).as("ids_md5"))
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -1907,8 +1936,49 @@ object SparkEntry {
         .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"),
           md5(array_join(transform(col("pack_ids"),
-            i => i.cast(StringType)), " ")).as("ids_md5"))
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
         .orderBy("lang", "pack_id")
+    }),
+
+    // BYTE-level (GPT-2-style) BPE: pretokens keep their whitespace,
+    // base symbols are UTF-8 BYTES (Latin-1-char carried), the base
+    // alphabet is all 256 bytes — so UNK is STRUCTURALLY impossible
+    // and decode∘encode reconstructs the EXACT original text,
+    // whitespace included (the char-level family only gives the
+    // stripped-text contract, q152). The corpus is salted with
+    // multi-byte UTF-8 — accented Latin, CJK, an arrow, Greek, and a
+    // supplementary-plane emoji (4-byte UTF-8, a surrogate pair in
+    // the JVM) — so the gate exercises every UTF-8 width. The oracle
+    // recomputes the identity from the raw text with NO tokenizer:
+    // a lossy kernel, vocab gap, or pretokenizer drift breaks the
+    // digest. n_pretoks additionally gates the whitespace-preserving
+    // pretokenizer (Java regex) against DuckDB's RE2 reading of the
+    // same pattern; n_bytes binds the decoded byte length.
+    "q159_byte_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val salted = docs.withColumn("text", concat(col("text"),
+        lit(byteBpeSalt), col("doc_id").cast(StringType)))
+      val mergeTable = graft.operators.Corpus.learnByteBpeMerges(salted,
+        "text", numMerges = 16)
+      val merges = graft.operators.Corpus.collectMerges(mergeTable)
+      val vocab = graft.operators.Corpus.byteMergeVocab(mergeTable)
+      salted.select(col("doc_id"),
+          col("text"),
+          graft.functions.TextFunctions.byteBpeEncode(col("text"), merges,
+            vocab).as("__ids"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("\\S+\\s*|^\\s+"), lit(0))).cast(LongType).as("n_pretoks"),
+          (size(col("__ids")) <= octet_length(col("text")))
+            .as("ids_le_bytes"),
+          octet_length(graft.functions.TextFunctions.byteBpeDecode(
+            col("__ids"), vocab)).cast(LongType).as("n_bytes"),
+          md5(graft.functions.TextFunctions.byteBpeDecode(col("__ids"),
+            vocab)).as("roundtrip_md5"))
+        .orderBy("doc_id")
     }),
 
     // the trainer-facing export under the LEARNED tokenizer: q142's
@@ -1936,7 +2006,9 @@ object SparkEntry {
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"),
           md5(array_join(transform(col("pack_ids"),
-            i => i.cast(StringType)), " ")).as("ids_md5"))
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -3641,27 +3713,34 @@ object SparkEntry {
     // exposing (doc_id, text), emits the piece vocab (frequent words +
     // char alphabet, min-id on collisions), relational best-match
     // lengths, the greedy MaxMatch walk as a recursive CTE, and
-    // per-doc piece counts/digests in `seq`
+    // per-doc piece counts/digests in `seq`. Every multiply-referenced
+    // stage is AS MATERIALIZED (the bpeLearnCtes lesson): DuckDB
+    // inlines plain CTEs per reference, so `ta`/`words`/`pieces`/
+    // `bestid` would each re-expand their WHOLE upstream — including
+    // an expensive caller chain like q141's streamed-curation `corp` —
+    // once per consumer. Measured on the q141 twin: ~20 min inlined →
+    // ~2 min materialized, same rows.
     def bpePieceCtes(srcCte: String): String =
-      s"""ta AS (SELECT doc_id, $toksSql AS arr FROM $srcCte),
-         |toks AS (SELECT doc_id, unnest(arr) AS tok,
+      s"""ta AS MATERIALIZED (SELECT doc_id, $toksSql AS arr
+         |  FROM $srcCte),
+         |toks AS MATERIALIZED (SELECT doc_id, unnest(arr) AS tok,
          |    unnest(range(1, len(arr) + 1)) AS ord
          |  FROM ta WHERE len(arr) > 0),
-         |words AS (SELECT DISTINCT tok FROM toks),
-         |bptk AS (SELECT unnest($toksSql) AS token FROM $srcCte),
-         |wv0 AS (SELECT token, count(*) AS cnt FROM bptk
-         |  GROUP BY token HAVING count(*) >= 5
+         |words AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+         |wv0 AS (SELECT tok AS token, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+         |  GROUP BY tok HAVING sum(c) >= 5
          |  ORDER BY cnt DESC, token LIMIT 200),
          |wv AS (SELECT token AS piece,
          |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
          |      AS id FROM wv0),
-         |wpos AS (SELECT tok,
+         |wpos AS MATERIALIZED (SELECT tok,
          |    CAST(unnest(range(1, length(tok) + 1)) AS INTEGER) AS p
          |  FROM words),
          |alpha AS (SELECT ch,
          |    CAST(200 + row_number() OVER (ORDER BY ch) AS INTEGER) AS id
          |  FROM (SELECT DISTINCT substr(tok, p, 1) AS ch FROM wpos)),
-         |pieces AS (SELECT piece, MIN(id) AS id FROM (
+         |pieces AS MATERIALIZED (SELECT piece, MIN(id) AS id FROM (
          |    SELECT piece, id FROM wv
          |    UNION ALL SELECT ch AS piece, id FROM alpha) GROUP BY piece),
          |lens AS (SELECT DISTINCT CAST(length(piece) AS INTEGER) AS l
@@ -3670,8 +3749,8 @@ object SparkEntry {
          |  FROM wpos w JOIN lens ln ON ln.l <= length(w.tok) - w.p + 1
          |  JOIN pieces pc ON pc.piece = substr(w.tok, w.p, ln.l)
          |  GROUP BY w.tok, w.p),
-         |bestid AS (SELECT b.tok, b.p, CAST(b.blen AS INTEGER) AS blen,
-         |    pc.id
+         |bestid AS MATERIALIZED (SELECT b.tok, b.p,
+         |    CAST(b.blen AS INTEGER) AS blen, pc.id
          |  FROM best b JOIN pieces pc
          |    ON pc.piece = substr(b.tok, b.p, b.blen)),
          |greedy AS (
@@ -3681,9 +3760,10 @@ object SparkEntry {
          |  SELECT g.tok, CAST(g.p + b.blen AS INTEGER),
          |      CAST(g.step + 1 AS INTEGER)
          |    FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
-         |wp AS (SELECT g.tok, g.step, b.id
+         |wp AS MATERIALIZED (SELECT g.tok, g.step, b.id
          |  FROM greedy g JOIN bestid b ON b.tok = g.tok AND b.p = g.p),
-         |seq AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         |seq AS MATERIALIZED (SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_pieces,
          |    string_agg(CAST(wp.id AS VARCHAR), ' '
          |      ORDER BY t.ord, wp.step) AS ids_str
          |  FROM toks t JOIN wp ON wp.tok = t.tok
@@ -4925,13 +5005,20 @@ object SparkEntry {
            |  FROM nt3),
            |pk2 AS (SELECT lang,
            |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
-           |  doc_id, n_tokens, ids_str FROM cc2)
+           |  doc_id, n_tokens, ids_str FROM cc2),
+           |pko AS (SELECT lang, pack_id, doc_id, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM pk2)
            |SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(COALESCE(string_agg(
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
-           |    ORDER BY doc_id), '')) AS ids_md5
-           |FROM pk2 GROUP BY lang, pack_id
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |FROM pko GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
 
       // q152: the decode-integrity twin needs NO tokenizer on the
@@ -4960,7 +5047,8 @@ object SparkEntry {
            |  CAST(length(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
            |    AS BIGINT) AS decoded_chars,
            |  md5(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
-           |    AS decoded_md5
+           |    AS decoded_md5,
+           |  md5(string_agg(md5(dec), ' ' ORDER BY doc_id)) AS segs_md5
            |FROM dpk GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
 
@@ -5003,6 +5091,24 @@ object SparkEntry {
       // (a fingerprint collision on this corpus would go red here)
       "q157_token_decontaminate_hashed" -> tokenDecontamSql,
 
+      // q159: byte-level BPE's exact-identity contract needs NO
+      // tokenizer on the oracle side — decode∘encode must equal the
+      // salted text VERBATIM (whitespace and all), so the twin just
+      // hashes the raw construction; the pretoken count gates the
+      // Java-regex pretokenizer against RE2's reading of the pattern
+      "q159_byte_bpe_roundtrip" ->
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text || '$byteBpeSalt' ||
+           |    CAST(doc_id AS VARCHAR), '\\S+\\s*|^\\s+')) AS BIGINT)
+           |    AS n_pretoks,
+           |  true AS ids_le_bytes,
+           |  CAST(strlen(text || '$byteBpeSalt' ||
+           |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes,
+           |  md5(text || '$byteBpeSalt' || CAST(doc_id AS VARCHAR))
+           |    AS roundtrip_md5
+           |FROM documents WHERE text IS NOT NULL
+           |ORDER BY doc_id""".stripMargin,
+
       // q155: q144's pack rows (same CTE chain) minus each shard's LAST
       // pack — the streamed export can only emit a pack once a doc
       // lands past its boundary, so the final open pack per shard is
@@ -5023,13 +5129,21 @@ object SparkEntry {
            |pk5 AS (SELECT lang,
            |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
            |  doc_id, n_tokens, ids_str FROM cc5),
+           |pk5o AS (SELECT lang, pack_id, doc_id, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM pk5),
            |ag5 AS (SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(COALESCE(string_agg(
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
-           |    ORDER BY doc_id), '')) AS ids_md5
-           |  FROM pk5 GROUP BY lang, pack_id)
-           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |  FROM pk5o GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5,
+           |  a.offsets_md5
            |FROM ag5 a JOIN (SELECT lang, max(pack_id) AS mp
            |  FROM ag5 GROUP BY lang) m USING (lang)
            |WHERE a.pack_id < m.mp
@@ -5087,13 +5201,20 @@ object SparkEntry {
            |  FROM mnt),
            |mpk AS (SELECT lang,
            |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
-           |  doc_id, n_tokens, ids_str FROM mcc)
+           |  doc_id, n_tokens, ids_str FROM mcc),
+           |mpko AS (SELECT lang, pack_id, doc_id, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM mpk)
            |SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(COALESCE(string_agg(
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
-           |    ORDER BY doc_id), '')) AS ids_md5
-           |FROM mpk GROUP BY lang, pack_id
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |FROM mpko GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin
       },
 
@@ -5358,7 +5479,7 @@ object SparkEntry {
            |acc AS (SELECT g.doc_id, g.text FROM gated g
            |  JOIN (SELECT doc_id FROM gacc1
            |        UNION ALL SELECT doc_id FROM gacc2) b USING (doc_id)),
-           |corp AS (SELECT a.doc_id, d.lang, a.text
+           |corp AS MATERIALIZED (SELECT a.doc_id, d.lang, a.text
            |  FROM acc a JOIN documents d USING (doc_id)),
            |${bpePieceCtes("corp")},
            |nt2 AS (SELECT c2.doc_id, c2.lang, c2.text,
@@ -5389,7 +5510,7 @@ object SparkEntry {
            |acc AS (SELECT g.doc_id, g.text FROM gated g
            |  JOIN (SELECT doc_id FROM gacc1
            |        UNION ALL SELECT doc_id FROM gacc2) b USING (doc_id)),
-           |corp AS (SELECT a.doc_id, d.lang, a.text
+           |corp AS MATERIALIZED (SELECT a.doc_id, d.lang, a.text
            |  FROM acc a JOIN documents d USING (doc_id)),
            |${bpePieceCtes("corp")},
            |dcorp AS MATERIALIZED (SELECT doc_id, lang FROM corp),
@@ -5429,13 +5550,21 @@ object SparkEntry {
            |dpk8 AS (SELECT lang,
            |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
            |  doc_id, n_tokens, ids_str FROM dcc8),
+           |dpk8o AS (SELECT lang, pack_id, doc_id, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM dpk8),
            |dag8 AS (SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(COALESCE(string_agg(
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
-           |    ORDER BY doc_id), '')) AS ids_md5
-           |  FROM dpk8 GROUP BY lang, pack_id)
-           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |  FROM dpk8o GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens, a.ids_md5,
+           |  a.offsets_md5
            |FROM dag8 a JOIN (SELECT lang, max(pack_id) AS mp
            |  FROM dag8 GROUP BY lang) m USING (lang)
            |WHERE a.pack_id < m.mp

@@ -89,6 +89,25 @@ object TextFunctions {
   def bpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
     TextExpressions.bpeDecode(ids, vocab)
 
+  /** BYTE-level BPE encoding ([[graft.functions.ByteBpeEncodeExpr]]):
+    * whitespace-preserving pretokens → UTF-8 bytes as Latin-1 symbols
+    * → the rank-ordered merge walk → ids through
+    * `Corpus.byteMergeVocab` (bytes 1..256, merges at 256+rank). The
+    * GPT-2-style family: UNK structurally impossible, and
+    * [[byteBpeDecode]] inverts it EXACTLY — whitespace included — on
+    * any input, not just the vocabulary's own corpus.
+    */
+  def byteBpeEncode(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column =
+    TextExpressions.byteBpeEncode(text, merges, vocab)
+
+  /** Exact inverse of [[byteBpeEncode]]
+    * ([[graft.functions.ByteBpeDecodeExpr]]): ids → byte symbols →
+    * UTF-8 text. Unknown/null ids decode to U+FFFD.
+    */
+  def byteBpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
+    TextExpressions.byteBpeDecode(ids, vocab)
+
   /** Sum of the UTF-8 BYTE lengths of an already-tokenized text (an
     * in-row `aggregate` fold, `octet_length` per token — no explode) —
     * the denominator of bytes-per-token tokenizer compression, fed by

@@ -838,6 +838,156 @@ case class BpeMergeEncodeExpr(child: Expression,
     copy(child = c)
 }
 
+/** The byte-level (GPT-2-style) tokenizer's shared pieces: a
+  * whitespace-PRESERVING pretokenizer and the byte↔Latin-1-char
+  * bijection that lets byte sequences ride the string-based merge
+  * machinery ([[BpeMergeKernel.mergeWord]]) unchanged. Pretokens
+  * (`\S+\s*|^\s+` — word plus trailing whitespace, one leading-
+  * whitespace pretoken) concatenate back to the EXACT input, so
+  * decode∘encode reconstructs original text including whitespace —
+  * the contract the char-level family can't give (its id stream drops
+  * word boundaries).
+  */
+object ByteBpeKernel {
+  private val pretokRe = java.util.regex.Pattern.compile("\\S+\\s*|^\\s+")
+  def pretokenize(s: String): Array[String] = {
+    val m = pretokRe.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+  /** UTF-8 bytes of `s` as a Latin-1 string (byte b ↔ char U+00bb) —
+    * the in-kernel twin of `decode(encode(s, 'UTF-8'), 'ISO-8859-1')`,
+    * which is what [[graft.operators.Corpus.learnByteBpeMerges]] runs
+    * in-plan, so learn-time and apply-time symbols can never drift.
+    */
+  def toByteSyms(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+  /** Latin-1 symbol string back to real text (the inverse mapping,
+    * then UTF-8 decode). Malformed byte runs (only reachable through a
+    * corrupted id stream) surface as U+FFFD via the charset decoder's
+    * standard replacement, never silently.
+    */
+  def fromByteSyms(syms: String): Array[Byte] =
+    syms.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+}
+
+/** byte_bpe_encode(text, merges, vocab): array<int> — the byte-level
+  * sibling of [[BpeMergeEncodeExpr]]: whitespace-preserving pretokens
+  * → UTF-8 bytes as Latin-1 symbols → the SAME rank-ordered Sennrich
+  * merge walk → ids through the byte vocabulary
+  * (`Corpus.byteMergeVocab`: bytes 1..256, merges at 256+rank). The
+  * base alphabet covers every byte, so NO input can emit UNK — the
+  * GPT-2 property. Merges and vocab ride as model metadata; the memo
+  * amortizes repeated pretokens exactly as the word-level kernels do.
+  */
+case class ByteBpeEncodeExpr(child: Expression,
+    merges: Seq[(String, String)],
+    vocab: Seq[(String, Int)]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  @transient private lazy val vmap = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (s, id) =>
+      val prev = m.get(s)
+      if (prev == null || id < prev.intValue()) m.put(s, Integer.valueOf(id))
+    }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private def encodePretok(p: String): Array[Int] = {
+    val syms = BpeMergeKernel.mergeWord(ByteBpeKernel.toByteSyms(p), merges)
+    val out = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = vmap.get(syms(i))
+      out(i) = if (id == null) 0 else id.intValue() // unreachable w/ full vocab
+      i += 1
+    }
+    out
+  }
+  def encode(t: UTF8String): ArrayData = {
+    val pretoks = ByteBpeKernel.pretokenize(t.toString)
+    val perTok = new Array[Array[Int]](pretoks.length)
+    var total = 0
+    var i = 0
+    while (i < pretoks.length) {
+      val p = pretoks(i)
+      var ids = memo.get(p)
+      if (ids == null) {
+        ids = encodePretok(p)
+        if (memo.size < (1 << 16)) memo.put(p, ids)
+      }
+      perTok(i) = ids
+      total += ids.length
+      i += 1
+    }
+    val flat = new Array[Any](total)
+    var k = 0
+    i = 0
+    while (i < pretoks.length) {
+      val a = perTok(i)
+      var j = 0
+      while (j < a.length) { flat(k) = a(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(flat)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    encode(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeEnc", this,
+      classOf[ByteBpeEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ByteBpeEncodeExpr =
+    copy(child = c)
+}
+
+/** byte_bpe_decode(ids, vocab): string — ids back through the byte
+  * vocabulary to Latin-1 symbols, symbols to bytes, bytes UTF-8-decoded
+  * to text. Over [[ByteBpeEncodeExpr]]'s ids this is EXACT inverse on
+  * any input (whitespace included). An unknown/null id injects the
+  * UTF-8 replacement-character byte sequence so corruption is visible.
+  */
+case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  @transient private lazy val idToSym = {
+    val m = new java.util.HashMap[Integer, String](vocab.size * 2)
+    vocab.foreach { case (p, id) =>
+      val prev = m.get(id)
+      if (prev == null || p.compareTo(prev) < 0)
+        m.put(Integer.valueOf(id), p)
+    }
+    m
+  }
+  def decode(ids: ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val s = if (ids.isNullAt(i)) null else idToSym.get(ids.getInt(i))
+      // U+FFFD's UTF-8 bytes (EF BF BD) as Latin-1 chars — survives
+      // fromByteSyms and decodes to one replacement character
+      sb.append(if (s == null) "\u00ef\u00bf\u00bd" else s)
+      i += 1
+    }
+    UTF8String.fromBytes(ByteBpeKernel.fromByteSyms(sb.toString))
+  }
+  override protected def nullSafeEval(ids: Any): Any =
+    decode(ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeDec", this,
+      classOf[ByteBpeDecodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ByteBpeDecodeExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -872,6 +1022,13 @@ object TextExpressions {
   def bpeUnkCount(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))
+  def byteBpeEncode(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      ByteBpeEncodeExpr(GraftColumnBridge.expression(text), merges, vocab))
+  def byteBpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
+    GraftColumnBridge.column(
+      ByteBpeDecodeExpr(GraftColumnBridge.expression(ids), vocab))
   def bpeCountUnk(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeCountUnkExpr(GraftColumnBridge.expression(text), pieces))

@@ -386,6 +386,26 @@ object Corpus {
     mergeTable.orderBy("merge_rank").select("lhs", "rhs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Symbol→id vocabulary for the BYTE-level merge tokenizer
+    * ([[learnByteBpeMerges]]) — [[buildMergeVocab]]'s layout with the
+    * data-dependent corpus alphabet replaced by the FIXED byte
+    * alphabet: all 256 byte symbols (as Latin-1 one-char strings) take
+    * ids 1..256 in byte order, merged symbols take 256 + merge_rank,
+    * string collisions keep the smaller id. No corpus scan at all —
+    * the base vocabulary is closed by construction, which is exactly
+    * why byte-level UNK is structurally impossible (id 0 stays
+    * reserved but unreachable at apply time). Pure driver metadata:
+    * 256 + k entries.
+    */
+  def byteMergeVocab(mergeTable: DataFrame): Seq[(String, Int)] = {
+    val alphabet = (0 until 256).map(b => (String.valueOf(b.toChar), b + 1))
+    val merged = mergeTable.orderBy("merge_rank")
+      .select(col("merged"), col("merge_rank").cast("int"))
+      .collect().map(r => (r.getString(0), 256 + r.getInt(1))).toSeq
+    (alphabet ++ merged).groupBy(_._1)
+      .map { case (s, ids) => (s, ids.map(_._2).min) }.toSeq.sortBy(_._2)
+  }
+
   /** Bounded-iteration BPE merge LEARNING (Sennrich et al., ACL'16,
     * `learn_bpe`): k rounds of count-pairs → pick-top → merge, run as
     * Spark aggregates over the word-frequency DICTIONARY — BPE
@@ -429,10 +449,56 @@ object Corpus {
       // count is an extra dict-sized job, so it runs ONLY when a probe
       // is installed; None keeps the loop's job count unchanged.
       probe: Option[(Int, Long) => Unit] = None): DataFrame = {
+    val dict = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    learnMergesFromDict(dict, numMerges, minPairCount, probe)
+  }
+
+  /** BYTE-level merge learning — the GPT-2-style variant of
+    * [[learnBpeMerges]]: the dictionary entries are whitespace-
+    * PRESERVING pretokens (regex `\S+\s*|^\s+` — a word plus its
+    * trailing whitespace run, with a leading-whitespace pretoken at
+    * the front; the pretokens concatenate back to the exact text), and
+    * each pretoken's base symbols are its UTF-8 BYTES, carried as
+    * one-char Latin-1 strings (byte b ↔ char U+00bb — the bijection
+    * `decode(encode(s, 'UTF-8'), 'ISO-8859-1')` computes in-plan, so
+    * the whole symbol pipeline reuses the string machinery unchanged).
+    * With a base alphabet of all 256 bytes, UNK is STRUCTURALLY
+    * impossible at apply time and decode∘encode reconstructs the
+    * EXACT original text — whitespace included — not the
+    * stripped-text contract the char-level family gives (q152/q159).
+    * Same Sennrich loop, same scale shape: iterations touch only the
+    * pretoken dictionary.
+    */
+  def learnByteBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L,
+      probe: Option[(Int, Long) => Unit] = None): DataFrame = {
+    val dict = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit("\\S+\\s*|^\\s+"), lit(0))).as("pretok"))
+      .groupBy("pretok").agg(count(lit(1)).as("cnt"))
+      .select(decode(encode(col("pretok"), "UTF-8"), "ISO-8859-1")
+        .as("word"), col("cnt"))
+      // two pretokens may collide post-mapping only if equal pre-mapping
+      // (the byte mapping is a bijection), so no re-group is needed
+    learnMergesFromDict(dict, numMerges, minPairCount, probe)
+  }
+
+  /** The k-bounded Sennrich loop shared by [[learnBpeMerges]] (char
+    * symbols of whitespace words) and [[learnByteBpeMerges]] (byte
+    * symbols of whitespace-preserving pretokens): `dict` is any
+    * (word string, cnt long) frequency table; symbols are the word's
+    * code points. All scale notes on [[learnBpeMerges]] apply — the
+    * loop never touches anything but dict-sized state.
+    */
+  private def learnMergesFromDict(dict: DataFrame, numMerges: Int,
+      minPairCount: Long,
+      probe: Option[(Int, Long) => Unit]): DataFrame = {
     require(numMerges >= 1 && numMerges <= 4096,
       s"numMerges must be in [1, 4096], got $numMerges — the driver " +
         "loop is k-bounded by design")
-    val spark = docs.sparkSession
+    val spark = dict.sparkSession
     // free a superseded checkpoint's blocks: localCheckpoint RDDs are
     // not cacheManager entries, so df.unpersist() won't release them —
     // unpersist the backing RDD off the LogicalRDD leaf. Without this,
@@ -443,9 +509,6 @@ object Corpus {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    val dict = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
     var state = dict
       .select(col("cnt"),
         filter(split(col("word"), ""), c => c =!= "").as("syms"))
@@ -608,6 +671,17 @@ object Corpus {
     * the stream. One shuffle on (shard, pack_id); pack payloads are
     * budget-bounded by construction, so the per-group state is
     * O(tokenBudget), never corpus-scaled.
+    *
+    * Alongside the flat stream each pack carries `doc_offsets`
+    * (`array<int>`, n_docs + 1 boundaries: 0, then each member's
+    * cumulative end) — the segment map a trainer needs for attention /
+    * loss masking, and what lets q152's decode audit verify each
+    * document's slice independently. A zero-token member repeats the
+    * previous boundary, so boundaries stay index-aligned with the
+    * pack's members in id order. The running-concat build is
+    * O(n_docs²) array copies per pack, but n_docs is budget-bounded
+    * (a pack holds ~budget tokens), so per-group work stays
+    * O(tokenBudget) at any corpus size.
     */
   def materializeTokenPacks(packed: DataFrame, shardCol: String,
       idCol: String, idsCol: String): DataFrame =
@@ -615,9 +689,17 @@ object Corpus {
       .groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
-        flatten(transform(
-            array_sort(collect_list(struct(col(idCol), col(idsCol)))),
-            x => x.getField(idsCol))).as("pack_ids"))
+        array_sort(collect_list(struct(col(idCol), col(idsCol))))
+          .as("__members"))
+      .select(col(shardCol), col("pack_id"), col("n_docs"),
+        col("pack_tokens"),
+        flatten(transform(col("__members"), x => x.getField(idsCol)))
+          .as("pack_ids"),
+        aggregate(
+          transform(col("__members"), x => size(x.getField(idsCol))),
+          array(lit(0)),
+          (acc, l) => concat(acc, array(element_at(acc, -1) + l)))
+          .as("doc_offsets"))
 
   /** The subtotal half of the distributed prefix sum [[packSequences]]
     * and [[shuffleShard]] share: one metadata-sized pass collects

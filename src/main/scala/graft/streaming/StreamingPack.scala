@@ -70,9 +70,10 @@ object StreamingPack {
   }
 
   case class PackDocIds(shard: String, doc_id: Long, ids: Seq[Int])
-  case class OpenPack(packId: Long, cum: Long, nDocs: Long, ids: Seq[Int])
+  case class OpenPack(packId: Long, cum: Long, nDocs: Long, ids: Seq[Int],
+      offs: Seq[Int])
   case class ClosedPack(shard: String, pack_id: Long, n_docs: Long,
-      pack_tokens: Long, pack_ids: Seq[Int])
+      pack_tokens: Long, pack_ids: Seq[Int], doc_offsets: Seq[Int])
 
   /** Streaming CLOSED-pack export — the trainer-facing artifact
     * ([[graft.operators.Corpus.materializeTokenPacks]]) produced
@@ -94,7 +95,10 @@ object StreamingPack {
     * empty packs). Zero-token docs join their pack's n_docs and add
     * nothing to the stream. `ids` must be non-null upstream (the q144
     * contract: a null array is a dropped doc, filtered before the
-    * stateful stage).
+    * stateful stage). Each emitted pack carries `doc_offsets` —
+    * n_docs + 1 pack-relative boundaries, identical to the batch
+    * materializer's (the masking map a trainer needs); the boundary
+    * list rides the same budget-bounded state as the ids buffer.
     */
   def materializeTyped(docs: Dataset[PackDocIds], tokenBudget: Long)
       : Dataset[ClosedPack] = {
@@ -106,7 +110,8 @@ object StreamingPack {
         (shard: String, it: Iterator[PackDocIds],
             state: GroupState[OpenPack]) =>
           val sorted = it.toSeq.sortBy(_.doc_id)
-          val st = state.getOption.getOrElse(OpenPack(0L, 0L, 0L, Nil))
+          val st = state.getOption.getOrElse(OpenPack(0L, 0L, 0L, Nil,
+            Seq(0)))
           // mutable buffer within the batch — `st.ids ++ d.ids` per doc
           // would copy the whole open pack per arrival, quadratic in
           // docs-per-pack; the immutable snapshot lands in the state
@@ -116,23 +121,35 @@ object StreamingPack {
           var nDocs = st.nDocs
           val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
           buf ++= st.ids
+          // pack-relative doc boundaries (0, then each member's end) —
+          // n_docs + 1 entries, bounded like the ids buffer; a state
+          // written by a pre-offsets checkpoint surfaces as an empty
+          // offs (the typed deserializer's missing-field default is
+          // nil), so rebuild the degenerate boundary rather than crash
+          val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+          offs ++= (if (st.offs != null && st.offs.nonEmpty) st.offs
+            else Seq(0))
           val closed = Seq.newBuilder[ClosedPack]
           sorted.foreach { d =>
             val p = cum / tokenBudget
             if (p > packId) {
               if (nDocs > 0)
                 closed += ClosedPack(shard, packId, nDocs,
-                  buf.length.toLong, buf.toVector)
+                  buf.length.toLong, buf.toVector, offs.toVector)
               packId = p
               nDocs = 0L
               buf.clear()
+              offs.clear()
+              offs += 0
             }
             cum += d.ids.length
             nDocs += 1
             buf ++= d.ids
+            offs += buf.length
           }
           if (sorted.nonEmpty)
-            state.update(OpenPack(packId, cum, nDocs, buf.toVector))
+            state.update(OpenPack(packId, cum, nDocs, buf.toVector,
+              offs.toVector))
           closed.result().iterator
       }
   }

@@ -487,15 +487,18 @@ class PropertySpec extends SparkSpec {
       assert(assigned == wantAssign, s"budget=$budget")
       val closed = StreamingPack.materializeTyped(typedIn.toDS(), budget)
         .collect().map(p => (p.shard, p.pack_id) ->
-          ((p.n_docs, p.pack_tokens, p.pack_ids.toList))).toMap
+          ((p.n_docs, p.pack_tokens, p.pack_ids.toList,
+            p.doc_offsets.toList))).toMap
       val batch = Corpus.materializeTokenPacks(packed, "shard", "doc_id",
           "ids")
-        .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids")
-        .as[(String, Long, Long, Long, Seq[Int])].collect()
+        .select("shard", "pack_id", "n_docs", "pack_tokens", "pack_ids",
+          "doc_offsets")
+        .as[(String, Long, Long, Long, Seq[Int], Seq[Int])].collect()
       val lastPack = batch.groupBy(_._1).map { case (s, ps) =>
         s -> ps.map(_._2).max }
       val wantClosed = batch.filter(p => p._2 < lastPack(p._1))
-        .map(p => (p._1, p._2) -> ((p._3, p._4, p._5.toList))).toMap
+        .map(p => (p._1, p._2) ->
+          ((p._3, p._4, p._5.toList, p._6.toList))).toMap
       assert(closed == wantClosed, s"budget=$budget")
     }
   }

@@ -399,14 +399,17 @@ class CorpusSpec extends SparkSpec {
     val packed = Corpus.packSequences(docs, "lang", "doc_id", col("nt"), 3)
     val out = Corpus.materializeTokenPacks(packed, "lang", "doc_id", "__ids")
       .orderBy("lang", "pack_id")
-      .select("lang", "pack_id", "n_docs", "pack_tokens", "pack_ids")
-      .as[(String, Long, Long, Long, Seq[Int])].collect().toSeq
-    // en offsets: doc0@0, doc1@2, doc2@3, doc4@6(zero) -> packs 0,0,1,2
+      .select("lang", "pack_id", "n_docs", "pack_tokens", "pack_ids",
+        "doc_offsets")
+      .as[(String, Long, Long, Long, Seq[Int], Seq[Int])].collect().toSeq
+    // en offsets: doc0@0, doc1@2, doc2@3, doc4@6(zero) -> packs 0,0,1,2;
+    // doc_offsets carry n_docs+1 boundaries (0, then each member's end)
+    // — a zero-token member repeats the previous boundary
     assert(out == Seq(
-      ("en", 0L, 2L, 3L, Seq(7, 8, 9)),
-      ("en", 1L, 1L, 3L, Seq(1, 2, 3)),
-      ("en", 2L, 1L, 0L, Seq.empty[Int]),
-      ("fr", 0L, 1L, 1L, Seq(4))))
+      ("en", 0L, 2L, 3L, Seq(7, 8, 9), Seq(0, 2, 3)),
+      ("en", 1L, 1L, 3L, Seq(1, 2, 3), Seq(0, 3)),
+      ("en", 2L, 1L, 0L, Seq.empty[Int], Seq(0, 0)),
+      ("fr", 0L, 1L, 1L, Seq(4), Seq(0, 1))))
   }
 
   test("learnBpeMerges matches the hand-trained Sennrich toy corpus") {
@@ -439,6 +442,66 @@ class CorpusSpec extends SparkSpec {
       .select("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .as[(Int, String, String, String, Long)].collect().toSeq
     assert(got7 == got)
+  }
+
+  test("byte-level BPE: decode is the exact inverse of encode, " +
+      "whitespace and all planes included") {
+    import graft.functions.TextFunctions
+    // every UTF-8 width, messy whitespace (leading, doubled, tabs,
+    // trailing newline), and a supplementary-plane emoji (surrogate
+    // pair in the JVM, 4 bytes in UTF-8)
+    val texts = Seq(
+      "  the café café serves  café\tau lait\n",
+      "日本語→λ 😀😀 end ",
+      "plain ascii words here",
+      "\t\n", // all-whitespace doc: one leading-ws pretoken
+      "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mt = Corpus.learnByteBpeMerges(docs, "text", numMerges = 8)
+    val merges = Corpus.collectMerges(mt)
+    val vocab = Corpus.byteMergeVocab(mt)
+    // vocab layout: all 256 byte symbols at ids 1..256, merges above
+    val vm = vocab.toMap
+    assert((0 until 256).forall(b => vm(String.valueOf(b.toChar)) == b + 1))
+    assert(vocab.count(_._2 > 256) == merges.length)
+    val out = docs.select(col("doc_id"),
+        TextFunctions.byteBpeEncode(col("text"), merges, vocab).as("ids"))
+      .select(col("doc_id"), col("ids"),
+        TextFunctions.byteBpeDecode(col("ids"), vocab).as("back"))
+      .as[(Long, Seq[Int], String)].collect().sortBy(_._1)
+    // EXACT identity — not the stripped-text contract
+    out.foreach { case (id, ids, back) =>
+      assert(back == texts(id.toInt), s"doc $id roundtrip")
+      assert(!ids.contains(0), s"doc $id emitted UNK") // structurally impossible
+    }
+    // merges compress: total ids strictly under total bytes on a
+    // corpus with repeated byte pairs
+    val totalIds = out.map(_._2.length).sum
+    val totalBytes = texts.map(_.getBytes("UTF-8").length).sum
+    assert(totalIds < totalBytes)
+    // UNK impossible even on text DISJOINT from the training corpus
+    val alien = Seq((9L, "zürich øre 🤖"))
+      .toDF("doc_id", "text")
+    val alienOut = alien.select(
+        TextFunctions.byteBpeEncode(col("text"), merges, vocab).as("ids"),
+        TextFunctions.byteBpeDecode(TextFunctions.byteBpeEncode(col("text"),
+          merges, vocab), vocab).as("back"))
+      .as[(Seq[Int], String)].collect()(0)
+    assert(!alienOut._1.contains(0) &&
+      alienOut._2 == "zürich øre 🤖")
+  }
+
+  test("learnByteBpeMerges learns byte pairs over whitespace-preserving " +
+      "pretokens") {
+    // "ab ab ab": pretokens "ab " ×2 + "ab" ×1 -> pairs (a,b)=3,
+    // (b,' ')=2; rank 1 merges (a,b), rank 2 merges ("ab", ' ')
+    val docs = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val got = Corpus.learnByteBpeMerges(docs, "text", numMerges = 2)
+      .orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 3L), (2, "ab", " ", 2L)))
   }
 
   test("learned merges apply through the q137 trie (alphabet + merged pieces)") {
