@@ -93,7 +93,11 @@ object DumpPlans {
       "q155_stream_pack_export" ->
         "streaming closed-pack export micro-batch shape: stateless codegen encode projection -> ONE hash exchange on shard -> FlatMapGroupsWithState (budget-bounded open-pack buffer) — the q144 artifact emitted incrementally, no Window, no second shuffle",
       "q156_token_decontaminate_bloom" ->
-        "bloom-prefiltered token decontamination: driver bloom rides the typed sliding pass (clean docs emit ZERO rows), only the candidate sliver reaches the exact verify join — the corpus stage is one narrow traversal, no corpus-window relation anywhere")
+        "bloom-prefiltered token decontamination: driver bloom rides the typed sliding pass (clean docs emit ZERO rows), only the candidate sliver reaches the exact verify join — the corpus stage is one narrow traversal, no corpus-window relation anywhere",
+      "q157_token_decontaminate_hashed" ->
+        "q154's join with every window collapsed to an int64 fingerprint INSIDE the same typed sliding pass on both sides — the join relation is 8 bytes/window (no window string ever materializes), same broadcast + partial-agg shape otherwise",
+      "q159_byte_bpe_roundtrip" ->
+        "byte-level BPE roundtrip audit: ONE narrow codegen projection (pretokenize -> byte symbols -> merge walk -> ids -> decode) — no shuffle at all before the final sort; both kernels ride the same whole-stage codegen span")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

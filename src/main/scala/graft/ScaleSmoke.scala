@@ -257,6 +257,15 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenNgramsBloom(
             trainIds, evalIds, n = 13).count()
         }),
+        // q157's representation head-to-head vs the string form above:
+        // same fixture, same join shape, but every window rides as an
+        // int64 fingerprint — the wall and shuffle-byte deltas ARE the
+        // string-materialization cost the hashed path deletes
+        "decontaminate_tokens_hashed" -> (() => {
+          val (trainIds, evalIds) = decontamFixture(amp, base)
+          () => Dedup.decontaminateTokenNgrams(
+            trainIds, evalIds, n = 13, hashWindows = true).count()
+        }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
           // id-range backlog (setup, untimed); the timed region is the

@@ -942,6 +942,10 @@ case class ByteBpeEncodeExpr(child: Expression,
       classOf[ByteBpeEncodeExpr].getName)
     defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
   }
+  // the default rendering would print the 256-byte alphabet's control
+  // chars (NUL included) into .explain/PLANS.md — summarize instead
+  override def toString: String =
+    s"byte_bpe_encode($child, merges=${merges.length}, vocab=${vocab.length})"
   override protected def withNewChildInternal(c: Expression): ByteBpeEncodeExpr =
     copy(child = c)
 }
@@ -984,6 +988,10 @@ case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
       classOf[ByteBpeDecodeExpr].getName)
     defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
   }
+  // see ByteBpeEncodeExpr: keep the byte alphabet's control chars out
+  // of plan renderings
+  override def toString: String =
+    s"byte_bpe_decode($child, vocab=${vocab.length})"
   override protected def withNewChildInternal(c: Expression): ByteBpeDecodeExpr =
     copy(child = c)
 }
