@@ -1981,6 +1981,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the byte family joins the ONE unified tokenizer artifact (r11
+    // item 6's schema, third kind): learn → persist → load through the
+    // single kind-dispatching loader → the LOADED tokenizer must
+    // reproduce the built one's ids exactly (in-query equality over
+    // every doc) AND its decode∘encode must still be the exact-text
+    // identity — the ship-a-byte-tokenizer contract. The vocabulary's
+    // Latin-1 byte-carrier strings (control chars included) round-trip
+    // through parquet like any piece strings; the loader refuses an
+    // artifact whose alphabet doesn't cover all 256 bytes (that would
+    // resurrect UNK, the failure mode the family exists to exclude)
+    "q161_byte_artifact_roundtrip" -> ((s, dir) => {
+      import graft.operators.{ByteMergeTokenizer, Tokenizer}
+      val root = scratch("graft_btok_")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val salted = docs.withColumn("text", concat(col("text"),
+        lit(byteBpeSalt), col("doc_id").cast(StringType)))
+      val mt = graft.operators.Corpus.learnByteBpeMerges(salted, "text",
+        numMerges = 16)
+      val built = ByteMergeTokenizer(
+        graft.operators.Corpus.collectMerges(mt),
+        graft.operators.Corpus.byteMergeVocab(mt))
+      Tokenizer.save(s, built, s"$root/byte")
+      val loaded = Tokenizer.load(s, s"$root/byte")
+      salted.select(col("doc_id"), col("text"),
+          built.encode(col("text")).as("__a"),
+          loaded.encode(col("text")).as("__b"))
+        .select(col("doc_id"),
+          (col("__a") === col("__b")).as("ids_match"),
+          md5(loaded.decode(col("__b"))).as("roundtrip_md5"))
+        .orderBy("doc_id")
+    }),
+
     // the trainer-facing export under the LEARNED tokenizer: q142's
     // merge table drives rank-ordered id emission (BpeMergeEncodeExpr
     // over the buildMergeVocab symbol ids — alphabet 1..A, then merges
@@ -2218,6 +2251,31 @@ object SparkEntry {
       docs.select(col("doc_id"),
           graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
             .cast(LongType).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // learn-loop EXHAUSTION gated cross-engine (the r12 ADVICE #1
+    // thread closed on a LIVE row instead of an unreachable branch): a
+    // sparse corpus slice with a pair-count floor exhausts the learn
+    // loop strictly before k=16, so the twin's chain runs REAL empty
+    // stages — a CROSS JOIN there would empty every later blw and
+    // zero the apply counts; only LEFT-JOIN state propagation (the
+    // 9b2d9a6 fix) keeps the final segmentation readable off blw16.
+    // n_merges pins the exhaustion RANK itself to the twin's
+    // stage-emptiness pattern
+    "q160_bpe_learn_exhausted" -> ((s, dir) => {
+      // FIXED 20-doc slice (sf-invariant size) + floor 60: at sf0.01
+      // the pair counts run 159..40 over 16 ranks, so the loop stops
+      // at rank 9 — seven REAL empty twin stages
+      val sparse = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+      val merges = graft.operators.Corpus.collectMerges(
+        graft.operators.Corpus.learnBpeMerges(sparse, "text",
+          numMerges = 16, minPairCount = 60L))
+      sparse.select(col("doc_id"),
+          graft.functions.TextFunctions.bpeMergeCount(col("text"), merges)
+            .cast(LongType).as("n_bpe_tokens"),
+          lit(merges.length.toLong).as("n_merges"))
         .orderBy("doc_id")
     }),
 
@@ -3795,17 +3853,23 @@ object SparkEntry {
     // char-wrapped symbols, then per stage: pair explode → top-1 →
     // replace-apply). `word` rides the whole chain so the APPLY twin
     // (q143) can read each word's final segmentation off blw{k}.
-    val bpeLearnCtes: String = {
+    def bpeLearnChainCtes(sourceTable: String, minPairCount: Long): String = {
       val wrapInit = "regexp_replace(word, '(.)', e'\\x1b\\\\1\\x1c', 'g')"
       // every stage is AS MATERIALIZED: each blw/blt is referenced
       // twice downstream, and DuckDB inlines non-materialized CTEs —
-      // a k-deep chain would otherwise expand to 2^k scans
+      // a k-deep chain would otherwise expand to 2^k scans. The HAVING
+      // floor mirrors learnBpeMerges' minPairCount (>= 1 is a no-op,
+      // which is what the q142-family default instantiates); a stage
+      // whose best pair misses the floor leaves blt$i EMPTY and the
+      // LEFT JOIN propagates state unchanged — the exhaustion path
+      // q160 gates on a live row
       val stages = (0 until bpeLearnK).map { i =>
         s"""blp$i AS MATERIALIZED (SELECT a[u] AS lhs, a[u + 1] AS rhs, cnt FROM
            |  (SELECT cnt, a, unnest(range(1, len(a))) AS u FROM
            |    (SELECT cnt, $bpeLearnUnwrapRe AS a FROM blw$i))),
            |blt$i AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM blp$i GROUP BY 1, 2
+           |  HAVING sum(cnt) >= $minPairCount
            |  ORDER BY c DESC, lhs, rhs LIMIT 1),
            |blw${i + 1} AS MATERIALIZED (SELECT w.word, w.cnt,
            |  CASE WHEN t.lhs IS NULL THEN w.syms ELSE replace(w.syms,
@@ -3815,12 +3879,13 @@ object SparkEntry {
       }.mkString(",\n")
       s"""blwc AS MATERIALIZED (SELECT token AS word,
          |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |  FROM (SELECT unnest($toksSql) AS token FROM $sourceTable)
          |  GROUP BY 1),
          |blw0 AS MATERIALIZED (SELECT word, cnt, $wrapInit AS syms
          |  FROM blwc WHERE length(word) >= 2),
          |$stages""".stripMargin
     }
+    val bpeLearnCtes: String = bpeLearnChainCtes("documents", 1L)
     // q142: the learned merge table itself
     val bpeLearnOracle: String = {
       val ranks = (0 until bpeLearnK).map { i =>
@@ -4760,6 +4825,34 @@ object SparkEntry {
 
       "q143_bpe_learn_apply" -> bpeLearnApplyOracle,
 
+      // q160: the exhaustion path live — sparse slice + pair-count
+      // floor 10 leaves real EMPTY blt stages; the apply counts off
+      // blw16 only survive them under LEFT-JOIN state propagation,
+      // and n_merges counts exactly the non-empty stages
+      "q160_bpe_learn_exhausted" -> {
+        val ranks = (0 until bpeLearnK).map { i =>
+          s"SELECT lhs, rhs FROM blt$i"
+        }.mkString(" UNION ALL ")
+        s"""WITH sparse AS MATERIALIZED (SELECT doc_id, text
+           |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+           |${bpeLearnChainCtes("sparse", 60L)},
+           |nmg AS (SELECT CAST(count(*) AS BIGINT) AS n_merges
+           |  FROM ($ranks)),
+           |wfin AS (SELECT word,
+           |    CAST(len($bpeLearnUnwrapRe) AS BIGINT) AS wc
+           |  FROM blw$bpeLearnK),
+           |dtk AS (SELECT doc_id, unnest($toksSql) AS word FROM sparse),
+           |dcnt AS (SELECT d.doc_id, SUM(COALESCE(w.wc, 1)) AS n
+           |  FROM dtk d LEFT JOIN wfin w USING (word) GROUP BY 1)
+           |SELECT doc.doc_id,
+           |  CASE WHEN doc.text IS NULL THEN NULL
+           |    ELSE CAST(COALESCE(dc.n, 0) AS BIGINT) END AS n_bpe_tokens,
+           |  nmg.n_merges
+           |FROM sparse doc LEFT JOIN dcnt dc USING (doc_id)
+           |CROSS JOIN nmg
+           |ORDER BY doc_id""".stripMargin
+      },
+
       // both artifact paths recomputed from the corpus: the MaxMatch
       // count off the salted-vocab block, the merge-order count off
       // the learn chain's final segmentations — a green row proves
@@ -5104,6 +5197,17 @@ object SparkEntry {
            |  true AS ids_le_bytes,
            |  CAST(strlen(text || '$byteBpeSalt' ||
            |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes,
+           |  md5(text || '$byteBpeSalt' || CAST(doc_id AS VARCHAR))
+           |    AS roundtrip_md5
+           |FROM documents WHERE text IS NOT NULL
+           |ORDER BY doc_id""".stripMargin,
+
+      // q161: the persisted-artifact gate — the loaded tokenizer's ids
+      // equal the built one's (in-query equality; the twin asserts the
+      // invariant) and its decode still reconstructs the salted text
+      // verbatim, which the twin recomputes with no tokenizer at all
+      "q161_byte_artifact_roundtrip" ->
+        s"""SELECT doc_id, true AS ids_match,
            |  md5(text || '$byteBpeSalt' || CAST(doc_id AS VARCHAR))
            |    AS roundtrip_md5
            |FROM documents WHERE text IS NOT NULL

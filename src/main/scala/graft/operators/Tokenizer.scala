@@ -51,6 +51,26 @@ final case class MergeTokenizer(merges: Seq[(String, String)],
   def vocabulary: Seq[(String, Int)] = vocab
 }
 
+/** BYTE-level merge family (GPT-2-style) — `Corpus.learnByteBpeMerges`
+  * trains the table, `Corpus.byteMergeVocab` lays out the fixed
+  * 256-byte alphabet + merge ids. Vocabulary symbols are Latin-1
+  * byte-carrier strings; they persist through the unified parquet
+  * artifact like any other piece strings. Unlike the word-level
+  * families, [[decode]]∘[[encode]] is the EXACT identity (whitespace
+  * included) and UNK is structurally impossible.
+  */
+final case class ByteMergeTokenizer(merges: Seq[(String, String)],
+    vocab: Seq[(String, Int)]) extends Tokenizer {
+  val kind: String = Tokenizer.ByteMerge
+  def count(text: Column): Column =
+    org.apache.spark.sql.functions.size(encode(text))
+  def encode(text: Column): Column =
+    TextFunctions.byteBpeEncode(text, merges, vocab)
+  def vocabulary: Seq[(String, Int)] = vocab
+  override def decode(ids: Column): Column =
+    TextFunctions.byteBpeDecode(ids, vocab)
+}
+
 /** ONE artifact schema for every tokenizer kind, so a loader never has
   * to know which shape it is reading:
   *
@@ -60,8 +80,9 @@ final case class MergeTokenizer(merges: Seq[(String, String)],
   *   merge_rank int, lhs string, rhs string  -- merge rows (merge kind)
   * }}}
   *
-  * A MaxMatch artifact is vocabulary rows only; a merge artifact is its
-  * symbol vocabulary PLUS the rank-ordered merge table. [[load]] reads
+  * A MaxMatch artifact is vocabulary rows only; a merge artifact (word-
+  * or byte-level — `tokenizer_kind` distinguishes them) is its symbol
+  * vocabulary PLUS the rank-ordered merge table. [[load]] reads
   * the kind column and returns the matching [[Tokenizer]] — the single
   * entry point the ship-a-tokenizer contract goes through. Artifacts
   * are model metadata (vocab + k merges), so the collects here are
@@ -70,6 +91,7 @@ final case class MergeTokenizer(merges: Seq[(String, String)],
 object Tokenizer {
   val MaxMatch = "maxmatch"
   val Merge = "merge"
+  val ByteMerge = "bytemerge"
 
   /** The unified-artifact frame for a tokenizer (one small DataFrame —
     * write it wherever model files live). */
@@ -82,17 +104,21 @@ object Tokenizer {
         lit(null).cast("int").as("merge_rank"),
         lit(null).cast("string").as("lhs"),
         lit(null).cast("string").as("rhs"))
+    def withMergeRows(merges: Seq[(String, String)],
+        vocab: Seq[(String, Int)]): DataFrame = {
+      val mergeRows = merges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .select(lit(tok.kind).as("tokenizer_kind"),
+          lit(null).cast("string").as("piece"),
+          lit(null).cast("int").as("id"),
+          col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+      vocabRows(vocab).unionByName(mergeRows)
+    }
     tok match {
       case MaxMatchTokenizer(pieces) => vocabRows(pieces)
-      case MergeTokenizer(merges, vocab) =>
-        val mergeRows = merges.zipWithIndex
-          .map { case ((l, r), i) => (i + 1, l, r) }
-          .toDF("merge_rank", "lhs", "rhs")
-          .select(lit(tok.kind).as("tokenizer_kind"),
-            lit(null).cast("string").as("piece"),
-            lit(null).cast("int").as("id"),
-            col("merge_rank").cast("int"), col("lhs"), col("rhs"))
-        vocabRows(vocab).unionByName(mergeRows)
+      case MergeTokenizer(merges, vocab) => withMergeRows(merges, vocab)
+      case ByteMergeTokenizer(merges, vocab) => withMergeRows(merges, vocab)
     }
   }
 
@@ -132,7 +158,7 @@ object Tokenizer {
         require(rows.length == vocab.length,
           "a maxmatch artifact carries vocabulary rows only")
         MaxMatchTokenizer(vocab)
-      case Merge =>
+      case Merge | ByteMerge =>
         val mergeRows = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
         // a malformed artifact must fail as loudly as the kind/row-count
         // checks, not load silently: every row is vocab or merge, merge
@@ -151,7 +177,17 @@ object Tokenizer {
         val merges = mergeRows
           .map(r => (r.getInt(3), r.getString(4), r.getString(5)))
           .sortBy(_._1).map(m => (m._2, m._3)).toSeq
-        MergeTokenizer(merges, vocab)
+        if (kinds.head == Merge) MergeTokenizer(merges, vocab)
+        else {
+          // the byte family's base alphabet is CLOSED by construction —
+          // an artifact missing byte symbols would resurrect UNK, the
+          // one failure mode the family exists to exclude
+          val ids = vocab.map(_._2).toSet
+          require((1 to 256).forall(ids.contains),
+            "bytemerge artifact: vocabulary must cover all 256 byte " +
+              "symbols (ids 1..256)")
+          ByteMergeTokenizer(merges, vocab)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown tokenizer_kind $other")
     }

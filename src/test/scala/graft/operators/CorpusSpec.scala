@@ -631,6 +631,39 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tokenizer.fromArtifact(mixed) }
   }
 
+  test("byte tokenizer persists in the unified artifact and loads back " +
+      "identical, control-char symbols included") {
+    import graft.functions.TextFunctions
+    val docs = Seq((1L, "  ab ab\tab\n"), (2L, "日本 😀 ab "))
+      .toDF("doc_id", "text")
+    val mt = Corpus.learnByteBpeMerges(docs, "text", numMerges = 4)
+    val built = ByteMergeTokenizer(Corpus.collectMerges(mt),
+      Corpus.byteMergeVocab(mt))
+    val dir = java.nio.file.Files.createTempDirectory("tok_byte_").toString
+    Tokenizer.save(spark, built, s"$dir/byte")
+    val loaded = Tokenizer.load(spark, s"$dir/byte") match {
+      case b: ByteMergeTokenizer => b
+      case other => fail(s"bytemerge artifact loaded as $other")
+    }
+    // the 256-byte alphabet (control chars, NUL included) survives the
+    // parquet round trip symbol for symbol
+    assert(loaded.merges == built.merges &&
+      loaded.vocab.toSet == built.vocab.toSet)
+    val r = docs.select(col("text"),
+        built.encode(col("text")).as("a"), loaded.encode(col("text")).as("b"))
+      .select(col("text"), col("a"), col("b"),
+        loaded.decode(col("b")).as("back"))
+      .collect()
+    assert(r.forall(x => x.getSeq[Int](1) == x.getSeq[Int](2)
+      && x.getString(3) == x.getString(0))) // EXACT text back
+    // an artifact whose alphabet doesn't cover all 256 bytes would
+    // resurrect UNK — refused at load
+    val holey = Tokenizer.toArtifact(spark, built)
+      .where(col("id").isNull || col("id") =!= 7)
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(holey) }.getMessage.contains("256"))
+  }
+
   test("malformed tokenizer artifacts fail loudly, never load silently") {
     def art(rows: Seq[(String, String, Integer, Integer, String, String)]) =
       rows.toDF("tokenizer_kind", "piece", "id", "merge_rank", "lhs", "rhs")
