@@ -1969,15 +1969,19 @@ object SparkEntry {
           col("text"),
           graft.functions.TextFunctions.byteBpeEncode(col("text"), merges,
             vocab).as("__ids"))
+        // decode ONCE into __txt (q152's pattern): the kernel walks the
+        // full id stream, and CollapseProject keeps a non-cheap
+        // expression referenced twice un-inlined
+        .select(col("doc_id"), col("text"), col("__ids"),
+          graft.functions.TextFunctions.byteBpeDecode(col("__ids"), vocab)
+            .as("__txt"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"),
             lit("\\S+\\s*|^\\s+"), lit(0))).cast(LongType).as("n_pretoks"),
           (size(col("__ids")) <= octet_length(col("text")))
             .as("ids_le_bytes"),
-          octet_length(graft.functions.TextFunctions.byteBpeDecode(
-            col("__ids"), vocab)).cast(LongType).as("n_bytes"),
-          md5(graft.functions.TextFunctions.byteBpeDecode(col("__ids"),
-            vocab)).as("roundtrip_md5"))
+          octet_length(col("__txt")).cast(LongType).as("n_bytes"),
+          md5(col("__txt")).as("roundtrip_md5"))
         .orderBy("doc_id")
     }),
 
@@ -2012,6 +2016,81 @@ object SparkEntry {
           (col("__a") === col("__b")).as("ids_match"),
           md5(loaded.decode(col("__b"))).as("roundtrip_md5"))
         .orderBy("doc_id")
+    }),
+
+    // the byte family through the PACK pipeline, audited EXACTLY:
+    // byte-merge ids packed under a SQL-computable weight (the doc's
+    // byte length — any caller-supplied nTokens column works, and this
+    // one lets the twin replicate the pack boundaries with no
+    // tokenizer), then each pack's flat id stream DECODES to the exact
+    // concatenation of its member docs — whitespace included, the
+    // guarantee q152's stripped-text audit structurally can't give.
+    // decoded_bytes doubles as a second independent derivation (the
+    // twin computes it from strlen, the query from the decoded string)
+    "q162_byte_packs_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        .where(col("text").isNotNull)
+      val salted = docs.withColumn("text", concat(col("text"),
+        lit(byteBpeSalt), col("doc_id").cast(StringType)))
+      val mt = graft.operators.Corpus.learnByteBpeMerges(salted, "text",
+        numMerges = 16)
+      val merges = graft.operators.Corpus.collectMerges(mt)
+      val vocab = graft.operators.Corpus.byteMergeVocab(mt)
+      val withIds = salted.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.byteBpeEncode(col("text"), merges,
+          vocab).as("__ids"),
+        octet_length(col("text")).cast(LongType).as("__n_tokens"))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 8192)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        // decode each pack's ~budget-sized id stream ONCE (q152 pattern)
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens").as("pack_bytes"),
+          graft.functions.TextFunctions.byteBpeDecode(col("pack_ids"),
+            vocab).as("__txt"))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_bytes"),
+          octet_length(col("__txt")).cast(LongType).as("decoded_bytes"),
+          md5(col("__txt")).as("decoded_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // the byte family through the STREAMING packer: q155's incremental
+    // closed-pack export with the byte encode kernel as the stateless
+    // prepare — emitted packs must carry the q162 exact-reconstruction
+    // property (each closed pack's ids decode to its member texts
+    // verbatim, ACROSS micro-batch boundaries), minus each shard's
+    // structurally-unemittable final open pack. The streamed cursor
+    // advances by ids.length, so this runs the IDENTITY byte tokenizer
+    // (0 merges: ids == bytes, boundaries replicate from strlen with
+    // no tokenizer on the twin side); the learned-merge payload is
+    // gated by q161/q162 — here the gate is the streaming composition
+    "q163_stream_byte_packs" -> ((s, dir) => {
+      val root = scratch("graft_sbp_")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        .where(col("text").isNotNull)
+      val salted = docs.withColumn("text", concat(col("text"),
+        lit(byteBpeSalt), col("doc_id").cast(StringType)))
+      val merges = Seq.empty[(String, String)]
+      val vocab = graft.operators.Corpus.identityByteVocab
+      val (src, schema) = idRangeBacklog(s, root, salted)
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingPack.runMaterializeAvailableNow(
+          s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 8192,
+          prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
+            graft.functions.TextFunctions.byteBpeEncode(col("text"),
+              merges, vocab).as("ids")))
+      }
+      s.read.parquet(s"$root/out")
+        // decode each pack's id stream ONCE (q152 pattern)
+        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+          graft.functions.TextFunctions.byteBpeDecode(col("pack_ids"),
+            vocab).as("__txt"))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          octet_length(col("__txt")).cast(LongType).as("decoded_bytes"),
+          md5(col("__txt")).as("decoded_md5"))
+        .orderBy("lang", "pack_id")
     }),
 
     // the trainer-facing export under the LEARNED tokenizer: q142's
@@ -5189,11 +5268,16 @@ object SparkEntry {
       // salted text VERBATIM (whitespace and all), so the twin just
       // hashes the raw construction; the pretoken count gates the
       // Java-regex pretokenizer against RE2's reading of the pattern
+      // the pretokenizer is DEFINED over Java's \s = [ \t\n\x0B\f\r]
+      // (the kernel and the Spark regexp_extract_all agree); DuckDB's
+      // RE2 \s omits \x0B, so the twin spells the Java class explicitly
+      // — otherwise a vertical-tab doc reds the gate on a healthy build
       "q159_byte_bpe_roundtrip" ->
         s"""SELECT doc_id,
            |  CAST(len(regexp_extract_all(text || '$byteBpeSalt' ||
-           |    CAST(doc_id AS VARCHAR), '\\S+\\s*|^\\s+')) AS BIGINT)
-           |    AS n_pretoks,
+           |    CAST(doc_id AS VARCHAR),
+           |    '[^ \\t\\n\\x0B\\f\\r]+[ \\t\\n\\x0B\\f\\r]*|^[ \\t\\n\\x0B\\f\\r]+'))
+           |    AS BIGINT) AS n_pretoks,
            |  true AS ids_le_bytes,
            |  CAST(strlen(text || '$byteBpeSalt' ||
            |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes,
@@ -5201,6 +5285,61 @@ object SparkEntry {
            |    AS roundtrip_md5
            |FROM documents WHERE text IS NOT NULL
            |ORDER BY doc_id""".stripMargin,
+
+      // q162: byte ids through the packer — pack boundaries replicate
+      // from strlen weights (no tokenizer needed), and each pack's
+      // decoded stream must equal its member texts concatenated in doc
+      // order VERBATIM; decoded_bytes re-derives the same quantity from
+      // the opposite side (strlen of the concat vs sum of weights)
+      "q162_byte_packs_exact" ->
+        s"""WITH bslt AS MATERIALIZED (SELECT doc_id, lang,
+           |    text || '$byteBpeSalt' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |bnt AS (SELECT doc_id, lang, text,
+           |    CAST(strlen(text) AS BIGINT) AS n_tokens FROM bslt),
+           |bcc AS (SELECT doc_id, lang, text, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM bnt),
+           |bpk AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 8192 AS BIGINT) AS pack_id,
+           |  doc_id, text, n_tokens FROM bcc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_bytes,
+           |  CAST(strlen(string_agg(text, '' ORDER BY doc_id)) AS BIGINT)
+           |    AS decoded_bytes,
+           |  md5(string_agg(text, '' ORDER BY doc_id)) AS decoded_md5
+           |FROM bpk GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
+
+      // q163: q162's boundary arithmetic (ids == bytes under the
+      // identity byte tokenizer, so strlen IS the cursor) minus each
+      // shard's final open pack — the streamed export's reconstruction
+      // gate across micro-batch boundaries
+      "q163_stream_byte_packs" ->
+        s"""WITH sslt AS MATERIALIZED (SELECT doc_id, lang,
+           |    text || '$byteBpeSalt' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |snt3 AS (SELECT doc_id, lang, text,
+           |    CAST(strlen(text) AS BIGINT) AS n_tokens FROM sslt),
+           |scc3 AS (SELECT doc_id, lang, text, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM snt3),
+           |spk3 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 8192 AS BIGINT) AS pack_id,
+           |  doc_id, text, n_tokens FROM scc3),
+           |sag3 AS MATERIALIZED (SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(strlen(string_agg(text, '' ORDER BY doc_id)) AS BIGINT)
+           |    AS decoded_bytes,
+           |  md5(string_agg(text, '' ORDER BY doc_id)) AS decoded_md5
+           |  FROM spk3 GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.decoded_bytes,
+           |  a.decoded_md5
+           |FROM sag3 a JOIN (SELECT lang, max(pack_id) AS mp
+           |  FROM sag3 GROUP BY lang) m USING (lang)
+           |WHERE a.pack_id < m.mp
+           |ORDER BY a.lang, a.pack_id""".stripMargin,
 
       // q161: the persisted-artifact gate — the loaded tokenizer's ids
       // equal the built one's (in-query equality; the twin asserts the
@@ -5659,7 +5798,7 @@ object SparkEntry {
            |    ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
            |  FROM dpk8),
-           |dag8 AS (SELECT lang, pack_id, count(*) AS n_docs,
+           |dag8 AS MATERIALIZED (SELECT lang, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            |  md5(COALESCE(string_agg(
            |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '

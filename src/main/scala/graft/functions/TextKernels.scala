@@ -979,7 +979,13 @@ case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
       sb.append(if (s == null) "\u00ef\u00bf\u00bd" else s)
       i += 1
     }
-    UTF8String.fromBytes(ByteBpeKernel.fromByteSyms(sb.toString))
+    // decode through the charset decoder (not fromBytes, which wraps
+    // unvalidated): a malformed run in a corrupted-but-in-vocab id
+    // stream becomes U+FFFD here instead of invalid UTF-8 flowing
+    // silently into downstream string kernels
+    UTF8String.fromString(new String(
+      ByteBpeKernel.fromByteSyms(sb.toString),
+      java.nio.charset.StandardCharsets.UTF_8))
   }
   override protected def nullSafeEval(ids: Any): Any =
     decode(ids.asInstanceOf[ArrayData])

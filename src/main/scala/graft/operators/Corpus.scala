@@ -397,8 +397,16 @@ object Corpus {
     * reserved but unreachable at apply time). Pure driver metadata:
     * 256 + k entries.
     */
+  /** The merge-free byte vocabulary (ids == bytes + 1): the identity
+    * byte tokenizer's model. Data-independent — callers wanting the
+    * 0-merge tokenizer use this directly instead of fabricating an
+    * empty merge table and paying two collect jobs for constants.
+    */
+  val identityByteVocab: Seq[(String, Int)] =
+    (0 until 256).map(b => (String.valueOf(b.toChar), b + 1))
+
   def byteMergeVocab(mergeTable: DataFrame): Seq[(String, Int)] = {
-    val alphabet = (0 until 256).map(b => (String.valueOf(b.toChar), b + 1))
+    val alphabet = identityByteVocab
     val merged = mergeTable.orderBy("merge_rank")
       .select(col("merged"), col("merge_rank").cast("int"))
       .collect().map(r => (r.getString(0), 256 + r.getInt(1))).toSeq

@@ -541,7 +541,16 @@ object Dedup {
     * with the string-window result, so a collision on the gated corpus
     * would surface as a red row, not a silent miss.
     */
-  private[graft] def hashTokenWindow(ids: Seq[Int], start: Int, n: Int): Long = {
+  // positional indexing per element — callers must hand an IndexedSeq
+  // (the typed deserializer usually does; coerce once per row, not here)
+  private def asIndexed(ids: Seq[Int]): scala.collection.IndexedSeq[Int] =
+    ids match {
+    case ix: scala.collection.IndexedSeq[Int] => ix
+    case other => other.toIndexedSeq
+  }
+
+  private[graft] def hashTokenWindow(ids: scala.collection.IndexedSeq[Int],
+      start: Int, n: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < n) {
@@ -570,10 +579,7 @@ object Dedup {
       .as[(Long, Seq[Int])]
       .flatMap { case (id, ids) =>
         if (ids != null && ids.length >= n) {
-          val arr = ids match {
-            case ix: scala.collection.IndexedSeq[Int] => ix
-            case other => other.toIndexedSeq
-          }
+          val arr = asIndexed(ids)
           (0 to arr.length - n).iterator
             .map(p => (id, hashTokenWindow(arr, p, n)))
         } else Iterator.empty
@@ -635,11 +641,7 @@ object Dedup {
       val idx = row.fieldIndex(idsCol)
       if (row.isNullAt(idx)) true
       else {
-        val ids = row.getSeq[Int](idx)
-        val arr = ids match {
-          case ix: scala.collection.IndexedSeq[Int] => ix
-          case other => other.toIndexedSeq
-        }
+        val arr = asIndexed(row.getSeq[Int](idx))
         var p = 0
         var clean = true
         while (clean && p <= arr.length - n) {

@@ -181,11 +181,16 @@ object Tokenizer {
         else {
           // the byte family's base alphabet is CLOSED by construction —
           // an artifact missing byte symbols would resurrect UNK, the
-          // one failure mode the family exists to exclude
-          val ids = vocab.map(_._2).toSet
-          require((1 to 256).forall(ids.contains),
-            "bytemerge artifact: vocabulary must cover all 256 byte " +
-              "symbols (ids 1..256)")
+          // one failure mode the family exists to exclude. Checking ids
+          // alone is not enough: a corrupted row can cover id b+1 with
+          // the WRONG piece, so assert the byte→symbol MAPPING itself
+          // (byte b as a Latin-1 one-char piece at id b+1, the
+          // byteMergeVocab layout)
+          val pairs = vocab.toSet
+          require((0 until 256).forall(b =>
+              pairs.contains((String.valueOf(b.toChar), b + 1))),
+            "bytemerge artifact: vocabulary must map each byte b " +
+              "(as a Latin-1 one-char piece) to id b+1 for all 256 bytes")
           ByteMergeTokenizer(merges, vocab)
         }
       case other =>

@@ -122,13 +122,22 @@ object StreamingPack {
           val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
           buf ++= st.ids
           // pack-relative doc boundaries (0, then each member's end) —
-          // n_docs + 1 entries, bounded like the ids buffer; a state
-          // written by a pre-offsets checkpoint surfaces as an empty
-          // offs (the typed deserializer's missing-field default is
-          // nil), so rebuild the degenerate boundary rather than crash
+          // always n_docs + 1 entries. A state written by a
+          // pre-offsets checkpoint surfaces as an empty offs (the
+          // typed deserializer's missing-field default); silently
+          // rebuilding Seq(0) there would emit a pack whose first
+          // "segment" lumps every restored doc, so fail loudly — the
+          // operator's contract (offs.length == nDocs + 1) cannot be
+          // reconstructed from a checkpoint that never recorded it
+          val restored =
+            if (st.offs != null && st.offs.nonEmpty) st.offs else Seq(0)
+          require(restored.length == st.nDocs + 1,
+            s"StreamingPack state for shard '$shard' carries " +
+              s"${restored.length} doc boundaries for ${st.nDocs} open " +
+              "docs — checkpoint predates doc_offsets; restart from a " +
+              "fresh checkpoint (or the batch packer) instead")
           val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
-          offs ++= (if (st.offs != null && st.offs.nonEmpty) st.offs
-            else Seq(0))
+          offs ++= restored
           val closed = Seq.newBuilder[ClosedPack]
           sorted.foreach { d =>
             val p = cum / tokenBudget
