@@ -97,7 +97,13 @@ object DumpPlans {
       "q157_token_decontaminate_hashed" ->
         "q154's join with every window collapsed to an int64 fingerprint INSIDE the same typed sliding pass on both sides — the join relation is 8 bytes/window (no window string ever materializes), same broadcast + partial-agg shape otherwise",
       "q159_byte_bpe_roundtrip" ->
-        "byte-level BPE roundtrip audit: ONE narrow codegen projection (pretokenize -> byte symbols -> merge walk -> ids -> decode) — no shuffle at all before the final sort; both kernels ride the same whole-stage codegen span")
+        "byte-level BPE roundtrip audit: ONE narrow codegen projection (pretokenize -> byte symbols -> merge walk -> ids -> decode) — no shuffle at all before the final sort; both kernels ride the same whole-stage codegen span",
+      "q158_stream_decontam_packs" ->
+        "token-decontaminated streaming packer micro-batch shape: the q155 encode projection with the eval-fingerprint binary-search FILTER riding it (no new exchange, no state growth) -> ONE hash exchange on shard -> FlatMapGroupsWithState — a contaminated doc never reaches the stateful packer",
+      "q162_byte_packs_exact" ->
+        "byte packs with exact-reconstruction audit: byte-encode kernel projection -> the pinned q144 packer (range-shuffle prefix sums + ONE (shard, pack_id) group shuffle) -> decode ONCE per pack row for the digest — no new shuffle class vs q144/q152",
+      "q163_stream_byte_packs" ->
+        "streaming byte-pack export micro-batch shape: identity-byte encode projection into materializeTyped's groupByKey(shard) pass — q155's pinned shape with the byte kernel as the stateless prepare, no second shuffle")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty
@@ -245,6 +251,50 @@ object DumpPlans {
         val typed = docs.select(col("lang").cast("string").as("shard"),
             col("doc_id").cast("long").as("doc_id"),
             graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+              .cast("array<int>").as("ids"))
+          .where(size(col("ids")) >= 0)
+          .as[graft.streaming.StreamingPack.PackDocIds]
+        graft.streaming.StreamingPack.materializeTyped(typed, 2048L).toDF()
+      } else if (q == "q158_stream_decontam_packs") {
+        // batch-identical stateful shape, as q155, with the
+        // decontamination filter riding the stateless prepare: the
+        // eval-fingerprint set binary-searched per row BEFORE the
+        // shard exchange — the plan must show no new exchange or
+        // state operator vs q155
+        import org.apache.spark.sql.functions.{col, size}
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("text").isNotNull).select("doc_id", "lang", "text")
+        val pieces = graft.operators.Corpus.collectPieces(
+          graft.operators.Corpus.buildPieceVocab(docs, "text",
+            minCount = 5, maxSize = 200))
+        val evalIds = docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+              .cast("array<int>").as("ids"))
+        val fp = graft.operators.Dedup.evalWindowHashSet(evalIds, n = 13)
+        val prepared = graft.operators.Dedup.dropContaminatedStream(
+          docs.where(col("doc_id") % 50 =!= 0)
+            .select(col("lang").cast("string").as("shard"),
+              col("doc_id").cast("long").as("doc_id"),
+              graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+                .cast("array<int>").as("ids")),
+          fp, n = 13)
+        graft.streaming.StreamingPack.materializeTyped(
+          prepared.where(size(col("ids")) >= 0)
+            .as[graft.streaming.StreamingPack.PackDocIds], 2048L).toDF()
+      } else if (q == "q163_stream_byte_packs") {
+        // batch-identical stateful shape: the identity byte tokenizer's
+        // encode projection (0 merges, ids == bytes) into
+        // materializeTyped's groupByKey(shard) pass
+        import org.apache.spark.sql.functions.{col, size}
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("text").isNotNull).select("doc_id", "lang", "text")
+        val typed = docs.select(col("lang").cast("string").as("shard"),
+            col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextFunctions.byteBpeEncode(col("text"),
+              Seq.empty, graft.operators.Corpus.identityByteVocab)
               .cast("array<int>").as("ids"))
           .where(size(col("ids")) >= 0)
           .as[graft.streaming.StreamingPack.PackDocIds]

@@ -266,6 +266,33 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
+        // the byte family (q159/q162): learn is dict-scale like
+        // bpe_learn but over the whitespace-preserving pretoken dict;
+        // encode/decode are per-row kernels whose cost must stay linear
+        // in corpus bytes
+        "byte_learn" -> (() => () =>
+          Corpus.learnByteBpeMerges(amp, "text", numMerges = 8).count()),
+        "byte_encode" -> (() => {
+          val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16)
+          val merges = Corpus.collectMerges(mt)
+          val vocab = Corpus.byteMergeVocab(mt)
+          () => amp.select(
+            size(TextFunctions.byteBpeEncode(col("text"), merges, vocab))
+              .as("n")).agg(sum("n")).collect()(0).getLong(0)
+        }),
+        "byte_roundtrip" -> (() => {
+          // q159's shape: encode then decode in one pass — the audit
+          // cost a deployment pays to certify a pack export
+          val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16)
+          val merges = Corpus.collectMerges(mt)
+          val vocab = Corpus.byteMergeVocab(mt)
+          () => amp.select(
+            TextFunctions.byteBpeEncode(col("text"), merges, vocab)
+              .as("__ids"))
+            .select(octet_length(TextFunctions.byteBpeDecode(col("__ids"),
+              vocab)).cast("long").as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
           // id-range backlog (setup, untimed); the timed region is the

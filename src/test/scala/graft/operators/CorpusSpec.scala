@@ -662,6 +662,14 @@ class CorpusSpec extends SparkSpec {
       .where(col("id").isNull || col("id") =!= 7)
     assert(intercept[IllegalArgumentException] {
       Tokenizer.fromArtifact(holey) }.getMessage.contains("256"))
+    // id coverage alone is not enough: a row can cover id b+1 with the
+    // WRONG piece — the mapping itself is asserted, so this is refused
+    // too instead of loading and resurrecting UNK on byte 0x07
+    val wrongPiece = Tokenizer.toArtifact(spark, built)
+      .withColumn("piece", when(col("id") === 7, lit("seven"))
+        .otherwise(col("piece")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(wrongPiece) }.getMessage.contains("256"))
   }
 
   test("malformed tokenizer artifacts fail loudly, never load silently") {
