@@ -103,7 +103,9 @@ object DumpPlans {
       "q162_byte_packs_exact" ->
         "byte packs with exact-reconstruction audit: byte-encode kernel projection -> the pinned q144 packer (range-shuffle prefix sums + ONE (shard, pack_id) group shuffle) -> decode ONCE per pack row for the digest — no new shuffle class vs q144/q152",
       "q163_stream_byte_packs" ->
-        "streaming byte-pack export micro-batch shape: identity-byte encode projection into materializeTyped's groupByKey(shard) pass — q155's pinned shape with the byte kernel as the stateless prepare, no second shuffle")
+        "streaming byte-pack export micro-batch shape: identity-byte encode projection into materializeTyped's groupByKey(shard) pass — q155's pinned shape with the byte kernel as the stateless prepare, no second shuffle",
+      "q164_token_decontaminate_bloom_hashed" ->
+        "bloom prefilter over int64 fingerprints: q156's pinned shape (driver bloom rides the typed pass, clean docs emit zero rows) with the join relation collapsed to 8 bytes/window — no window string anywhere in the plan")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

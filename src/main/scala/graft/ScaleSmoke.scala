@@ -266,6 +266,13 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
+        // q164: bloom prefilter AND int64 fingerprints — clean docs
+        // emit zero rows and no window string ever materializes
+        "decontaminate_tokens_bloom_hashed" -> (() => {
+          val (trainIds, evalIds) = decontamFixture(amp, base)
+          () => Dedup.decontaminateTokenNgramsBloom(
+            trainIds, evalIds, n = 13, hashWindows = true).count()
+        }),
         // the byte family (q159/q162): learn is dict-scale like
         // bpe_learn but over the whitespace-preserving pretoken dict;
         // encode/decode are per-row kernels whose cost must stay linear

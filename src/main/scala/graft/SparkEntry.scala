@@ -1878,6 +1878,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q156's Bloom prefilter composed with q157's int64 fingerprints —
+    // the 100 TB default (zero rows for clean docs AND 8 bytes per
+    // window, no string ever materialized). Same twin as q154: the
+    // gate asserts hashed-bloom == exact string-window result
+    "q164_token_decontaminate_bloom_hashed" -> ((s, dir) => {
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateTokenNgramsBloom(train, ev, n = 13,
+          hashWindows = true)
+        .orderBy("doc_id")
+    }),
+
     // q154's 100 TB REPRESENTATION: each 13-id window collapses to an
     // int64 fingerprint inside the same typed sliding pass on BOTH
     // sides, so 8 bytes ride the join instead of ~4·13 string bytes and
@@ -5262,6 +5273,12 @@ object SparkEntry {
       // string-window result — same twin, so the gate IS the equality
       // (a fingerprint collision on this corpus would go red here)
       "q157_token_decontaminate_hashed" -> tokenDecontamSql,
+
+      // q164: bloom prefilter over int64 fingerprints — same twin
+      // again: bloom (no false negatives) + exact verify + collision
+      // one-sidedness means the composed path must still EQUAL the
+      // exact string-window result
+      "q164_token_decontaminate_bloom_hashed" -> tokenDecontamSql,
 
       // q159: byte-level BPE's exact-identity contract needs NO
       // tokenizer on the oracle side — decode∘encode must equal the

@@ -572,7 +572,7 @@ object Dedup {
     * per-window string allocation.
     */
   private def tokenWindowHashes(df: DataFrame, idCol: String, idsCol: String,
-      n: Int): DataFrame = {
+      n: Int, keep: Long => Boolean = _ => true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
@@ -581,7 +581,8 @@ object Dedup {
         if (ids != null && ids.length >= n) {
           val arr = asIndexed(ids)
           (0 to arr.length - n).iterator
-            .map(p => (id, hashTokenWindow(arr, p, n)))
+            .map(p => hashTokenWindow(arr, p, n)).filter(keep)
+            .map((id, _))
         } else Iterator.empty
       }
       .toDF(idCol, "gram")
@@ -666,15 +667,26 @@ object Dedup {
     * difference between shipping a multi-GB window relation through a
     * join and streaming the corpus once past a few MB of broadcast
     * bits.
+    *
+    * `hashWindows = true` composes this with the int64 fingerprint
+    * representation ([[hashTokenWindow]], q157): the Bloom is built
+    * over longs, the candidate test hashes 8 fixed bytes per window,
+    * and the verify join's relation is 8 bytes/window — the default a
+    * 100 TB deployment should run (zero rows for clean docs AND no
+    * window string ever materializes). A fingerprint collision can
+    * only OVER-flag; the q164 oracle is the q154 twin verbatim, so a
+    * collision on the gated corpus surfaces red, not silent.
     */
   def decontaminateTokenNgramsBloom(train: DataFrame, eval: DataFrame,
       n: Int, idCol: String = "doc_id", idsCol: String = "ids",
       fpp: Double = 0.01, maxEvalWindows: Long = 10000000L,
-      broadcastWindows: Long = 500000L): DataFrame = {
+      broadcastWindows: Long = 500000L,
+      hashWindows: Boolean = false): DataFrame = {
     require(n >= 1, "decontaminateTokenNgramsBloom needs a positive n")
     val s = train.sparkSession
     import s.implicits._
-    val evalW = tokenWindows(eval, idCol, idsCol, n)
+    val evalW = (if (hashWindows) tokenWindowHashes(eval, idCol, idsCol, n)
+        else tokenWindows(eval, idCol, idsCol, n))
       .select("gram").distinct().localCheckpoint()
     val nEval = evalW.count()
     if (nEval == 0) // nothing to leak against — no contaminated docs
@@ -694,8 +706,12 @@ object Dedup {
     // same conditional as the exact operator: past the cap, shuffle the
     // (bloom-shrunk) candidate sliver instead of forcing a huge build
     val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
-    tokenWindows(train, idCol, idsCol, n,
+    val cand =
+      if (hashWindows) tokenWindowHashes(train, idCol, idsCol, n,
+        keep = h => bloom.mightContainLong(h))
+      else tokenWindows(train, idCol, idsCol, n,
         keep = g => bloom.mightContainString(g))
+    cand
       .join(evalSide, Seq("gram")) // exact verify on the sliver
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

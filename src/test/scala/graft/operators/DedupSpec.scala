@@ -230,11 +230,20 @@ class DedupSpec extends SparkSpec {
         fpp = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bloomed == exact && exact == Map(1L -> 2L, 5L -> 2L))
-    // empty eval: no contaminated docs, schema intact
-    val none = Dedup.decontaminateTokenNgramsBloom(train,
-      Seq.empty[(Long, Option[Seq[Int]])].toDF("doc_id", "ids"), n = 3)
+    // the composed path (bloom over int64 fingerprints) must also
+    // equal exact — false positives from the deliberately terrible fpp
+    // AND any hash collision both die in the verify join
+    val hashedBloom = Dedup.decontaminateTokenNgramsBloom(train, ev, n = 3,
+        fpp = 0.5, hashWindows = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashedBloom == exact)
+    // empty eval: no contaminated docs, schema intact (both reprs)
+    val emptyEv = Seq.empty[(Long, Option[Seq[Int]])].toDF("doc_id", "ids")
+    val none = Dedup.decontaminateTokenNgramsBloom(train, emptyEv, n = 3)
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("doc_id", "n_hits"))
+    assert(Dedup.decontaminateTokenNgramsBloom(train, emptyEv, n = 3,
+      hashWindows = true).count() == 0)
   }
 
   test("bloom-prefiltered decontamination equals the exact operator") {
