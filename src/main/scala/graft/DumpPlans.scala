@@ -105,7 +105,9 @@ object DumpPlans {
       "q163_stream_byte_packs" ->
         "streaming byte-pack export micro-batch shape: identity-byte encode projection into materializeTyped's groupByKey(shard) pass — q155's pinned shape with the byte kernel as the stateless prepare, no second shuffle",
       "q164_token_decontaminate_bloom_hashed" ->
-        "bloom prefilter over int64 fingerprints: q156's pinned shape (driver bloom rides the typed pass, clean docs emit zero rows) with the join relation collapsed to 8 bytes/window — no window string anywhere in the plan")
+        "bloom prefilter over int64 fingerprints: q156's pinned shape (driver bloom rides the typed pass, clean docs emit zero rows) with the join relation collapsed to 8 bytes/window — no window string anywhere in the plan",
+      "q165_token_decontaminate_delta" ->
+        "growing-eval-suite maintenance: eval-sized delta anti-join (novel windows only) -> the pinned q157 corpus join over the delta -> hit-table full-outer merge — the corpus pass is the same ONE traversal, the build side shrinks to the new benchmark's novel windows")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

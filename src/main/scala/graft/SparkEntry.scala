@@ -206,6 +206,29 @@ object SparkEntry {
     (withIds.where(col("doc_id") % 50 =!= 0), ev)
   }
 
+  /** q165's growing-eval-suite fixture: TWO eval slices built by the
+    * q154 sibling construction (%50==0 = the benchmark suite already
+    * decontaminated against, %50==25 = the newly added benchmark), the
+    * train side excluding both.
+    */
+  private def tokenDecontamDeltaFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = saltedDocs(s, dir)
+    val pieces = q137Pieces(docs)
+    val withIds = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+        .as("ids")).localCheckpoint()
+    val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
+      col("ids").as("sib_ids"))
+    def evalSlice(m: Int) = withIds.where(col("doc_id") % 50 === m &&
+        size(col("ids")) > 0)
+      .join(sib, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat(col("ids"),
+        coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+    (withIds.where(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25),
+      evalSlice(0), evalSlice(25))
+  }
+
   /** Memoized per-(query, sf-dir) fixture construction: a bench's timed
     * reps must measure the operator, not the parquet writes that build its
     * input (the judge-flagged r5/r6 outlier class), so each q##Fixture
@@ -1886,6 +1909,20 @@ object SparkEntry {
       val (train, ev) = tokenDecontamFixture(s, dir)
       graft.operators.Dedup.decontaminateTokenNgramsBloom(train, ev, n = 13,
           hashWindows = true)
+        .orderBy("doc_id")
+    }),
+
+    // the growing-eval-suite maintenance path: the %50==0 suite's hit
+    // table (computed by the exact operator) merged with the NEW
+    // %50==25 benchmark's delta windows — the result must equal a full
+    // recompute against the combined suite, which is exactly what the
+    // twin computes (it never sees the old/new split)
+    "q165_token_decontaminate_delta" -> ((s, dir) => {
+      val (train, evOld, evNew) = tokenDecontamDeltaFixture(s, dir)
+      val oldHits = graft.operators.Dedup.decontaminateTokenNgrams(
+        train, evOld, n = 13)
+      graft.operators.Dedup.decontaminateTokenNgramsDelta(
+          train, oldHits, evOld, evNew, n = 13, hashWindows = true)
         .orderBy("doc_id")
     }),
 
@@ -5279,6 +5316,37 @@ object SparkEntry {
       // one-sidedness means the composed path must still EQUAL the
       // exact string-window result
       "q164_token_decontaminate_bloom_hashed" -> tokenDecontamSql,
+
+      // q165: the twin is a FULL RECOMPUTE against the combined suite
+      // (%50==0 and %50==25 slices) — it never sees the old/new split,
+      // so a green row proves the incremental merge (old hit table +
+      // delta windows only) reconstructs the from-scratch answer
+      "q165_token_decontaminate_delta" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |tws5 AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
+           |  FROM seq),
+           |twin5 AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM tws5 WHERE len(ids) >= 13)),
+           |evq5 AS (SELECT e.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM documents e
+           |  JOIN tws5 l1 ON l1.doc_id = e.doc_id
+           |  LEFT JOIN tws5 l2 ON l2.doc_id = e.doc_id + 1
+           |  WHERE e.doc_id % 50 = 0 OR e.doc_id % 50 = 25),
+           |evw5 AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM evq5 WHERE len(ids) >= 13)),
+           |evg5 AS (SELECT DISTINCT gram FROM evw5)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM twin5 t JOIN evg5 USING (gram)
+           |WHERE t.doc_id % 50 <> 0 AND t.doc_id % 50 <> 25
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
       // q159: byte-level BPE's exact-identity contract needs NO
       // tokenizer on the oracle side — decode∘encode must equal the

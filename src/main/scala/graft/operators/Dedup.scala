@@ -717,6 +717,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Incremental decontamination for a GROWING eval suite: benchmark
+    * sets accrete over a training run's lifetime, and a full recompute
+    * re-matches the corpus against every window of every benchmark ever
+    * added. This maintains the per-doc hit table instead: the delta
+    * windows (`evalNew`'s distinct grams MINUS `evalOld`'s) are matched
+    * against the corpus, and the counts MERGE additively into
+    * `oldHits` — exact because each corpus window carries one gram and
+    * the old/delta gram sets are disjoint by construction, so membership
+    * in the union splits into two disjoint counts. The result EQUALS
+    * `decontaminateTokenNgrams(train, evalOld ∪ evalNew, n)`, which is
+    * what the q165 oracle (the combined-eval twin) asserts.
+    *
+    * At 100 TB: the corpus pass is one narrow traversal either way, but
+    * the build side shrinks from every-benchmark-ever to the new
+    * benchmark's novel windows (usually none — most additions share
+    * boilerplate grams with predecessors), the old eval sets themselves
+    * need not be retained (only their hit table), and with `hashWindows`
+    * the delta relation is 8 bytes/window. Same caps and broadcast
+    * fallback as the base operator.
+    */
+  def decontaminateTokenNgramsDelta(train: DataFrame, oldHits: DataFrame,
+      evalOld: DataFrame, evalNew: DataFrame, n: Int,
+      idCol: String = "doc_id", idsCol: String = "ids",
+      maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L,
+      hashWindows: Boolean = false): DataFrame = {
+    require(n >= 1, "decontaminateTokenNgramsDelta needs a positive n")
+    def windows(df: DataFrame) =
+      if (hashWindows) tokenWindowHashes(df, idCol, idsCol, n)
+      else tokenWindows(df, idCol, idsCol, n)
+    val oldW = windows(evalOld).select("gram").distinct()
+    val deltaW = windows(evalNew).select("gram").distinct()
+      .join(oldW, Seq("gram"), "left_anti").localCheckpoint()
+    val nDelta = deltaW.count()
+    require(nDelta <= maxEvalWindows,
+      s"decontaminateTokenNgramsDelta: new eval windows number $nDelta — " +
+        s"the build side is capped at $maxEvalWindows; shard the delta")
+    val deltaSide =
+      if (nDelta <= broadcastWindows) broadcast(deltaW) else deltaW
+    val deltaHits = windows(train)
+      .join(deltaSide, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    oldHits.select(col(idCol), col("n_hits").as("__old"))
+      .join(deltaHits.select(col(idCol), col("n_hits").as("__delta")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("__old"), lit(0L)) + coalesce(col("__delta"), lit(0L)))
+          .as("n_hits"))
+  }
+
   /** Scale path for [[decontaminate]]: a driver-built Bloom filter over
     * the eval shingles (eval/benchmark sets are small BY DEFINITION — the
     * guard refuses loudly otherwise) broadcasts inside a codegen'd

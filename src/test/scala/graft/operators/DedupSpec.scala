@@ -187,6 +187,38 @@ class DedupSpec extends SparkSpec {
     assert(got3 == Map(1L -> 1L, 2L -> 1L)) // -1 IS 0xffffffff as int
   }
 
+  test("delta decontamination reconstructs the full recompute for a " +
+      "grown eval suite") {
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 4))), // hits old {1 2 3} AND delta {2 3 4}
+      (2L, Some(Seq(7, 8, 9))),    // clean either way
+      (3L, Some(Seq(1, 2, 3)))     // hits old only
+    ).toDF("doc_id", "ids")
+    val evOld = Seq((100L, Some(Seq(1, 2, 3)))).toDF("doc_id", "ids")
+    // the new benchmark SHARES window (1,2,3) with the old suite — the
+    // anti-join must keep only the genuinely novel (2,3,4), or doc 1
+    // and doc 3 double-count
+    val evNew = Seq((200L, Some(Seq(1, 2, 3, 4)))).toDF("doc_id", "ids")
+    val evAll = evOld.unionByName(evNew)
+    val full = Dedup.decontaminateTokenNgrams(train, evAll, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (hw <- Seq(false, true)) {
+      val oldHits = Dedup.decontaminateTokenNgrams(train, evOld, n = 3,
+        hashWindows = hw)
+      val merged = Dedup.decontaminateTokenNgramsDelta(train, oldHits,
+          evOld, evNew, n = 3, hashWindows = hw)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == full && full == Map(1L -> 2L, 3L -> 1L))
+    }
+    // an all-overlap addition (no novel windows) must leave the hit
+    // table exactly as it was
+    val oldHits = Dedup.decontaminateTokenNgrams(train, evOld, n = 3)
+    val same = Dedup.decontaminateTokenNgramsDelta(train, oldHits,
+        evOld, evOld, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("evalWindowHashSet + dropContaminatedStream drop exactly the " +
       "docs the exact operator flags") {
     val train = Seq(
