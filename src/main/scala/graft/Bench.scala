@@ -61,25 +61,36 @@ object Bench {
       hi - lo > 0.3 && hi > 2.0 * lo
     }
 
-  /** Driver-short query key: the `qNN`/`qNNx` prefix of a registered
-    * query name (`q118_stream_ann_index` → `q118`); names without that
-    * shape pass through whole. Prefixes are unique by construction of
-    * the registry (numbering never repeats; `q79`/`q79b` differ).
+  /** Driver-short query key: the number of a registered query's
+    * `qNN`/`qNNx` prefix (`q118_stream_ann_index` → `118`); names
+    * without that shape pass through whole. Keys are unique by
+    * construction of the registry (numbering never repeats; `79`/`79b`
+    * differ). The `q` is dropped deliberately: the driver keeps only
+    * the LAST 2000 chars of stdout and sbt's trailing success line eats
+    * ~75 of them, so at 166 queries every byte of the line counts —
+    * r8/r9's full-name 5 KB lines came back `parsed: null`, and the r9
+    * short-key fix was one suite-growth round from the same fate.
     */
   private[graft] def shortKey(name: String): String =
-    "^(q[0-9]+[a-z]*)_".r.findFirstMatchIn(name).fold(name)(_.group(1))
+    "^q([0-9]+[a-z]*)_".r.findFirstMatchIn(name).fold(name)(_.group(1))
 
   /** The one-line JSON artifact the driver parses. Failed queries appear
     * as `null` in the queries map AND by name in `failed` (with a
     * `failures` count) so a breakage is visible in the artifact itself,
     * not only in stderr.
     *
-    * Sized for the driver's ~2.2 KB capture window (BENCH_r08/r09 came
-    * back `"parsed": null` because 137 full-name 9-decimal entries made
-    * a ~5 KB line): summary fields print FIRST so any truncation eats
-    * query entries, per-query values are integer MILLISECONDS, and keys
-    * are the [[shortKey]] prefixes — ~1.6 KB for the 137-query suite.
-    * Full names + float seconds live in the sidecar file `main` writes.
+    * Sized for the driver's capture window, which is the LAST 2000
+    * chars of stdout MINUS sbt's ~75-char trailing success line — so
+    * the whole line must stay under ~1925 B (BENCH_r08/r09 came back
+    * `"parsed": null` because 137 full-name 9-decimal entries made a
+    * ~5 KB line; the r12 line measured 1862 B at 157 queries — 63 B of
+    * headroom). Every byte is budgeted: summary fields print FIRST so
+    * any truncation eats query entries, per-query values are integer
+    * MILLISECONDS (`unit_queries` says so), keys are the numeric
+    * [[shortKey]]s, the sf label is the directory basename, and
+    * redundant fields (counts derivable from the lists, cold_total)
+    * ride only the sidecar. Full names + float seconds + cold + reps
+    * live in the sidecar files `main` writes.
     */
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
@@ -102,15 +113,21 @@ object Bench {
     def sec3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = sec3(results.flatMap(r => median(r._2._2)).sum)
-    val coldTotal = sec3(results.flatMap(_._2._1).sum)
-    // per-rep int-ms arrays — ~3.5 KB for the full suite, so they ride
-    // ONLY the sidecar file (withReps), never the size-capped stdout line
-    val reps = if (!withReps) "" else results.map { case (k, (_, rs)) =>
-      Verify.jsonStr(shortKey(k)) + ":" + rs.map(
-        _.fold("null")(s => Math.round(s * 1000).toString))
-        .mkString("[", ",", "]")
-    }.mkString(""","reps":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","cold_total":$coldTotal,"failures":${failed.size},"failed":$failedJson,"spread_flagged":${spread.size},"spread":$spreadJson,"queries":$qs,"sf":"$sfDir"$reps}"""
+    // the sf label is the directory basename — the full path spends 15
+    // line bytes repeating what the basename already says
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    // sidecar-only fields (the FILE has no capture cap): cold_total and
+    // the per-rep int-ms arrays (~3.5 KB for the full suite)
+    val extras = if (!withReps) "" else {
+      val coldTotal = sec3(results.flatMap(_._2._1).sum)
+      results.map { case (k, (_, rs)) =>
+        Verify.jsonStr(shortKey(k)) + ":" + rs.map(
+          _.fold("null")(s => Math.round(s * 1000).toString))
+          .mkString("[", ",", "]")
+      }.mkString(s""","cold_total":$coldTotal,"reps":{""", ",", "}")
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","failed":$failedJson,"spread":$spreadJson,"queries":$qs,"sf":"$sfLabel"$extras}"""
   }
 
   /** Full-fidelity sidecar (full query names, float seconds, cold AND

@@ -48,7 +48,6 @@ class HarnessFailureSpec extends SparkSpec {
     assert(results(1)._2 == ((None, Seq.empty)))
     val json = Bench.renderJson(results, "sfX")
     assert(json.contains("\"q_dead\":null"))
-    assert(json.contains("\"failures\":1"))
     assert(json.contains("\"failed\":[\"q_dead\"]"))
     assert(!json.contains("\"q_ok\":null"))
   }
@@ -66,7 +65,6 @@ class HarnessFailureSpec extends SparkSpec {
     val results = Seq("q_stall" -> ((Option(1.0), stalled)),
       "q_fine" -> ((Option(1.0), tight)))
     val line = Bench.renderJson(results, "sfX")
-    assert(line.contains("\"spread_flagged\":1"))
     assert(line.contains("\"spread\":[\"q_stall\"]"))
     assert(!line.contains("\"reps\"")) // per-rep arrays are file-only
     val file = Bench.renderJson(results, "sfX", withReps = true)
@@ -98,26 +96,42 @@ class HarnessFailureSpec extends SparkSpec {
   }
 
   test("Bench JSON fits the driver capture: short keys, int ms, summary first") {
-    assert(Bench.shortKey("q118_stream_ann_index") == "q118")
-    assert(Bench.shortKey("q79b_pipeline_excise") == "q79b")
+    assert(Bench.shortKey("q118_stream_ann_index") == "118")
+    assert(Bench.shortKey("q79b_pipeline_excise") == "79b")
     assert(Bench.shortKey("q_dead") == "q_dead") // no qNN prefix → whole name
     // registry-wide: short keys stay unique (a collision would silently
     // merge two queries' timings in the driver artifact)
     val keys = SparkEntry.queries.keys.toSeq.map(Bench.shortKey)
     assert(keys.distinct.size == keys.size)
-    // a full-suite-sized line must fit the driver's ~2.2 KB capture
-    // (BENCH_r08/r09 were unparseable at ~5 KB — VERDICT r9 #2)
-    val fake = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => k -> ((Some(12.345678901): Option[Double],
-        Seq.fill(3)(Some(98.765432109): Option[Double]))))
+    // the driver keeps the LAST 2000 chars of stdout and sbt's trailing
+    // success line eats ~75 of them (measured off BENCH_r12.json), so
+    // the COMPLETE line must stay under ~1925 B or the round's bench
+    // comes back `parsed: null` (BENCH_r08/r09's failure mode at ~5 KB).
+    // Values model the observed distribution with margin: mostly
+    // sub-second (3-digit ms), every 4th in seconds (4-digit), every
+    // 20th in tens of seconds (5-digit) — r12's real line averaged
+    // fewer digits than this
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val fake = names.zipWithIndex.map { case (k, i) =>
+      val ms = if (i % 20 == 0) 54.321098765
+        else if (i % 4 == 0) 5.432109876 else 0.543210987
+      k -> ((Some(12.345678901): Option[Double],
+        Seq.fill(3)(Some(ms): Option[Double])))
+    }
     val line = Bench.renderJson(fake, "/root/testdata/sf0.1")
-    assert(line.length < 2200, s"bench line is ${line.length} B — driver " +
-      "capture is ~2.2 KB; shorten keys or values")
-    assert(line.indexOf("\"failures\":") < line.indexOf("\"queries\":"))
-    assert(line.contains(":98765")) // integer milliseconds
-    // the sidecar keeps full fidelity
+    assert(line.length < 1900, s"bench line is ${line.length} B — the " +
+      "driver tail budget is ~1925 B after sbt's trailer; shed bytes " +
+      "before the next suite growth")
+    assert(line.indexOf("\"failed\":") < line.indexOf("\"queries\":"))
+    assert(line.contains(":54321")) // integer milliseconds
+    assert(line.contains("\"sf\":\"sf0.1\"")) // basename label, not path
+    assert(!line.contains("cold_total")) // sidecar-only field
+    // the summary sidecar (no capture cap) keeps cold_total + reps
+    val side = Bench.renderJson(fake.take(1), "/x/sf0.1", withReps = true)
+    assert(side.contains("cold_total") && side.contains("\"reps\":{"))
+    // the full sidecar keeps full names + float seconds
     val full = Bench.renderJsonFull(fake.take(1), "sfX")
-    assert(full.contains(fake.head._1) && full.contains("98.765432109") &&
+    assert(full.contains(fake.head._1) && full.contains("54.321098765") &&
       full.contains("\"cold\":12.345678901"))
   }
 }
