@@ -2122,11 +2122,24 @@ object SparkEntry {
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens").as("pack_bytes"),
           graft.functions.TextFunctions.byteBpeDecode(col("pack_ids"),
-            vocab).as("__txt"))
+            vocab).as("__txt"),
+          // q152's per-segment audit, byte family: each member's id
+          // range sliced out by doc_offsets decodes ALONE to exactly
+          // that member's text (the twin hashes the member texts
+          // directly) — a shifted boundary flips a segment digest even
+          // when the whole-pack digest still matches
+          transform(sequence(lit(1), size(col("doc_offsets")) - 1),
+            i => md5(graft.functions.TextFunctions.byteBpeDecode(
+              slice(col("pack_ids"),
+                element_at(col("doc_offsets"), i) + 1,
+                element_at(col("doc_offsets"), i + 1)
+                  - element_at(col("doc_offsets"), i)),
+              vocab))).as("__segs"))
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_bytes"),
           octet_length(col("__txt")).cast(LongType).as("decoded_bytes"),
-          md5(col("__txt")).as("decoded_md5"))
+          md5(col("__txt")).as("decoded_md5"),
+          md5(array_join(col("__segs"), " ")).as("segs_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -5419,7 +5432,8 @@ object SparkEntry {
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_bytes,
            |  CAST(strlen(string_agg(text, '' ORDER BY doc_id)) AS BIGINT)
            |    AS decoded_bytes,
-           |  md5(string_agg(text, '' ORDER BY doc_id)) AS decoded_md5
+           |  md5(string_agg(text, '' ORDER BY doc_id)) AS decoded_md5,
+           |  md5(string_agg(md5(text), ' ' ORDER BY doc_id)) AS segs_md5
            |FROM bpk GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
 
