@@ -128,7 +128,9 @@ object DumpPlans {
       "q164_token_decontaminate_bloom_hashed" ->
         "bloom prefilter over int64 fingerprints: q156's pinned shape (driver bloom rides the typed pass, clean docs emit zero rows) with the join relation collapsed to 8 bytes/window — no window string anywhere in the plan",
       "q165_token_decontaminate_delta" ->
-        "growing-eval-suite maintenance: eval-sized delta anti-join (novel windows only) -> the pinned q157 corpus join over the delta -> hit-table full-outer merge — the corpus pass is the same ONE traversal, the build side shrinks to the new benchmark's novel windows")
+        "growing-eval-suite maintenance: eval-sized delta anti-join (novel windows only) -> the pinned q157 corpus join over the delta -> hit-table full-outer merge — the corpus pass is the same ONE traversal, the build side shrinks to the new benchmark's novel windows",
+      "q166_token_decontaminate_coverage" ->
+        "matched-span coverage: the pinned q157 corpus pass with window start positions riding candidate rows -> broadcast join -> the position explode runs on the MATCHED SLIVER only (checkpointed, reused by both aggregates) — never corpus-sized")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -1936,6 +1936,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // matched-SPAN coverage: the Llama-2/PaLM-era contamination metric
+    // — per contaminated doc, the DISTINCT token positions covered by
+    // at least one matching 13-gram (overlaps don't double-count)
+    // alongside the hit count and doc length; integer columns only.
+    // Runs the int64 fingerprint representation; the twin computes the
+    // interval union over string windows, so the gate asserts both the
+    // coverage arithmetic and the hashed path's equality
+    "q166_token_decontaminate_coverage" -> ((s, dir) => {
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateTokenCoverage(train, ev, n = 13,
+          hashWindows = true)
+        .orderBy("doc_id")
+    }),
+
     // the growing-eval-suite maintenance path: the %50==0 suite's
     // PERSISTED hit table (memoized fixture, computed at the same
     // hashed representation the delta runs at) merged with the NEW
@@ -5355,6 +5369,47 @@ object SparkEntry {
       // one-sidedness means the composed path must still EQUAL the
       // exact string-window result
       "q164_token_decontaminate_bloom_hashed" -> tokenDecontamSql,
+
+      // q166: coverage = count(DISTINCT covered position) — the twin
+      // materializes each matched window's start, explodes its 13
+      // positions, and de-duplicates; n_hits and n_tokens ride the
+      // same matched set and the corpus token lengths
+      "q166_token_decontaminate_coverage" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |tws6 AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
+           |  FROM seq),
+           |twin6 AS (SELECT doc_id, u,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM tws6 WHERE len(ids) >= 13)),
+           |evq6 AS (SELECT e.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM documents e
+           |  JOIN tws6 l1 ON l1.doc_id = e.doc_id
+           |  LEFT JOIN tws6 l2 ON l2.doc_id = e.doc_id + 1
+           |  WHERE e.doc_id % 50 = 0),
+           |evw6 AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM evq6 WHERE len(ids) >= 13)),
+           |evg6 AS (SELECT DISTINCT gram FROM evw6),
+           |mtw6 AS MATERIALIZED (SELECT t.doc_id, t.u
+           |  FROM twin6 t JOIN evg6 USING (gram)
+           |  WHERE t.doc_id % 50 <> 0),
+           |hit6 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM mtw6 GROUP BY doc_id),
+           |cvd6 AS (SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT)
+           |    AS covered
+           |  FROM (SELECT doc_id, unnest(range(u, u + 13)) AS pos
+           |    FROM mtw6) GROUP BY doc_id),
+           |len6 AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens
+           |  FROM tws6)
+           |SELECT h.doc_id, h.n_hits, c.covered, l.n_tokens
+           |FROM hit6 h JOIN cvd6 c USING (doc_id) JOIN len6 l USING (doc_id)
+           |ORDER BY h.doc_id""".stripMargin,
 
       // q165: the twin is a FULL RECOMPUTE against the combined suite
       // (%50==0 and %50==25 slices) — it never sees the old/new split,

@@ -717,6 +717,96 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Matched-SPAN coverage decontamination — the metric the exact
+    * window count can't give: a doc quoting one benchmark sentence and
+    * a doc that IS a benchmark page both flag under
+    * [[decontaminateTokenNgrams]], but their matched-token FRACTIONS
+    * differ by orders of magnitude, and modern contamination audits
+    * (the Llama-2 / PaLM reports) threshold on that fraction. Per
+    * contaminated doc this emits the window hit count, the number of
+    * DISTINCT token positions covered by at least one matching window
+    * (overlapping windows don't double-count — the interval-union
+    * semantics), and the doc's token length; the caller thresholds
+    * covered/n_tokens. Integer columns only — no float crosses the
+    * oracle hash.
+    *
+    * Scale shape: the corpus pass is the same ONE typed sliding
+    * traversal as the rest of the family (windows carry their start
+    * position — 8 extra bytes per CANDIDATE row only); the
+    * position-explode runs on the matched sliver (contaminated docs ×
+    * their matched windows × n), never the corpus. `hashWindows`
+    * collapses the join key to the int64 fingerprint as everywhere
+    * else; the q166 oracle computes coverage over string windows, so
+    * the gate asserts the hashed path's equality too.
+    */
+  def decontaminateTokenCoverage(train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String = "doc_id", idsCol: String = "ids",
+      maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L,
+      hashWindows: Boolean = false): DataFrame = {
+    require(n >= 1, "decontaminateTokenCoverage needs a positive n")
+    def evalWindows(df: DataFrame) =
+      if (hashWindows) tokenWindowHashes(df, idCol, idsCol, n)
+      else tokenWindows(df, idCol, idsCol, n)
+    val evalW = evalWindows(eval).select("gram").distinct().localCheckpoint()
+    val nEval = evalW.count()
+    require(nEval <= maxEvalWindows,
+      s"decontaminateTokenCoverage: eval set has $nEval distinct windows " +
+        s"— the broadcast side is capped at $maxEvalWindows; shard the " +
+        "eval set or raise n")
+    val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
+    val matched = tokenWindowsPos(train, idCol, idsCol, n, hashWindows)
+      .join(evalSide, Seq("gram"))
+      .select(col(idCol), col("pos"))
+      .localCheckpoint() // the sliver: reused by BOTH aggregates below
+    val hits = matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    // interval union as a distinct-position count: the sliver explode
+    // is matched-windows × n rows, never corpus-sized
+    val covered = matched
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + lit(n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__p")).as("covered"))
+    val lens = train.select(col(idCol).cast("long"),
+      size(col(idsCol)).cast("long").as("n_tokens"))
+    hits.join(covered, Seq(idCol))
+      .join(lens, Seq(idCol))
+      .select(col(idCol), col("n_hits"), col("covered"), col("n_tokens"))
+  }
+
+  /** [[tokenWindows]] with each window's 1-based START position riding
+    * along — the span-coverage operator's corpus side. Same one-pass
+    * typed traversal; the extra long only exists on rows that survive
+    * into the join.
+    */
+  private def tokenWindowsPos(df: DataFrame, idCol: String, idsCol: String,
+      n: Int, hashWindows: Boolean): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    if (hashWindows)
+      df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+        .as[(Long, Seq[Int])]
+        .flatMap { case (id, ids) =>
+          if (ids != null && ids.length >= n) {
+            val arr = asIndexed(ids)
+            (0 to arr.length - n).iterator
+              .map(p => (id, p + 1L, hashTokenWindow(arr, p, n)))
+          } else Iterator.empty
+        }
+        .toDF(idCol, "pos", "gram")
+    else
+      df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+        .as[(Long, Seq[Int])]
+        .flatMap { case (id, ids) =>
+          if (ids != null && ids.length >= n)
+            ids.sliding(n).zipWithIndex
+              .map { case (w, p) => (id, p + 1L, w.mkString(" ")) }
+          else Iterator.empty
+        }
+        .toDF(idCol, "pos", "gram")
+  }
+
   /** Incremental decontamination for a GROWING eval suite: benchmark
     * sets accrete over a training run's lifetime, and a full recompute
     * re-matches the corpus against every window of every benchmark ever

@@ -187,6 +187,25 @@ class DedupSpec extends SparkSpec {
     assert(got3 == Map(1L -> 1L, 2L -> 1L)) // -1 IS 0xffffffff as int
   }
 
+  test("coverage decontamination unions overlapping matched spans") {
+    val train = Seq(
+      // windows (1,2,3)@1 and (2,3,4)@2 both match: 2 hits but the
+      // union covers positions {1,2,3,4} — 4, not 6 (the double-count
+      // trap)
+      (1L, Some(Seq(1, 2, 3, 4, 5))),
+      (2L, Some(Seq(9, 9, 9))),    // clean: absent from the output
+      (3L, Some(Seq(2, 3, 4)))     // the doc IS the benchmark: fully covered
+    ).toDF("doc_id", "ids")
+    val ev = Seq((100L, Some(Seq(1, 2, 3, 4)))).toDF("doc_id", "ids")
+    for (hw <- Seq(false, true)) {
+      val got = Dedup.decontaminateTokenCoverage(train, ev, n = 3,
+          hashWindows = hw)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == Map(1L -> ((2L, 4L, 5L)), 3L -> ((1L, 3L, 3L))))
+    }
+  }
+
   test("delta decontamination reconstructs the full recompute for a " +
       "grown eval suite") {
     val train = Seq(
