@@ -282,6 +282,14 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenNgramsBloom(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
+        // q166: the same corpus pass plus the matched-sliver coverage
+        // aggregates — the delta vs decontaminate_tokens_hashed IS the
+        // span-union cost
+        "decontaminate_tokens_coverage" -> (() => {
+          val (trainIds, evalIds) = decontamFix
+          () => Dedup.decontaminateTokenCoverage(
+            trainIds, evalIds, n = 13, hashWindows = true).count()
+        }),
         // the byte family (q159/q162): learn is dict-scale like
         // bpe_learn but over the whitespace-preserving pretoken dict;
         // encode/decode are per-row kernels whose cost must stay linear
