@@ -130,7 +130,9 @@ object DumpPlans {
       "q165_token_decontaminate_delta" ->
         "growing-eval-suite maintenance: eval-sized delta anti-join (novel windows only) -> the pinned q157 corpus join over the delta -> hit-table full-outer merge — the corpus pass is the same ONE traversal, the build side shrinks to the new benchmark's novel windows",
       "q166_token_decontaminate_coverage" ->
-        "matched-span coverage: the pinned q157 corpus pass with window start positions riding candidate rows -> broadcast join -> the position explode runs on the MATCHED SLIVER only (checkpointed, reused by both aggregates) — never corpus-sized")
+        "matched-span coverage: the pinned q157 corpus pass with window start positions riding candidate rows -> broadcast join -> the position explode runs on the MATCHED SLIVER only (checkpointed, reused by both aggregates) — never corpus-sized",
+      "q167_contamination_by_eval_doc" ->
+        "attribution report: the same ONE corpus traversal joined against the doc-attributed eval windows (broadcast, no distinct) -> one partial-agg rollup per eval doc — the corpus never shuffles")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -1950,6 +1950,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the attribution report from the eval suite's side: per benchmark
+    // doc, how many distinct train docs quote it and how many window
+    // pairs match — "which benchmark is compromised", the complement of
+    // q154's "which train docs must go". Eval windows keep their doc
+    // attribution (no distinct), so pair counts mirror the twin's join
+    "q167_contamination_by_eval_doc" -> ((s, dir) => {
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.contaminationByEvalDoc(train, ev, n = 13,
+          hashWindows = true)
+        .orderBy("eval_doc_id")
+    }),
+
     // the growing-eval-suite maintenance path: the %50==0 suite's
     // PERSISTED hit table (memoized fixture, computed at the same
     // hashed representation the delta runs at) merged with the NEW
@@ -5410,6 +5422,37 @@ object SparkEntry {
            |SELECT h.doc_id, h.n_hits, c.covered, l.n_tokens
            |FROM hit6 h JOIN cvd6 c USING (doc_id) JOIN len6 l USING (doc_id)
            |ORDER BY h.doc_id""".stripMargin,
+
+      // q167: the attribution twin joins train windows against eval
+      // windows WITH doc attribution (evw7, not a distinct gram set) —
+      // per eval doc, distinct quoting train docs and matched pairs
+      "q167_contamination_by_eval_doc" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |tws7 AS (SELECT doc_id, string_split(ids_str, ' ') AS ids
+           |  FROM seq),
+           |twin7 AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM tws7 WHERE len(ids) >= 13)),
+           |evq7 AS (SELECT e.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM documents e
+           |  JOIN tws7 l1 ON l1.doc_id = e.doc_id
+           |  LEFT JOIN tws7 l2 ON l2.doc_id = e.doc_id + 1
+           |  WHERE e.doc_id % 50 = 0),
+           |evw7 AS (SELECT doc_id AS eval_doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM evq7 WHERE len(ids) >= 13))
+           |SELECT e.eval_doc_id,
+           |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+           |  CAST(count(*) AS BIGINT) AS n_matched
+           |FROM twin7 t JOIN evw7 e USING (gram)
+           |WHERE t.doc_id % 50 <> 0
+           |GROUP BY e.eval_doc_id ORDER BY e.eval_doc_id""".stripMargin,
 
       // q165: the twin is a FULL RECOMPUTE against the combined suite
       // (%50==0 and %50==25 slices) — it never sees the old/new split,

@@ -775,6 +775,38 @@ object Dedup {
       .select(col(idCol), col("n_hits"), col("covered"), col("n_tokens"))
   }
 
+  /** Contamination ATTRIBUTION — the report from the eval suite's side:
+    * per eval doc, how many distinct train docs quote it and how many
+    * window pairs match. [[decontaminateTokenNgrams]] answers "which
+    * train docs must go"; this answers "which BENCHMARK is compromised
+    * and how badly" — the hygiene report a suite owner reads before
+    * trusting a score. Eval windows keep their doc attribution (no
+    * distinct — a gram shared by two eval docs attributes to both, and
+    * pair counts mirror the twin's join semantics exactly). Same
+    * broadcast cap and int64 representation switch as the family.
+    */
+  def contaminationByEvalDoc(train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String = "doc_id", idsCol: String = "ids",
+      maxEvalWindows: Long = 10000000L,
+      hashWindows: Boolean = false): DataFrame = {
+    require(n >= 1, "contaminationByEvalDoc needs a positive n")
+    def windows(df: DataFrame) =
+      if (hashWindows) tokenWindowHashes(df, idCol, idsCol, n)
+      else tokenWindows(df, idCol, idsCol, n)
+    val evalW = windows(eval)
+      .select(col(idCol).as("eval_doc_id"), col("gram"))
+      .localCheckpoint()
+    val nEval = evalW.count()
+    require(nEval <= maxEvalWindows,
+      s"contaminationByEvalDoc: eval set has $nEval windows — the " +
+        s"broadcast side is capped at $maxEvalWindows; shard the eval set")
+    windows(train)
+      .join(broadcast(evalW), Seq("gram"))
+      .groupBy(col("eval_doc_id"))
+      .agg(countDistinct(col(idCol)).as("n_train_docs"),
+        count(lit(1)).as("n_matched"))
+  }
+
   /** [[tokenWindows]] with each window's 1-based START position riding
     * along — the span-coverage operator's corpus side. Same one-pass
     * typed traversal; the extra long only exists on rows that survive

@@ -187,6 +187,30 @@ class DedupSpec extends SparkSpec {
     assert(got3 == Map(1L -> 1L, 2L -> 1L)) // -1 IS 0xffffffff as int
   }
 
+  test("contamination attribution reports per-eval-doc quoting") {
+    val train = Seq(
+      (1L, Some(Seq(1, 2, 3, 4))), // windows (1,2,3), (2,3,4)
+      (2L, Some(Seq(1, 2, 3))),    // window (1,2,3)
+      (3L, Some(Seq(9, 9, 9, 9)))  // quotes nothing
+    ).toDF("doc_id", "ids")
+    val ev = Seq(
+      (100L, Some(Seq(1, 2, 3))),          // quoted by docs 1 and 2
+      (101L, Some(Seq(2, 3, 4))),          // quoted by doc 1 only
+      // (1,2,3) appears TWICE in this doc — attribution keeps both
+      // occurrences (no distinct on the eval side), so pairs double
+      (102L, Some(Seq(1, 2, 3, 1, 2, 3))),
+      (103L, Some(Seq(7, 8, 9)))           // clean benchmark: absent
+    ).toDF("doc_id", "ids")
+    for (hw <- Seq(false, true)) {
+      val got = Dedup.contaminationByEvalDoc(train, ev, n = 3,
+          hashWindows = hw)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(100L -> ((2L, 2L)), 101L -> ((1L, 1L)),
+        102L -> ((2L, 4L))))
+    }
+  }
+
   test("coverage decontamination unions overlapping matched spans") {
     val train = Seq(
       // windows (1,2,3)@1 and (2,3,4)@2 both match: 2 hits but the
