@@ -5018,7 +5018,7 @@ object SparkEntry {
       "q143_bpe_learn_apply" -> bpeLearnApplyOracle,
 
       // q160: the exhaustion path live — sparse slice + pair-count
-      // floor 10 leaves real EMPTY blt stages; the apply counts off
+      // floor 60 leaves real EMPTY blt stages; the apply counts off
       // blw16 only survive them under LEFT-JOIN state propagation,
       // and n_merges counts exactly the non-empty stages
       "q160_bpe_learn_exhausted" -> {

@@ -386,6 +386,14 @@ object Corpus {
     mergeTable.orderBy("merge_rank").select("lhs", "rhs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** The merge-free byte vocabulary (ids == bytes + 1): the identity
+    * byte tokenizer's model. Data-independent — callers wanting the
+    * 0-merge tokenizer use this directly instead of fabricating an
+    * empty merge table and paying two collect jobs for constants.
+    */
+  val identityByteVocab: Seq[(String, Int)] =
+    (0 until 256).map(b => (String.valueOf(b.toChar), b + 1))
+
   /** Symbol→id vocabulary for the BYTE-level merge tokenizer
     * ([[learnByteBpeMerges]]) — [[buildMergeVocab]]'s layout with the
     * data-dependent corpus alphabet replaced by the FIXED byte
@@ -397,14 +405,6 @@ object Corpus {
     * reserved but unreachable at apply time). Pure driver metadata:
     * 256 + k entries.
     */
-  /** The merge-free byte vocabulary (ids == bytes + 1): the identity
-    * byte tokenizer's model. Data-independent — callers wanting the
-    * 0-merge tokenizer use this directly instead of fabricating an
-    * empty merge table and paying two collect jobs for constants.
-    */
-  val identityByteVocab: Seq[(String, Int)] =
-    (0 until 256).map(b => (String.valueOf(b.toChar), b + 1))
-
   def byteMergeVocab(mergeTable: DataFrame): Seq[(String, Int)] = {
     val alphabet = identityByteVocab
     val merged = mergeTable.orderBy("merge_rank")

@@ -497,10 +497,49 @@ object Dedup {
         s"the broadcast side is capped at $maxEvalWindows; shard the eval " +
         "set or raise n (windows per doc shrink as n grows)")
     val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
-    windows(train)
+    markRepr(windows(train)
       .join(evalSide, Seq("gram")) // right side distinct: no fanout
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits")), hashWindows)
+  }
+
+  /** Column-metadata key recording which window REPRESENTATION a hit
+    * table was counted at ("hashed" int64 fingerprints vs exact
+    * "string" windows). Every hit-table producer in the family stamps
+    * it on `n_hits`; [[decontaminateTokenNgramsDelta]] REQUIRES it to
+    * match its own `hashWindows` — the one silent-miss channel of the
+    * hashed family (an exact old table merged with a hashed delta, or
+    * vice versa: a novel gram whose fingerprint collides with an old
+    * gram vanishes from the delta while the old table never counted
+    * it) now fails loudly instead of by docstring convention. Metadata
+    * survives parquet round-trips (Spark serializes column metadata in
+    * the file footer's schema), so persisted hit tables keep their
+    * marker.
+    */
+  private[graft] val reprKey = "graft.tokenWindowRepr"
+  private def reprName(hashWindows: Boolean): String =
+    if (hashWindows) "hashed" else "string"
+  private def markRepr(hits: DataFrame, hashWindows: Boolean): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(reprKey, reprName(hashWindows)).build()
+    hits.withColumn("n_hits", col("n_hits").as("n_hits", m))
+  }
+  private def requireRepr(hits: DataFrame, hashWindows: Boolean,
+      what: String): Unit = {
+    val f = hits.schema.fields.find(_.name == "n_hits").getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: hit table has no n_hits column"))
+    require(f.metadata.contains(reprKey),
+      s"$what: hit table carries no '$reprKey' marker — build it with " +
+        "decontaminateTokenNgrams/-Bloom/-Delta (which stamp it), or " +
+        "stamp the representation it was counted at; a mixed-" +
+        "representation merge silently under-flags")
+    val got = f.metadata.getString(reprKey)
+    require(got == reprName(hashWindows),
+      s"$what: hit table was counted at representation '$got' but this " +
+        s"call runs at '${reprName(hashWindows)}' — mixing opens the " +
+        "hashed family's one silent-miss channel; recount or flip " +
+        "hashWindows")
   }
 
   /** ONE typed pass per doc, not an expression tree: the declarative
@@ -692,7 +731,8 @@ object Dedup {
     if (nEval == 0) // nothing to leak against — no contaminated docs
       // same schema (incl. nullability) as the normal path, so a caller
       // sharding the eval set can unionByName empty and non-empty shards
-      return Seq.empty[(Long, Long)].toDF(idCol, "n_hits")
+      return markRepr(Seq.empty[(Long, Long)].toDF(idCol, "n_hits"),
+        hashWindows)
     require(nEval <= maxEvalWindows,
       s"decontaminateTokenNgramsBloom: eval set has $nEval distinct " +
         s"windows — the bloom is driver state, capped at $maxEvalWindows; " +
@@ -711,10 +751,10 @@ object Dedup {
         keep = h => bloom.mightContainLong(h))
       else tokenWindows(train, idCol, idsCol, n,
         keep = g => bloom.mightContainString(g))
-    cand
+    markRepr(cand
       .join(evalSide, Seq("gram")) // exact verify on the sliver
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits")), hashWindows)
   }
 
   /** Matched-SPAN coverage decontamination — the metric the exact
@@ -782,12 +822,16 @@ object Dedup {
     * and how badly" — the hygiene report a suite owner reads before
     * trusting a score. Eval windows keep their doc attribution (no
     * distinct — a gram shared by two eval docs attributes to both, and
-    * pair counts mirror the twin's join semantics exactly). Same
-    * broadcast cap and int64 representation switch as the family.
+    * pair counts mirror the twin's join semantics exactly). Same caps,
+    * broadcast→shuffle fallback, and int64 representation switch as
+    * the family — and the fallback matters SOONER here: the
+    * doc-attributed relation is fatter than the family's distinct gram
+    * sets (every eval doc's every window plus an 8-byte doc id).
     */
   def contaminationByEvalDoc(train: DataFrame, eval: DataFrame, n: Int,
       idCol: String = "doc_id", idsCol: String = "ids",
       maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L,
       hashWindows: Boolean = false): DataFrame = {
     require(n >= 1, "contaminationByEvalDoc needs a positive n")
     def windows(df: DataFrame) =
@@ -799,9 +843,10 @@ object Dedup {
     val nEval = evalW.count()
     require(nEval <= maxEvalWindows,
       s"contaminationByEvalDoc: eval set has $nEval windows — the " +
-        s"broadcast side is capped at $maxEvalWindows; shard the eval set")
+        s"build side is capped at $maxEvalWindows; shard the eval set")
+    val evalSide = if (nEval <= broadcastWindows) broadcast(evalW) else evalW
     windows(train)
-      .join(broadcast(evalW), Seq("gram"))
+      .join(evalSide, Seq("gram"))
       .groupBy(col("eval_doc_id"))
       .agg(countDistinct(col(idCol)).as("n_train_docs"),
         count(lit(1)).as("n_matched"))
@@ -856,8 +901,14 @@ object Dedup {
     * merged with a hashed delta opens the one under-flag channel the
     * hashed family otherwise excludes (a novel new-suite gram whose
     * fingerprint collides with an OLD gram would vanish from the delta
-    * while the old table never counted it). The q165 oracle (the
-    * combined-eval twin) asserts the equality end to end.
+    * while the old table never counted it). ENFORCED, not convention:
+    * every hit-table producer in the family stamps `n_hits` with a
+    * [[reprKey]] representation marker (metadata survives parquet
+    * round-trips), and this operator requires the marker to equal its
+    * own `hashWindows` — an unmarked or mixed-representation merge
+    * fails loudly up front instead of silently under-flagging. The
+    * q165 oracle (the combined-eval twin) asserts the equality end to
+    * end.
     *
     * At 100 TB: the corpus pass is one narrow traversal either way, but
     * the build side shrinks from every-benchmark-ever to the new
@@ -874,6 +925,7 @@ object Dedup {
       broadcastWindows: Long = 500000L,
       hashWindows: Boolean = false): DataFrame = {
     require(n >= 1, "decontaminateTokenNgramsDelta needs a positive n")
+    requireRepr(oldHits, hashWindows, "decontaminateTokenNgramsDelta")
     def windows(df: DataFrame) =
       if (hashWindows) tokenWindowHashes(df, idCol, idsCol, n)
       else tokenWindows(df, idCol, idsCol, n)
@@ -885,7 +937,8 @@ object Dedup {
     // windows — must not pay the corpus traversal against an empty
     // build side
     if (nDelta == 0)
-      return oldHits.select(col(idCol), col("n_hits"))
+      return markRepr(oldHits.select(col(idCol), col("n_hits")),
+        hashWindows)
     require(nDelta <= maxEvalWindows,
       s"decontaminateTokenNgramsDelta: new eval windows number $nDelta — " +
         s"the build side is capped at $maxEvalWindows; shard the delta")
@@ -895,12 +948,12 @@ object Dedup {
       .join(deltaSide, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
-    oldHits.select(col(idCol), col("n_hits").as("__old"))
+    markRepr(oldHits.select(col(idCol), col("n_hits").as("__old"))
       .join(deltaHits.select(col(idCol), col("n_hits").as("__delta")),
         Seq(idCol), "full_outer")
       .select(col(idCol),
         (coalesce(col("__old"), lit(0L)) + coalesce(col("__delta"), lit(0L)))
-          .as("n_hits"))
+          .as("n_hits")), hashWindows)
   }
 
   /** Scale path for [[decontaminate]]: a driver-built Bloom filter over

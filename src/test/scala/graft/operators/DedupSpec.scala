@@ -262,6 +262,39 @@ class DedupSpec extends SparkSpec {
     assert(same == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("delta decontamination refuses a mixed- or unmarked-" +
+      "representation hit table loudly") {
+    val train = Seq((1L, Some(Seq(1, 2, 3, 4)))).toDF("doc_id", "ids")
+    val evOld = Seq((100L, Some(Seq(1, 2, 3)))).toDF("doc_id", "ids")
+    val evNew = Seq((200L, Some(Seq(2, 3, 4)))).toDF("doc_id", "ids")
+    // string-counted table merged at hashWindows=true: the silent
+    // under-flag channel — must fail up front, before any corpus work
+    val stringHits = Dedup.decontaminateTokenNgrams(train, evOld, n = 3)
+    val mixed = intercept[IllegalArgumentException] {
+      Dedup.decontaminateTokenNgramsDelta(train, stringHits,
+        evOld, evNew, n = 3, hashWindows = true)
+    }
+    assert(mixed.getMessage.contains("representation 'string'"))
+    // a hand-built table with no marker at all is equally refused
+    val unmarked = intercept[IllegalArgumentException] {
+      Dedup.decontaminateTokenNgramsDelta(train,
+        Seq((1L, 1L)).toDF("doc_id", "n_hits"), evOld, evNew, n = 3)
+    }
+    assert(unmarked.getMessage.contains("no 'graft.tokenWindowRepr'"))
+    // the marker survives a parquet round-trip — the q165 shape, where
+    // the persisted hit table is re-read in a later maintenance run
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_repr_").toString
+    val hashedHits = Dedup.decontaminateTokenNgrams(train, evOld, n = 3,
+      hashWindows = true)
+    hashedHits.write.parquet(s"$tmp/hits")
+    val merged = Dedup.decontaminateTokenNgramsDelta(train,
+        spark.read.parquet(s"$tmp/hits"), evOld, evNew, n = 3,
+        hashWindows = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 2L))
+  }
+
   test("evalWindowHashSet + dropContaminatedStream drop exactly the " +
       "docs the exact operator flags") {
     val train = Seq(
