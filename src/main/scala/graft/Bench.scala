@@ -61,6 +61,50 @@ object Bench {
       hi - lo > 0.3 && hi > 2.0 * lo
     }
 
+  /** Per-query int-ms medians out of a previously WRITTEN summary
+    * sidecar — the committed closing `bench_summary.json` from the same
+    * tree is the reference vector for [[vsPrevOutliers]]. Hand-rolled
+    * extraction, not a JSON library: the input is this file's own
+    * [[renderJson]] output, whose `queries` object is flat (no nested
+    * braces) with digit-or-letter short keys and integer/null values,
+    * so two regexes parse it exactly; `null` medians simply don't
+    * match the digit group and drop out. Any malformed/foreign file
+    * yields an empty map — the detector then reports `vs_prev: null`
+    * rather than guessing.
+    */
+  private[graft] def parseSummaryQueries(line: String): Map[String, Long] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
+      .fold(Map.empty[String, Long]) { m =>
+        """"([^"]+)":([0-9]+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toLong).toMap
+      }
+
+  /** SUSTAINED-window stall detector — the gap the per-rep
+    * [[spreadFlag]] can't cover: when ALL THREE reps ride one
+    * multi-second host window (the r13 driver's q26: 3.65/5.17/6.80 s
+    * vs a 0.46 s committed closing median), the within-query spread
+    * stays under threshold and the polluted median looks like a 10×
+    * regression. The committed closing summary from the same tree is
+    * the reference: a query whose fresh median is ≥2.5× its committed
+    * median AND ≥0.3 s over it (the same absolute floor as the spread
+    * flag — sub-100 ms queries jitter 2.5× on scheduler noise alone)
+    * lands in the `vs_prev` outlier list. Annotation, not censorship:
+    * the median still reports; the list tells the reader which
+    * out-of-band numbers to adjudicate against a dedicated band before
+    * calling them regressions. Returns (shortKey, fresh ms, prev ms).
+    */
+  private[graft] def vsPrevOutliers(
+      results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
+      prev: Map[String, Long]): Seq[(String, Long, Long)] =
+    results.flatMap { case (k, (_, reps)) =>
+      val key = shortKey(k)
+      for {
+        m <- median(reps).map(s => Math.round(s * 1000))
+        p <- prev.get(key)
+        if m * 10 >= p * 25 && m - p > 300
+      } yield (key, m, p)
+    }
+
   /** Driver-short query key: the number of a registered query's
     * `qNN`/`qNNx` prefix (`q118_stream_ann_index` → `118`); names
     * without that shape pass through whole. Keys are unique by
@@ -96,7 +140,8 @@ object Bench {
     */
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
-      sfDir: String, withReps: Boolean = false): String = {
+      sfDir: String, withReps: Boolean = false,
+      prev: Map[String, Long] = Map.empty): String = {
     val qs = results.map { case (k, (_, reps)) =>
       Verify.jsonStr(shortKey(k)) +
         ":" + median(reps).fold("null")(s => Math.round(s * 1000).toString) }
@@ -123,11 +168,26 @@ object Bench {
     // the per-rep int-ms arrays (~3.5 KB for the full suite)
     val extras = if (!withReps) "" else {
       val coldTotal = sec3(results.flatMap(_._2._1).sum)
+      // sustained-window stall list vs the committed closing summary
+      // (sidecar-only, like the rep arrays — the driver line's byte
+      // budget is untouched). null when no committed reference exists;
+      // n_shared says how much of the suite the comparison covered
+      // (suite growth between rounds leaves new queries uncovered —
+      // they have no committed median to compare against)
+      val vsPrev = if (prev.isEmpty) "null" else {
+        val shared = results.count(r => prev.contains(shortKey(r._1)))
+        val outliers = vsPrevOutliers(results, prev)
+          .map { case (k, m, p) => Verify.jsonStr(k) + s":[$m,$p]" }
+          .mkString("{", ",", "}")
+        s"""{"n_shared":$shared,"outliers":$outliers}"""
+      }
       results.map { case (k, (_, rs)) =>
         Verify.jsonStr(shortKey(k)) + ":" + rs.map(
           _.fold("null")(s => Math.round(s * 1000).toString))
           .mkString("[", ",", "]")
-      }.mkString(s""","cold_total":$coldTotal,"reps":{""", ",", "}")
+      }.mkString(
+        s""","cold_total":$coldTotal,"vs_prev":$vsPrev,"reps":{""",
+        ",", "}")
     }
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","failed":$failedJson,"spread":$spreadJson,"queries":$qs,"sf":"$sfLabel"$extras}"""
   }
@@ -233,13 +293,25 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     // machine-readable sidecar for the driver (BENCH parse fallback) —
-    // the FILE additionally carries the per-rep arrays (no capture-size
-    // cap applies to it; summary fields still print first, so a parser
-    // that reads it like the line sees the same prefix)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
-        "/root/repo/bench_summary.json")),
-      (renderJson(results, sfDir, withReps = true) + "\n").getBytes("UTF-8"))
+    // the FILE additionally carries the per-rep arrays and the vs_prev
+    // stall list (no capture-size cap applies to it; summary fields
+    // still print first, so a parser that reads it like the line sees
+    // the same prefix). The COMMITTED file at the same path — last
+    // closing run's summary on this tree — is read back first as the
+    // vs_prev reference vector, then overwritten.
+    val summaryPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+        "/root/repo/bench_summary.json"))
+    val prev =
+      try {
+        if (java.nio.file.Files.isRegularFile(summaryPath))
+          parseSummaryQueries(new String(
+            java.nio.file.Files.readAllBytes(summaryPath), "UTF-8"))
+        else Map.empty[String, Long]
+      } catch { case _: Exception => Map.empty[String, Long] }
+    try java.nio.file.Files.write(summaryPath,
+      (renderJson(results, sfDir, withReps = true, prev = prev) + "\n")
+        .getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")
     }

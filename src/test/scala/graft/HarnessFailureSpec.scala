@@ -76,6 +76,47 @@ class HarnessFailureSpec extends SparkSpec {
     assert(full.contains("\"spread_flag\":false"))
   }
 
+  test("Bench flags a sustained-window stall vs the committed summary") {
+    // the r13 driver's q26 signature: all three reps elevated inside one
+    // multi-second host window — spreadFlag stays quiet (reps agree),
+    // only the committed-median comparison catches it
+    val window = Seq(Some(3.65), Some(5.17), Some(6.80))
+    assert(!Bench.spreadFlag(window))
+    val results = Seq(
+      "q26_wide_csv" -> ((Option(4.0), window)),
+      "q02_project_rename" -> ((Option(0.2),
+        Seq(Some(0.10), Some(0.11), Some(0.10)): Seq[Option[Double]])),
+      // 2.6× but only +130 ms: under the absolute floor, never flags
+      "q74_tiny" -> ((Option(0.1),
+        Seq(Some(0.21), Some(0.21), Some(0.21)): Seq[Option[Double]])),
+      // no committed median (suite growth): uncovered, not flagged
+      "q999_new" -> ((Option(1.0),
+        Seq(Some(9.0), Some(9.0), Some(9.0)): Seq[Option[Double]])))
+    val prev = Map("26" -> 460L, "02" -> 100L, "74" -> 80L)
+    assert(Bench.vsPrevOutliers(results, prev) ==
+      Seq(("26", 5170L, 460L)))
+    // sidecar rendering: vs_prev with shared-coverage count; the driver
+    // LINE stays untouched (sidecar-only, like the rep arrays)
+    val side = Bench.renderJson(results, "sfX", withReps = true,
+      prev = prev)
+    assert(side.contains(
+      """"vs_prev":{"n_shared":3,"outliers":{"26":[5170,460]}}"""))
+    val line = Bench.renderJson(results, "sfX", prev = prev)
+    assert(!line.contains("vs_prev"))
+    // no committed reference → null, not a zero-outlier object
+    assert(Bench.renderJson(results, "sfX", withReps = true)
+      .contains("\"vs_prev\":null"))
+    // the reference vector round-trips out of the sidecar's own format
+    val parsed = Bench.parseSummaryQueries(side)
+    assert(parsed.get("26").contains(5170L) &&
+      parsed.get("02").contains(100L) && parsed.get("999").contains(9000L))
+    // a null median in the committed file drops out of the reference
+    assert(Bench.parseSummaryQueries(
+      """{"queries":{"1":null,"2":42},"sf":"x"}""") == Map("2" -> 42L))
+    // malformed/foreign file → empty map → vs_prev: null
+    assert(Bench.parseSummaryQueries("not json at all").isEmpty)
+  }
+
   test("idRangeBacklog: loud on empty input, overflow-safe boundaries") {
     import org.apache.spark.sql.functions.col
     // empty frame → a named require, not an opaque NPE on max(doc_id)
