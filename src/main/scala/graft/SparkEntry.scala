@@ -179,6 +179,23 @@ object SparkEntry {
   private val byteBpeSalt =
     "  néé 日本語→λ 😀 "
 
+  /** q168's EXTRA salt, appended after [[byteBpeSalt]]: every GPT-2
+    * pretokenizer branch on purpose — contractions ('t/'ll + an
+    * unmatched 'N for the punct fallback), a letter→digit→punct class
+    * chain (3.14words—and), a lone tab before a word, a run ENDING in
+    * non-space whitespace before a word (` \t\tzz` — the oracle's RE2
+    * adjustment term counts exactly these), and a double space ahead of the appended doc-id digits (the
+    * shed-all-but-last-space lookahead). ONE constant, like
+    * [[byteBpeSalt]], so the query and twin can never drift; the
+    * apostrophes are SQL-escaped at twin-build time.
+    */
+  private val gpt2Salt =
+    " don't we'll O'Neil 3.14words—and\tmore \t\tzz  "
+
+  /** [[gpt2Salt]] with apostrophes doubled for embedding in a DuckDB
+    * single-quoted literal (the tabs embed as-is). */
+  private val gpt2SaltSql = gpt2Salt.replace("'", "''")
+
   /** The q154/q156 train/eval construction — ONE place because the
     * shared `tokenDecontamSql` twin is valid for BOTH queries only
     * while this shape stays byte-identical between them. One encode
@@ -2078,6 +2095,45 @@ object SparkEntry {
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"),
             lit("\\S+\\s*|^\\s+"), lit(0))).cast(LongType).as("n_pretoks"),
+          (size(col("__ids")) <= octet_length(col("text")))
+            .as("ids_le_bytes"),
+          octet_length(col("__txt")).cast(LongType).as("n_bytes"),
+          md5(col("__txt")).as("roundtrip_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
+    // 2019 — the gpt2 encoder regex: contractions split, one literal
+    // space binds to a word, letter/digit/punct runs split, a
+    // whitespace run sheds all but its last space via the (?!\S)
+    // lookahead). The corpus adds gpt2Salt so every branch of the
+    // pattern is live. The pattern tiles the input completely, so the
+    // exact-reconstruction audit holds unchanged; n_pretoks is the
+    // REAL cross-engine pin — Java's lookahead reading vs the twin's
+    // independent RE2 derivation (a lookahead-free variant plus a
+    // run-split adjustment term: RE2 has no lookahead, so equality is
+    // a theorem about the two decompositions, checked per doc)
+    "q168_byte_bpe_gpt2_pretok" -> ((s, dir) => {
+      import graft.functions.ByteBpeKernel
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val salted = docs.withColumn("text", concat(col("text"),
+        lit(byteBpeSalt), lit(gpt2Salt), col("doc_id").cast(StringType)))
+      val mergeTable = graft.operators.Corpus.learnByteBpeMerges(salted,
+        "text", numMerges = 16, pretokPattern = ByteBpeKernel.gpt2Pattern)
+      val merges = graft.operators.Corpus.collectMerges(mergeTable)
+      val vocab = graft.operators.Corpus.byteMergeVocab(mergeTable)
+      salted.select(col("doc_id"),
+          col("text"),
+          graft.functions.TextFunctions.byteBpeEncode(col("text"), merges,
+            vocab, ByteBpeKernel.gpt2Pattern).as("__ids"))
+        .select(col("doc_id"), col("text"), col("__ids"),
+          graft.functions.TextFunctions.byteBpeDecode(col("__ids"), vocab)
+            .as("__txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(ByteBpeKernel.gpt2Pattern), lit(0)))
+            .cast(LongType).as("n_pretoks"),
           (size(col("__ids")) <= octet_length(col("text")))
             .as("ids_le_bytes"),
           octet_length(col("__txt")).cast(LongType).as("n_bytes"),
@@ -5507,6 +5563,37 @@ object SparkEntry {
            |    AS roundtrip_md5
            |FROM documents WHERE text IS NOT NULL
            |ORDER BY doc_id""".stripMargin,
+
+      // q168: the GPT-2 pretokenizer's cross-engine pin. RE2 has no
+      // lookahead, so the twin derives the SAME count independently:
+      // a lookahead-free variant of the pattern (the final \s+ eats a
+      // whole whitespace run where Java's \s+(?!\S) sheds the last
+      // space into the next word — same COUNT whenever the run ends
+      // in a space) plus an adjustment term counting the one shape
+      // that differs — a run of >=2 whitespace chars ENDING in
+      // non-space whitespace before a non-whitespace char, which Java
+      // splits into two pretokens and the variant keeps as one. Java's
+      // \s class is spelled out ([ \t\n\x0B\f\r] — RE2's \s omits
+      // \x0B, the q159 lesson); \p{L}/\p{N} are Unicode categories in
+      // both engines. Exact reconstruction and byte length audit as in
+      // q159 — the twin recomputes the identity from the raw text with
+      // NO tokenizer, so a lossy kernel or pretokenizer drift breaks
+      // the digest
+      "q168_byte_bpe_gpt2_pretok" ->
+        s"""WITH g8 AS MATERIALIZED (SELECT doc_id,
+           |    text || '$byteBpeSalt' || '$gpt2SaltSql' ||
+           |      CAST(doc_id AS VARCHAR) AS txt
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(txt,
+           |      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+'))
+           |    + len(regexp_extract_all(txt,
+           |      '[ \\t\\n\\x0B\\f\\r][\\t\\n\\x0B\\f\\r][^ \\t\\n\\x0B\\f\\r]'))
+           |    AS BIGINT) AS n_pretoks,
+           |  true AS ids_le_bytes,
+           |  CAST(strlen(txt) AS BIGINT) AS n_bytes,
+           |  md5(txt) AS roundtrip_md5
+           |FROM g8 ORDER BY doc_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -90,16 +90,21 @@ object TextFunctions {
     TextExpressions.bpeDecode(ids, vocab)
 
   /** BYTE-level BPE encoding ([[graft.functions.ByteBpeEncodeExpr]]):
-    * whitespace-preserving pretokens → UTF-8 bytes as Latin-1 symbols
-    * → the rank-ordered merge walk → ids through
-    * `Corpus.byteMergeVocab` (bytes 1..256, merges at 256+rank). The
-    * GPT-2-style family: UNK structurally impossible, and
-    * [[byteBpeDecode]] inverts it EXACTLY — whitespace included — on
-    * any input, not just the vocabulary's own corpus.
+    * pretokens (whitespace-preserving by default; pass
+    * `ByteBpeKernel.gpt2Pattern` for GPT-2's published pretokenization
+    * — contractions, single-space word prefixes, letter/digit/punct
+    * class runs) → UTF-8 bytes as Latin-1 symbols → the rank-ordered
+    * merge walk → ids through `Corpus.byteMergeVocab` (bytes 1..256,
+    * merges at 256+rank). The GPT-2-style family: UNK structurally
+    * impossible, and [[byteBpeDecode]] inverts it EXACTLY — whitespace
+    * included — on any input, not just the vocabulary's own corpus
+    * (every shipped pretokenizer tiles the input completely, so the
+    * identity is mode-independent).
     */
   def byteBpeEncode(text: Column, merges: Seq[(String, String)],
-      vocab: Seq[(String, Int)]): Column =
-    TextExpressions.byteBpeEncode(text, merges, vocab)
+      vocab: Seq[(String, Int)],
+      pretokPattern: String = ByteBpeKernel.whitespacePattern): Column =
+    TextExpressions.byteBpeEncode(text, merges, vocab, pretokPattern)
 
   /** Exact inverse of [[byteBpeEncode]]
     * ([[graft.functions.ByteBpeDecodeExpr]]): ids → byte symbols →

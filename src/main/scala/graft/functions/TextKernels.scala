@@ -849,9 +849,45 @@ case class BpeMergeEncodeExpr(child: Expression,
   * word boundaries).
   */
 object ByteBpeKernel {
-  private val pretokRe = java.util.regex.Pattern.compile("\\S+\\s*|^\\s+")
-  def pretokenize(s: String): Array[String] = {
-    val m = pretokRe.matcher(s)
+  /** The default whitespace-preserving pretokenizer: a word plus its
+    * trailing whitespace run, with one leading-whitespace pretoken. */
+  val whitespacePattern: String = "\\S+\\s*|^\\s+"
+  /** GPT-2's published pretokenization pattern (Radford et al. 2019 —
+    * the `gpt2` encoder regex, reproduced verbatim in tiktoken/HF):
+    * contractions split off ('s 't 're 've 'm 'll 'd), a word carries
+    * AT MOST ONE leading literal space, digit runs and punctuation
+    * runs split from letter runs, and a multi-char whitespace run
+    * before a word sheds all but its last space into its own pretoken
+    * (the `\s+(?!\S)` lookahead). Same complete-tiling property as the
+    * default pattern — every char falls into exactly one alternative,
+    * so matches concatenate back to the EXACT input and the byte
+    * family's decode∘encode identity survives the mode switch. Java
+    * regex semantics: \p{L}/\p{N} are the Unicode categories, \s the
+    * Java class — the q168 oracle pins this reading against an
+    * independent RE2 (lookahead-free) derivation in DuckDB.
+    */
+  val gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+  // the two shipped patterns precompiled; a caller-supplied pattern
+  // compiles once per JVM through the same memo (patterns are model
+  // metadata — the map can't grow past the handful of modes in use)
+  private val compiled =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+  private def re(pattern: String): java.util.regex.Pattern = {
+    val got = compiled.get(pattern)
+    if (got != null) got
+    else {
+      val p = java.util.regex.Pattern.compile(pattern)
+      compiled.putIfAbsent(pattern, p)
+      p
+    }
+  }
+  def pretokenize(s: String): Array[String] =
+    pretokenize(s, whitespacePattern)
+  def pretokenize(s: String, pattern: String): Array[String] = {
+    val m = re(pattern).matcher(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) out += m.group()
     out.toArray
@@ -884,7 +920,9 @@ object ByteBpeKernel {
   */
 case class ByteBpeEncodeExpr(child: Expression,
     merges: Seq[(String, String)],
-    vocab: Seq[(String, Int)]) extends UnaryExpression {
+    vocab: Seq[(String, Int)],
+    pretokPattern: String = ByteBpeKernel.whitespacePattern)
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   @transient private lazy val vmap = {
@@ -909,7 +947,7 @@ case class ByteBpeEncodeExpr(child: Expression,
     out
   }
   def encode(t: UTF8String): ArrayData = {
-    val pretoks = ByteBpeKernel.pretokenize(t.toString)
+    val pretoks = ByteBpeKernel.pretokenize(t.toString, pretokPattern)
     val perTok = new Array[Array[Int]](pretoks.length)
     var total = 0
     var i = 0
@@ -944,8 +982,15 @@ case class ByteBpeEncodeExpr(child: Expression,
   }
   // the default rendering would print the 256-byte alphabet's control
   // chars (NUL included) into .explain/PLANS.md — summarize instead
+  // (the pretok label only appears for the non-default mode, so the
+  // pinned default-mode plan strings are byte-stable)
   override def toString: String =
-    s"byte_bpe_encode($child, merges=${merges.length}, vocab=${vocab.length})"
+    s"byte_bpe_encode($child, merges=${merges.length}, " +
+      s"vocab=${vocab.length}" + (pretokPattern match {
+        case ByteBpeKernel.whitespacePattern => ""
+        case ByteBpeKernel.gpt2Pattern => ", pretok=gpt2"
+        case _ => ", pretok=custom"
+      }) + ")"
   override protected def withNewChildInternal(c: Expression): ByteBpeEncodeExpr =
     copy(child = c)
 }
@@ -1037,9 +1082,11 @@ object TextExpressions {
     GraftColumnBridge.column(
       BpeUnkCountExpr(GraftColumnBridge.expression(text), pieces))
   def byteBpeEncode(text: Column, merges: Seq[(String, String)],
-      vocab: Seq[(String, Int)]): Column =
+      vocab: Seq[(String, Int)],
+      pretokPattern: String = ByteBpeKernel.whitespacePattern): Column =
     GraftColumnBridge.column(
-      ByteBpeEncodeExpr(GraftColumnBridge.expression(text), merges, vocab))
+      ByteBpeEncodeExpr(GraftColumnBridge.expression(text), merges, vocab,
+        pretokPattern))
   def byteBpeDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       ByteBpeDecodeExpr(GraftColumnBridge.expression(ids), vocab))

@@ -477,14 +477,26 @@ object Corpus {
     * EXACT original text — whitespace included — not the
     * stripped-text contract the char-level family gives (q152/q159).
     * Same Sennrich loop, same scale shape: iterations touch only the
-    * pretoken dictionary.
+    * pretoken dictionary. `pretokPattern` switches the pretokenizer
+    * (default whitespace-preserving; `ByteBpeKernel.gpt2Pattern` for
+    * GPT-2's published regex — q168); every shipped pattern tiles the
+    * input completely, so the exact-reconstruction contract is
+    * mode-independent.
     */
   def learnByteBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 1L,
-      probe: Option[(Int, Long) => Unit] = None): DataFrame = {
+      probe: Option[(Int, Long) => Unit] = None,
+      // pretokenizer mode: the default whitespace-preserving pattern,
+      // or ByteBpeKernel.gpt2Pattern for GPT-2's published
+      // pretokenization. Learn-time runs the SAME pattern in-plan
+      // (Spark's regexp_extract_all is Java regex, like the apply
+      // kernel's Matcher) so learn and apply symbols can never drift;
+      // pass the matching pattern to byteBpeEncode at apply time.
+      pretokPattern: String =
+        graft.functions.ByteBpeKernel.whitespacePattern): DataFrame = {
     val dict = docs
       .select(explode(regexp_extract_all(col(textCol),
-        lit("\\S+\\s*|^\\s+"), lit(0))).as("pretok"))
+        lit(pretokPattern), lit(0))).as("pretok"))
       .groupBy("pretok").agg(count(lit(1)).as("cnt"))
       .select(decode(encode(col("pretok"), "UTF-8"), "ISO-8859-1")
         .as("word"), col("cnt"))

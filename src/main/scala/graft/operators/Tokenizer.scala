@@ -60,12 +60,26 @@ final case class MergeTokenizer(merges: Seq[(String, String)],
   * included) and UNK is structurally impossible.
   */
 final case class ByteMergeTokenizer(merges: Seq[(String, String)],
-    vocab: Seq[(String, Int)]) extends Tokenizer {
-  val kind: String = Tokenizer.ByteMerge
+    vocab: Seq[(String, Int)],
+    pretokPattern: String =
+      graft.functions.ByteBpeKernel.whitespacePattern) extends Tokenizer {
+  // the pretokenizer mode is PART of the model (the same merge table
+  // applied under a different pretokenizer emits different ids), so it
+  // rides the artifact's kind column: the two shipped modes map to
+  // distinct kinds and a custom pattern persists as a kind the loader
+  // refuses loudly (a pattern string can't round-trip through the
+  // unified schema — ship custom modes in code, not artifacts)
+  val kind: String = pretokPattern match {
+    case graft.functions.ByteBpeKernel.whitespacePattern =>
+      Tokenizer.ByteMerge
+    case graft.functions.ByteBpeKernel.gpt2Pattern =>
+      Tokenizer.ByteMergeGpt2
+    case _ => "bytemerge_custom_pretok"
+  }
   def count(text: Column): Column =
     org.apache.spark.sql.functions.size(encode(text))
   def encode(text: Column): Column =
-    TextFunctions.byteBpeEncode(text, merges, vocab)
+    TextFunctions.byteBpeEncode(text, merges, vocab, pretokPattern)
   def vocabulary: Seq[(String, Int)] = vocab
   override def decode(ids: Column): Column =
     TextFunctions.byteBpeDecode(ids, vocab)
@@ -92,6 +106,7 @@ object Tokenizer {
   val MaxMatch = "maxmatch"
   val Merge = "merge"
   val ByteMerge = "bytemerge"
+  val ByteMergeGpt2 = "bytemerge_gpt2"
 
   /** The unified-artifact frame for a tokenizer (one small DataFrame —
     * write it wherever model files live). */
@@ -118,7 +133,8 @@ object Tokenizer {
     tok match {
       case MaxMatchTokenizer(pieces) => vocabRows(pieces)
       case MergeTokenizer(merges, vocab) => withMergeRows(merges, vocab)
-      case ByteMergeTokenizer(merges, vocab) => withMergeRows(merges, vocab)
+      case ByteMergeTokenizer(merges, vocab, _) =>
+        withMergeRows(merges, vocab) // pretok mode rides tok.kind
     }
   }
 
@@ -158,7 +174,7 @@ object Tokenizer {
         require(rows.length == vocab.length,
           "a maxmatch artifact carries vocabulary rows only")
         MaxMatchTokenizer(vocab)
-      case Merge | ByteMerge =>
+      case Merge | ByteMerge | ByteMergeGpt2 =>
         val mergeRows = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
         // a malformed artifact must fail as loudly as the kind/row-count
         // checks, not load silently: every row is vocab or merge, merge
@@ -191,7 +207,10 @@ object Tokenizer {
               pairs.contains((String.valueOf(b.toChar), b + 1))),
             "bytemerge artifact: vocabulary must map each byte b " +
               "(as a Latin-1 one-char piece) to id b+1 for all 256 bytes")
-          ByteMergeTokenizer(merges, vocab)
+          ByteMergeTokenizer(merges, vocab,
+            pretokPattern = if (kinds.head == ByteMergeGpt2)
+              graft.functions.ByteBpeKernel.gpt2Pattern
+            else graft.functions.ByteBpeKernel.whitespacePattern)
         }
       case other =>
         throw new IllegalArgumentException(s"unknown tokenizer_kind $other")

@@ -416,6 +416,65 @@ class TextKernelsSpec extends SparkSpec {
     assert(unk == "\uFFFD\uFFFD")
   }
 
+  test("gpt2 pretokenizer: contractions, space-prefix, class splits, " +
+      "whitespace-run shedding — and every mode tiles the input") {
+    def gpt2(s: String): Seq[String] =
+      ByteBpeKernel.pretokenize(s, ByteBpeKernel.gpt2Pattern).toSeq
+    // contractions split off; a word absorbs AT MOST one leading space
+    assert(gpt2("we don't") == Seq("we", " don", "'t"))
+    assert(gpt2("isn'T it's") == Seq("isn", "'", "T", " it", "'s"))
+    // letter/digit/punct runs split; the space prefix binds per class
+    assert(gpt2("abc123!?") == Seq("abc", "123", "!?"))
+    assert(gpt2("3.14 x-y") == Seq("3", ".", "14", " x", "-", "y"))
+    // a multi-space run sheds all but its LAST space into its own
+    // pretoken (the \s+(?!\S) lookahead); the survivor prefixes the word
+    assert(gpt2("a  big   gap") == Seq("a", " ", " big", "  ", " gap"))
+    assert(gpt2("  lead") == Seq(" ", " lead"))
+    // only a literal space prefixes a word — a tab stays standalone,
+    // and a run ENDING in a non-space whitespace char splits once more
+    // (the q168 oracle's RE2 adjustment term counts exactly these)
+    assert(gpt2("tab\tword") == Seq("tab", "\t", "word"))
+    assert(gpt2("x \tword") == Seq("x", " ", "\t", "word"))
+    assert(gpt2("a\t b") == Seq("a", "\t", " b"))
+    assert(gpt2("a\r\nb") == Seq("a", "\r", "\n", "b"))
+    // Java \s includes \x0B (vertical tab); RE2's \s does not — the
+    // q168 twin spells the Java class out, so pin the Java reading
+    assert(gpt2("a\u000B\u000Bb") == Seq("a", "\u000B", "\u000B", "b"))
+    // trailing whitespace is one pretoken; Unicode categories drive the
+    // classes (CJK letters, a math-symbol arrow, a surrogate-pair emoji)
+    assert(gpt2("end  ") == Seq("end", "  "))
+    assert(gpt2("  néé 日本語→λ 😀 ") ==
+      Seq(" ", " néé", " 日本語", "→", "λ", " 😀", " "))
+    // complete tiling: concat == input for BOTH shipped modes, so the
+    // byte family's exact-reconstruction contract is mode-independent
+    val salted = "don't we'll 3.14words—and\tmore  ok \r\n"
+    for (p <- Seq(ByteBpeKernel.whitespacePattern,
+        ByteBpeKernel.gpt2Pattern))
+      assert(ByteBpeKernel.pretokenize(salted, p).mkString == salted)
+  }
+
+  test("byteBpeEncode under the gpt2 pretokenizer: exact roundtrip, " +
+      "merges confined to pretokens") {
+    val docs = Seq(
+      (1L, "we don't stop, we don't stop"),
+      (2L, "  don't   stop\tnow — 123 José 😀 "),
+      (3L, "don'T DON'T don't")).toDF("doc_id", "text")
+    val mt = graft.operators.Corpus.learnByteBpeMerges(docs, "text",
+      numMerges = 6, pretokPattern = ByteBpeKernel.gpt2Pattern)
+    val merges = graft.operators.Corpus.collectMerges(mt)
+    val vocab = graft.operators.Corpus.byteMergeVocab(mt)
+    val back = docs.select(col("text"),
+        TextExpressions.byteBpeDecode(
+          TextExpressions.byteBpeEncode(col("text"), merges, vocab,
+            ByteBpeKernel.gpt2Pattern), vocab).as("back"))
+      .where(col("text") =!= col("back")).count()
+    assert(back == 0L) // decode∘encode is the exact identity in gpt2 mode
+    // a merge can never span a pretoken boundary: " don" and "'t" are
+    // separate dictionary words, so no learned merge glues n to '
+    assert(!merges.exists { case (l, r) =>
+      l.endsWith("n") && r.startsWith("'") })
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))

@@ -672,6 +672,44 @@ class CorpusSpec extends SparkSpec {
       Tokenizer.fromArtifact(wrongPiece) }.getMessage.contains("256"))
   }
 
+  test("gpt2-pretokenizer byte tokenizer round-trips through the " +
+      "artifact as its own kind; custom patterns refuse to ship") {
+    import graft.functions.ByteBpeKernel
+    val docs = Seq((1L, "we don't stop  now"), (2L, " don't 123 😀 "))
+      .toDF("doc_id", "text")
+    val mt = Corpus.learnByteBpeMerges(docs, "text", numMerges = 3,
+      pretokPattern = ByteBpeKernel.gpt2Pattern)
+    val built = ByteMergeTokenizer(Corpus.collectMerges(mt),
+      Corpus.byteMergeVocab(mt), pretokPattern = ByteBpeKernel.gpt2Pattern)
+    assert(built.kind == Tokenizer.ByteMergeGpt2)
+    val dir = java.nio.file.Files.createTempDirectory("tok_gpt2_").toString
+    Tokenizer.save(spark, built, s"$dir/gpt2")
+    val loaded = Tokenizer.load(spark, s"$dir/gpt2") match {
+      case b: ByteMergeTokenizer => b
+      case other => fail(s"bytemerge_gpt2 artifact loaded as $other")
+    }
+    // the pretokenizer mode survives the round trip (it is PART of the
+    // model: the same merges under the default pretokenizer would emit
+    // different ids on multi-space/contraction text)
+    assert(loaded.pretokPattern == ByteBpeKernel.gpt2Pattern)
+    val r = docs.select(col("text"),
+        built.encode(col("text")).as("a"), loaded.encode(col("text")).as("b"))
+      .select(col("text"), col("a"), col("b"),
+        loaded.decode(col("b")).as("back"))
+      .collect()
+    assert(r.forall(x => x.getSeq[Int](1) == x.getSeq[Int](2)
+      && x.getString(3) == x.getString(0)))
+    // a custom pattern can't round-trip through the unified schema —
+    // it persists as a kind the loader refuses loudly
+    val custom = ByteMergeTokenizer(built.merges, built.vocab,
+      pretokPattern = "[a-z]+|[^a-z]+")
+    val dir2 = java.nio.file.Files.createTempDirectory("tok_cust_").toString
+    Tokenizer.save(spark, custom, s"$dir2/c")
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.load(spark, s"$dir2/c")
+    }.getMessage.contains("unknown tokenizer_kind"))
+  }
+
   test("malformed tokenizer artifacts fail loudly, never load silently") {
     def art(rows: Seq[(String, String, Integer, Integer, String, String)]) =
       rows.toDF("tokenizer_kind", "piece", "id", "merge_rank", "lhs", "rhs")
