@@ -2102,6 +2102,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MULTIMODAL sequence packing: a trainer's packs interleave text
+    // and image docs — text contributes tokenizer ids (the identity
+    // byte tokenizer here, ids == bytes+1, so the twin derives the id
+    // stream from hex() with NO tokenizer), an image contributes a
+    // fixed-length PLACEHOLDER span (id 0 — reserved-unreachable in
+    // the byte vocab — repeated once per ViT patch, patch count from
+    // the stored dims: floor(w/16)·floor(h/16)). The pack arithmetic,
+    // flat stream, and doc_offsets discipline are q144's verbatim
+    // (boundaries delineate segments regardless of modality); each
+    // pack additionally reports its modality mix, computed in the SAME
+    // pack shuffle. Every doc_id%3==0 doc plays an image with dims
+    // 64·(1+id%5) × 64·(1+id%4) — deterministic pure-SQL metadata, so
+    // the twin reproduces spans, offsets, digests, and mix exactly
+    "q169_multimodal_packs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val imgDocs = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), lit("image").as("modality"),
+          graft.operators.Multimodal.imagePlaceholderIds(
+            lit(64) * (lit(1) + col("doc_id") % 5),
+            lit(64) * (lit(1) + col("doc_id") % 4),
+            patchSize = 16).as("__ids"))
+      val txtDocs = docs
+        .where(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), lit("text").as("modality"),
+          graft.functions.TextFunctions.byteBpeEncode(col("text"),
+            Seq.empty, graft.operators.Corpus.identityByteVocab)
+            .as("__ids"))
+      graft.operators.Multimodal.packMultimodalSequences(
+          txtDocs.unionByName(imgDocs), "lang", "doc_id", "__ids",
+          "modality", tokenBudget = 2048)
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), col("n_text_docs"), col("n_image_docs"),
+          col("text_tokens"), col("image_patches"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -5594,6 +5634,66 @@ object SparkEntry {
            |  CAST(strlen(txt) AS BIGINT) AS n_bytes,
            |  md5(txt) AS roundtrip_md5
            |FROM g8 ORDER BY doc_id""".stripMargin,
+
+      // q169: the multimodal pack twin is q144's arithmetic with a
+      // two-modality source — text docs' ids derive from hex() under
+      // the identity byte tokenizer (ids == bytes+1, no tokenizer in
+      // the twin), image docs' spans are '0' repeated over the
+      // metadata-derived patch count (floor(64(1+id%5)/16) ·
+      // floor(64(1+id%4)/16) = 16(1+id%5)(1+id%4)); cumsum, pack
+      // boundaries, offsets ('0' + per-doc cumulative ends), and the
+      // empty-doc skip in the id digest all follow the q144 twin
+      "q169_multimodal_packs" ->
+        s"""WITH mm AS MATERIALIZED (
+           |  SELECT doc_id, lang, 'image' AS modality,
+           |    CAST(16 * (1 + doc_id % 5) * (1 + doc_id % 4) AS BIGINT)
+           |      AS n_tokens,
+           |    NULL AS hx
+           |  FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id, lang, 'text' AS modality,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens,
+           |    hex(encode(text)) AS hx
+           |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+           |mi AS (SELECT doc_id, lang, modality, n_tokens,
+           |  CASE WHEN modality = 'image'
+           |    THEN array_to_string(list_transform(
+           |      range(1, CAST(n_tokens AS INTEGER) + 1), i -> '0'), ' ')
+           |    ELSE array_to_string(list_transform(
+           |      range(1, CAST(n_tokens AS INTEGER) + 1),
+           |      i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))
+           |        ::BIGINT + 1 AS VARCHAR)), ' ')
+           |  END AS ids_str FROM mm),
+           |mc AS (SELECT doc_id, lang, modality, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM mi),
+           |mp AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, modality, n_tokens, ids_str FROM mc),
+           |mo AS (SELECT lang, pack_id, doc_id, modality, n_tokens,
+           |  ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM mp)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_text_docs,
+           |  CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_image_docs,
+           |  CAST(sum(CASE WHEN modality = 'text' THEN n_tokens ELSE 0
+           |    END) AS BIGINT) AS text_tokens,
+           |  CAST(sum(CASE WHEN modality = 'image' THEN n_tokens ELSE 0
+           |    END) AS BIGINT) AS image_patches,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |FROM mo GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

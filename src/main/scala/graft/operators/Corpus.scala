@@ -704,22 +704,26 @@ object Corpus {
     * O(tokenBudget) at any corpus size.
     */
   def materializeTokenPacks(packed: DataFrame, shardCol: String,
-      idCol: String, idsCol: String): DataFrame =
+      idCol: String, idsCol: String,
+      // extra per-pack aggregates computed IN the one pack shuffle
+      // (e.g. the multimodal mix rollup) — they see the same
+      // null-discipline-filtered rows as the built-in counts, so a
+      // dropped doc is absent from every reported number consistently
+      extraAggs: Seq[Column] = Nil): DataFrame =
     packed.where(col("pack_id").isNotNull && col(idsCol).isNotNull)
       .groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("pack_tokens"),
-        array_sort(collect_list(struct(col(idCol), col(idsCol))))
-          .as("__members"))
-      .select(col(shardCol), col("pack_id"), col("n_docs"),
-        col("pack_tokens"),
-        flatten(transform(col("__members"), x => x.getField(idsCol)))
-          .as("pack_ids"),
+        (sum(col("n_tokens")).as("pack_tokens") +: extraAggs) ++ Seq(
+          array_sort(collect_list(struct(col(idCol), col(idsCol))))
+            .as("__members")): _*)
+      .withColumn("pack_ids",
+        flatten(transform(col("__members"), x => x.getField(idsCol))))
+      .withColumn("doc_offsets",
         aggregate(
           transform(col("__members"), x => size(x.getField(idsCol))),
           array(lit(0)),
-          (acc, l) => concat(acc, array(element_at(acc, -1) + l)))
-          .as("doc_offsets"))
+          (acc, l) => concat(acc, array(element_at(acc, -1) + l))))
+      .drop("__members")
 
   /** The subtotal half of the distributed prefix sum [[packSequences]]
     * and [[shuffleShard]] share: one metadata-sized pass collects

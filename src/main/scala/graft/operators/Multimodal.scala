@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -143,4 +143,60 @@ object Multimodal {
       .agg(count("*").as("n_assets"),
         sum(col("meta.n_bytes")).as("total_bytes"),
         max(col("meta.n_bytes")).as("max_bytes"))
+
+  /** Fixed-length image placeholder span: the id array an IMAGE doc
+    * contributes to a packed training sequence — `placeholderId`
+    * repeated once per ViT patch, patch count derived from the STORED
+    * dims as floor(width/patchSize) × floor(height/patchSize) (partial
+    * patches drop, the standard ViT convention). The trainer later
+    * splices patch embeddings over the placeholder span; pick an id
+    * the text tokenizer can never emit (the byte family reserves id 0
+    * exactly for this — unreachable at text-encode time). Pure
+    * arithmetic on metadata columns: no payload read, no decode.
+    */
+  def imagePlaceholderIds(width: Column, height: Column, patchSize: Int,
+      placeholderId: Int = 0): Column = {
+    require(patchSize >= 1, "imagePlaceholderIds needs a positive patch size")
+    array_repeat(lit(placeholderId),
+      ((width / patchSize).cast(IntegerType) *
+        (height / patchSize).cast(IntegerType)))
+  }
+
+  /** MULTIMODAL sequence packing — interleaved text/image docs through
+    * the one token packer (`Corpus.packSequences` +
+    * `materializeTokenPacks`), which is modality-agnostic by
+    * construction: every doc arrives as (shard, id, ids array,
+    * modality), text docs carrying tokenizer ids and image docs a
+    * [[imagePlaceholderIds]] span, and the pack arithmetic, the flat
+    * `pack_ids` stream, and the `doc_offsets` boundary discipline are
+    * EXACTLY the text pipeline's (q144) — a boundary delineates a
+    * segment regardless of what fills it, so attention/loss masking and
+    * the per-segment audit (q162) carry over unchanged. On top of the
+    * standard pack columns each pack reports its modality mix
+    * (`n_text_docs`/`n_image_docs`/`text_tokens`/`image_patches`),
+    * computed IN the same pack shuffle as the stream itself — one extra
+    * aggregate, no second pass, no join.
+    *
+    * At 100 TB nothing changes: the mix columns are per-pack integers,
+    * the pack state stays budget-bounded, and image docs are CHEAPER
+    * than text docs through the shuffle (a placeholder span compresses
+    * to its length; the payload bytes never enter the packer at all —
+    * dims are metadata).
+    */
+  def packMultimodalSequences(docs: DataFrame, shardCol: String,
+      idCol: String, idsCol: String, modalityCol: String,
+      tokenBudget: Long): DataFrame = {
+    val packed = Corpus.packSequences(docs, shardCol, idCol,
+      size(col(idsCol)).cast(LongType), tokenBudget)
+    Corpus.materializeTokenPacks(packed, shardCol, idCol, idsCol,
+      extraAggs = Seq(
+        sum(when(col(modalityCol) === "text", lit(1L)).otherwise(0L))
+          .as("n_text_docs"),
+        sum(when(col(modalityCol) === "image", lit(1L)).otherwise(0L))
+          .as("n_image_docs"),
+        sum(when(col(modalityCol) === "text", col("n_tokens"))
+          .otherwise(0L)).as("text_tokens"),
+        sum(when(col(modalityCol) === "image", col("n_tokens"))
+          .otherwise(0L)).as("image_patches")))
+  }
 }

@@ -63,6 +63,46 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames(1).getAs[Array[Byte]]("frame"), "UTF-8") == "ghi")
   }
 
+  test("packMultimodalSequences interleaves text ids and image " +
+      "placeholder spans under one offsets discipline") {
+    import org.apache.spark.sql.functions._
+    // image dims → patch counts: 32×32/16 → 4 patches; 48×33/16 → 3·2=6
+    // (partial patches drop — floor semantics)
+    val imgs = Seq((2L, "s", 32, 32), (4L, "s", 48, 33))
+      .toDF("doc_id", "shard", "w", "h")
+      .select(col("doc_id"), col("shard"), lit("image").as("modality"),
+        Multimodal.imagePlaceholderIds(col("w"), col("h"), patchSize = 16,
+          placeholderId = 0).as("ids"))
+    val txts = Seq((1L, "s", Seq(7, 8, 9)), (3L, "s", Seq(5, 6)))
+      .toDF("doc_id", "shard", "ids")
+      .select(col("doc_id"), col("shard"), lit("text").as("modality"),
+        col("ids"))
+    // budget 9: docs in id order weigh 3,4,2,6 → cum-before 0,3,7,9 →
+    // packs 0,0,0,1 (doc 4 starts exactly at the boundary)
+    val packs = Multimodal.packMultimodalSequences(
+        txts.unionByName(imgs), "shard", "doc_id", "ids", "modality",
+        tokenBudget = 9)
+      .orderBy("pack_id").collect()
+    assert(packs.length == 2)
+    val p0 = packs(0)
+    assert(p0.getAs[Long]("n_docs") == 3L &&
+      p0.getAs[Long]("pack_tokens") == 9L &&
+      p0.getAs[Long]("n_text_docs") == 2L &&
+      p0.getAs[Long]("n_image_docs") == 1L &&
+      p0.getAs[Long]("text_tokens") == 5L &&
+      p0.getAs[Long]("image_patches") == 4L)
+    // the flat stream interleaves in doc order; offsets delineate every
+    // segment including the placeholder span
+    assert(p0.getSeq[Int](p0.fieldIndex("pack_ids")) ==
+      Seq(7, 8, 9, 0, 0, 0, 0, 5, 6))
+    assert(p0.getSeq[Int](p0.fieldIndex("doc_offsets")) == Seq(0, 3, 7, 9))
+    val p1 = packs(1)
+    assert(p1.getAs[Long]("n_image_docs") == 1L &&
+      p1.getAs[Long]("image_patches") == 6L &&
+      p1.getSeq[Int](p1.fieldIndex("pack_ids")) == Seq.fill(6)(0) &&
+      p1.getSeq[Int](p1.fieldIndex("doc_offsets")) == Seq(0, 6))
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_mm_").toString + "/assets"
     Multimodal.fromDocuments(docs).write.parquet(dir)
