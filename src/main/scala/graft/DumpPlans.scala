@@ -132,7 +132,11 @@ object DumpPlans {
       "q166_token_decontaminate_coverage" ->
         "matched-span coverage: the pinned q157 corpus pass with window start positions riding candidate rows -> broadcast join -> the position explode runs on the MATCHED SLIVER only (checkpointed, reused by both aggregates) — never corpus-sized",
       "q167_contamination_by_eval_doc" ->
-        "attribution report: the same ONE corpus traversal joined against the doc-attributed eval windows (broadcast, no distinct) -> one partial-agg rollup per eval doc — the corpus never shuffles")
+        "attribution report: the same ONE corpus traversal joined against the doc-attributed eval windows (broadcast, no distinct) -> one partial-agg rollup per eval doc — the corpus never shuffles",
+      "q168_byte_bpe_gpt2_pretok" ->
+        "q159's pinned shape under the GPT-2 pretokenizer: ONE narrow codegen projection (gpt2-regex pretokenize -> byte symbols -> merge walk -> ids -> decode) — the pretokenizer mode changes per-row kernel work only, no shuffle before the final sort",
+      "q169_multimodal_packs" ->
+        "multimodal packs: metadata-only placeholder spans (array_repeat off dims arithmetic, no payload read) unioned with identity-byte text ids -> the pinned q144 packer (range-shuffle prefix sums + ONE (shard, pack_id) group shuffle) with the modality-mix aggregates riding the SAME group agg — no extra exchange for the mix")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

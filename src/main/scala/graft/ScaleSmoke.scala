@@ -290,6 +290,15 @@ object ScaleSmoke {
           () => Dedup.decontaminateTokenCoverage(
             trainIds, evalIds, n = 13, hashWindows = true).count()
         }),
+        // q167: the attribution flip — eval windows keep their doc id
+        // (a fatter build side than the distinct gram sets) and the
+        // rollup groups by eval doc; still ONE corpus traversal, and
+        // the output is eval-suite-sized however large the corpus
+        "contamination_by_eval_doc" -> (() => {
+          val (trainIds, evalIds) = decontamFix
+          () => Dedup.contaminationByEvalDoc(
+            trainIds, evalIds, n = 13, hashWindows = true).count()
+        }),
         // the byte family (q159/q162): learn is dict-scale like
         // bpe_learn but over the whitespace-preserving pretoken dict;
         // encode/decode are per-row kernels whose cost must stay linear
@@ -312,6 +321,42 @@ object ScaleSmoke {
             .select(octet_length(TextFunctions.byteBpeDecode(col("__ids"),
               vocab)).cast("long").as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
+        }),
+        // q168: the GPT-2 pretokenizer's apply cost vs the default —
+        // same corpus, same merge count, richer regex per row; must
+        // stay linear in corpus bytes like byte_encode
+        "byte_encode_gpt2" -> (() => {
+          import graft.functions.ByteBpeKernel
+          val mt = Corpus.learnByteBpeMerges(amp, "text", numMerges = 16,
+            pretokPattern = ByteBpeKernel.gpt2Pattern)
+          val (merges, vocab) =
+            (Corpus.collectMerges(mt), Corpus.byteMergeVocab(mt))
+          () => amp.select(
+            size(TextFunctions.byteBpeEncode(col("text"), merges, vocab,
+              ByteBpeKernel.gpt2Pattern)).as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        }),
+        // q169: the multimodal packer at corpus scale — identity-byte
+        // text ids interleaved with metadata-derived placeholder spans
+        // through the ONE pack shuffle (mix aggregates ride it); cost
+        // must track the text-only packer, since image docs are
+        // cheaper (a span compresses to its length)
+        "multimodal_packs" -> (() => {
+          val mixed = amp.where(col("doc_id") % 3 =!= 0 &&
+              col("text").isNotNull)
+            .select(col("doc_id"), col("lang"), lit("text").as("modality"),
+              TextFunctions.byteBpeEncode(col("text"), Seq.empty,
+                Corpus.identityByteVocab).as("__ids"))
+            .unionByName(amp.where(col("doc_id") % 3 === 0)
+              .select(col("doc_id"), col("lang"),
+                lit("image").as("modality"),
+                graft.operators.Multimodal.imagePlaceholderIds(
+                  lit(64) * (lit(1) + col("doc_id") % 5),
+                  lit(64) * (lit(1) + col("doc_id") % 4),
+                  patchSize = 16).as("__ids")))
+          () => graft.operators.Multimodal.packMultimodalSequences(
+            mixed, "lang", "doc_id", "__ids", "modality",
+            tokenBudget = 2048).count()
         }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
