@@ -136,7 +136,11 @@ object DumpPlans {
       "q168_byte_bpe_gpt2_pretok" ->
         "q159's pinned shape under the GPT-2 pretokenizer: ONE narrow codegen projection (gpt2-regex pretokenize -> byte symbols -> merge walk -> ids -> decode) — the pretokenizer mode changes per-row kernel work only, no shuffle before the final sort",
       "q169_multimodal_packs" ->
-        "multimodal packs: metadata-only placeholder spans (array_repeat off dims arithmetic, no payload read) unioned with identity-byte text ids -> the pinned q144 packer (range-shuffle prefix sums + ONE (shard, pack_id) group shuffle) with the modality-mix aggregates riding the SAME group agg — no extra exchange for the mix")
+        "multimodal packs: metadata-only placeholder spans (array_repeat off dims arithmetic, no payload read) unioned with identity-byte text ids -> the pinned q144 packer (range-shuffle prefix sums + ONE (shard, pack_id) group shuffle) with the modality-mix aggregates riding the SAME group agg — no extra exchange for the mix",
+      "q171_decontaminate_by_coverage" ->
+        "coverage-thresholded gate: the pinned q166 coverage shape (one typed corpus traversal, matched-sliver aggregates) -> threshold filter on the contaminated sliver -> LEFT ANTI join back to the corpus with the tiny drop set broadcast — the corpus is never shuffled",
+      "q172_multimodal_pack_segments" ->
+        "multimodal per-segment audit: the pinned q169 pack shape, then segment slices cut from each pack row's own arrays (doc_offsets-indexed slice + branch on the reserved placeholder id) — a per-pack-row projection, no new exchange; decode runs only on text segments")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

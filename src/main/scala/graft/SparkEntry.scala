@@ -1967,6 +1967,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the coverage AUDIT turned into the corpus GATE (the Llama-2
+    // policy): a train doc drops only when its matched-span coverage
+    // fraction exceeds 80% — integer basis points, no float in the
+    // decision — so the doc that IS a benchmark page (the planted
+    // successor quotes: covered == n_tokens) drops while a doc merely
+    // sharing phrases stays. The output is the SURVIVING corpus: the
+    // row set itself asserts both sides of the threshold
+    "q171_decontaminate_by_coverage" -> ((s, dir) => {
+      val (train, ev) = tokenDecontamFixture(s, dir)
+      graft.operators.Dedup.decontaminateByCoverage(train, ev, n = 13,
+          maxCoverageBp = 8000L, hashWindows = true)
+        .select(col("doc_id"),
+          size(col("ids")).cast(LongType).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // the attribution report from the eval suite's side: per benchmark
     // doc, how many distinct train docs quote it and how many window
     // pairs match — "which benchmark is compromised", the complement of
@@ -2139,6 +2155,97 @@ object SparkEntry {
             i => i.cast(StringType)), " ")).as("ids_md5"),
           md5(array_join(transform(col("doc_offsets"),
             i => i.cast(StringType)), " ")).as("offsets_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // q169's STREAMING sibling: the mixed-modality corpus through the
+    // q155/q163 incremental closed-pack export. The modality fork is
+    // pure stateless prepare (placeholder spans from dims arithmetic
+    // vs identity-byte text ids, branched per row), so the pinned
+    // micro-batch shape is untouched — one shard exchange, one
+    // budget-bounded state op. The mix is derived FROM THE ARTIFACT
+    // ALONE: placeholder id 0 is unreachable for text (byte ids are
+    // 1..256), so image_patches = the pack's zero-id count and
+    // text_tokens = the rest — the audit a pack consumer can run with
+    // no upstream metadata. Twin = q169's arithmetic minus each
+    // shard's final open pack (structurally unemittable mid-stream)
+    "q170_stream_multimodal_packs" -> ((s, dir) => {
+      val root = scratch("graft_smm_")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        .where(col("doc_id") % 3 === 0 || col("text").isNotNull)
+      val (src, schema) = idRangeBacklog(s, root, docs)
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingPack.runMaterializeAvailableNow(
+          s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
+          prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              graft.operators.Multimodal.imagePlaceholderIds(
+                lit(64) * (lit(1) + col("doc_id") % 5),
+                lit(64) * (lit(1) + col("doc_id") % 4),
+                patchSize = 16))
+              .otherwise(graft.functions.TextFunctions.byteBpeEncode(
+                col("text"), Seq.empty,
+                graft.operators.Corpus.identityByteVocab))
+              .as("ids")))
+      }
+      s.read.parquet(s"$root/out")
+        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          size(filter(col("pack_ids"), i => i === 0)).cast(LongType)
+            .as("image_patches"),
+          col("pack_ids"), col("doc_offsets"))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          (col("pack_tokens") - col("image_patches")).as("text_tokens"),
+          col("image_patches"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // the q162-class per-SEGMENT audit for MIXED packs: each member's
+    // id range, sliced out by doc_offsets, must be either an
+    // all-placeholder span of exactly the metadata-derived patch count
+    // (image) or decode ALONE to exactly that member's text (text) —
+    // the check a multimodal trainer runs before trusting that
+    // attention masks cut where documents do. The segment's first id
+    // classifies it (0 is reserved: text byte ids are 1..256), so the
+    // audit needs NO modality metadata — the artifact is
+    // self-describing. A shifted boundary flips a segment digest even
+    // when whole-pack counts still match
+    "q172_multimodal_pack_segments" -> ((s, dir) => {
+      val vocab = graft.operators.Corpus.identityByteVocab
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val imgDocs = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), lit("image").as("modality"),
+          graft.operators.Multimodal.imagePlaceholderIds(
+            lit(64) * (lit(1) + col("doc_id") % 5),
+            lit(64) * (lit(1) + col("doc_id") % 4),
+            patchSize = 16).as("__ids"))
+      val txtDocs = docs
+        .where(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), lit("text").as("modality"),
+          graft.functions.TextFunctions.byteBpeEncode(col("text"),
+            Seq.empty, vocab).as("__ids"))
+      def seg(i: Column) = slice(col("pack_ids"),
+        element_at(col("doc_offsets"), i) + 1,
+        element_at(col("doc_offsets"), i + 1)
+          - element_at(col("doc_offsets"), i))
+      graft.operators.Multimodal.packMultimodalSequences(
+          txtDocs.unionByName(imgDocs), "lang", "doc_id", "__ids",
+          "modality", tokenBudget = 2048)
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          transform(sequence(lit(1), size(col("doc_offsets")) - 1),
+            i => when(element_at(seg(i), 1) === 0,
+              concat(lit("i"), size(seg(i)).cast(StringType)))
+              .otherwise(md5(graft.functions.TextFunctions.byteBpeDecode(
+                seg(i), vocab)))).as("__segs"))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(col("__segs"), " ")).as("segs_md5"))
         .orderBy("lang", "pack_id")
     }),
 
@@ -5519,6 +5626,49 @@ object SparkEntry {
            |FROM hit6 h JOIN cvd6 c USING (doc_id) JOIN len6 l USING (doc_id)
            |ORDER BY h.doc_id""".stripMargin,
 
+      // q171: q166's coverage chain crossed with the 80% threshold,
+      // then the survivor list — every %50<>0 train doc NOT in the
+      // drop set, with its token length; the planted successor quotes
+      // (covered == n_tokens) are exactly the absentees
+      "q171_decontaminate_by_coverage" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |twsB AS MATERIALIZED (SELECT doc_id,
+           |    string_split(ids_str, ' ') AS ids FROM seq),
+           |twinB AS (SELECT doc_id, u,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM twsB WHERE len(ids) >= 13)),
+           |evqB AS (SELECT e.doc_id,
+           |    l1.ids || COALESCE(l2.ids, CAST([] AS VARCHAR[])) AS ids
+           |  FROM documents e
+           |  JOIN twsB l1 ON l1.doc_id = e.doc_id
+           |  LEFT JOIN twsB l2 ON l2.doc_id = e.doc_id + 1
+           |  WHERE e.doc_id % 50 = 0),
+           |evwB AS (SELECT doc_id,
+           |    array_to_string(list_slice(ids, u, u + 12), ' ') AS gram
+           |  FROM (SELECT doc_id, ids,
+           |      unnest(range(1, len(ids) - 13 + 2)) AS u
+           |    FROM evqB WHERE len(ids) >= 13)),
+           |evgB AS (SELECT DISTINCT gram FROM evwB),
+           |mtwB AS MATERIALIZED (SELECT t.doc_id, t.u
+           |  FROM twinB t JOIN evgB USING (gram)
+           |  WHERE t.doc_id % 50 <> 0),
+           |cvdB AS (SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT)
+           |    AS covered
+           |  FROM (SELECT doc_id, unnest(range(u, u + 13)) AS pos
+           |    FROM mtwB) GROUP BY doc_id),
+           |lenB AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens
+           |  FROM twsB),
+           |drpB AS (SELECT c.doc_id FROM cvdB c JOIN lenB l USING (doc_id)
+           |  WHERE c.covered * 10000 > 8000 * l.n_tokens)
+           |SELECT l.doc_id, l.n_tokens
+           |FROM lenB l
+           |WHERE l.doc_id % 50 <> 0
+           |  AND l.doc_id NOT IN (SELECT doc_id FROM drpB)
+           |ORDER BY l.doc_id""".stripMargin,
+
       // q167: the attribution twin joins train windows against eval
       // windows WITH doc attribution (evw7, not a distinct gram set) —
       // per eval doc, distinct quoting train docs and matched pairs
@@ -5634,6 +5784,98 @@ object SparkEntry {
            |  CAST(strlen(txt) AS BIGINT) AS n_bytes,
            |  md5(txt) AS roundtrip_md5
            |FROM g8 ORDER BY doc_id""".stripMargin,
+
+      // q170: q169's chain at the same budget minus each lang's final
+      // pack (the stream's open pack is structurally unemittable —
+      // q155/q163's convention); text_tokens/image_patches here come
+      // from the modality column, so the green row proves the
+      // artifact-side zero-id derivation equals ground truth
+      "q170_stream_multimodal_packs" ->
+        s"""WITH smm AS MATERIALIZED (
+           |  SELECT doc_id, lang, 'image' AS modality,
+           |    CAST(16 * (1 + doc_id % 5) * (1 + doc_id % 4) AS BIGINT)
+           |      AS n_tokens,
+           |    NULL AS hx
+           |  FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id, lang, 'text' AS modality,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens,
+           |    hex(encode(text)) AS hx
+           |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+           |smi AS (SELECT doc_id, lang, modality, n_tokens,
+           |  CASE WHEN modality = 'image'
+           |    THEN array_to_string(list_transform(
+           |      range(1, CAST(n_tokens AS INTEGER) + 1), i -> '0'), ' ')
+           |    ELSE array_to_string(list_transform(
+           |      range(1, CAST(n_tokens AS INTEGER) + 1),
+           |      i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))
+           |        ::BIGINT + 1 AS VARCHAR)), ' ')
+           |  END AS ids_str FROM smm),
+           |smc AS (SELECT doc_id, lang, modality, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM smi),
+           |smp AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, modality, n_tokens, ids_str FROM smc),
+           |smo AS (SELECT lang, pack_id, doc_id, modality, n_tokens,
+           |  ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM smp),
+           |sag AS MATERIALIZED (SELECT lang, pack_id,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  CAST(sum(CASE WHEN modality = 'text' THEN n_tokens ELSE 0
+           |    END) AS BIGINT) AS text_tokens,
+           |  CAST(sum(CASE WHEN modality = 'image' THEN n_tokens ELSE 0
+           |    END) AS BIGINT) AS image_patches,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5
+           |  FROM smo GROUP BY lang, pack_id)
+           |SELECT a.lang, a.pack_id, a.n_docs, a.pack_tokens,
+           |  a.text_tokens, a.image_patches, a.ids_md5, a.offsets_md5
+           |FROM sag a JOIN (SELECT lang, max(pack_id) AS mp
+           |  FROM sag GROUP BY lang) m USING (lang)
+           |WHERE a.pack_id < m.mp
+           |ORDER BY a.lang, a.pack_id""".stripMargin,
+
+      // q172: per-doc segment representations — 'i'||patches for an
+      // image, md5(text) for a text doc (identity-byte decode == the
+      // exact text) — aggregated per pack in doc order; the chain is
+      // q169's through the pack assignment
+      "q172_multimodal_pack_segments" ->
+        s"""WITH gmm AS MATERIALIZED (
+           |  SELECT doc_id, lang, 'image' AS modality,
+           |    CAST(16 * (1 + doc_id % 5) * (1 + doc_id % 4) AS BIGINT)
+           |      AS n_tokens,
+           |    NULL AS text
+           |  FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id, lang, 'text' AS modality,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens,
+           |    text
+           |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+           |gmc AS (SELECT doc_id, lang, modality, n_tokens, text,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM gmm),
+           |gmp AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, modality, n_tokens,
+           |  CASE WHEN modality = 'image'
+           |    THEN 'i' || CAST(n_tokens AS VARCHAR)
+           |    ELSE md5(text) END AS seg
+           |  FROM gmc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(string_agg(seg, ' ' ORDER BY doc_id)) AS segs_md5
+           |FROM gmp GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
 
       // q169: the multimodal pack twin is q144's arithmetic with a
       // two-modality source — text docs' ids derive from hex() under

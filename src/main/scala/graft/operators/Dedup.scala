@@ -815,6 +815,36 @@ object Dedup {
       .select(col(idCol), col("n_hits"), col("covered"), col("n_tokens"))
   }
 
+  /** Coverage-THRESHOLDED decontamination — the Llama-2/PaLM audit rule
+    * turned into an actual corpus gate: a train doc drops only when the
+    * matched-span coverage FRACTION ([[decontaminateTokenCoverage]])
+    * exceeds the threshold — covered·10000 > maxCoverageBp·n_tokens,
+    * integer basis points so no float ever enters the decision or the
+    * oracle hash. The plain hit count ([[decontaminateTokenNgrams]])
+    * can't express this policy: a long doc quoting one benchmark
+    * sentence flags identically to a doc that IS a benchmark page, and
+    * modern audits drop the latter while keeping (and reporting) the
+    * former. Returns the SURVIVING corpus ([[decontaminate]]'s gate
+    * convention) — the drop side is the contaminated sliver crossed
+    * with the threshold, so the anti-join's build side is tiny and AQE
+    * broadcasts it at any corpus size.
+    */
+  def decontaminateByCoverage(train: DataFrame, eval: DataFrame, n: Int,
+      maxCoverageBp: Long = 8000L,
+      idCol: String = "doc_id", idsCol: String = "ids",
+      maxEvalWindows: Long = 10000000L,
+      broadcastWindows: Long = 500000L,
+      hashWindows: Boolean = false): DataFrame = {
+    require(maxCoverageBp >= 0 && maxCoverageBp <= 10000,
+      s"maxCoverageBp is basis points in [0, 10000], got $maxCoverageBp")
+    val dropped = decontaminateTokenCoverage(train, eval, n, idCol, idsCol,
+        maxEvalWindows, broadcastWindows, hashWindows)
+      .where(col("covered") * lit(10000L) >
+        lit(maxCoverageBp) * col("n_tokens"))
+      .select(col(idCol))
+    train.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Contamination ATTRIBUTION — the report from the eval suite's side:
     * per eval doc, how many distinct train docs quote it and how many
     * window pairs match. [[decontaminateTokenNgrams]] answers "which

@@ -262,6 +262,35 @@ class DedupSpec extends SparkSpec {
     assert(same == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("coverage-thresholded gate drops the benchmark page, keeps the " +
+      "one-quote doc") {
+    val train = Seq(
+      // doc 1 IS the benchmark: 3 tokens, fully covered → 100% > 80%
+      (1L, Some(Seq(1, 2, 3))),
+      // doc 2 quotes one benchmark window inside a longer doc:
+      // covered 3 of 10 tokens = 30% → kept (but it DID flag on hits)
+      (2L, Some(Seq(9, 9, 9, 1, 2, 3, 9, 9, 9, 9))),
+      (3L, Some(Seq(7, 8, 7, 8))), // clean
+      (4L, None)                   // null ids: unmatched, kept
+    ).toDF("doc_id", "ids")
+    val ev = Seq((100L, Some(Seq(1, 2, 3)))).toDF("doc_id", "ids")
+    for (hw <- Seq(false, true)) {
+      val kept = Dedup.decontaminateByCoverage(train, ev, n = 3,
+          maxCoverageBp = 8000L, hashWindows = hw)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L, 4L))
+      // threshold at 0 bp: ANY coverage drops (the hit-count policy)
+      val strict = Dedup.decontaminateByCoverage(train, ev, n = 3,
+          maxCoverageBp = 0L, hashWindows = hw)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(strict == Set(3L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateByCoverage(train, ev, n = 3,
+        maxCoverageBp = 10001L)
+    }
+  }
+
   test("delta decontamination refuses a mixed- or unmarked-" +
       "representation hit table loudly") {
     val train = Seq((1L, Some(Seq(1, 2, 3, 4)))).toDF("doc_id", "ids")
