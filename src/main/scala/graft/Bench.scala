@@ -70,14 +70,22 @@ object Bench {
     * so two regexes parse it exactly; `null` medians simply don't
     * match the digit group and drop out. Any malformed/foreign file
     * yields an empty map — the detector then reports `vs_prev: null`
-    * rather than guessing.
+    * rather than guessing. A reference written at a DIFFERENT scale
+    * factor is rejected the same way (empty): comparing sf0.01 medians
+    * against an sf0.1 closing file would flag (or mask) the whole
+    * suite, so the file's own `sf` label must match `sfLabel`.
     */
-  private[graft] def parseSummaryQueries(line: String): Map[String, Long] =
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
+  private[graft] def parseSummaryQueries(line: String,
+      sfLabel: String): Map[String, Long] = {
+    val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(line)
+      .exists(_.group(1) == sfLabel)
+    if (!sfOk) Map.empty
+    else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
       .fold(Map.empty[String, Long]) { m =>
         """"([^"]+)":([0-9]+)""".r.findAllMatchIn(m.group(1))
           .map(x => x.group(1) -> x.group(2).toLong).toMap
       }
+  }
 
   /** SUSTAINED-window stall detector — the gap the per-rep
     * [[spreadFlag]] can't cover: when ALL THREE reps ride one
@@ -175,7 +183,11 @@ object Bench {
       // (suite growth between rounds leaves new queries uncovered —
       // they have no committed median to compare against)
       val vsPrev = if (prev.isEmpty) "null" else {
-        val shared = results.count(r => prev.contains(shortKey(r._1)))
+        // only queries the comparison could actually evaluate: a
+        // committed median AND a fresh one (all-reps-failed queries
+        // would otherwise inflate the claimed coverage)
+        val shared = results.count(r =>
+          prev.contains(shortKey(r._1)) && median(r._2._2).isDefined)
         val outliers = vsPrevOutliers(results, prev)
           .map { case (k, m, p) => Verify.jsonStr(k) + s":[$m,$p]" }
           .mkString("{", ",", "}")
@@ -296,17 +308,27 @@ object Bench {
     // the FILE additionally carries the per-rep arrays and the vs_prev
     // stall list (no capture-size cap applies to it; summary fields
     // still print first, so a parser that reads it like the line sees
-    // the same prefix). The COMMITTED file at the same path — last
-    // closing run's summary on this tree — is read back first as the
-    // vs_prev reference vector, then overwritten.
+    // the same prefix). The vs_prev reference is the summary file's
+    // content BEFORE this run: in the driver flow — one bench per
+    // round over a checkout — that IS the committed closing summary.
+    // The write below replaces it, so a SECOND run in the same tree
+    // compares against the first run, not the committed file; when
+    // that matters (consecutive builder runs under a suspect host),
+    // pin the reference explicitly with SPARK_GRAFT_BENCH_REF or
+    // git-restore the summary first. A reference at a different scale
+    // factor is ignored (parse guard), not compared.
     val summaryPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
         "/root/repo/bench_summary.json"))
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
+      .map(java.nio.file.Paths.get(_)).getOrElse(summaryPath)
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
     val prev =
       try {
-        if (java.nio.file.Files.isRegularFile(summaryPath))
+        if (java.nio.file.Files.isRegularFile(refPath))
           parseSummaryQueries(new String(
-            java.nio.file.Files.readAllBytes(summaryPath), "UTF-8"))
+            java.nio.file.Files.readAllBytes(refPath), "UTF-8"), sfLabel)
         else Map.empty[String, Long]
       } catch { case _: Exception => Map.empty[String, Long] }
     try java.nio.file.Files.write(summaryPath,

@@ -342,18 +342,9 @@ object ScaleSmoke {
         // must track the text-only packer, since image docs are
         // cheaper (a span compresses to its length)
         "multimodal_packs" -> (() => {
-          val mixed = amp.where(col("doc_id") % 3 =!= 0 &&
-              col("text").isNotNull)
-            .select(col("doc_id"), col("lang"), lit("text").as("modality"),
-              TextFunctions.byteBpeEncode(col("text"), Seq.empty,
-                Corpus.identityByteVocab).as("__ids"))
-            .unionByName(amp.where(col("doc_id") % 3 === 0)
-              .select(col("doc_id"), col("lang"),
-                lit("image").as("modality"),
-                graft.operators.Multimodal.imagePlaceholderIds(
-                  lit(64) * (lit(1) + col("doc_id") % 5),
-                  lit(64) * (lit(1) + col("doc_id") % 4),
-                  patchSize = 16).as("__ids")))
+          // the ONE q169-family construction (SparkEntry.multimodalDocs)
+          // so the scale op can never drift from the gated shape
+          val mixed = SparkEntry.multimodalDocs(amp)
           () => graft.operators.Multimodal.packMultimodalSequences(
             mixed, "lang", "doc_id", "__ids", "modality",
             tokenBudget = 2048).count()

@@ -196,6 +196,35 @@ object SparkEntry {
     * single-quoted literal (the tabs embed as-is). */
   private val gpt2SaltSql = gpt2Salt.replace("'", "''")
 
+  /** The ONE mixed-modality id construction behind the q169/q170/q172
+    * family and ScaleSmoke's multimodal op: every doc_id%3==0 doc
+    * plays an IMAGE with dims 64·(1+id%5) × 64·(1+id%4) (patch 16 →
+    * a 16·(1+id%5)·(1+id%4)-long placeholder span, id 0 —
+    * reserved-unreachable in the byte vocab), every other doc is TEXT
+    * under the identity byte tokenizer (ids == bytes+1, so the twins
+    * derive the stream from hex() with no tokenizer). One definition
+    * because four Scala copies and four SQL twins desync silently —
+    * the tokenDecontamFixture rule.
+    */
+  private[graft] def multimodalIds: Column =
+    when(col("doc_id") % 3 === 0,
+      graft.operators.Multimodal.imagePlaceholderIds(
+        lit(64) * (lit(1) + col("doc_id") % 5),
+        lit(64) * (lit(1) + col("doc_id") % 4),
+        patchSize = 16))
+      .otherwise(graft.functions.TextFunctions.byteBpeEncode(col("text"),
+        Seq.empty, graft.operators.Corpus.identityByteVocab))
+
+  /** [[multimodalIds]] over a (doc_id, lang, text) frame, with the
+    * modality column and the family's row universe (image docs kept
+    * regardless of text; text docs need non-null text). */
+  private[graft] def multimodalDocs(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 3 === 0 || col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 3 === 0, lit("image")).otherwise(lit("text"))
+          .as("modality"),
+        multimodalIds.as("__ids"))
+
   /** The q154/q156 train/eval construction — ONE place because the
     * shared `tokenDecontamSql` twin is valid for BOTH queries only
     * while this shape stays byte-identical between them. One encode
@@ -1978,6 +2007,11 @@ object SparkEntry {
       val (train, ev) = tokenDecontamFixture(s, dir)
       graft.operators.Dedup.decontaminateByCoverage(train, ev, n = 13,
           maxCoverageBp = 8000L, hashWindows = true)
+        // universe alignment with the twin, whose lenB derives from the
+        // seq CTE (docs with >=1 piece): a null-ids or zero-token doc
+        // survives the GATE (nothing to match) but has no seq row, so
+        // it stays out of the reported survivor list on both sides
+        .where(size(col("ids")) > 0)
         .select(col("doc_id"),
           size(col("ids")).cast(LongType).as("n_tokens"))
         .orderBy("doc_id")
@@ -2132,22 +2166,10 @@ object SparkEntry {
     // 64·(1+id%5) × 64·(1+id%4) — deterministic pure-SQL metadata, so
     // the twin reproduces spans, offsets, digests, and mix exactly
     "q169_multimodal_packs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val imgDocs = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("lang"), lit("image").as("modality"),
-          graft.operators.Multimodal.imagePlaceholderIds(
-            lit(64) * (lit(1) + col("doc_id") % 5),
-            lit(64) * (lit(1) + col("doc_id") % 4),
-            patchSize = 16).as("__ids"))
-      val txtDocs = docs
-        .where(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), lit("text").as("modality"),
-          graft.functions.TextFunctions.byteBpeEncode(col("text"),
-            Seq.empty, graft.operators.Corpus.identityByteVocab)
-            .as("__ids"))
       graft.operators.Multimodal.packMultimodalSequences(
-          txtDocs.unionByName(imgDocs), "lang", "doc_id", "__ids",
-          "modality", tokenBudget = 2048)
+          multimodalDocs(t(s, dir, "documents")
+            .select("doc_id", "lang", "text")),
+          "lang", "doc_id", "__ids", "modality", tokenBudget = 2048)
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"), col("n_text_docs"), col("n_image_docs"),
           col("text_tokens"), col("image_patches"),
@@ -2178,15 +2200,7 @@ object SparkEntry {
         graft.streaming.StreamingPack.runMaterializeAvailableNow(
           s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
           prepare = df => df.select(col("lang").as("shard"), col("doc_id"),
-            when(col("doc_id") % 3 === 0,
-              graft.operators.Multimodal.imagePlaceholderIds(
-                lit(64) * (lit(1) + col("doc_id") % 5),
-                lit(64) * (lit(1) + col("doc_id") % 4),
-                patchSize = 16))
-              .otherwise(graft.functions.TextFunctions.byteBpeEncode(
-                col("text"), Seq.empty,
-                graft.operators.Corpus.identityByteVocab))
-              .as("ids")))
+            multimodalIds.as("ids")))
       }
       s.read.parquet(s"$root/out")
         .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
@@ -2217,25 +2231,14 @@ object SparkEntry {
     // when whole-pack counts still match
     "q172_multimodal_pack_segments" -> ((s, dir) => {
       val vocab = graft.operators.Corpus.identityByteVocab
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val imgDocs = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("lang"), lit("image").as("modality"),
-          graft.operators.Multimodal.imagePlaceholderIds(
-            lit(64) * (lit(1) + col("doc_id") % 5),
-            lit(64) * (lit(1) + col("doc_id") % 4),
-            patchSize = 16).as("__ids"))
-      val txtDocs = docs
-        .where(col("doc_id") % 3 =!= 0 && col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), lit("text").as("modality"),
-          graft.functions.TextFunctions.byteBpeEncode(col("text"),
-            Seq.empty, vocab).as("__ids"))
       def seg(i: Column) = slice(col("pack_ids"),
         element_at(col("doc_offsets"), i) + 1,
         element_at(col("doc_offsets"), i + 1)
           - element_at(col("doc_offsets"), i))
       graft.operators.Multimodal.packMultimodalSequences(
-          txtDocs.unionByName(imgDocs), "lang", "doc_id", "__ids",
-          "modality", tokenBudget = 2048)
+          multimodalDocs(t(s, dir, "documents")
+            .select("doc_id", "lang", "text")),
+          "lang", "doc_id", "__ids", "modality", tokenBudget = 2048)
         .select(col("lang"), col("pack_id"), col("n_docs"),
           col("pack_tokens"),
           transform(sequence(lit(1), size(col("doc_offsets")) - 1),

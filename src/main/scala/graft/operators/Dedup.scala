@@ -810,9 +810,12 @@ object Dedup {
       .agg(countDistinct(col("__p")).as("covered"))
     val lens = train.select(col(idCol).cast("long"),
       size(col(idsCol)).cast("long").as("n_tokens"))
-    hits.join(covered, Seq(idCol))
+    // stamped like every hit-table producer in the family ([[reprKey]]):
+    // a coverage table's n_hits is a valid delta-merge input
+    markRepr(hits.join(covered, Seq(idCol))
       .join(lens, Seq(idCol))
-      .select(col(idCol), col("n_hits"), col("covered"), col("n_tokens"))
+      .select(col(idCol), col("n_hits"), col("covered"), col("n_tokens")),
+      hashWindows)
   }
 
   /** Coverage-THRESHOLDED decontamination — the Llama-2/PaLM audit rule

@@ -109,9 +109,19 @@ object Tokenizer {
   val ByteMergeGpt2 = "bytemerge_gpt2"
 
   /** The unified-artifact frame for a tokenizer (one small DataFrame —
-    * write it wherever model files live). */
+    * write it wherever model files live). Refuses a tokenizer whose
+    * kind the loader cannot dispatch (a ByteMergeTokenizer with a
+    * custom pretokenizer pattern — the pattern string has no column in
+    * the unified schema): failing HERE, at the write end, beats
+    * shipping an artifact that every future load rejects.
+    */
   def toArtifact(spark: SparkSession, tok: Tokenizer): DataFrame = {
     import spark.implicits._
+    require(Set(MaxMatch, Merge, ByteMerge, ByteMergeGpt2)
+        .contains(tok.kind),
+      s"tokenizer kind '${tok.kind}' is not artifact-shippable — the " +
+        "unified schema carries no pretokenizer pattern column; ship " +
+        "custom pretokenizer modes in code, not artifacts")
     def vocabRows(vocab: Seq[(String, Int)]): DataFrame =
       vocab.toDF("piece", "id").select(
         lit(tok.kind).as("tokenizer_kind"), col("piece"),

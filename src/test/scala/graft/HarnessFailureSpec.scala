@@ -107,14 +107,24 @@ class HarnessFailureSpec extends SparkSpec {
     assert(Bench.renderJson(results, "sfX", withReps = true)
       .contains("\"vs_prev\":null"))
     // the reference vector round-trips out of the sidecar's own format
-    val parsed = Bench.parseSummaryQueries(side)
+    val parsed = Bench.parseSummaryQueries(side, "sfX")
     assert(parsed.get("26").contains(5170L) &&
       parsed.get("02").contains(100L) && parsed.get("999").contains(9000L))
     // a null median in the committed file drops out of the reference
     assert(Bench.parseSummaryQueries(
-      """{"queries":{"1":null,"2":42},"sf":"x"}""") == Map("2" -> 42L))
+      """{"queries":{"1":null,"2":42},"sf":"x"}""", "x") == Map("2" -> 42L))
+    // a reference written at a DIFFERENT scale factor is rejected whole
+    // — comparing sf0.01 medians to an sf0.1 file would flag the suite
+    assert(Bench.parseSummaryQueries(
+      """{"queries":{"2":42},"sf":"sf0.1"}""", "sf0.01").isEmpty)
     // malformed/foreign file → empty map → vs_prev: null
-    assert(Bench.parseSummaryQueries("not json at all").isEmpty)
+    assert(Bench.parseSummaryQueries("not json at all", "sfX").isEmpty)
+    // an all-reps-failed query is excluded from the claimed coverage
+    val withDead = results :+ ("q26b_dead" ->
+      ((None: Option[Double], Seq.empty[Option[Double]])))
+    val side2 = Bench.renderJson(withDead, "sfX", withReps = true,
+      prev = prev + ("26b" -> 100L))
+    assert(side2.contains("\"n_shared\":3")) // 26b shared but unevaluable
   }
 
   test("idRangeBacklog: loud on empty input, overflow-safe boundaries") {

@@ -700,13 +700,18 @@ class CorpusSpec extends SparkSpec {
     assert(r.forall(x => x.getSeq[Int](1) == x.getSeq[Int](2)
       && x.getString(3) == x.getString(0)))
     // a custom pattern can't round-trip through the unified schema —
-    // it persists as a kind the loader refuses loudly
+    // refused at the WRITE end (an artifact every future load rejects
+    // must never ship), and the loader refuses the kind independently
     val custom = ByteMergeTokenizer(built.merges, built.vocab,
       pretokPattern = "[a-z]+|[^a-z]+")
     val dir2 = java.nio.file.Files.createTempDirectory("tok_cust_").toString
-    Tokenizer.save(spark, custom, s"$dir2/c")
     assert(intercept[IllegalArgumentException] {
-      Tokenizer.load(spark, s"$dir2/c")
+      Tokenizer.save(spark, custom, s"$dir2/c")
+    }.getMessage.contains("not artifact-shippable"))
+    val foreignKind = Tokenizer.toArtifact(spark, built)
+      .withColumn("tokenizer_kind", lit("bytemerge_custom_pretok"))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(foreignKind)
     }.getMessage.contains("unknown tokenizer_kind"))
   }
 
