@@ -778,6 +778,13 @@ object Dedup {
     * collapses the join key to the int64 fingerprint as everywhere
     * else; the q166 oracle computes coverage over string windows, so
     * the gate asserts the hashed path's equality too.
+    *
+    * Known boundary: unlike `n_hits`, `covered` is NOT additive across
+    * eval suites — position SETS union, and a count can't reconstruct
+    * the union — so [[decontaminateTokenNgramsDelta]]'s maintenance
+    * trick applies to hit counts only; a growing-suite coverage audit
+    * recomputes against the combined suite (still one corpus
+    * traversal).
     */
   def decontaminateTokenCoverage(train: DataFrame, eval: DataFrame, n: Int,
       idCol: String = "doc_id", idsCol: String = "ids",

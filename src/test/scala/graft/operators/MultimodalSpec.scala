@@ -103,6 +103,41 @@ class MultimodalSpec extends SparkSpec {
       p1.getSeq[Int](p1.fieldIndex("doc_offsets")) == Seq(0, 6))
   }
 
+  test("streamed multimodal packs equal the batch packer, and the " +
+      "zero-id count recovers the image mix from the artifact alone") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingPack
+    import graft.streaming.StreamingPack.PackDocIds
+    // text ids are byte-vocab-style (>=1); images are 0-spans — the
+    // q169/q170 convention where id 0 is reserved for placeholders
+    val mixed = Seq(
+      ("s", 1L, "text", Seq(7, 8, 9)),
+      ("s", 2L, "image", Seq(0, 0, 0, 0)),
+      ("s", 3L, "text", Seq(5, 6)),
+      ("s", 4L, "image", Seq(0, 0, 0, 0, 0, 0)),
+      ("s", 5L, "text", Seq(1, 2, 3, 4)))
+    val batch = Multimodal.packMultimodalSequences(
+        mixed.toDF("shard", "doc_id", "modality", "ids"),
+        "shard", "doc_id", "ids", "modality", tokenBudget = 9)
+      .orderBy("pack_id").collect()
+    val streamed = StreamingPack.materializeTyped(
+        mixed.map { case (s, d, _, ids) => PackDocIds(s, d, ids) }.toDS(),
+        tokenBudget = 9)
+      .collect().sortBy(_.pack_id)
+    // closed stream packs == batch packs minus the final open one,
+    // boundaries included — modality changes nothing in the arithmetic
+    assert(streamed.length == batch.length - 1)
+    streamed.zip(batch).foreach { case (sp, bp) =>
+      assert(sp.pack_id == bp.getAs[Long]("pack_id") &&
+        sp.pack_ids == bp.getSeq[Int](bp.fieldIndex("pack_ids")) &&
+        sp.doc_offsets == bp.getSeq[Int](bp.fieldIndex("doc_offsets")))
+      // the artifact is self-describing: zero-id count == the batch
+      // side's metadata-derived image_patches (q170's derivation)
+      assert(sp.pack_ids.count(_ == 0).toLong ==
+        bp.getAs[Long]("image_patches"))
+    }
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_mm_").toString + "/assets"
     Multimodal.fromDocuments(docs).write.parquet(dir)
