@@ -2087,26 +2087,39 @@ object SparkEntry {
         .select(col("doc_id"), concat(col("ids"),
           coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
       val evalHashes = graft.operators.Dedup.evalWindowHashSet(ev, n = 13)
-      val (src, schema) = idRangeBacklog(s, root,
-        corpus.where(col("doc_id") % 50 =!= 0)
-          .select("doc_id", "lang", "text"))
-      withShufflePartitions(s, 2) {
-        graft.streaming.StreamingPack.runMaterializeAvailableNow(
-          s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
-          prepare = df => graft.operators.Dedup.dropContaminatedStream(
-            df.select(col("lang").as("shard"), col("doc_id"),
-              graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
-                .as("ids")),
-            evalHashes, n = 13))
+      val train = corpus.where(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "lang", "text")
+      // a curation chain that accepts nothing is a legitimate tiny-SF
+      // outcome, not a harness error: zero packs, same schema — the
+      // twin's chain yields zero rows from the same emptiness, so the
+      // gate stays green at every scale factor (idRangeBacklog's loud
+      // empty-frame require stays for the genuinely-broken-fixture
+      // case in the streaming queries whose sources can never be empty)
+      if (train.isEmpty) {
+        import s.implicits._
+        Seq.empty[(String, Long, Long, Long, String, String)].toDF(
+          "lang", "pack_id", "n_docs", "pack_tokens", "ids_md5",
+          "offsets_md5")
+      } else {
+        val (src, schema) = idRangeBacklog(s, root, train)
+        withShufflePartitions(s, 2) {
+          graft.streaming.StreamingPack.runMaterializeAvailableNow(
+            s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
+            prepare = df => graft.operators.Dedup.dropContaminatedStream(
+              df.select(col("lang").as("shard"), col("doc_id"),
+                graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+                  .as("ids")),
+              evalHashes, n = 13))
+        }
+        s.read.parquet(s"$root/out")
+          .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+            col("pack_tokens"),
+            md5(array_join(transform(col("pack_ids"),
+              i => i.cast(StringType)), " ")).as("ids_md5"),
+            md5(array_join(transform(col("doc_offsets"),
+              i => i.cast(StringType)), " ")).as("offsets_md5"))
+          .orderBy("lang", "pack_id")
       }
-      s.read.parquet(s"$root/out")
-        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
-          col("pack_tokens"),
-          md5(array_join(transform(col("pack_ids"),
-            i => i.cast(StringType)), " ")).as("ids_md5"),
-          md5(array_join(transform(col("doc_offsets"),
-            i => i.cast(StringType)), " ")).as("offsets_md5"))
-        .orderBy("lang", "pack_id")
     }),
 
     // BYTE-level (GPT-2-style) BPE: pretokens keep their whitespace,
