@@ -2087,21 +2087,33 @@ object SparkEntry {
         .select(col("doc_id"), concat(col("ids"),
           coalesce(col("sib_ids"), array().cast("array<int>"))).as("ids"))
       val evalHashes = graft.operators.Dedup.evalWindowHashSet(ev, n = 13)
-      val train = corpus.where(col("doc_id") % 50 =!= 0)
-        .select("doc_id", "lang", "text")
+      // ONE digest projection for both branches below, so the empty
+      // branch's schema is DERIVED from ClosedPack exactly like the
+      // populated one's — a pack-schema change can never desync them
+      def packDigests(packs: DataFrame): DataFrame = packs
+        .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
+        .orderBy("lang", "pack_id")
       // a curation chain that accepts nothing is a legitimate tiny-SF
       // outcome, not a harness error: zero packs, same schema — the
       // twin's chain yields zero rows from the same emptiness, so the
       // gate stays green at every scale factor (idRangeBacklog's loud
       // empty-frame require stays for the genuinely-broken-fixture
-      // case in the streaming queries whose sources can never be empty)
-      if (train.isEmpty) {
+      // case in the streaming queries whose sources can never be
+      // empty). The probe rides the localCheckpointed withIds — no
+      // join replay, one cached-partition limit(1)
+      if (withIds.where(col("doc_id") % 50 =!= 0).isEmpty) {
         import s.implicits._
-        Seq.empty[(String, Long, Long, Long, String, String)].toDF(
-          "lang", "pack_id", "n_docs", "pack_tokens", "ids_md5",
-          "offsets_md5")
+        packDigests(s.emptyDataset[
+          graft.streaming.StreamingPack.ClosedPack].toDF())
       } else {
-        val (src, schema) = idRangeBacklog(s, root, train)
+        val (src, schema) = idRangeBacklog(s, root,
+          corpus.where(col("doc_id") % 50 =!= 0)
+            .select("doc_id", "lang", "text"))
         withShufflePartitions(s, 2) {
           graft.streaming.StreamingPack.runMaterializeAvailableNow(
             s, src, schema, s"$root/out", s"$root/ckpt", tokenBudget = 2048,
@@ -2111,14 +2123,7 @@ object SparkEntry {
                   .as("ids")),
               evalHashes, n = 13))
         }
-        s.read.parquet(s"$root/out")
-          .select(col("shard").as("lang"), col("pack_id"), col("n_docs"),
-            col("pack_tokens"),
-            md5(array_join(transform(col("pack_ids"),
-              i => i.cast(StringType)), " ")).as("ids_md5"),
-            md5(array_join(transform(col("doc_offsets"),
-              i => i.cast(StringType)), " ")).as("offsets_md5"))
-          .orderBy("lang", "pack_id")
+        packDigests(s.read.parquet(s"$root/out"))
       }
     }),
 

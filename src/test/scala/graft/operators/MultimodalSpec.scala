@@ -105,7 +105,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("streamed multimodal packs equal the batch packer, and the " +
       "zero-id count recovers the image mix from the artifact alone") {
-    import org.apache.spark.sql.functions._
     import graft.streaming.StreamingPack
     import graft.streaming.StreamingPack.PackDocIds
     // text ids are byte-vocab-style (>=1); images are 0-spans — the
