@@ -2270,6 +2270,158 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // trainer-tensor derivation: doc_offsets expand into the per-token
+    // position_ids (reset to 0 at every document boundary) and
+    // segment_ids (member index per token) a trainer's loader feeds a
+    // packed-attention model — the arithmetic is pure offset algebra
+    // over budget-bounded arrays, so the twin states both tensors
+    // exactly from the shared q144 pack chain. A zero-token member
+    // keeps its segment index in the numbering but contributes no
+    // tokens, so both tensors stay length == pack_tokens.
+    "q173_pack_trainer_tensors" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.bpeEncode(col("text"), pieces)
+            .as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      def joined(c: Column) = md5(array_join(
+        transform(c, i => i.cast(StringType)), " "))
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        // per-member lengths off the offsets: lens[i] = off[i+1] - off[i]
+        .withColumn("__lens", zip_with(
+          slice(col("doc_offsets"), lit(2), size(col("doc_offsets")) - 1),
+          slice(col("doc_offsets"), lit(1), size(col("doc_offsets")) - 1),
+          (e, b) => e - b))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          joined(flatten(transform(col("__lens"),
+            l => when(l > 0, sequence(lit(0), l - 1))
+              .otherwise(array().cast("array<int>"))))).as("pos_md5"),
+          joined(flatten(transform(col("__lens"),
+            (l, i) => array_repeat(i.cast("int"), l)))).as("seg_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // EOD-separated packs: every document contributes its ids PLUS one
+    // document-separator id (-1 — outside every vocab's id space, the
+    // GPT-2 <|endoftext|> convention) BEFORE packing, so boundaries are
+    // findable in the flat stream itself and the budget pays for the
+    // separator (n_tokens + 1). eod_ok re-derives the invariant from
+    // the ARTIFACT arrays — the token before every doc_offsets
+    // boundary is the separator — so a packer regression flips a gate
+    // instead of hiding in prose; the digests stay exact cross-engine.
+    "q174_eod_packs" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = q137Pieces(docs)
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          concat(graft.functions.TextFunctions.bpeEncode(col("text"),
+            pieces), array(lit(-1))).as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"),
+          forall(slice(col("doc_offsets"), lit(2),
+              size(col("doc_offsets")) - 1),
+            o => element_at(col("pack_ids"), o) === -1).as("eod_ok"))
+        .orderBy("lang", "pack_id")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells as the candidate
+    // blocks for embedding-level duplicate pruning, keep-priority =
+    // least-similar-to-centroid. The corpus is salted with exact
+    // semantic duplicates (every 10th vector re-enters under id+10⁶ —
+    // the synthetic embeddings have NO natural pairs above 0.9: the
+    // closest non-planted pair measures < 0.7 at both SFs, so the twin
+    // can state the pair universe and the kept count EXACTLY). Gated
+    // IN-QUERY three ways: n_kept matches the twin's arithmetic,
+    // candidate recall over the exact pair set (identical vectors
+    // share a cell, so planted recall is 1.0; gate 0.8 tolerates
+    // natural-pair drift), and the SemDeDup postcondition recomputed
+    // from the OUTPUT labels — no two kept members of one cell within
+    // threshold, exactly zero violations.
+    "q175_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      val centroids = Similarity.kmeans(emb, k = 16, iterations = 3)
+      val dd = Similarity.semanticDedup(corpus, centroids,
+        threshold = 0.9)
+      val exact = Dedup.embeddingNearDupPairs(corpus, threshold = 0.9)
+      val cells = dd.select(col("vec_id"), col("cell"), col("keep"))
+      // exact pairs annotated with both members' (cell, keep)
+      val annotated = exact
+        .join(cells.select(col("vec_id").as("id_a"), col("cell").as("ca"),
+          col("keep").as("ka")), "id_a")
+        .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cb"),
+          col("keep").as("kb")), "id_b")
+      val counts = annotated.agg(
+        count(lit(1)).as("n_exact_pairs"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+          .as("__n_caught"),
+        sum(when(col("ca") === col("cb") && col("ka") && col("kb"), 1L)
+          .otherwise(0L)).as("__n_kept_viol"))
+      val totals = dd.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      // a pairless corpus leaves the pair-side sums NULL (agg over
+      // zero rows): zero caught of zero pairs is a PASS, not a null gate
+      totals.crossJoin(counts).select(
+        col("n_vecs"), col("n_kept"), col("n_exact_pairs"),
+        (coalesce(col("__n_caught"), lit(0L)) * 10 >=
+          col("n_exact_pairs") * 8).as("recall_ok"),
+        (coalesce(col("__n_kept_viol"), lit(0L)) === 0)
+          .as("kept_dissimilar_ok"))
+    }),
+
+    // no-split FFD packing (SFT-style: documents stay intact, packs
+    // bin-pack instead of splitting). The twin knows the exact doc and
+    // token universe; the packing guarantees are re-derived from the
+    // OUTPUT: every doc placed exactly once, every multi-doc pack
+    // within budget, at most one ≤-half-full pack per (shard, bucket)
+    // group (the first-fit theorem), and fill efficiency (measured
+    // 0.86 @ sf0.01, see SCALE.md for sf0.1; gate 0.75).
+    "q176_ffd_pack_nosplit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val placed = graft.operators.Corpus.packSequencesNoSplit(docs,
+        "lang", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")),
+        tokenBudget = 512, nBuckets = 4)
+      val packs = placed.groupBy("shard", "bucket", "pack_seq")
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("fill"))
+      val packStats = packs.agg(
+        count(lit(1)).as("__n_packs"),
+        sum(when(col("nd") >= 2 && col("fill") > 512, 1L).otherwise(0L))
+          .as("__over"),
+        sum(when(col("fill") * 2 <= 512, 1L).otherwise(0L))
+          .as("__n_half"))
+      val groupStats = packs.select("shard", "bucket").distinct()
+        .agg(count(lit(1)).as("__n_groups"))
+      val docStats = placed.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("__n_distinct"),
+        sum(col("n_tokens")).as("total_tokens"))
+      docStats.crossJoin(packStats).crossJoin(groupStats).select(
+        col("n_docs"), col("total_tokens"),
+        (col("__n_distinct") === col("n_docs")).as("no_split_ok"),
+        (col("__over") === 0).as("within_budget_ok"),
+        (col("__n_half") <= col("__n_groups")).as("half_sparse_ok"),
+        (col("total_tokens") * 100 >= col("__n_packs") * lit(512) * 75)
+          .as("efficiency_ok"))
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -5957,6 +6109,121 @@ object SparkEntry {
            |    ORDER BY doc_id)) AS offsets_md5
            |FROM mo GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
+
+      // q173: the trainer tensors are pure offset algebra over the
+      // q144 pack chain, so the twin states them exactly: per member
+      // (id order), position ids are 0..n-1 and segment ids repeat the
+      // member's 0-based rank; zero-token members keep their rank but
+      // emit nothing (NULL skips the string_agg like q144's empty-ids
+      // skip)
+      "q173_pack_trainer_tensors" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |tt3 AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) AS n_tokens
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |tc2 AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM tt3),
+           |tp2 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens FROM tc2),
+           |tsg AS (SELECT lang, pack_id, doc_id, n_tokens,
+           |  row_number() OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id) - 1 AS seg
+           |  FROM tp2),
+           |tts AS (SELECT lang, pack_id, doc_id, n_tokens,
+           |  CASE WHEN n_tokens = 0 THEN NULL
+           |    ELSE array_to_string(range(n_tokens), ' ') END AS pos_str,
+           |  CASE WHEN n_tokens = 0 THEN NULL
+           |    ELSE rtrim(repeat(CAST(seg AS VARCHAR) || ' ', n_tokens))
+           |  END AS seg_str
+           |  FROM tsg)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(COALESCE(string_agg(pos_str, ' ' ORDER BY doc_id), ''))
+           |    AS pos_md5,
+           |  md5(COALESCE(string_agg(seg_str, ' ' ORDER BY doc_id), ''))
+           |    AS seg_md5
+           |FROM tts GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
+
+      // q174: q144's arithmetic with every doc one separator id richer
+      // — ids gain a trailing -1 (a tokenless doc is JUST '-1'), the
+      // weights gain +1, and the digests follow; eod_ok is the gate the
+      // Spark side re-derives from the artifact
+      "q174_eod_packs" ->
+        s"""WITH RECURSIVE
+           |$bpeSeqCtes,
+           |en3 AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(s.n_pieces, 0) + 1 AS n_tokens,
+           |    COALESCE(s.ids_str || ' ', '') || '-1' AS ids_str
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN seq s USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |ec2 AS (SELECT doc_id, lang, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM en3),
+           |ep2 AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str FROM ec2),
+           |epo AS (SELECT lang, pack_id, doc_id, n_tokens, ids_str,
+           |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           |  FROM ep2)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |  md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS ids_md5,
+           |  md5('0' || string_agg(' ' || CAST(e AS VARCHAR), ''
+           |    ORDER BY doc_id)) AS offsets_md5,
+           |  TRUE AS eod_ok
+           |FROM epo GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
+
+      // q175: the twin owns the exact universe — vector count, the
+      // full pairwise above-threshold count over the duplicate-salted
+      // corpus, and (because the planted pairs are DISJOINT and the
+      // closest natural pair sits < 0.7, far under the 0.9 threshold)
+      // the kept count as n_vecs − n_pairs. The cell-candidate recall
+      // and the kept-set mutual-dissimilarity postcondition are
+      // measured IN-QUERY on the Spark side, so a failing gate breaks
+      // the hash
+      "q175_semantic_dedup" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |u AS (SELECT vec_id, v FROM e
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, v FROM e WHERE vec_id % 10 = 0),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv,
+           |    b.v AS cv
+           |  FROM u a JOIN u b ON a.vec_id < b.vec_id),
+           |x AS (SELECT count(*) AS n_exact_pairs FROM pairs
+           |  WHERE $cosSql > 0.9)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_vecs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM u) - n_exact_pairs
+           |    AS n_kept,
+           |  n_exact_pairs, TRUE AS recall_ok,
+           |  TRUE AS kept_dissimilar_ok
+           |FROM x""".stripMargin,
+
+      // q176: the twin states the doc/token universe exactly; the
+      // packing guarantees (placement completeness, budget, the
+      // first-fit half-full theorem, fill efficiency) are re-derived
+      // from the OUTPUT on the Spark side
+      "q176_ffd_pack_nosplit" ->
+        s"""WITH tk AS (SELECT doc_id, len($toksSql) AS n
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  TRUE AS no_split_ok, TRUE AS within_budget_ok,
+           |  TRUE AS half_sparse_ok, TRUE AS efficiency_ok
+           |FROM tk""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -725,6 +725,77 @@ object Corpus {
           (acc, l) => concat(acc, array(element_at(acc, -1) + l))))
       .drop("__members")
 
+  /** No-split (document-preserving) sequence packing — the SFT-style
+    * sibling of [[packSequences]]: a document is never cut across packs,
+    * so a pack is a SET of whole documents whose token counts sum to at
+    * most `tokenBudget` (pretraining packs split stragglers at the
+    * boundary; instruction-tuning rows must stay intact, so their packer
+    * bin-packs instead). Exact bin packing is NP-hard; this runs
+    * first-fit-decreasing — the classical 11/9·OPT+1 approximation — made
+    * distributed and DETERMINISTIC by hash-bucketing: each doc lands in
+    * `pmod(xxhash64(id), nBuckets)` within its shard, and FFD runs
+    * independently inside each (shard, bucket) group, sorted (n_tokens
+    * desc, id asc). Group membership depends only on ids — never on
+    * partitioning — so pack contents are reproducible across runs,
+    * cluster sizes, and AQE decisions.
+    *
+    * Scale shape: one shuffle on (shard, bucket); per-group state is the
+    * group's (id, n_tokens) pairs — corpus/nBuckets rows — so `nBuckets`
+    * is the scale knob (size it to keep groups task-sized at 100 TB).
+    * Bucket-local packing costs at most one under-filled pack per group
+    * vs a global FFD — the standard block-shuffle approximation
+    * production SFT packers make. First-fit guarantees at most ONE pack
+    * per group at ≤ half fill (two half-empty packs would have merged),
+    * which q176 verifies from the output.
+    *
+    * A doc longer than the budget gets a singleton pack (fill > budget
+    * blocks all joiners); every multi-doc pack is within budget by
+    * construction. Rows with a null token count are EXCLUDED — a
+    * no-split pack cannot place a doc whose cost is unknown.
+    *
+    * Returns one row per doc: (shard, bucket, pack_seq, doc_id,
+    * n_tokens); (shard, bucket, pack_seq) identifies the pack.
+    */
+  def packSequencesNoSplit(docs: DataFrame, shardCol: String,
+      idCol: String, nTokensCol: Column, tokenBudget: Long,
+      nBuckets: Int): DataFrame = {
+    require(tokenBudget >= 1,
+      "packSequencesNoSplit needs a positive token budget")
+    require(nBuckets >= 1, "packSequencesNoSplit needs nBuckets >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        nTokensCol.cast("long").as("n_tokens"))
+      .where(col("n_tokens").isNotNull)
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+      .as[(String, Long, Long, Long)]
+    prepared
+      .groupByKey { case (shard, _, _, bucket) => (shard, bucket) }
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        val (shard, bucket) = key
+        // FFD: longest first (ties by id), each doc into the FIRST open
+        // pack with room, else a new pack — O(docs × packs) per group,
+        // both bucket-bounded
+        val sorted = it.toArray.sortBy { case (_, id, n, _) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { case (_, id, n, _) =>
+          var placed = -1
+          var i = 0
+          while (placed < 0 && i < fills.length) {
+            if (fills(i) + n <= tokenBudget) { fills(i) += n; placed = i }
+            i += 1
+          }
+          if (placed < 0) { fills += n; placed = fills.length - 1 }
+          (shard, bucket, placed, id, n)
+        }
+      }
+      .toDF("shard", "bucket", "pack_seq", "doc_id", "n_tokens")
+  }
+
   /** The subtotal half of the distributed prefix sum [[packSequences]]
     * and [[shuffleShard]] share: one metadata-sized pass collects
     * per-(partition, group) weight subtotals in partition order, and the

@@ -272,6 +272,75 @@ object Similarity {
     cellProbeTopK(assignQueries(queries, centroids, nprobe, idCol, vecCol),
       ivfAssign(corpus, centroids, idCol, vecCol), k, idCol, vecCol)
 
+  // ---------------------------------------------- semantic deduplication
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540 — public
+    * literature): k-means cells as the candidate blocks for
+    * embedding-level duplicate pruning. Every vector is compared only
+    * against its OWN cell's members — the paper's design: pairwise
+    * similarity is computed within clusters, never across the corpus — a
+    * pair above `threshold` marks its lower-priority member dropped, and
+    * every assigned vector comes back labeled `keep`. Keep priority
+    * follows the paper: the member LEAST similar to its centroid survives
+    * (it carries the most marginal information for training), ties broken
+    * toward the smaller id so the labeling is deterministic.
+    *
+    * The drop rule is existential — x drops iff SOME same-cell y above
+    * `threshold` out-prioritizes it — which is fully parallel (no
+    * per-cell sequential scan) and still guarantees the SemDeDup
+    * postcondition: two KEPT members of one cell are never within
+    * `threshold` of each other (were they, one would out-prioritize and
+    * drop the other). q175 re-verifies that postcondition from the
+    * OUTPUT labels, not from the rule.
+    *
+    * Scale shape: assignment is the [[ivfAssign]] narrow kernel pass
+    * (centroids are driver metadata); the candidate stage shuffles on
+    * `cell` and compares ~corpus²/k pairs in expectation — k is the scale
+    * knob (the paper runs 50 k clusters at LAION scale), so cells stay
+    * task-sized at any corpus size. Nothing here is all-pairs. Rows with
+    * a null embedding have no cell and are excluded, the same contract as
+    * [[ivfAssign]].
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidIdCol: String = "centroid_id",
+      centroidVecCol: String = "cvec"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol,
+      centroidIdCol, centroidVecCol)
+    val cents = broadcast(centroids.select(
+      col(centroidIdCol).as("cell"), col(centroidVecCol).as("__cv"),
+      norm(col(centroidVecCol)).as("__cn")))
+    val withSim = assigned
+      .withColumn("__vn", norm(col(vecCol)))
+      .join(cents, "cell")
+      .withColumn("centroid_sim", cosineWithNorms(
+        dot(col(vecCol), col("__cv")), col("__vn"), col("__cn")))
+      .select(col(idCol), col(vecCol), col("__vn"), col("cell"),
+        col("centroid_sim"))
+    val a = withSim.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__vn").as("__na"),
+      col("centroid_sim").as("__csa"))
+    val b = withSim.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__vn").as("__nb"),
+      col("centroid_sim").as("__csb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineWithNorms(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")) > threshold)
+    // the pair's lower-priority member drops: priority is (centroid_sim
+    // asc, id asc), and id_a < id_b by construction, so an equal-sim
+    // pair keeps the smaller id
+    val losers = pairs.select(
+        when(col("__csa") <= col("__csb"), col("id_b"))
+          .otherwise(col("id_a")).as(idCol))
+      .distinct()
+    withSim
+      .join(losers.withColumn("__lost", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("centroid_sim"),
+        col("__lost").isNull.as("keep"))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** L2-normalize the embedding column (cosine is THE metric here, so PQ
