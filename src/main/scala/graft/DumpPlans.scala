@@ -140,7 +140,21 @@ object DumpPlans {
       "q171_decontaminate_by_coverage" ->
         "coverage-thresholded gate: the pinned q166 coverage shape (one typed corpus traversal, matched-sliver aggregates) -> threshold filter on the contaminated sliver -> LEFT ANTI join back to the corpus with the tiny drop set broadcast — the corpus is never shuffled",
       "q172_multimodal_pack_segments" ->
-        "multimodal per-segment audit: the pinned q169 pack shape, then segment slices cut from each pack row's own arrays (doc_offsets-indexed slice + branch on the reserved placeholder id) — a per-pack-row projection, no new exchange; decode runs only on text segments")
+        "multimodal per-segment audit: the pinned q169 pack shape, then segment slices cut from each pack row's own arrays (doc_offsets-indexed slice + branch on the reserved placeholder id) — a per-pack-row projection, no new exchange; decode runs only on text segments",
+      "q173_pack_trainer_tensors" ->
+        "trainer tensors: the pinned q144 pack shape + per-pack-row offset algebra (zip_with lengths -> sequence / array_repeat flatten) — position_ids and segment_ids are a projection over budget-bounded arrays, no new exchange",
+      "q174_eod_packs" ->
+        "EOD-separated packs: the separator id concatenates inside the SAME encode projection (weight = n_tokens + 1) feeding the pinned q144 packer — no new shuffle class; the eod gate is a per-pack-row forall over the artifact arrays",
+      "q175_semantic_dedup" ->
+        "SemDeDup: narrow kernel cell assignment (centroids are broadcast driver metadata) -> cell-keyed exchanges into the within-cell pair join -> distinct losers -> id-keyed label join — ~corpus²/k candidate pairs scoped by the cell key, never all-pairs; k is the scale knob",
+      "q176_ffd_pack_nosplit" ->
+        "no-split FFD packing: ONE hash exchange on (shard, hash-bucket) -> per-group first-fit-decreasing in flatMapGroups (group = corpus/nBuckets rows, the scale knob) — deterministic bucketing off ids, no Window, no collect",
+      "q177_line_dedup_keep_first" ->
+        "line-level keep-first dedup: line explode -> ONE combine-enabled shuffle on line with the winner as a codegen'd HashAggregate min over the PACKED (id<<24|pos) long (min over a struct falls back to SortAggregate — both phases then sort every line row by the string key) -> left-semi winner mark -> one doc shuffle to reassemble — no corpus-sized group state anywhere",
+      "q178_strip_frequent_lines" ->
+        "frequent-line strip: the q177 explode/reassemble frame with a distinct-doc count per line and the (tiny) frequent set anti-joined back — boilerplate is rare by definition of being worth stripping, so the anti-join build side broadcasts at any scale",
+      "q179_incremental_line_dedup" ->
+        "incremental line dedup batch shape (one addBatch): seen-line anti-join IN FRONT of the q177 winner aggregate/semi-join — per-batch work is O(batch lines + index probe), the corpus never rescans; checkpointed fresh set cuts the chained-batch lineage")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty
@@ -324,6 +338,28 @@ object DumpPlans {
         materializeShape(spark, docs,
           graft.functions.TextFunctions.byteBpeEncode(col("text"),
             Seq.empty, graft.operators.Corpus.identityByteVocab))
+      } else if (q == "q175_semantic_dedup") {
+        // the registered query wraps the operator in its all-pairs
+        // exact AUDIT (deliberately corpus²) — pin the OPERATOR's
+        // shape: assignment kernel + cell-scoped pair join + loser
+        // anti-join
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val centroids = graft.operators.Similarity.kmeans(emb, k = 16,
+          iterations = 3)
+        graft.operators.Similarity.semanticDedup(emb, centroids,
+          threshold = 0.9)
+      } else if (q == "q176_ffd_pack_nosplit") {
+        // pin the OPERATOR's shape (the registered query adds 1-row
+        // audit rollups): one (shard, bucket) exchange into the
+        // per-group FFD
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("text").isNotNull)
+        graft.operators.Corpus.packSequencesNoSplit(docs, "lang",
+          "doc_id", graft.functions.TextFunctions.nTokens(col("text")),
+          tokenBudget = 512, nBuckets = 4)
       } else SparkEntry.queries(q)(spark, dir)
       df.count() // force AQE final plan
       sb.append(s"\n## $q — $why\n\n```\n")

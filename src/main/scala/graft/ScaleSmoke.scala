@@ -36,6 +36,27 @@ object ScaleSmoke {
           .otherwise(perturbed).as("text"))
   }
 
+  /** Embedding-corpus amplifier for the semantic-dedup op: replica r
+    * flips the sign of component i iff xxhash64(i, r) is odd. A shared
+    * sign pattern is an ISOMETRY of the dot product (dot(flip(u),
+    * flip(v)) == dot(u, v)), so every replica reproduces the base
+    * corpus's within-replica similarity structure EXACTLY, while
+    * cross-replica cosines collapse toward 0 (independent random sign
+    * patterns) — pairs grow m×, not m²× (m² is what verbatim vector
+    * copies would produce: every copy-set becomes a quadratic dup
+    * clique, a different corpus, not a bigger one).
+    */
+  private[graft] def amplifyEmbeddings(emb: DataFrame, mult: Int): DataFrame = {
+    val flipped = transform(col("embedding"),
+      (x, i) => when(pmod(xxhash64(i.cast("long"), col("rep")), lit(2)) === 1,
+        -x).otherwise(x))
+    emb.crossJoin(
+        emb.sparkSession.range(mult).select(col("id").cast("int").as("rep")))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(flipped)
+          .as("embedding"))
+  }
+
   /** Cumulative shuffle-byte tally (SPARK_GRAFT_SCALE_SHUFFLE=1): the
     * ×128-class runs record per-op shuffle traffic next to wall time —
     * a constant that only bites past the usual envelope shows up here
@@ -348,6 +369,48 @@ object ScaleSmoke {
           () => graft.operators.Multimodal.packMultimodalSequences(
             mixed, "lang", "doc_id", "__ids", "modality",
             tokenBudget = 2048).count()
+        }),
+        // SemDeDup at scale under the IVF sizing rule k ≈ sqrt(n): the
+        // op is O(n·k) assignment flops + O(n²/k) within-cell pair
+        // scan, so sqrt-k balances both at O(n^1.5) — the measured
+        // shape (a k ∝ n run bounds cells but turns assignment
+        // quadratic: 5.3 s at ×32 vs 2.6 s under sqrt-k, recorded in
+        // SCALE.md). The kmeans index build is setup (untimed, like
+        // the vocab builds); the timed region is assignment +
+        // within-cell pairs + labels.
+        "semantic_dedup" -> (() => {
+          val ampEmb = amplifyEmbeddings(
+            spark.read.parquet(s"$sfDir/embeddings.parquet")
+              .select("vec_id", "embedding"), m).localCheckpoint(true)
+          val centroids = graft.operators.Similarity.kmeans(ampEmb,
+            k = 16 * math.sqrt(m.toDouble).round.toInt, iterations = 3)
+          () => graft.operators.Similarity.semanticDedup(ampEmb,
+            centroids, threshold = 0.9).count()
+        }),
+        // no-split FFD with nBuckets ∝ corpus so groups stay task-sized
+        "ffd_pack_nosplit" -> (() => () =>
+          Corpus.packSequencesNoSplit(amp, "lang", "doc_id",
+            TextFunctions.nTokens(col("text")), tokenBudget = 2048,
+            nBuckets = 4 * m).count()),
+        // line-level keep-first dedup over a lined rendering of the
+        // amplified corpus (10-word chunk lines — the corpus has no
+        // newlines); sum(length) as the consumer so the reassembly
+        // column survives pruning
+        "line_dedup" -> (() => {
+          val toks = TextFunctions.tokens(col("text"))
+          val chunks = transform(
+            sequence(lit(0),
+              floor((size(toks) + lit(9)) / lit(10)).cast("int") - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+          val lined = amp.where(col("text").isNotNull && size(toks) > 0)
+            .select(col("doc_id"), array_join(chunks, "\n").as("text"))
+            .localCheckpoint(true)
+          () => {
+            val r = Dedup.dedupLinesKeepFirst(lined)
+              .agg(sum(length(col("text"))).cast("long").as("n"))
+              .collect()(0).getLong(0)
+            r
+          }
         }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file

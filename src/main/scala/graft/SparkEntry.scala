@@ -90,6 +90,27 @@ object SparkEntry {
   private def saltedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").withColumn("text", saltCompound(col("text")))
 
+  /** The q177/q178 lined corpus — MUST stay byte-identical to the
+    * twins' `lnb` CTE: the newline-free synthetic docs re-enter as
+    * 10-word chunk lines joined by '\n', and every doc_id % 7 == 0
+    * doc carries one extra verbatim boilerplate line at the end (the
+    * cross-page chrome the line-dedup stages exist to remove).
+    * Zero-token docs are excluded on both sides (a chunking of
+    * nothing has no lines to dedup).
+    */
+  private val boilerplateLine = "nav home about contact subscribe"
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val nLines = floor((size(toks) + lit(9)) / lit(10)).cast("int")
+    val chunks = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+    val lined = when(col("doc_id") % 7 === 0,
+      concat(chunks, array(lit(boilerplateLine)))).otherwise(chunks)
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull && size(toks) > 0)
+      .select(col("doc_id"), array_join(lined, "\n").as("text"))
+  }
+
   /** The shared q137-family piece vocabulary (minCount 5, size cap 200 —
     * the same constants as the twins' `wv0`/`alpha` CTEs), collected as
     * kernel model metadata.
@@ -2420,6 +2441,62 @@ object SparkEntry {
         (col("__n_half") <= col("__n_groups")).as("half_sparse_ok"),
         (col("total_tokens") * 100 >= col("__n_packs") * lit(512) * 75)
           .as("efficiency_ok"))
+    }),
+
+    // cross-document LINE-level dedup, keep-first (CCNet / RefinedWeb
+    // boilerplate removal). The corpus has no newlines, so both
+    // engines construct the SAME lined corpus: 10-word chunks as
+    // lines, plus a verbatim boilerplate line planted on every
+    // doc_id % 7 == 0 (the nav/footer chrome the stage exists to
+    // strip). Keep-first keeps the boilerplate ONLY in its
+    // lowest-(doc, pos) occurrence; organic chunk collisions collapse
+    // identically on both sides. Exact per-doc reassembly md5.
+    "q177_line_dedup_keep_first" -> ((s, dir) => {
+      val cleaned = graft.operators.Dedup.dedupLinesKeepFirst(
+        linedDocs(s, dir))
+      cleaned.select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // the companion boilerplate STRIP: any line present in >= 3
+    // distinct docs is removed from ALL of them (the first page does
+    // not keep the navigation either) — the planted chrome vanishes
+    // corpus-wide, unique content is untouched
+    "q178_strip_frequent_lines" -> ((s, dir) => {
+      val cleaned = graft.operators.Dedup.stripFrequentLines(
+        linedDocs(s, dir), minDocs = 3)
+      cleaned.select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental line dedup: the q177 semantics absorbed batch by
+    // batch through a persistent seen-line index — batch 1 = even doc
+    // ids, batch 2 = odd; the planted boilerplate's canonical copy
+    // lands in batch 1 (doc 0), so every batch-2 carrier losing it is
+    // the cross-batch memory the oracle checks. The twin states the
+    // composed result as ONE arrival-order rule: keep-first by
+    // (batch, doc_id, pos)
+    "q179_incremental_line_dedup" -> ((s, dir) => {
+      val lined = linedDocs(s, dir)
+      val idx0 = lined.select(col("text").as("line")).limit(0)
+      val (c1, idx1) = graft.operators.Dedup.lineIndexAddBatch(
+        idx0, lined.where(col("doc_id") % 2 === 0))
+      val (c2, _) = graft.operators.Dedup.lineIndexAddBatch(
+        idx1, lined.where(col("doc_id") % 2 === 1))
+      c1.unionByName(c2).select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
     }),
 
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
@@ -6224,6 +6301,92 @@ object SparkEntry {
            |  TRUE AS no_split_ok, TRUE AS within_budget_ok,
            |  TRUE AS half_sparse_ok, TRUE AS efficiency_ok
            |FROM tk""".stripMargin,
+
+      // q177: the lined corpus (10-word chunk lines + the planted
+      // boilerplate on doc_id % 7 == 0) is stated identically here;
+      // keep-first = row_number over (doc_id, pos) per line; docs
+      // whose every line lost reassemble to ''
+      "q177_line_dedup_keep_first" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |win AS (SELECT doc_id, lpos, line, row_number() OVER (
+           |    PARTITION BY line ORDER BY doc_id, lpos) AS rn FROM lnb),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q178: same lined corpus; any line in >= 3 distinct docs is
+      // removed from ALL of them
+      "q178_strip_frequent_lines" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |freq AS (SELECT line FROM lnb GROUP BY line
+           |  HAVING count(DISTINCT doc_id) >= 3),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM lnb ANTI JOIN freq USING (line) GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q179: the two-batch incremental composition collapses to ONE
+      // arrival-order keep-first rule — (batch = parity, doc_id, pos)
+      // — so the oracle is q177's with the widened ORDER BY; the green
+      // row proves the index carried batch-1 lines into batch 2
+      "q179_incremental_line_dedup" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |win AS (SELECT doc_id, lpos, line, row_number() OVER (
+           |    PARTITION BY line ORDER BY doc_id % 2, doc_id, lpos)
+           |    AS rn FROM lnb),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -38,6 +38,153 @@ object Dedup {
       .groupBy("chash")
       .agg(min(col(idCol)).as("keep_id"), count("*").as("dup_count"))
 
+  /** Cross-document LINE-level exact dedup, keep-first (the CCNet /
+    * RefinedWeb pipeline stage between document-level dedup and
+    * quality filtering: boilerplate — navigation, headers, footers,
+    * license blurbs — repeats VERBATIM across pages, so each distinct
+    * line keeps exactly its first occurrence, the corpus-global
+    * (doc_id, pos) minimum, and every other copy is removed; documents
+    * reassemble from their surviving lines in original order). A doc
+    * whose every line lost comes back as the EMPTY string — removed
+    * content, not a removed row — while a null-text doc stays null.
+    *
+    * Shape: explode to (line, doc, pos) with the occurrence rank
+    * PACKED into one long (39 bits of doc id above 24 bits of line
+    * position — lexicographic (id, pos) order IS numeric order on the
+    * pack); ONE combine-enabled shuffle on the line computes each
+    * line's global minimum occurrence as a plain codegen'd `min` over
+    * that long (a `min(struct(id, pos))` falls back to SortAggregate —
+    * BOTH aggregate phases then sort every line row by the string key
+    * with interpreted ordering, measured 2-4x wall and GC-bound at the
+    * x128 step); the winner mark is a left-semi join on the pack
+    * ALONE — an occurrence's pack is globally unique by construction,
+    * so the line string is redundant in the join and the build side
+    * carries 8 bytes per distinct line instead of the line text (the
+    * string-keyed form shipped a corpus-of-lines-sized relation
+    * through the join); one shuffle on the doc reassembles. No
+    * per-group state is ever corpus-sized: a line group folds to one
+    * long, a doc group is doc-sized. Ids outside [0, 2^39) or
+    * positions >= 2^24 (a 16M-line document) fail loudly rather than
+    * mis-rank.
+    */
+  def dedupLinesKeepFirst(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val lines = docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("__k", {
+        val id = col(idCol).cast("long")
+        when(id.isNull || id < 0 || id >= lit(1L << 39) ||
+            col("pos") >= lit(1 << 24),
+          raise_error(lit("dedupLinesKeepFirst: occurrence outside the " +
+            "packable range (numeric doc id in [0, 2^39), line pos < " +
+            "2^24)")).cast("long"))
+          .otherwise(shiftleft(id, 24) + col("pos"))
+      })
+    val winners = lines.groupBy("line")
+      .agg(min(col("__k")).as("__k"))
+      .select("__k")
+    val rebuilt = lines.join(winners, Seq("__k"), "left_semi")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("__clean"))
+    docs.select(col(idCol), col(textCol).isNotNull.as("__had"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__had"), coalesce(col("__clean"), lit("")))
+          .otherwise(lit(null).cast("string")).as(textCol))
+  }
+
+  /** Incremental [[dedupLinesKeepFirst]] — the line-level member of the
+    * incremental-maintenance family (the near-dup index, the inverted
+    * index, and the ANN index all have this shape): a persistent index
+    * of every line string ever seen absorbs arriving batches. A batch
+    * line already in the index is removed from the batch WHOLESALE (its
+    * first occurrence happened in an earlier batch); the fresh
+    * remainder runs the same within-batch keep-first as the batch
+    * operator, and ALL fresh lines (within-batch losers included — they
+    * were seen, their canonical copy is in this batch) fold into the
+    * returned index. Work per batch is O(batch lines + index probe),
+    * the corpus is never rescanned; over an id-ordered arrival the
+    * composed result equals the batch operator doc-for-doc.
+    *
+    * The index carries line STRINGS for exactness (the oracle states
+    * set membership, not hash membership); a deployment at crawl scale
+    * would store 8-byte line hashes instead and accept the collision
+    * rate — the shape is unchanged.
+    */
+  def lineIndexAddBatch(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): (DataFrame, DataFrame) = {
+    val lines = batch.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("__k", {
+        val id = col(idCol).cast("long")
+        when(id.isNull || id < 0 || id >= lit(1L << 39) ||
+            col("pos") >= lit(1 << 24),
+          raise_error(lit("lineIndexAddBatch: occurrence outside the " +
+            "packable range (numeric doc id in [0, 2^39), line pos < " +
+            "2^24)")).cast("long"))
+          .otherwise(shiftleft(id, 24) + col("pos"))
+      })
+    // seen lines drop wholesale; the anti-join build side is the index,
+    // which a deployment partitions/buckets on the line key
+    val fresh = lines.join(index.select("line"), Seq("line"), "left_anti")
+      .localCheckpoint()
+    val winners = fresh.groupBy("line").agg(min(col("__k")).as("__k"))
+      .select("__k")
+    val rebuilt = fresh.join(winners, Seq("__k"), "left_semi")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("__clean"))
+    val cleaned = batch
+      .select(col(idCol), col(textCol).isNotNull.as("__had"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__had"), coalesce(col("__clean"), lit("")))
+          .otherwise(lit(null).cast("string")).as(textCol))
+    (cleaned, index.select("line")
+      .unionByName(fresh.select("line").distinct()))
+  }
+
+  /** The companion boilerplate STRIP: remove every copy of any line
+    * that appears in at least `minDocs` distinct documents (CCNet's
+    * dedup mode for shared chrome — when a line is on three pages it
+    * is navigation, not content, and the first page doesn't get to
+    * keep it either). Same explode/aggregate/semi-join/reassemble
+    * shape as [[dedupLinesKeepFirst]]; the line aggregate folds to one
+    * approximate-free distinct-doc count per line.
+    */
+  def stripFrequentLines(docs: DataFrame, minDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "stripFrequentLines needs minDocs >= 2 — " +
+      "at 1 it would empty the corpus")
+    val lines = docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val frequent = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("line"))
+    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("__clean"))
+    docs.select(col(idCol), col(textCol).isNotNull.as("__had"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__had"), coalesce(col("__clean"), lit("")))
+          .otherwise(lit(null).cast("string")).as(textCol))
+  }
+
   /** Deterministic affine minhash family over the portable 32-bit hash:
     * h_i(x) = (a_i * H(x) + b_i) mod p, with p the largest 31-bit prime.
     * Coefficients are fixed odd constants so the Spark and DuckDB sides

@@ -749,4 +749,61 @@ class CorpusSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Tokenizer.fromArtifact(stray) }.getMessage.contains("neither"))
   }
+
+  test("packSequencesNoSplit runs first-fit-decreasing inside one bucket") {
+    // sizes 6,5,4,3,2 under budget 10: FFD opens {6,4} and {5,3,2}
+    val docs = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L))
+      .toDF("doc_id", "n").withColumn("lang", lit("en"))
+    val out = Corpus.packSequencesNoSplit(docs, "lang", "doc_id",
+        col("n"), tokenBudget = 10, nBuckets = 1)
+      .select($"pack_seq", $"doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.values.toSet == Set(Set(1L, 3L), Set(2L, 4L, 5L)))
+  }
+
+  test("packSequencesNoSplit: oversize docs get singleton packs, nulls are excluded") {
+    val docs = Seq((1L, Some(15L)), (2L, Some(4L)), (3L, Some(4L)),
+        (4L, None))
+      .toDF("doc_id", "n").withColumn("lang", lit("en"))
+    val rows = Corpus.packSequencesNoSplit(docs, "lang", "doc_id",
+        col("n"), tokenBudget = 10, nBuckets = 1)
+      .select($"pack_seq", $"doc_id", $"n_tokens")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).toSet == Set(1L, 2L, 3L)) // null-cost doc absent
+    val byPack = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the 15-token doc sits alone (fill > budget blocks all joiners);
+    // the two 4-token docs share one pack
+    assert(byPack.values.toSet == Set(Set(1L), Set(2L, 3L)))
+  }
+
+  test("packSequencesNoSplit is partition-independent and within budget") {
+    val docs = (0 until 400)
+      .map(i => (i.toLong, 1L + i % 97, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "n", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.packSequencesNoSplit(df, "lang", "doc_id", col("n"),
+          tokenBudget = 256, nBuckets = 4)
+        .select($"shard", $"bucket", $"pack_seq", $"doc_id")
+        .as[(String, Long, Int, Long)].collect().toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a == b) // pack contents depend on ids, never on partitioning
+    assert(a.size == 400) // every doc placed exactly once
+    // every pack within budget (no doc here exceeds it)
+    val fills = Corpus.packSequencesNoSplit(docs, "lang", "doc_id",
+        col("n"), tokenBudget = 256, nBuckets = 4)
+      .groupBy($"shard", $"bucket", $"pack_seq")
+      .agg(sum($"n_tokens").as("fill"))
+      .select($"fill").as[Long].collect()
+    assert(fills.forall(_ <= 256))
+    // first-fit theorem: at most one ≤-half-full pack per group
+    val halfByGroup = Corpus.packSequencesNoSplit(docs, "lang", "doc_id",
+        col("n"), tokenBudget = 256, nBuckets = 4)
+      .groupBy($"shard", $"bucket", $"pack_seq")
+      .agg(sum($"n_tokens").as("fill"))
+      .where($"fill" * 2 <= 256)
+      .groupBy($"shard", $"bucket").count()
+      .select($"count").as[Long].collect()
+    assert(halfByGroup.forall(_ <= 1))
+  }
 }

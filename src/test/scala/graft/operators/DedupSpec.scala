@@ -599,4 +599,69 @@ class DedupSpec extends SparkSpec {
     assert(idx3.select("doc_id").distinct().as[Long].collect().toSet
       == Set(10L, 20L))
   }
+
+  test("dedupLinesKeepFirst keeps each line's global (doc, pos) minimum only") {
+    val docs = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),   // b's first occurrence is (1,1) → loses it
+      (3L, "a\nb"),   // every line lost → EMPTY text, row kept
+      (4L, null.asInstanceOf[String]), // null in, null out
+      (5L, "x\nx")    // within-doc copy collapses too (global keep-first)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(docs)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "a\nb\nc")
+    assert(out(2L) == "d")
+    assert(out(3L) == "")
+    assert(out(4L) == null)
+    assert(out(5L) == "x")
+  }
+
+  test("lineIndexAddBatch remembers lines across batches and composes to batch semantics") {
+    val idx0 = Seq.empty[String].toDF("line")
+    val b1 = Seq((2L, "a\nb")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "a\nc"), (3L, "b\nc\nd")).toDF("doc_id", "text")
+    val (c1, idx1) = Dedup.lineIndexAddBatch(idx0, b1)
+    assert(c1.as[(Long, String)].collect().toMap == Map(2L -> "a\nb"))
+    assert(idx1.as[String].collect().toSet == Set("a", "b"))
+    // batch 2: a and b are indexed (batch 1 owns them — doc 1's smaller
+    // id does NOT win across batches); c resolves within batch 2 by
+    // (id, pos); d is fresh
+    val (c2, idx2) = Dedup.lineIndexAddBatch(idx1, b2)
+    assert(c2.as[(Long, String)].collect().toMap
+      == Map(1L -> "c", 3L -> "d"))
+    assert(idx2.as[String].collect().toSet == Set("a", "b", "c", "d"))
+    // under id-ordered arrival the composition equals the batch operator
+    val all = Seq((1L, "x\ny"), (2L, "y\nz"), (3L, "x\nz\nw"))
+      .toDF("doc_id", "text")
+    val (i1, j1) = Dedup.lineIndexAddBatch(
+      Seq.empty[String].toDF("line"), all.where($"doc_id" <= 1))
+    val (i2, j2) = Dedup.lineIndexAddBatch(j1, all.where($"doc_id" === 2))
+    val (i3, _) = Dedup.lineIndexAddBatch(j2, all.where($"doc_id" === 3))
+    val composed = i1.unionByName(i2).unionByName(i3)
+      .as[(Long, String)].collect().toMap
+    val batch = Dedup.dedupLinesKeepFirst(all)
+      .as[(Long, String)].collect().toMap
+    assert(composed == batch)
+  }
+
+  test("stripFrequentLines removes >=minDocs lines from ALL docs, counts distinct docs") {
+    val docs = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),
+      (3L, "a\nb"),
+      (5L, "x\nx") // 2 copies but ONE doc → below minDocs=2, both stay
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripFrequentLines(docs, minDocs = 2)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // a is in docs 1,3; b in 1,2,3 → both stripped everywhere
+    assert(out(1L) == "c")
+    assert(out(2L) == "d")
+    assert(out(3L) == "")
+    assert(out(5L) == "x\nx")
+    // minDocs=1 would empty the corpus — refused loudly
+    assert(intercept[IllegalArgumentException] {
+      Dedup.stripFrequentLines(docs, minDocs = 1)
+    }.getMessage.contains("minDocs"))
+  }
 }

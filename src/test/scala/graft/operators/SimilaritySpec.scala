@@ -435,4 +435,45 @@ class SimilaritySpec extends SparkSpec {
     // its partner at rank 1 from codes alone
     assert(top1 == Map(0L -> 1000L, 1L -> 1001L))
   }
+
+  test("semanticDedup drops one member per same-cell dup pair, ties keep the smaller id") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),  // x cell — exact dup of 5
+      (5L, Array(1.0f, 0.0f)),  //   tie on centroid_sim → 0 kept
+      (7L, Array(0.6f, 0.8f)),  // y cell (cos 0.8 to y beats 0.6 to x)
+      (10L, Array(0.0f, 1.0f)), // y cell — same DIRECTION as 11
+      (11L, Array(0.0f, 2.0f))  //   cos(10,11)=1 → one of them drops
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, centroids, threshold = 0.95)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(out.keySet == Set(0L, 5L, 7L, 10L, 11L))
+    assert(out(0L) && !out(5L))   // exact tie → smaller id survives
+    assert(out(7L))               // no same-cell pair above threshold
+    assert(out(10L) && !out(11L)) // direction dup: tie again, 10 kept
+  }
+
+  test("semanticDedup keep-priority is LEAST similar to centroid, not smallest id") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid_sim = 1.0
+      (1L, Array(0.9f, 0.15f))   // same cell, cos(0,1)≈0.986 > τ, sim < 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, centroids, threshold = 0.95)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    // the farther-from-centroid member survives despite the larger id
+    assert(!out(0L) && out(1L))
+  }
+
+  test("semanticDedup excludes null embeddings and never pairs across cells") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f)),
+      (99L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    // 0 and 10 are orthogonal AND in different cells: both keep; the
+    // null-embedding row has no cell and is absent, same contract as
+    // ivfAssign
+    val out = Similarity.semanticDedup(corpus, centroids, threshold = 0.0)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> true, 10L -> true))
+  }
 }
