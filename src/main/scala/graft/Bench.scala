@@ -156,15 +156,22 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect {
       case (k, (_, reps)) if median(reps).isEmpty => k }
-    val failedJson = failed.map(f => Verify.jsonStr(shortKey(f)))
-      .mkString("[", ",", "]")
+    // empty diagnostic lists stay OFF the line (suite growth at 181
+    // queries ran the budget guard into its limit; two always-present
+    // `[]` fields were 25 B of the healthy-case line saying nothing —
+    // absence of the key now MEANS empty, and a consumer greps the key
+    // only on breakage)
+    val failedJson = if (failed.isEmpty) "" else
+      failed.map(f => Verify.jsonStr(shortKey(f)))
+        .mkString("\"failed\":[", ",", "],")
     // the stall detector: queries whose three reps disagree >2× AND
     // >0.3 s — on a healthy host this list is empty, on the r12-style
     // stalled host it names exactly the polluted medians
     val spread = results.collect {
       case (k, (_, reps)) if spreadFlag(reps) => k }
-    val spreadJson = spread.map(f => Verify.jsonStr(shortKey(f)))
-      .mkString("[", ",", "]")
+    val spreadJson = if (spread.isEmpty) "" else
+      spread.map(f => Verify.jsonStr(shortKey(f)))
+        .mkString("\"spread\":[", ",", "],")
     def sec3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = sec3(results.flatMap(r => median(r._2._2)).sum)
@@ -201,7 +208,33 @@ object Bench {
         s""","cold_total":$coldTotal,"vs_prev":$vsPrev,"reps":{""",
         ",", "}")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3","unit_queries":"ms","failed":$failedJson,"spread":$spreadJson,"queries":$qs,"sf":"$sfLabel"$extras}"""
+    // "stat":"median_of_3" moved off the line at 181 queries (27 B the
+    // sidecars and SCALE.md already state); per-query medians-of-3 in
+    // integer ms is the documented contract of `unit_queries`
+    // "unit_queries":"ms" moved to the sidecar at 185 queries (19 B):
+    // the queries map stays integer MILLISECONDS — the sidecars, the
+    // spec, and SCALE.md all state the unit, and the 3-vs-6-digit
+    // magnitude gap from the seconds total makes misreading loud.
+    // Next sheds if the suite outgrows this: per-query centiseconds
+    // (~1 B/query), then nothing is left but widening the capture
+    val unitQ = if (withReps) """"unit_queries":"ms",""" else ""
+    def assemble(f: String, sp: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",$unitQ$f$sp"queries":$qs,"sf":"$sfLabel"$extras}"""
+    val line = assemble(failedJson, spreadJson)
+    // shed-to-fit, DRIVER LINE ONLY (the sidecar has no capture cap and
+    // keeps everything): a stalled host inflates the line from both
+    // ends — 5-digit stall medians in the queries map AND a long
+    // spread list — and the r14 builder host measured 1960 B that way,
+    // past the ~1925 B capture window, which would have come back
+    // `parsed: null`. The diagnostic lists are recoverable from the
+    // sidecars (bench_last_full's per-query spread_flag, the summary's
+    // uncapped lists), so shed spread first, then failed; the contract
+    // fields and the queries map never shed
+    if (withReps || line.length < 1920) line
+    else {
+      val noSpread = assemble(failedJson, "")
+      if (noSpread.length < 1920) noSpread else assemble("", "")
+    }
   }
 
   /** Full-fidelity sidecar (full query names, float seconds, cold AND

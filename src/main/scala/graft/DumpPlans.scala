@@ -154,7 +154,17 @@ object DumpPlans {
       "q178_strip_frequent_lines" ->
         "frequent-line strip: the q177 explode/reassemble frame with a distinct-doc count per line and the (tiny) frequent set anti-joined back — boilerplate is rare by definition of being worth stripping, so the anti-join build side broadcasts at any scale",
       "q179_incremental_line_dedup" ->
-        "incremental line dedup batch shape (one addBatch): seen-line anti-join IN FRONT of the q177 winner aggregate/semi-join — per-batch work is O(batch lines + index probe), the corpus never rescans; checkpointed fresh set cuts the chained-batch lineage")
+        "incremental line dedup batch shape (one addBatch): seen-line anti-join IN FRONT of the q177 winner aggregate/semi-join — per-batch work is O(batch lines + index probe), the corpus never rescans; checkpointed fresh set cuts the chained-batch lineage",
+      "q180_unigram_viterbi" ->
+        "unigram-LM Viterbi encode: builder = one token-count shuffle + substring-candidate count + TakeOrdered cut (windows only on the vocab-sized selected set); apply = ONE narrow codegen projection carrying the piece table as expression metadata, zero shuffle before the final sort",
+      "q181_corpus_drift" ->
+        "corpus-drift TVD: side-tagged token union into ONE combine-enabled shuffle (not two aggregates + outer join), 1-row totals broadcast back, exact decimal cross-multiplication — no float division, no collect",
+      "q182_curation_audit" ->
+        "curation-audit attribution: per-stage reject sets resolve in ONE shuffle over the tagged id-only union (min-rank aggregate), stage names from a literal array — no per-stage join chain",
+      "q183_unigram_surprise" ->
+        "unigram-surprise LM quality filter: q180's narrow codegen cost projection + a 1-row totals broadcast; the mean-surprise gate is a decimal cross-multiplication riding the same projection",
+      "q184_unigram_hard_em" ->
+        "unigram hard-EM re-encode: the E-step usage aggregate is one explode+combine shuffle, M-step is driver metadata, and the re-encode is again ONE narrow codegen projection — the learn loop never shuffles the corpus twice per iteration")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -205,6 +205,31 @@ object ScaleSmoke {
             TextFunctions.bpeCount(col("text"), pieces).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         }),
+        "unigram_encode" -> (() => {
+          // the Viterbi kernel over the amp-built piece table (builder
+          // untimed, like the other apply-kernel ops): per-word DP is
+          // O(len × maxPieceLen) probes — the point is the apply pass
+          // stays one narrow projection at any corpus size
+          val pieces = Corpus.collectUnigramPieces(
+            Corpus.buildUnigramVocab(amp, "text", maxPieceLen = 4,
+              minCount = 8, maxSize = 120))
+          () => amp.select(
+            size(TextFunctions.unigramEncode(col("text"), pieces)).as("n"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        }),
+        "unigram_build" -> (() => () =>
+          // builder end to end: token-count shuffle + substring
+          // candidate count + TakeOrdered cut; dict-sized windows only
+          Corpus.buildUnigramVocab(amp, "text", maxPieceLen = 4,
+            minCount = 8, maxSize = 120).count()),
+        "token_drift" -> (() => () =>
+          // snapshot-drift TVD between the amp corpus's halves: one
+          // side-tagged token shuffle + a broadcast totals row; the
+          // decimal cross-multiplication stays exact at any amp
+          Corpus.tokenDistributionDrift(
+              amp.where(col("doc_id") % 2 === 0),
+              amp.where(col("doc_id") % 2 === 1), "text")
+            .agg(count(lit(1))).collect()(0).getLong(0)),
         "bpe_learn" -> (() => () =>
           // 8 merge iterations: the timed region includes the corpus
           // word count AND the k dict-sized iterations — the point is

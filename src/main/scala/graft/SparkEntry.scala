@@ -120,6 +120,15 @@ object SparkEntry {
       graft.operators.Corpus.buildPieceVocab(docs, "text",
         minCount = 5, maxSize = 200))
 
+  /** The shared q180-family unigram piece table (maxPieceLen 4,
+    * minCount 8, size cap 120 — the same constants as the twins'
+    * `usub`/`umulti` CTEs), costed on the driver.
+    */
+  private def unigramPieces(docs: DataFrame): Seq[(String, Int, Long)] =
+    graft.operators.Corpus.collectUnigramPieces(
+      graft.operators.Corpus.buildUnigramVocab(docs, "text",
+        maxPieceLen = 4, minCount = 8, maxSize = 120))
+
   /** Streaming state cost scales with shuffle partitions (one state-store
     * instance + delta files per partition per batch); the harness's
     * streams carry tiny state, so run them at few partitions and restore
@@ -2499,6 +2508,155 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the unigram-LM (SentencePiece) member of the tokenizer family —
+    // the third inference rule after greedy MaxMatch (q137) and
+    // rank-ordered merges (q143): a frequency-seeded substring piece
+    // table with exact INTEGER costs (Corpus.buildUnigramVocab /
+    // collectUnigramPieces), then per-word minimum-cost Viterbi
+    // segmentation, ties broken toward the UTF-8-binary-smallest piece
+    // sequence. The twin re-derives every choice: same candidate
+    // counting, same (cnt desc, piece) selection and ids, same integer
+    // costs (HUGEINT floor-div), and the DP itself unrolled as 16
+    // chained per-position stages (the salt compound caps word length
+    // at 16) each keeping one (cost, path)-minimal row per word — so
+    // ids_md5 pins the full id stream, not just counts. Same
+    // compound-salted corpus as q137 so the lattice has real
+    // decomposition work
+    "q180_unigram_viterbi" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = unigramPieces(docs)
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.unigramEncode(col("text"), pieces)
+            .as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast(LongType).as("n_pieces"),
+          md5(array_join(transform(col("__ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // LM-based quality filter from the unigram tokenizer's OTHER
+    // output: the exact integer Viterbi cost IS the document's
+    // surprise under the unigram LM (Σ −log p(piece) on the cost
+    // grid), so mean-surprise ranks text by familiarity — the CCNet
+    // perplexity-filter shape with zero floats. The gate is
+    // self-normalizing: keep docs whose mean piece cost ≤ the corpus
+    // mean, cross-multiplied in decimals so the row hashes exactly
+    "q183_unigram_surprise" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = unigramPieces(docs)
+      val dec = "decimal(38,0)"
+      val scored = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.unigramCost(col("text"), pieces)
+            .as("__c"))
+        .select(col("doc_id"),
+          col("__c.n_pieces").cast(LongType).as("n_pieces"),
+          col("__c.cost").as("vit_cost"))
+      val tot = scored.agg(sum(col("vit_cost")).cast(dec).as("__tc"),
+        sum(col("n_pieces")).cast(dec).as("__tn"))
+      scored.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_pieces"), col("vit_cost"),
+          (col("vit_cost").cast(dec) * col("__tn") <=
+            col("__tc") * col("n_pieces").cast(dec)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // one hard-EM iteration of the unigram tokenizer (Kudo §3.2's loop,
+    // Viterbi-hard E-step + usage-based M-step + zero-usage prune):
+    // E = one explode(unigramEncode) aggregate over the corpus, M =
+    // Corpus.unigramHardEmStep (ids stable, costs re-estimated,
+    // never-used multi-char pieces dropped), then the corpus re-encodes
+    // under the NEW model. The twin re-derives the usage counts from
+    // its own DP segmentation (per-word ids × word multiplicity), the
+    // same prune and integer re-costing, and a SECOND unrolled Viterbi
+    // — ids2_md5 gates the re-encoded stream choice for choice
+    "q184_unigram_hard_em" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val p1 = unigramPieces(docs)
+      val usage = docs.select(explode(
+          graft.functions.TextFunctions.unigramEncode(col("text"), p1))
+          .as("id"))
+        .groupBy("id").agg(count(lit(1)).as("u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val p2 = graft.operators.Corpus.unigramHardEmStep(p1, usage)
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.unigramEncode(col("text"), p2)
+            .as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast(LongType).as("n_pieces2"),
+          md5(array_join(transform(col("__ids"),
+            i => i.cast(StringType)), " ")).as("ids2_md5"),
+          lit(p1.size - p2.size).cast(LongType).as("n_pruned"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-drift monitor between two snapshots (even/odd id slices of
+    // the salted corpus, so the token space scales with the docs): the
+    // EXACT total-variation distance as a rational — per-token
+    // drift_num = |n_a·T_b − n_b·T_a| in DECIMAL(38,0), the suite
+    // total and denominator 2·T_a·T_b riding every row — top 40
+    // contributors by (drift_num desc, token). No float division
+    // anywhere; the twin computes the identical integers in HUGEINT
+    "q181_corpus_drift" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val drift = graft.operators.Corpus.tokenDistributionDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "text")
+      val dec = "decimal(38,0)"
+      val tot = drift.agg(
+        sum(col("drift_num")).cast(dec).as("tvd_num"),
+        (sum(col("n_a")).cast(dec) * sum(col("n_b")).cast(dec) * lit(2))
+          .cast(dec).as("tvd_den"))
+      drift.crossJoin(broadcast(tot))
+        .orderBy(col("drift_num").desc, col("token"))
+        .limit(40)
+        // exact decimals inside, doubles at the gate boundary (the
+        // suite convention): every value here is ≤ T_a·T_b ≪ 2^53, so
+        // the cast is exact at any test scale
+        .select(col("token"), col("n_a"), col("n_b"),
+          col("drift_num").cast(DoubleType).as("drift_num"),
+          col("tvd_num").cast(DoubleType).as("tvd_num"),
+          col("tvd_den").cast(DoubleType).as("tvd_den"))
+    }),
+
+    // curation-audit attribution: every doc labeled with its FIRST
+    // rejecting stage through the standard chain — null text → quality
+    // heuristics (q79b's gates) → Gopher repetition (q125's integer
+    // thresholds) → exact-dup keep-first (computed on the survivors,
+    // the population-dependent stage) → eval decontamination (3-word
+    // shingles vs the doc_id % 50 == 0 slice) — or 'accepted'. The
+    // operability report a production pipeline ships next to its
+    // output; Corpus.attributeRejections resolves priority in ONE
+    // shuffle over the tagged reject-id union
+    "q182_curation_audit" -> ((s, dir) => {
+      import graft.operators.{Corpus, Dedup}
+      val all = t(s, dir, "documents").select("doc_id", "text")
+      val docs = all.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      val evalDocs = all.where(pmod(col("doc_id"), lit(50)) === 0)
+      val txt = col("text")
+      val qualBad = TextFunctions.nTokens(txt) < 20 ||
+        TextFunctions.meanTokenLen(txt) < 3.0 ||
+        TextFunctions.meanTokenLen(txt) > 10.0 ||
+        TextFunctions.punctRatio(txt) > 0.2
+      val zeros = array(Seq.fill(6)(lit(0L)): _*)
+      val st = coalesce(TextFunctions.repetitionStats(txt), zeros)
+      val nChars = coalesce(length(txt).cast(LongType), lit(0L))
+      val repKeep = st(1) * 10 <= st(0) * 3 && st(3) * 5 <= st(2) &&
+        st(5) * 5 <= nChars
+      val surv13 = docs.where(txt.isNotNull && !qualBad && repKeep)
+      val keepIds = Dedup.exact(surv13).select(col("keep_id").as("doc_id"))
+      val nonNull = docs.where(txt.isNotNull)
+      Corpus.attributeRejections(docs, "doc_id", Seq(
+          "null_text" -> docs.where(txt.isNull),
+          "quality" -> docs.where(txt.isNotNull && qualBad),
+          "repetition" -> docs.where(txt.isNotNull && !repKeep),
+          "exact_dup" -> surv13.join(keepIds, Seq("doc_id"), "left_anti"),
+          "contaminated" -> nonNull.join(
+            Dedup.decontaminate(nonNull, evalDocs, shingleN = 3)
+              .select("doc_id"), Seq("doc_id"), "left_anti")))
+        .orderBy("doc_id")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -4479,6 +4637,93 @@ object SparkEntry {
          |      AS text FROM documents),
          |${bpePieceCtes("docs2")}""".stripMargin
 
+    // q180: the unigram-LM Viterbi twin. The builder CTEs restate
+    // Corpus.buildUnigramVocab/collectUnigramPieces (substring
+    // candidates weighted by token occurrences, alphabet always kept,
+    // (cnt desc, piece) selection + ids, HUGEINT floor-div costs), and
+    // the DP unrolls as `maxW` chained per-position stages — stage k
+    // keeps, per word, ONE row: the (cost, path)-minimal segmentation
+    // of the word's first k characters, `path` being the pieces joined
+    // by chr(1) so `ORDER BY cost, path` under binary collation is
+    // EXACTLY the kernel's UTF-8-byte tie-break. Word length is capped
+    // by construction (base tokens ≤ 8 chars, the salt compound ≤ 16),
+    // so the unroll is total, not a truncation. Every stage is AS
+    // MATERIALIZED — ub{k} is referenced by up to `maxL` later stages
+    // plus the final per-length pick, and DuckDB inlines plain CTEs
+    // per reference (the bpePieceCtes lesson).
+    // the DP half alone, prefix- and cost-table-parameterized so a
+    // SECOND Viterbi pass (q184's hard-EM re-encode, over re-estimated
+    // costs) unrolls from the same generator: emits {p}b0..{p}b{maxW},
+    // {p}seg (per-word segmentation: ids, piece count, total cost) and
+    // {p}enc (per-doc rollup incl. the exact vit_cost) over the shared
+    // utc/utoks word feed, reading piece costs from `costCte`
+    def unigramDpCtes(p: String, costCte: String, maxL: Int,
+        maxW: Int): String = {
+      val stages = (1 to maxW).map { k =>
+        val cands = (math.max(0, k - maxL) until k).map { j =>
+          s"""SELECT b.w AS w, b.cost + pc.cost AS cost,
+             |      b.path || chr(1) || pc.piece AS path,
+             |      CASE WHEN b.ids = '' THEN CAST(pc.id AS VARCHAR)
+             |        ELSE b.ids || ' ' || CAST(pc.id AS VARCHAR) END AS ids,
+             |      b.n + 1 AS n
+             |    FROM ${p}b$j b JOIN $costCte pc ON pc.plen = ${k - j}
+             |      AND pc.piece = substr(b.w, ${j + 1}, ${k - j})
+             |    WHERE length(b.w) >= $k""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""${p}b$k AS MATERIALIZED (SELECT w, cost, path, ids, n FROM (
+           |  SELECT w, cost, path, ids, n, row_number() OVER (
+           |      PARTITION BY w ORDER BY cost, path) AS rn FROM (
+           |$cands
+           |  )) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val pick = (1 to maxW)
+        .map(k => s"SELECT w, ids, n, cost FROM ${p}b$k WHERE length(w) = $k")
+        .mkString("\n  UNION ALL\n  ")
+      s"""${p}b0 AS (SELECT tok AS w, CAST(0 AS BIGINT) AS cost, '' AS path,
+         |    '' AS ids, 0 AS n FROM utc),
+         |$stages,
+         |${p}seg AS MATERIALIZED (
+         |  $pick),
+         |${p}enc AS (SELECT t.doc_id, CAST(sum(s.n) AS BIGINT) AS n_pieces,
+         |    CAST(sum(s.cost) AS BIGINT) AS vit_cost,
+         |    md5(string_agg(s.ids, ' ' ORDER BY t.ord)) AS ids_md5
+         |  FROM utoks t JOIN ${p}seg s ON s.w = t.tok
+         |  GROUP BY 1)""".stripMargin
+    }
+
+    def unigramCtes(maxL: Int, minCount: Long, maxSize: Int,
+        scale: Long, maxW: Int): String = {
+      s"""uta AS MATERIALIZED (SELECT doc_id, $toksSql AS arr FROM docs2),
+         |utoks AS MATERIALIZED (SELECT doc_id, unnest(arr) AS tok,
+         |    unnest(range(1, len(arr) + 1)) AS ord
+         |  FROM uta WHERE len(arr) > 0),
+         |utc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS wc
+         |  FROM utoks GROUP BY tok),
+         |usub AS MATERIALIZED (
+         |  SELECT substr(tok, i, l) AS piece, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT tok, wc, l,
+         |        unnest(range(1, length(tok) - l + 2)) AS i
+         |      FROM (SELECT tok, wc,
+         |          unnest(range(1, least(length(tok), $maxL) + 1)) AS l
+         |        FROM utc))
+         |  GROUP BY 1),
+         |umulti AS (SELECT piece, cnt FROM usub
+         |  WHERE length(piece) >= 2 AND cnt >= $minCount
+         |  ORDER BY cnt DESC, piece LIMIT $maxSize),
+         |upieces AS (SELECT piece, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER)
+         |      AS id
+         |  FROM (SELECT * FROM umulti UNION ALL
+         |    SELECT piece, cnt FROM usub WHERE length(piece) = 1)),
+         |utot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS t FROM upieces),
+         |upc AS MATERIALIZED (SELECT p.piece, p.id,
+         |    CAST(length(p.piece) AS INTEGER) AS plen,
+         |    CAST(1 + (CAST($scale AS HUGEINT) * (u.t - p.cnt)) // u.t
+         |      AS BIGINT) AS cost
+         |  FROM upieces p, utot u),
+         |${unigramDpCtes("u", "upc", maxL, maxW)}""".stripMargin
+    }
+
     // q142: the same 16 learn-BPE iterations the Spark side runs,
     // UNROLLED as chained CTE stages (k is a bounded constant, so the
     // loop unrolls at SQL-generation time). Symbols ride sentinel-
@@ -6387,6 +6632,172 @@ object SparkEntry {
            |  md5(COALESCE(r.clean, '')) AS clean_md5
            |FROM d2 LEFT JOIN reb r USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // q180: the unigram Viterbi twin — builder + costs + the DP
+      // unrolled per position (see unigramCtes); ids_md5 pins the full
+      // per-doc id stream, so every tie-break choice is gated, not
+      // just segment counts. Constants mirror the Spark call:
+      // maxPieceLen 4, minCount 8, maxSize 120, costScale 2^20,
+      // word-length cap 16 (the salt compound's length)
+      "q180_unigram_viterbi" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |${unigramCtes(4, 8L, 120, 1L << 20, 16)}
+           |SELECT d.doc_id, u.n_pieces, u.ids_md5
+           |FROM docs2 d LEFT JOIN uenc u USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q183: per-doc vit_cost off the same DP (uenc carries it), the
+      // self-normalizing mean-surprise gate cross-multiplied in HUGEINT
+      "q183_unigram_surprise" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |${unigramCtes(4, 8L, 120, 1L << 20, 16)},
+           |stot AS (SELECT CAST(sum(vit_cost) AS HUGEINT) AS tc,
+           |    CAST(sum(n_pieces) AS HUGEINT) AS tn FROM uenc)
+           |SELECT d.doc_id, u.n_pieces, u.vit_cost,
+           |  (CAST(u.vit_cost AS HUGEINT) * s.tn
+           |    <= s.tc * CAST(u.n_pieces AS HUGEINT)) AS keep
+           |FROM docs2 d LEFT JOIN uenc u USING (doc_id)
+           |CROSS JOIN stot s
+           |ORDER BY doc_id""".stripMargin,
+
+      // q184: E-step usage from the first DP's own segmentation
+      // (per-word ids × word multiplicity), zero-usage multi-char
+      // prune, integer re-costing, then the SECOND unrolled Viterbi
+      // over the new table
+      "q184_unigram_hard_em" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |${unigramCtes(4, 8L, 120, 1L << 20, 16)},
+           |vuse AS (SELECT CAST(unnest(string_split(s.ids, ' '))
+           |      AS INTEGER) AS id, c.wc
+           |  FROM useg s JOIN utc c ON c.tok = s.w),
+           |vcnt AS (SELECT id, CAST(sum(wc) AS BIGINT) AS u
+           |  FROM vuse GROUP BY 1),
+           |vkept AS (SELECT p.piece, p.id, p.plen, coalesce(v.u, 0) AS u
+           |  FROM upc p LEFT JOIN vcnt v USING (id)
+           |  WHERE p.plen = 1 OR coalesce(v.u, 0) > 0),
+           |vtot AS (SELECT CAST(sum(u) AS HUGEINT) AS t FROM vkept),
+           |vpc AS MATERIALIZED (SELECT k.piece, k.id, k.plen,
+           |    CAST(1 + (CAST(${1L << 20} AS HUGEINT) * (vt.t - k.u)) // vt.t
+           |      AS BIGINT) AS cost
+           |  FROM vkept k, vtot vt),
+           |${unigramDpCtes("v", "vpc", 4, 16)}
+           |SELECT d.doc_id, v.n_pieces AS n_pieces2,
+           |  v.ids_md5 AS ids2_md5,
+           |  CAST((SELECT count(*) FROM upc) - (SELECT count(*) FROM vkept)
+           |    AS BIGINT) AS n_pruned
+           |FROM docs2 d LEFT JOIN venc v USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q181: exact-rational TVD — identical integers via HUGEINT
+      // cross-multiplication, DECIMAL(38,0) on the wire for dtype
+      // parity with Spark's decimal columns
+      "q181_corpus_drift" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |t0 AS (SELECT doc_id, unnest($toksSql) AS token FROM docs2),
+           |cnt AS (SELECT token,
+           |    CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+           |    CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+           |  FROM t0 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_a) AS HUGEINT) AS ta,
+           |    CAST(sum(n_b) AS HUGEINT) AS tb FROM cnt),
+           |d AS (SELECT token, n_a, n_b,
+           |    CAST(abs(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta)
+           |      AS DECIMAL(38,0)) AS drift_num
+           |  FROM cnt, tot),
+           |t2 AS (SELECT CAST(sum(drift_num) AS DECIMAL(38,0)) AS tvd_num,
+           |    (SELECT CAST(2 * ta * tb AS DECIMAL(38,0)) FROM tot)
+           |      AS tvd_den FROM d)
+           |SELECT token, n_a, n_b,
+           |  CAST(drift_num AS DOUBLE) AS drift_num,
+           |  CAST(tvd_num AS DOUBLE) AS tvd_num,
+           |  CAST(tvd_den AS DOUBLE) AS tvd_den
+           |FROM d, t2
+           |ORDER BY drift_num DESC, token LIMIT 40""".stripMargin,
+
+      // q182: the sequential chain restated as accept/reject CTEs
+      // (q79b's quality gates, q125's repetition thresholds, the
+      // contentHash keep-first among stage-3 survivors, q79b's
+      // 3-shingle eval contamination) resolved by the same priority
+      // CASE the Spark side's attributeRejections applies
+      "q182_curation_audit" ->
+        s"""WITH tr AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 50 <> 0),
+           |tk3 AS (SELECT doc_id, text, $toksSql AS tk FROM tr
+           |  WHERE text IS NOT NULL),
+           |qb AS (SELECT doc_id FROM (
+           |    SELECT doc_id, len(tk) AS ntok,
+           |      CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |        list_aggregate(list_transform(tk, x -> strlen(x)),
+           |          'sum')::DOUBLE / len(tk) END AS mtl,
+           |      CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+           |        (strlen(text) - strlen(regexp_replace(text,
+           |          '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / strlen(text)
+           |      END AS pr
+           |    FROM tk3)
+           |  WHERE NOT (ntok >= 20 AND mtl >= 3.0 AND mtl <= 10.0
+           |    AND pr <= 0.2)),
+           |rl AS (SELECT doc_id, line FROM (
+           |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |    FROM tr WHERE text IS NOT NULL)
+           |  WHERE len(line) > 0),
+           |rlc AS (SELECT doc_id, line, count(*) AS c FROM rl GROUP BY 1, 2),
+           |rls AS (SELECT doc_id,
+           |    CAST(sum(c) AS BIGINT) AS n_lines,
+           |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+           |      AS dup_lines,
+           |    CAST(sum(c * len(line)) AS BIGINT) AS line_chars,
+           |    CAST(coalesce(sum(c * len(line)) FILTER (WHERE c >= 2), 0)
+           |      AS BIGINT) AS dup_line_chars
+           |  FROM rlc GROUP BY 1),
+           |rg AS (SELECT doc_id, unnest(${shinglesSql("tk", 2)}) AS gram
+           |  FROM tk3),
+           |rgc AS (SELECT doc_id, gram, count(*) AS c FROM rg GROUP BY 1, 2),
+           |rtop AS (SELECT doc_id, CAST(c * len(gram) AS BIGINT)
+           |    AS top2_chars
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY c DESC, gram) AS rn FROM rgc)
+           |  WHERE rn = 1),
+           |rb AS (SELECT t.doc_id FROM tk3 t
+           |  LEFT JOIN rls ON t.doc_id = rls.doc_id
+           |  LEFT JOIN rtop ON t.doc_id = rtop.doc_id
+           |  WHERE NOT (coalesce(dup_lines, 0) * 10
+           |      <= coalesce(n_lines, 0) * 3
+           |    AND coalesce(dup_line_chars, 0) * 5
+           |      <= coalesce(line_chars, 0)
+           |    AND coalesce(top2_chars, 0) * 5
+           |      <= CAST(coalesce(len(t.text), 0) AS BIGINT))),
+           |s13 AS (SELECT doc_id, text FROM tk3
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM qb)
+           |    AND doc_id NOT IN (SELECT doc_id FROM rb)),
+           |ch2 AS (SELECT doc_id,
+           |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS chash
+           |  FROM s13),
+           |kp AS (SELECT min(doc_id) AS k FROM ch2 GROUP BY chash),
+           |db AS (SELECT doc_id FROM ch2
+           |  WHERE doc_id NOT IN (SELECT k FROM kp)),
+           |tsh2 AS (SELECT doc_id,
+           |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM tk3),
+           |etk AS (SELECT doc_id, $toksSql AS tk FROM documents
+           |  WHERE doc_id % 50 = 0),
+           |esh2 AS (SELECT DISTINCT
+           |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM etk),
+           |cb AS (SELECT DISTINCT t.doc_id FROM tsh2 t JOIN esh2 USING (s))
+           |SELECT t.doc_id, CASE
+           |    WHEN t.text IS NULL THEN 'null_text'
+           |    WHEN t.doc_id IN (SELECT doc_id FROM qb) THEN 'quality'
+           |    WHEN t.doc_id IN (SELECT doc_id FROM rb) THEN 'repetition'
+           |    WHEN t.doc_id IN (SELECT doc_id FROM db) THEN 'exact_dup'
+           |    WHEN t.doc_id IN (SELECT doc_id FROM cb) THEN 'contaminated'
+           |    ELSE 'accepted' END AS stage
+           |FROM tr t ORDER BY doc_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -144,6 +144,40 @@ object TextFunctions {
   def bpeCountUnk(text: Column, pieces: Seq[(String, Int)]): Column =
     TextExpressions.bpeCountUnk(text, pieces)
 
+  /** Minimum-cost (Viterbi) subword ids under a unigram-LM piece table
+    * ([[graft.functions.UnigramEncodeExpr]] — Kudo ACL'18 /
+    * SentencePiece inference): per whitespace token, the globally
+    * cheapest segmentation under additive integer piece costs, ties
+    * broken toward the UTF-8-binary-smallest piece sequence (the
+    * `ORDER BY cost, path` a SQL twin applies). Pieces come from
+    * `Corpus.buildUnigramVocab` via `Corpus.collectUnigramPieces`.
+    * A character outside the table's alphabet emits UNK (0) at
+    * `unkCost`.
+    */
+  def unigramEncode(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long = UnigramDefaults.unkCost): Column =
+    TextExpressions.unigramEncode(text, pieces, unkCost)
+
+  /** `size(unigramEncode(…))` without materializing the ids
+    * ([[graft.functions.UnigramCountExpr]]) — same tie-broken Viterbi
+    * (equal-cost segmentations may differ in length, so the count
+    * cannot shortcut the tie-break).
+    */
+  def unigramCount(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long = UnigramDefaults.unkCost): Column =
+    TextExpressions.unigramCount(text, pieces, unkCost)
+
+  /** `struct<n_pieces:int, cost:bigint>` — the Viterbi minimum total
+    * cost fused with the piece count
+    * ([[graft.functions.UnigramCostExpr]]): the document's exact
+    * integer surprise under the unigram LM, the CCNet-style quality
+    * signal. cost/n_pieces is the mean-surprise rank key; keep it
+    * cross-multiplied downstream.
+    */
+  def unigramCost(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long = UnigramDefaults.unkCost): Column =
+    TextExpressions.unigramCost(text, pieces, unkCost)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

@@ -1047,6 +1047,258 @@ case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
     copy(child = c)
 }
 
+/** The Viterbi piece table shared by [[UnigramEncodeExpr]] and
+  * [[UnigramCountExpr]] — the unigram-LM tokenizer family (Kudo,
+  * "Subword Regularization", ACL'18; SentencePiece's `--model_type=
+  * unigram`). Where BPE/MaxMatch segment greedily, unigram inference
+  * picks the GLOBALLY cheapest segmentation of each whitespace token
+  * under additive per-piece costs (the −log p(piece) of the unigram
+  * LM; this engine carries them as exact integers so the DuckDB twin
+  * can re-derive every choice bit for bit — see
+  * `Corpus.collectUnigramPieces` for the cost layout).
+  *
+  * Determinism contract (the cross-engine pin): among equal-cost
+  * segmentations the kernel takes the one whose piece sequence is
+  * smallest under UTF-8 BINARY comparison of the pieces joined by
+  * 0x01 — exactly `ORDER BY cost, path` in a binary-collation SQL
+  * engine. The exchange argument makes that DP-decomposable: two
+  * partial paths to the same character position span the same
+  * characters, so neither is a strict sequence-prefix of the other
+  * and the lexicographic order of extended paths follows the order
+  * of the prefixes.
+  *
+  * A character no piece covers emits UNK (id 0) at `unkCost` and
+  * advances one — the edge EXISTS only when the single character is
+  * absent from the table, so on a vocabulary whose alphabet covers
+  * the corpus (the builder guarantees it) UNK is unreachable, the
+  * same coverage contract as the MaxMatch builder.
+  */
+/** The unigram family's shared constants: piece costs live on a
+  * `costScale` grid (`Corpus.collectUnigramPieces` maps counts into
+  * [1, costScale + 1]), and the UNK edge — reachable only for
+  * characters outside the table's alphabet — costs more than any
+  * piece, so coverage is never traded away for a cheap UNK.
+  */
+object UnigramDefaults {
+  val costScale: Long = 1L << 20
+  val unkCost: Long = (costScale + 2) * 2
+}
+
+final class UnigramTable(pieces: Seq[(String, Int, Long)],
+    val unkCost: Long) extends Serializable {
+  require(pieces.nonEmpty, "unigram table needs at least one piece")
+  pieces.foreach { case (p, _, c) =>
+    require(p.nonEmpty, "unigram table: empty piece")
+    require(p.indexOf('\u0001') < 0,
+      "unigram table: piece contains the 0x01 path separator")
+    require(c >= 0, s"unigram table: negative cost for piece '$p'")
+  }
+  /** piece → (id, cost, utf8 bytes); a duplicated piece string keeps
+    * the smaller id (the min(id) rule the whole vocab family shares),
+    * and with it that row's cost. */
+  private val table: java.util.HashMap[String, (Int, Long, Array[Byte])] = {
+    val m = new java.util.HashMap[String, (Int, Long, Array[Byte])](
+      pieces.size * 2)
+    pieces.foreach { case (p, id, c) =>
+      val prev = m.get(p)
+      if (prev == null || id < prev._1)
+        m.put(p, (id, c, p.getBytes("UTF-8")))
+    }
+    m
+  }
+  val maxPieceLen: Int = pieces.iterator.map(_._1.length).max
+
+  /** Viterbi-encode one word into `out`; returns the segmentation's
+    * total cost. O(len × maxPieceLen) table probes, O(len²) path
+    * bytes for the tie-break — guarded so a pathological unbroken
+    * "word" fails loudly instead of going quadratic.
+    */
+  def encodeWord(w: String, out: java.util.ArrayList[Integer]): Long = {
+    val n = w.length
+    if (n == 0) return 0L
+    require(n <= 8192, "unigram encode: token longer than 8192 chars " +
+      "— pre-chunk unbroken runs before tokenizing")
+    val cost = new Array[Long](n + 1)
+    val path = new Array[Array[Byte]](n + 1) // null = unreached
+    val bp = new Array[Int](n + 1) // backpointer: start of last piece
+    val pid = new Array[Int](n + 1) // id of last piece
+    path(0) = Array.emptyByteArray
+    var i = 1
+    while (i <= n) {
+      var bestCost = 0L
+      var bestPath: Array[Byte] = null
+      var bestBp = -1
+      var bestId = -1
+      val lMax = math.min(maxPieceLen, i)
+      var l = 1
+      while (l <= lMax) {
+        val j = i - l
+        if (path(j) != null) {
+          val e = table.get(w.substring(j, i))
+          if (e != null) {
+            val c = cost(j) + e._2
+            if (bestPath == null || c < bestCost || (c == bestCost && {
+              val cand = joinPath(path(j), e._3)
+              if (java.util.Arrays.compareUnsigned(cand, bestPath) < 0) {
+                bestPath = cand; true
+              } else false
+            })) {
+              if (bestPath == null || c < bestCost)
+                bestPath = joinPath(path(j), e._3)
+              bestCost = c; bestBp = j; bestId = e._1
+            }
+          }
+        }
+        l += 1
+      }
+      if (bestBp < 0 && path(i - 1) != null &&
+          !table.containsKey(w.substring(i - 1, i))) {
+        // UNK: the character is outside the alphabet — one char, id 0
+        bestCost = cost(i - 1) + unkCost
+        bestPath = joinPath(path(i - 1),
+          w.substring(i - 1, i).getBytes("UTF-8"))
+        bestBp = i - 1
+        bestId = 0
+      }
+      if (bestBp >= 0) {
+        cost(i) = bestCost; path(i) = bestPath; bp(i) = bestBp
+        pid(i) = bestId
+      }
+      i += 1
+    }
+    require(path(n) != null,
+      s"unigram encode: no segmentation reaches the end of '$w' — " +
+        "the table's alphabet does not cover it and a longer piece " +
+        "spans the uncovered character's only route")
+    // walk backpointers, emit in order
+    val stack = new java.util.ArrayList[Integer]()
+    var p = n
+    while (p > 0) { stack.add(pid(p)); p = bp(p) }
+    var k = stack.size - 1
+    while (k >= 0) { out.add(stack.get(k)); k -= 1 }
+    cost(n)
+  }
+
+  private def joinPath(prefix: Array[Byte], piece: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](prefix.length + 1 + piece.length)
+    System.arraycopy(prefix, 0, out, 0, prefix.length)
+    out(prefix.length) = 0x01
+    System.arraycopy(piece, 0, out, prefix.length + 1, piece.length)
+    out
+  }
+}
+
+/** unigram_encode(text, pieces): array<int> — minimum-cost (Viterbi)
+  * subword ids of the whitespace tokens in token order, under a
+  * `Corpus.buildUnigramVocab` piece table ([[UnigramTable]] carries
+  * the semantics). The piece table rides the expression as model
+  * metadata, the DP is one primitive pass per word — codegen'd via a
+  * reference object like the rest of the tokenizer kernels.
+  */
+case class UnigramEncodeExpr(child: Expression,
+    pieces: Seq[(String, Int, Long)], unkCost: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  @transient private lazy val table = new UnigramTable(pieces, unkCost)
+  def encode(t: UTF8String): ArrayData = {
+    val words = TextKernels.tokenize(t)
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < words.length) { table.encodeWord(words(i), out); i += 1 }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    encode(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniEnc", this,
+      classOf[UnigramEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override def toString: String =
+    s"unigram_encode($child, pieces=${pieces.length})"
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeExpr =
+    copy(child = c)
+}
+
+/** unigram_cost(text, pieces): struct<n_pieces:int, cost:bigint> — the
+  * Viterbi walk's OTHER output: the minimum total segmentation cost,
+  * fused with the piece count. Under unigram-LM costs this is the
+  * document's surprise (Σ −log p(piece) on the integer grid), the
+  * CCNet-style LM quality signal — rank by cost/n_pieces and the
+  * familiar-text docs float up, with no float anywhere (the mean stays
+  * a cross-multiplied comparison downstream). Same tie-broken DP as
+  * [[UnigramEncodeExpr]], so the cost is THE cost of exactly the id
+  * stream encode would emit.
+  */
+case class UnigramCostExpr(child: Expression,
+    pieces: Seq[(String, Int, Long)], unkCost: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cost", LongType,
+        nullable = false)))
+  @transient private lazy val table = new UnigramTable(pieces, unkCost)
+  def cost(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = TextKernels.tokenize(t)
+    val out = new java.util.ArrayList[Integer]()
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      total += table.encodeWord(words(i), out)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(out.size, total)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    cost(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniCost", this,
+      classOf[UnigramCostExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.cost($c)")
+  }
+  override def toString: String =
+    s"unigram_cost($child, pieces=${pieces.length})"
+  override protected def withNewChildInternal(c: Expression): UnigramCostExpr =
+    copy(child = c)
+}
+
+/** unigram_count(text, pieces): int — `size(unigram_encode(…))`
+  * without materializing the id array. The count follows the SAME
+  * tie-broken Viterbi (different min-cost segmentations can have
+  * different lengths, so there is no cheaper walk that stays
+  * consistent with [[UnigramEncodeExpr]]).
+  */
+case class UnigramCountExpr(child: Expression,
+    pieces: Seq[(String, Int, Long)], unkCost: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  @transient private lazy val table = new UnigramTable(pieces, unkCost)
+  def count(t: UTF8String): Int = {
+    val words = TextKernels.tokenize(t)
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < words.length) { table.encodeWord(words(i), out); i += 1 }
+    out.size
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    count(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniCnt", this,
+      classOf[UnigramCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override def toString: String =
+    s"unigram_count($child, pieces=${pieces.length})"
+  override protected def withNewChildInternal(c: Expression): UnigramCountExpr =
+    copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -1093,4 +1345,16 @@ object TextExpressions {
   def bpeCountUnk(text: Column, pieces: Seq[(String, Int)]): Column =
     GraftColumnBridge.column(
       BpeCountUnkExpr(GraftColumnBridge.expression(text), pieces))
+  def unigramEncode(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long): Column =
+    GraftColumnBridge.column(
+      UnigramEncodeExpr(GraftColumnBridge.expression(text), pieces, unkCost))
+  def unigramCount(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long): Column =
+    GraftColumnBridge.column(
+      UnigramCountExpr(GraftColumnBridge.expression(text), pieces, unkCost))
+  def unigramCost(text: Column, pieces: Seq[(String, Int, Long)],
+      unkCost: Long): Column =
+    GraftColumnBridge.column(
+      UnigramCostExpr(GraftColumnBridge.expression(text), pieces, unkCost))
 }

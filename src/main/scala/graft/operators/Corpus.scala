@@ -386,6 +386,200 @@ object Corpus {
     mergeTable.orderBy("merge_rank").select("lhs", "rhs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** One hard-EM iteration for the unigram tokenizer (the Viterbi
+    * (hard) variant of Kudo ACL'18 §3.2's EM loop, with the
+    * SentencePiece-style prune folded in): given the current piece
+    * table and the corpus-wide piece-usage counts under ITS OWN
+    * Viterbi segmentation (the E-step — the caller computes it with
+    * one `explode(unigramEncode(…))` aggregate), re-estimate every
+    * kept piece's cost from its usage (M-step, the same integer
+    * −log p surrogate as [[collectUnigramPieces]]) and DROP
+    * multi-character pieces the segmentation never used (they carried
+    * seed-count mass but won no Viterbi path; single characters stay
+    * unconditionally — coverage is never pruned). Ids are stable
+    * across iterations: a piece keeps its identity, only its cost
+    * moves. Driver-side BigInt arithmetic on a vocab-sized table —
+    * model metadata, like the collect it follows.
+    */
+  def unigramHardEmStep(pieces: Seq[(String, Int, Long)],
+      usage: Map[Int, Long],
+      scale: Long = graft.functions.UnigramDefaults.costScale)
+      : Seq[(String, Int, Long)] = {
+    val kept = pieces.filter { case (p, id, _) =>
+      p.length == 1 || usage.getOrElse(id, 0L) > 0L }
+    val t2 = kept.iterator.map(x => BigInt(usage.getOrElse(x._2, 0L))).sum
+    require(t2 > 0,
+      "unigramHardEmStep: zero total usage — the E-step saw no corpus")
+    kept.map { case (p, id, _) =>
+      val u: Long = usage.getOrElse(id, 0L)
+      (p, id, 1L + (BigInt(scale) * (t2 - BigInt(u)) / t2).toLong)
+    }
+  }
+
+  /** Corpus-drift monitor: per-token occurrence counts of two corpus
+    * snapshots side by side, with the EXACT total-variation-distance
+    * contribution of each token — the pipeline-health check a
+    * continuously-refreshed training corpus runs between snapshots
+    * (did the crawl mix shift? did a filter change eat a domain?).
+    *
+    * TVD(P, Q) = ½ Σ|p(t) − q(t)| is kept as an exact rational:
+    * per token, `drift_num` = |n_a·T_b − n_b·T_a| as DECIMAL(38,0)
+    * (cross-multiplied — no float division anywhere), and the caller
+    * divides Σ drift_num by 2·T_a·T_b if it wants the scalar. Floats
+    * would sum in partition order and hash-desync any twin; the
+    * decimal form is associative and engine-portable.
+    *
+    * Scale shape: both sides explode to tokens and meet in ONE
+    * combine-enabled shuffle on the token (side-tagged union, not two
+    * aggregates + an outer join); the totals are a 1-row aggregate
+    * broadcast back. Nothing is ever collected; the output is
+    * vocabulary-sized.
+    */
+  def tokenDistributionDrift(a: DataFrame, b: DataFrame,
+      textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("__side", lit(tag))
+    // the counts frame feeds BOTH the totals row and the output — a
+    // lazy plan would re-run the corpus-sized explode+shuffle once per
+    // consumer, so the vocabulary-sized result checkpoints once (the
+    // lineIndexAddBatch precedent; at deployment this is the natural
+    // materialization point anyway)
+    val counts = side(a, 0).unionByName(side(b, 1))
+      .groupBy("token")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
+    val dec = "decimal(38,0)"
+    val totals = counts.agg(
+      sum(col("n_a")).cast(dec).as("__ta"),
+      sum(col("n_b")).cast(dec).as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num", abs(
+        col("n_a").cast(dec) * col("__tb") -
+          col("n_b").cast(dec) * col("__ta")))
+      .select("token", "n_a", "n_b", "drift_num")
+  }
+
+  /** Curation-audit attribution: given the ORDERED reject sets of a
+    * multi-stage filter chain, label every document with its FIRST
+    * rejecting stage (or `accepted`) — the operability report a
+    * production curation pipeline ships next to its output (why did
+    * 40% of the crawl disappear, and at which stage?). Priority is the
+    * argument order; a doc in several reject sets gets the earliest.
+    *
+    * The caller computes each stage's reject set with the semantics it
+    * means to audit. Population-INdependent stages (per-doc predicates,
+    * fixed-reference decontamination) may be computed over the whole
+    * corpus — the priority resolution here reproduces the sequential
+    * outcome. Population-DEPENDENT stages (exact-dup keep-first, LSH
+    * clustering) must be computed on the survivors of the earlier
+    * stages, exactly as the real chain would run them — q182 shows the
+    * pattern.
+    *
+    * Scale shape: ONE shuffle over the union of the (id-only, tagged)
+    * reject sets for the min-rank aggregate, then one left join back to
+    * the corpus ids. Stage names resolve from a literal array — no
+    * per-stage join chain, no driver collect.
+    */
+  def attributeRejections(docs: DataFrame, idCol: String,
+      stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "attributeRejections needs at least one stage")
+    require(stages.map(_._1).distinct.length == stages.length,
+      "attributeRejections: stage names must be distinct")
+    require(!stages.exists(_._1 == "accepted"),
+      "attributeRejections: 'accepted' is the reserved no-rejection label")
+    val tagged = stages.zipWithIndex.map { case ((_, rej), i) =>
+      rej.select(col(idCol)).withColumn("__rank", lit(i))
+    }.reduce(_ unionByName _)
+    val first = tagged.groupBy(idCol).agg(min(col("__rank")).as("__rank"))
+    val names = array(stages.map(s => lit(s._1)): _*)
+    docs.select(col(idCol))
+      .join(first, Seq(idCol), "left")
+      // the null test must be EXPLICIT: element_at over a literal array
+      // with a null ordinal does NOT return null (measured on 4.1 — the
+      // folded extract yields the last element), so a coalesce-based
+      // default would mislabel every accepted doc with the final stage
+      .select(col(idCol),
+        when(col("__rank").isNull, lit("accepted"))
+          .otherwise(element_at(names, col("__rank").cast("int") + 1))
+          .as("stage"))
+  }
+
+  /** Piece table for the unigram-LM (Viterbi) tokenizer
+    * ([[graft.functions.UnigramEncodeExpr]] — Kudo ACL'18): candidate
+    * pieces are every contiguous substring (length 1..`maxPieceLen`) of
+    * every whitespace-token OCCURRENCE, counted corpus-wide; the
+    * selection keeps ALL single characters (the coverage alphabet — the
+    * same never-UNK-on-the-build-corpus contract as
+    * [[buildPieceVocab]]) plus the top `maxSize` multi-character pieces
+    * at `minCount`+ occurrences by (count desc, piece asc); ids are
+    * 1..N by the same order over the selected set (0 stays UNK).
+    * SentencePiece prunes this seed lattice with EM; the
+    * frequency-seeded table IS its iteration-0 model, and the Viterbi
+    * kernel is identical either way — swap the counts for EM'd
+    * probabilities at deployment, the inference contract doesn't move.
+    *
+    * Returns (piece, id, cnt) — feed [[collectUnigramPieces]] for the
+    * kernel's costed form.
+    *
+    * Scale shape: the substring explode multiplies distinct-token rows
+    * by O(len × maxPieceLen) BEFORE its count shuffle — candidates are
+    * counted per distinct token with the token's occurrence count, so
+    * corpus size enters only through the one token-count shuffle
+    * [[buildVocab]] already pays. The multi-piece cut is a distributed
+    * TakeOrdered (orderBy + limit), and the id window runs on the
+    * selected vocab-sized set only.
+    */
+  def buildUnigramVocab(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, minCount: Long, maxSize: Int): DataFrame = {
+    require(maxPieceLen >= 1, "buildUnigramVocab needs maxPieceLen >= 1")
+    val tcnt = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+    val cand = tcnt
+      .select(col("tok"), col("wc"), explode(sequence(lit(1),
+        least(length(col("tok")), lit(maxPieceLen)))).as("l"))
+      .select(col("wc"),
+        explode(sequence(lit(1), length(col("tok")) - col("l") + 1))
+          .as("i"), col("tok"), col("l"))
+      .select(col("tok").substr(col("i"), col("l")).as("piece"), col("wc"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+    val multi = cand.where(length(col("piece")) >= 2 &&
+        col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(maxSize)
+    val chars = cand.where(length(col("piece")) === 1)
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    multi.unionByName(chars)
+      .withColumn("id", row_number().over(w).cast("int"))
+      .select("piece", "id", "cnt")
+  }
+
+  /** Driver-side costed materialization of a [[buildUnigramVocab]]
+    * frame for the Viterbi kernel: cost(piece) = 1 + ⌊scale × (T −
+    * cnt) / T⌋ with T = Σ cnt over the selected pieces — an exact
+    * integer surrogate for −log p(piece): monotone decreasing in the
+    * count, bounded in [1, scale + 1], and reproducible bit for bit in
+    * any engine with integer division (the float −log would hash-desync
+    * the twins). BigInt arithmetic so corpus-scale totals never
+    * overflow the product. Size-guarded like [[collectPieces]].
+    */
+  def collectUnigramPieces(vocab: DataFrame,
+      scale: Long = graft.functions.UnigramDefaults.costScale,
+      maxPieces: Int = 1 << 20): Seq[(String, Int, Long)] = {
+    val rows = vocab
+      .select(col("piece"), col("id").cast("int"), col("cnt").cast("long"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"unigram piece table exceeds $maxPieces entries — not a vocabulary")
+    val t = rows.iterator.map(r => BigInt(r.getLong(2))).sum
+    rows.toSeq.map { r =>
+      val cost = 1L + (BigInt(scale) * (t - r.getLong(2)) / t).toLong
+      (r.getString(0), r.getInt(1), cost)
+    }
+  }
+
   /** The merge-free byte vocabulary (ids == bytes + 1): the identity
     * byte tokenizer's model. Data-independent — callers wanting the
     * 0-merge tokenizer use this directly instead of fabricating an

@@ -85,18 +85,38 @@ final case class ByteMergeTokenizer(merges: Seq[(String, String)],
     TextFunctions.byteBpeDecode(ids, vocab)
 }
 
+/** Unigram-LM piece table under minimum-cost Viterbi inference
+  * (Kudo ACL'18 / SentencePiece) — `Corpus.buildUnigramVocab` +
+  * `Corpus.collectUnigramPieces` build it. Pieces carry integer costs
+  * (the exact-arithmetic −log p surrogate); inference picks the
+  * globally cheapest segmentation per whitespace token, ties broken
+  * toward the UTF-8-binary-smallest piece sequence.
+  */
+final case class UnigramTokenizer(pieces: Seq[(String, Int, Long)],
+    unkCost: Long = graft.functions.UnigramDefaults.unkCost)
+    extends Tokenizer {
+  val kind: String = Tokenizer.Unigram
+  def count(text: Column): Column =
+    TextFunctions.unigramCount(text, pieces, unkCost)
+  def encode(text: Column): Column =
+    TextFunctions.unigramEncode(text, pieces, unkCost)
+  def vocabulary: Seq[(String, Int)] = pieces.map(p => (p._1, p._2))
+}
+
 /** ONE artifact schema for every tokenizer kind, so a loader never has
   * to know which shape it is reading:
   *
   * {{{
   *   tokenizer_kind string,  -- every row; exactly one distinct value
-  *   piece string, id int,   -- vocabulary rows (both kinds)
-  *   merge_rank int, lhs string, rhs string  -- merge rows (merge kind)
+  *   piece string, id int,   -- vocabulary rows (all kinds)
+  *   merge_rank int, lhs string, rhs string, -- merge rows (merge kinds)
+  *   cost bigint             -- per-piece Viterbi cost (unigram kind)
   * }}}
   *
   * A MaxMatch artifact is vocabulary rows only; a merge artifact (word-
   * or byte-level — `tokenizer_kind` distinguishes them) is its symbol
-  * vocabulary PLUS the rank-ordered merge table. [[load]] reads
+  * vocabulary PLUS the rank-ordered merge table; a unigram artifact is
+  * vocabulary rows each carrying its integer piece cost. [[load]] reads
   * the kind column and returns the matching [[Tokenizer]] — the single
   * entry point the ship-a-tokenizer contract goes through. Artifacts
   * are model metadata (vocab + k merges), so the collects here are
@@ -107,6 +127,7 @@ object Tokenizer {
   val Merge = "merge"
   val ByteMerge = "bytemerge"
   val ByteMergeGpt2 = "bytemerge_gpt2"
+  val Unigram = "unigram"
 
   /** The unified-artifact frame for a tokenizer (one small DataFrame —
     * write it wherever model files live). Refuses a tokenizer whose
@@ -117,18 +138,29 @@ object Tokenizer {
     */
   def toArtifact(spark: SparkSession, tok: Tokenizer): DataFrame = {
     import spark.implicits._
-    require(Set(MaxMatch, Merge, ByteMerge, ByteMergeGpt2)
+    require(Set(MaxMatch, Merge, ByteMerge, ByteMergeGpt2, Unigram)
         .contains(tok.kind),
       s"tokenizer kind '${tok.kind}' is not artifact-shippable — the " +
         "unified schema carries no pretokenizer pattern column; ship " +
         "custom pretokenizer modes in code, not artifacts")
+    tok match {
+      // same rule as the pretokenizer: the schema carries no unkCost
+      // column, so a non-default value would silently revert at load
+      case UnigramTokenizer(_, u) =>
+        require(u == graft.functions.UnigramDefaults.unkCost,
+          "a unigram tokenizer with a non-default unkCost is not " +
+            "artifact-shippable — the unified schema carries no unkCost " +
+            "column; ship custom UNK costs in code, not artifacts")
+      case _ => ()
+    }
     def vocabRows(vocab: Seq[(String, Int)]): DataFrame =
       vocab.toDF("piece", "id").select(
         lit(tok.kind).as("tokenizer_kind"), col("piece"),
         col("id").cast("int"),
         lit(null).cast("int").as("merge_rank"),
         lit(null).cast("string").as("lhs"),
-        lit(null).cast("string").as("rhs"))
+        lit(null).cast("string").as("rhs"),
+        lit(null).cast("long").as("cost"))
     def withMergeRows(merges: Seq[(String, String)],
         vocab: Seq[(String, Int)]): DataFrame = {
       val mergeRows = merges.zipWithIndex
@@ -137,7 +169,8 @@ object Tokenizer {
         .select(lit(tok.kind).as("tokenizer_kind"),
           lit(null).cast("string").as("piece"),
           lit(null).cast("int").as("id"),
-          col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+          col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+          lit(null).cast("long").as("cost"))
       vocabRows(vocab).unionByName(mergeRows)
     }
     tok match {
@@ -145,6 +178,14 @@ object Tokenizer {
       case MergeTokenizer(merges, vocab) => withMergeRows(merges, vocab)
       case ByteMergeTokenizer(merges, vocab, _) =>
         withMergeRows(merges, vocab) // pretok mode rides tok.kind
+      case UnigramTokenizer(pieces, _) =>
+        pieces.toDF("piece", "id", "cost").select(
+          lit(tok.kind).as("tokenizer_kind"), col("piece"),
+          col("id").cast("int"),
+          lit(null).cast("int").as("merge_rank"),
+          lit(null).cast("string").as("lhs"),
+          lit(null).cast("string").as("rhs"),
+          col("cost").cast("long"))
     }
   }
 
@@ -163,9 +204,14 @@ object Tokenizer {
   /** [[load]] without the IO — accepts any frame in the unified
     * schema. */
   def fromArtifact(artifact: DataFrame, maxRows: Int = 1 << 20): Tokenizer = {
-    val rows = artifact
+    // artifacts written before the unigram kind existed carry no cost
+    // column; they are never unigram, so a null column keeps them loading
+    val withCost = if (artifact.columns.contains("cost")) artifact
+      else artifact.withColumn("cost", lit(null).cast("long"))
+    val rows = withCost
       .select(col("tokenizer_kind"), col("piece"), col("id").cast("int"),
-        col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+        col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("cost").cast("long"))
       .limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"tokenizer artifact exceeds $maxRows rows — not a model file")
@@ -184,6 +230,17 @@ object Tokenizer {
         require(rows.length == vocab.length,
           "a maxmatch artifact carries vocabulary rows only")
         MaxMatchTokenizer(vocab)
+      case Unigram =>
+        require(rows.length == vocabRows.length,
+          "a unigram artifact carries vocabulary rows only")
+        // the Viterbi table is meaningless without costs — a null cost
+        // is a corrupted artifact, not a default
+        val costed = vocabRows.map { r =>
+          require(!r.isNullAt(6),
+            s"unigram artifact: piece '${r.getString(1)}' has a null cost")
+          (r.getString(1), r.getInt(2), r.getLong(6))
+        }.sortBy(_._2).toSeq
+        UnigramTokenizer(costed)
       case Merge | ByteMerge | ByteMergeGpt2 =>
         val mergeRows = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))
         // a malformed artifact must fail as loudly as the kind/row-count

@@ -173,13 +173,51 @@ class HarnessFailureSpec extends SparkSpec {
     assert(line.length < 1900, s"bench line is ${line.length} B — the " +
       "driver tail budget is ~1925 B after sbt's trailer; shed bytes " +
       "before the next suite growth")
-    assert(line.indexOf("\"failed\":") < line.indexOf("\"queries\":"))
+    // healthy case: EMPTY diagnostic lists stay off the line entirely
+    // (25 B at 181 queries), as does "stat" — absence means empty
+    assert(!line.contains("\"failed\"") && !line.contains("\"spread\""))
+    assert(!line.contains("\"stat\""))
     assert(line.contains(":54321")) // integer milliseconds
     assert(line.contains("\"sf\":\"sf0.1\"")) // basename label, not path
     assert(!line.contains("cold_total")) // sidecar-only field
+    // the ms-unit marker lives in the sidecar now (19 line bytes);
+    // per-query values stay integer milliseconds regardless
+    assert(!line.contains("unit_queries"))
+    // breakage case: failed/spread lists appear, before the queries map
+    val broken = fake.updated(0,
+      fake.head._1 -> ((Option.empty[Double], Seq.fill(3)(
+        Option.empty[Double]))))
+      .updated(1, fake(1)._1 -> ((Some(12.3): Option[Double],
+        Seq(Some(0.4), Some(0.41), Some(5.0)).map(x => x: Option[Double]))))
+    val bline = Bench.renderJson(broken, "/root/testdata/sf0.1")
+    assert(bline.indexOf("\"failed\":") < bline.indexOf("\"queries\":"))
+    assert(bline.indexOf("\"spread\":") < bline.indexOf("\"queries\":"))
+    assert(bline.contains(Verify.jsonStr(Bench.shortKey(fake.head._1)) +
+      ":null")) // failed query still occupies its slot
+    // shed-to-fit: a stalled host inflates medians to 5 digits AND
+    // flags a long spread list (the r14 builder host measured 1960 B
+    // that way) — the line sheds the spread list rather than
+    // overflowing the ~1925 B capture window; the sidecar keeps it
+    val stalled = names.zipWithIndex.map { case (k, i) =>
+      // the observed shape: ~13 queries ride a stall window (spread-
+      // flagged, 5-digit ms medians), the rest keep the healthy mix
+      val reps = if (i % 14 == 0)
+        Seq(Some(4.0), Some(40.0), Some(41.0)) // spread-flagged
+      else if (i % 4 == 0) Seq.fill(3)(Some(5.432109876))
+      else Seq.fill(3)(Some(0.543210987))
+      k -> ((Some(50.0): Option[Double], reps.map(x => x: Option[Double])))
+    }
+    val sline = Bench.renderJson(stalled, "/root/testdata/sf0.1")
+    assert(sline.length < 1925, s"stalled-host line is ${sline.length} B")
+    assert(!sline.contains("\"spread\""))
+    // the sidecar line (withReps) never sheds
+    val sside = Bench.renderJson(stalled.take(5), "/x/sf0.1",
+      withReps = true)
+    assert(sside.contains("\"spread\":"))
     // the summary sidecar (no capture cap) keeps cold_total + reps
     val side = Bench.renderJson(fake.take(1), "/x/sf0.1", withReps = true)
     assert(side.contains("cold_total") && side.contains("\"reps\":{"))
+    assert(side.contains("\"unit_queries\":\"ms\"")) // unit marker rides here
     // the full sidecar keeps full names + float seconds
     val full = Bench.renderJsonFull(fake.take(1), "sfX")
     assert(full.contains(fake.head._1) && full.contains("54.321098765") &&

@@ -475,6 +475,119 @@ class TextKernelsSpec extends SparkSpec {
       l.endsWith("n") && r.startsWith("'") })
   }
 
+  private def uniEnc(t: UnigramTable, w: String): (Seq[Int], Long) = {
+    val out = new java.util.ArrayList[Integer]()
+    val c = t.encodeWord(w, out)
+    (Seq.tabulate(out.size)(out.get(_).intValue()), c)
+  }
+
+  test("unigram Viterbi picks the globally cheapest segmentation") {
+    // chars cost 10; "ab"/"bc" cost 15; "abc" cost 40
+    val t = new UnigramTable(Seq(("a", 1, 10L), ("b", 2, 10L),
+      ("c", 3, 10L), ("ab", 4, 15L), ("bc", 5, 15L), ("abc", 6, 40L)),
+      unkCost = 1L << 21)
+    // a+b+c=30, ab+c=25, a+bc=25, abc=40 → min 25, tie between
+    // [ab,c] and [a,bc]; paths \x01ab\x01c vs \x01a\x01bc differ at
+    // byte 3 ('b' vs \x01) → [a,bc] is UTF-8-binary smaller
+    assert(uniEnc(t, "abc") == (Seq(1, 5), 25L))
+    assert(uniEnc(t, "ab") == (Seq(4), 15L)) // one piece beats two
+    assert(uniEnc(t, "a") == (Seq(1), 10L))
+    assert(uniEnc(t, "") == (Seq(), 0L))
+  }
+
+  test("unigram tie-break: equal cost resolves by binary path order") {
+    // x+y = 20 == xy = 20; \x01x\x01y < \x01xy at byte 3 (\x01 < 'y')
+    val t = new UnigramTable(
+      Seq(("x", 1, 10L), ("y", 2, 10L), ("xy", 3, 20L)), unkCost = 100L)
+    assert(uniEnc(t, "xy") == (Seq(1, 2), 20L))
+    // but a CHEAPER two-piece split still loses to a cheaper-still pair
+    val t2 = new UnigramTable(
+      Seq(("x", 1, 10L), ("y", 2, 10L), ("xy", 3, 19L)), unkCost = 100L)
+    assert(uniEnc(t2, "xy") == (Seq(3), 19L))
+  }
+
+  test("unigram UNK: only characters outside the alphabet emit id 0") {
+    val t = new UnigramTable(Seq(("a", 1, 10L), ("b", 2, 10L)),
+      unkCost = 1000L)
+    assert(uniEnc(t, "axb") == (Seq(1, 0, 2), 1020L))
+    // an uncovered word whose route is only UNK still encodes
+    assert(uniEnc(t, "zz") == (Seq(0, 0), 2000L))
+    // UNK never competes where the alphabet covers: even with a cheap
+    // unkCost the edge simply does not exist for an in-alphabet char
+    val cheap = new UnigramTable(Seq(("a", 1, 10L), ("b", 2, 10L)),
+      unkCost = 1L)
+    assert(uniEnc(cheap, "ab") == (Seq(1, 2), 20L))
+  }
+
+  test("unigram expressions: encode/count agree and handle nulls") {
+    val pieces = Seq(("h", 1, 5L), ("e", 2, 5L), ("l", 3, 5L),
+      ("o", 4, 5L), ("he", 5, 6L), ("llo", 6, 7L))
+    val df = Seq((1L, "hello he"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.unigramEncode(col("text"), pieces).as("ids"),
+        TextFunctions.unigramCount(col("text"), pieces).as("n"))
+      .orderBy("doc_id").collect()
+    // "hello" → he(6)+llo(7)=13 vs h+e+llo=17 vs he+l+l+o=21 … → [5,6]
+    assert(got(0).getSeq[Int](1) == Seq(5, 6, 5))
+    assert(got(0).getInt(2) == 3)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getSeq[Int](1) == Seq() && got(2).getInt(2) == 0)
+  }
+
+  test("unigram cost: the fused struct matches encode's walk exactly") {
+    val pieces = Seq(("h", 1, 5L), ("e", 2, 5L), ("l", 3, 5L),
+      ("o", 4, 5L), ("he", 5, 6L), ("llo", 6, 7L))
+    val df = Seq((1L, "hello he"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.unigramCost(col("text"), pieces).as("c"),
+        TextFunctions.unigramCount(col("text"), pieces).as("n"))
+      .orderBy("doc_id").collect()
+    // "hello he" = he+llo (13) + he (6) → 3 pieces, cost 19
+    val r0 = got(0).getStruct(1)
+    assert(r0.getInt(0) == 3 && r0.getLong(1) == 19L)
+    assert(r0.getInt(0) == got(0).getInt(2)) // fused count == count kernel
+    assert(got(1).isNullAt(1)) // null text → null struct
+    val r2 = got(2).getStruct(1)
+    assert(r2.getInt(0) == 0 && r2.getLong(1) == 0L)
+  }
+
+  test("unigram hard-EM step: zero-usage prune, alphabet kept, recost") {
+    val p1 = Seq(("a", 1, 10L), ("b", 2, 10L), ("ab", 3, 5L),
+      ("ba", 4, 5L))
+    // usage says: ab won every path, ba never did, 'b' appears alone too
+    val p2 = graft.operators.Corpus.unigramHardEmStep(p1,
+      Map(3 -> 8L, 2 -> 2L), scale = 100L)
+    // 'ba' (multi-char, usage 0) pruned; chars kept even at usage 0
+    assert(p2.map(_._2).toSet == Set(1, 2, 3))
+    // T = 0 + 2 + 8 = 10: cost(a)=1+100*10/10=101, cost(b)=1+80=81,
+    // cost(ab)=1+20=21
+    assert(p2.toSet == Set(("a", 1, 101L), ("b", 2, 81L), ("ab", 3, 21L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.unigramHardEmStep(p1, Map.empty) }
+  }
+
+  test("unigram builder: alphabet always kept, ids by (cnt desc, piece)") {
+    val docs = Seq("ab ab ab b", "ab cd").toDF("text")
+    val vocab = graft.operators.Corpus.buildUnigramVocab(docs, "text",
+      maxPieceLen = 2, minCount = 2, maxSize = 10)
+      .orderBy("id").collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // token occurrences: ab×4, b×1, cd×1 → substr counts:
+    // a=4, b=5, ab=4, c=1, d=1, cd=1; multi with cnt>=2: ab(4)
+    // selected: ab + chars a,b,c,d → order (cnt desc, piece asc):
+    // b(5), a(4), ab(4), c(1), d(1)
+    assert(vocab == Seq(("b", 1, 5L), ("a", 2, 4L), ("ab", 3, 4L),
+      ("c", 4, 1L), ("d", 5, 1L)))
+    val costed = graft.operators.Corpus.collectUnigramPieces(
+      Seq(("b", 1, 5L), ("a", 2, 4L), ("ab", 3, 4L), ("c", 4, 1L),
+        ("d", 5, 1L)).toDF("piece", "id", "cnt"), scale = 100L)
+    // T=15: cost = 1 + ⌊100*(15-c)/15⌋
+    assert(costed.toSet == Set(("b", 1, 67L), ("a", 2, 74L),
+      ("ab", 3, 74L), ("c", 4, 94L), ("d", 5, 94L)))
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))

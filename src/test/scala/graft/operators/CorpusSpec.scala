@@ -631,6 +631,41 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tokenizer.fromArtifact(mixed) }
   }
 
+  test("unigram tokenizer persists costs in the unified artifact and " +
+      "refuses corruption loudly") {
+    val docs = Seq((1L, "low lower low low"), (2L, "newest widest lowest"))
+      .toDF("doc_id", "text")
+    val built = UnigramTokenizer(Corpus.collectUnigramPieces(
+      Corpus.buildUnigramVocab(docs, "text", maxPieceLen = 3,
+        minCount = 2, maxSize = 10)))
+    val dir = java.nio.file.Files.createTempDirectory("tok_uni_").toString
+    Tokenizer.save(spark, built, s"$dir/uni")
+    val loaded = Tokenizer.load(spark, s"$dir/uni") match {
+      case u: UnigramTokenizer => u
+      case other => fail(s"unigram artifact loaded as $other")
+    }
+    assert(loaded.pieces.toSet == built.pieces.toSet)
+    val r = docs.select(built.encode(col("text")).as("a"),
+        loaded.encode(col("text")).as("b")).collect()
+    assert(r.forall(x => x.getSeq[Int](0) == x.getSeq[Int](1)))
+    // a null cost is corruption, not a default — the Viterbi table is
+    // meaningless without it
+    val corrupted = Tokenizer.toArtifact(spark, built)
+      .withColumn("cost", when(col("piece") === built.pieces.head._1,
+        lit(null).cast("long")).otherwise(col("cost")))
+    intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(corrupted) }
+    // a non-default unkCost cannot ship (no schema column to carry it)
+    intercept[IllegalArgumentException] {
+      Tokenizer.toArtifact(spark, built.copy(unkCost = 7L)) }
+    // pre-cost artifacts (no cost column at all) still load for the
+    // older kinds
+    val legacy = Tokenizer.toArtifact(spark,
+      MaxMatchTokenizer(Seq(("a", 1), ("b", 2)))).drop("cost")
+    assert(Tokenizer.fromArtifact(legacy)
+      .isInstanceOf[MaxMatchTokenizer])
+  }
+
   test("byte tokenizer persists in the unified artifact and loads back " +
       "identical, control-char symbols included") {
     import graft.functions.TextFunctions
@@ -805,5 +840,38 @@ class CorpusSpec extends SparkSpec {
       .groupBy($"shard", $"bucket").count()
       .select($"count").as[Long].collect()
     assert(halfByGroup.forall(_ <= 1))
+  }
+
+  test("tokenDistributionDrift: exact cross-multiplied TVD contributions") {
+    val a = Seq("x x y", "x").toDF("text") // x:3 y:1, T_a=4
+    val b = Seq("x z", null.asInstanceOf[String]).toDF("text") // x:1 z:1, T_b=2
+    val got = Corpus.tokenDistributionDrift(a, b, "text")
+      .orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact())).toSeq
+    // drift_num = |n_a*T_b - n_b*T_a|: x |3*2-1*4|=2, y |1*2-0|=2,
+    // z |0-1*4|=4
+    assert(got == Seq(("x", 3L, 1L, 2L), ("y", 1L, 0L, 2L),
+      ("z", 0L, 1L, 4L)))
+  }
+
+  test("attributeRejections: first stage wins, accepted fills the rest") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val got = Corpus.attributeRejections(docs, "doc_id", Seq(
+        "alpha" -> Seq(2L, 3L).toDF("doc_id"),
+        "beta" -> Seq(3L, 4L).toDF("doc_id")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 3 is in both reject sets — the EARLIER stage owns it
+    assert(got == Seq((1L, "accepted"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "beta")))
+    intercept[IllegalArgumentException] {
+      Corpus.attributeRejections(docs, "doc_id",
+        Seq("a" -> docs, "a" -> docs)) }
+    intercept[IllegalArgumentException] {
+      Corpus.attributeRejections(docs, "doc_id",
+        Seq("accepted" -> docs)) }
+    intercept[IllegalArgumentException] {
+      Corpus.attributeRejections(docs, "doc_id", Seq.empty) }
   }
 }
