@@ -139,12 +139,15 @@ object Bench {
     * the FRONT of an overlong line (the opening brace and summary
     * fields), so any overflow at all is `parsed: null` — staying under
     * budget is the only defense. Hence every byte is budgeted:
-    * per-query values are integer MILLISECONDS (`unit_queries` says
-    * so), keys are the numeric [[shortKey]]s, the sf label is the
-    * directory basename, and fields derivable from the lists
-    * (`failures`, `spread_flagged`) or sidecar-resident (`cold_total`,
-    * per-rep arrays) stay off the line. Full names + float seconds +
-    * cold + reps live in the sidecar files `main` writes.
+    * per-query values are integer MILLISECONDS (the `unit_queries`
+    * marker rides the SIDEcar, not the line, since 185 queries), keys
+    * are the numeric [[shortKey]]s, the sf label is the directory
+    * basename, EMPTY failed/spread lists are omitted entirely, and
+    * sidecar-resident fields (`cold_total`, per-rep arrays, `stat`)
+    * stay off the line — with a final shed-to-fit pass dropping the
+    * diagnostic lists when a stalled host inflates the line anyway.
+    * Full names + float seconds + cold + reps live in the sidecar
+    * files `main` writes.
     */
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],

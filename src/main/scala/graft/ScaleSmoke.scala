@@ -205,16 +205,19 @@ object ScaleSmoke {
             TextFunctions.bpeCount(col("text"), pieces).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         }),
-        "unigram_encode" -> (() => {
+        "unigram_count" -> (() => {
           // the Viterbi kernel over the amp-built piece table (builder
           // untimed, like the other apply-kernel ops): per-word DP is
           // O(len × maxPieceLen) probes — the point is the apply pass
-          // stays one narrow projection at any corpus size
+          // stays one narrow projection at any corpus size. The
+          // count-only kernel, per the family convention (bpe_count):
+          // size(unigramEncode) would time the boxed id-array
+          // allocation alongside the DP
           val pieces = Corpus.collectUnigramPieces(
             Corpus.buildUnigramVocab(amp, "text", maxPieceLen = 4,
               minCount = 8, maxSize = 120))
           () => amp.select(
-            size(TextFunctions.unigramEncode(col("text"), pieces)).as("n"))
+            TextFunctions.unigramCount(col("text"), pieces).as("n"))
             .agg(sum("n")).collect()(0).getLong(0)
         }),
         "unigram_build" -> (() => () =>

@@ -120,6 +120,29 @@ object SparkEntry {
       graft.operators.Corpus.buildPieceVocab(docs, "text",
         minCount = 5, maxSize = 200))
 
+  /** The q79b/q182 quality KEEP gate (C4-shape heuristics: ≥ 20
+    * tokens, mean token length in [3, 10], punctuation ratio ≤ 0.2) —
+    * ONE definition so a threshold tweak cannot desync the two Spark
+    * call sites (their SQL twins deliberately restate it).
+    */
+  private def qualityKeep(txt: Column): Column =
+    TextFunctions.nTokens(txt) >= 20 &&
+      TextFunctions.meanTokenLen(txt) >= 3.0 &&
+      TextFunctions.meanTokenLen(txt) <= 10.0 &&
+      TextFunctions.punctRatio(txt) <= 0.2
+
+  /** The q125/q182 Gopher repetition KEEP gate (dup lines ≤ 30%,
+    * dup-line chars ≤ 20%, top-bigram chars ≤ 20% — cross-multiplied
+    * integers over [[TextFunctions.repetitionStats]]), shared for the
+    * same single-definition reason.
+    */
+  private def repetitionKeep(txt: Column): Column = {
+    val zeros = array(Seq.fill(6)(lit(0L)): _*)
+    val st = coalesce(TextFunctions.repetitionStats(txt), zeros)
+    val nChars = coalesce(length(txt).cast(LongType), lit(0L))
+    st(1) * 10 <= st(0) * 3 && st(3) * 5 <= st(2) && st(5) * 5 <= nChars
+  }
+
   /** The shared q180-family unigram piece table (maxPieceLen 4,
     * minCount 8, size cap 120 — the same constants as the twins'
     * `usub`/`umulti` CTEs), costed on the driver.
@@ -2546,12 +2569,16 @@ object SparkEntry {
       val docs = saltedDocs(s, dir)
       val pieces = unigramPieces(docs)
       val dec = "decimal(38,0)"
+      // scored feeds BOTH the totals row and the output — checkpoint the
+      // narrow per-doc frame so the corpus-wide Viterbi DP runs ONCE,
+      // the same two-consumer fix tokenDistributionDrift carries
       val scored = docs.select(col("doc_id"),
           graft.functions.TextFunctions.unigramCost(col("text"), pieces)
             .as("__c"))
         .select(col("doc_id"),
           col("__c.n_pieces").cast(LongType).as("n_pieces"),
           col("__c.cost").as("vit_cost"))
+        .localCheckpoint()
       val tot = scored.agg(sum(col("vit_cost")).cast(dec).as("__tc"),
         sum(col("n_pieces")).cast(dec).as("__tn"))
       scored.crossJoin(broadcast(tot))
@@ -2634,15 +2661,8 @@ object SparkEntry {
       val docs = all.where(pmod(col("doc_id"), lit(50)) =!= 0)
       val evalDocs = all.where(pmod(col("doc_id"), lit(50)) === 0)
       val txt = col("text")
-      val qualBad = TextFunctions.nTokens(txt) < 20 ||
-        TextFunctions.meanTokenLen(txt) < 3.0 ||
-        TextFunctions.meanTokenLen(txt) > 10.0 ||
-        TextFunctions.punctRatio(txt) > 0.2
-      val zeros = array(Seq.fill(6)(lit(0L)): _*)
-      val st = coalesce(TextFunctions.repetitionStats(txt), zeros)
-      val nChars = coalesce(length(txt).cast(LongType), lit(0L))
-      val repKeep = st(1) * 10 <= st(0) * 3 && st(3) * 5 <= st(2) &&
-        st(5) * 5 <= nChars
+      val qualBad = !qualityKeep(txt)
+      val repKeep = repetitionKeep(txt)
       val surv13 = docs.where(txt.isNotNull && !qualBad && repKeep)
       val keepIds = Dedup.exact(surv13).select(col("keep_id").as("doc_id"))
       val nonNull = docs.where(txt.isNotNull)
@@ -3432,12 +3452,7 @@ object SparkEntry {
       val clean = Dedup.decontaminate(
         repDocs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), shingleN = 3)
-      val txt = col("text")
-      val quality = clean.where(
-        TextFunctions.nTokens(txt) >= 20 &&
-          TextFunctions.meanTokenLen(txt) >= 3.0 &&
-          TextFunctions.meanTokenLen(txt) <= 10.0 &&
-          TextFunctions.punctRatio(txt) <= 0.2)
+      val quality = clean.where(qualityKeep(col("text")))
       val mixed = graft.operators.Corpus.stratifiedSample(quality,
         "lang", "doc_id",
         Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
@@ -3466,12 +3481,7 @@ object SparkEntry {
         repDocs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), shingleN = 3)
       val excised = Dedup.exciseDuplicatedSpans(clean, shingleK = 8)
-      val txt = col("text")
-      val quality = excised.where(
-        TextFunctions.nTokens(txt) >= 20 &&
-          TextFunctions.meanTokenLen(txt) >= 3.0 &&
-          TextFunctions.meanTokenLen(txt) <= 10.0 &&
-          TextFunctions.punctRatio(txt) <= 0.2)
+      val quality = excised.where(qualityKeep(col("text")))
       val mixed = graft.operators.Corpus.stratifiedSample(quality,
         "lang", "doc_id",
         Map("en" -> 10, "de" -> 30, "fr" -> 30), defaultRate = 50)
@@ -6644,24 +6654,36 @@ object SparkEntry {
            |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
            |      AS text FROM documents),
            |${unigramCtes(4, 8L, 120, 1L << 20, 16)}
-           |SELECT d.doc_id, u.n_pieces, u.ids_md5
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(u.n_pieces, 0) END AS n_pieces,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(u.ids_md5, md5('')) END AS ids_md5
            |FROM docs2 d LEFT JOIN uenc u USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
 
       // q183: per-doc vit_cost off the same DP (uenc carries it), the
-      // self-normalizing mean-surprise gate cross-multiplied in HUGEINT
+      // self-normalizing mean-surprise gate cross-multiplied in HUGEINT.
+      // Like q180/q137, a non-null ZERO-TOKEN doc coalesces to (0, 0,
+      // keep=true — 0 ≤ 0) instead of riding the join's NULL: the Spark
+      // side emits size([]) = 0 for it, only null TEXT stays NULL
       "q183_unigram_surprise" ->
         s"""WITH docs2 AS (SELECT doc_id,
            |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
            |      AS text FROM documents),
            |${unigramCtes(4, 8L, 120, 1L << 20, 16)},
            |stot AS (SELECT CAST(sum(vit_cost) AS HUGEINT) AS tc,
-           |    CAST(sum(n_pieces) AS HUGEINT) AS tn FROM uenc)
-           |SELECT d.doc_id, u.n_pieces, u.vit_cost,
-           |  (CAST(u.vit_cost AS HUGEINT) * s.tn
-           |    <= s.tc * CAST(u.n_pieces AS HUGEINT)) AS keep
-           |FROM docs2 d LEFT JOIN uenc u USING (doc_id)
-           |CROSS JOIN stot s
+           |    CAST(sum(n_pieces) AS HUGEINT) AS tn FROM uenc),
+           |sfin AS (SELECT d.doc_id,
+           |    CASE WHEN d.text IS NULL THEN NULL
+           |      ELSE COALESCE(u.n_pieces, 0) END AS n_pieces,
+           |    CASE WHEN d.text IS NULL THEN NULL
+           |      ELSE COALESCE(u.vit_cost, 0) END AS vit_cost
+           |  FROM docs2 d LEFT JOIN uenc u USING (doc_id))
+           |SELECT f.doc_id, f.n_pieces, f.vit_cost,
+           |  (CAST(f.vit_cost AS HUGEINT) * s.tn
+           |    <= s.tc * CAST(f.n_pieces AS HUGEINT)) AS keep
+           |FROM sfin f CROSS JOIN stot s
            |ORDER BY doc_id""".stripMargin,
 
       // q184: E-step usage from the first DP's own segmentation
@@ -6687,8 +6709,11 @@ object SparkEntry {
            |      AS BIGINT) AS cost
            |  FROM vkept k, vtot vt),
            |${unigramDpCtes("v", "vpc", 4, 16)}
-           |SELECT d.doc_id, v.n_pieces AS n_pieces2,
-           |  v.ids_md5 AS ids2_md5,
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(v.n_pieces, 0) END AS n_pieces2,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |    ELSE COALESCE(v.ids_md5, md5('')) END AS ids2_md5,
            |  CAST((SELECT count(*) FROM upc) - (SELECT count(*) FROM vkept)
            |    AS BIGINT) AS n_pruned
            |FROM docs2 d LEFT JOIN venc v USING (doc_id)

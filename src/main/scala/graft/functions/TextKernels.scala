@@ -1047,6 +1047,17 @@ case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
     copy(child = c)
 }
 
+/** The unigram family's shared constants: piece costs live on a
+  * `costScale` grid (`Corpus.collectUnigramPieces` maps counts into
+  * [1, costScale + 1]), and the UNK edge — reachable only for
+  * characters outside the table's alphabet — costs more than any
+  * piece, so coverage is never traded away for a cheap UNK.
+  */
+object UnigramDefaults {
+  val costScale: Long = 1L << 20
+  val unkCost: Long = (costScale + 2) * 2
+}
+
 /** The Viterbi piece table shared by [[UnigramEncodeExpr]] and
   * [[UnigramCountExpr]] — the unigram-LM tokenizer family (Kudo,
   * "Subword Regularization", ACL'18; SentencePiece's `--model_type=
@@ -1073,17 +1084,6 @@ case class ByteBpeDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
   * the corpus (the builder guarantees it) UNK is unreachable, the
   * same coverage contract as the MaxMatch builder.
   */
-/** The unigram family's shared constants: piece costs live on a
-  * `costScale` grid (`Corpus.collectUnigramPieces` maps counts into
-  * [1, costScale + 1]), and the UNK edge — reachable only for
-  * characters outside the table's alphabet — costs more than any
-  * piece, so coverage is never traded away for a cheap UNK.
-  */
-object UnigramDefaults {
-  val costScale: Long = 1L << 20
-  val unkCost: Long = (costScale + 2) * 2
-}
-
 final class UnigramTable(pieces: Seq[(String, Int, Long)],
     val unkCost: Long) extends Serializable {
   require(pieces.nonEmpty, "unigram table needs at least one piece")
