@@ -164,7 +164,9 @@ object DumpPlans {
       "q183_unigram_surprise" ->
         "unigram-surprise LM quality filter: q180's narrow codegen cost projection + a 1-row totals broadcast; the mean-surprise gate is a decimal cross-multiplication riding the same projection",
       "q184_unigram_hard_em" ->
-        "unigram hard-EM re-encode: the E-step usage aggregate is one explode+combine shuffle, M-step is driver metadata, and the re-encode is again ONE narrow codegen projection — the learn loop never shuffles the corpus twice per iteration")
+        "unigram hard-EM re-encode: the E-step usage aggregate is one explode+combine shuffle, M-step is driver metadata, and the re-encode is again ONE narrow codegen projection — the learn loop never shuffles the corpus twice per iteration",
+      "q185_drift_bigrams" ->
+        "bigram-distribution drift: q181's one side-tagged combine shuffle with the fused ShinglesExpr kernel feeding it — arity changes the feature, never the plan")
     // args: query names to APPEND to PLANS.md (preserves the manually
     // curated entries past the picks list); no args = full regeneration
     val appendOnly = args.nonEmpty

@@ -2646,6 +2646,29 @@ object SparkEntry {
           col("tvd_den").cast(DoubleType).as("tvd_den"))
     }),
 
+    // q181 over the BIGRAM distribution: word-order / phrase drift a
+    // unigram histogram cannot see (the q52/q125 shingle semantics —
+    // a doc shorter than n contributes its one whole-doc shingle).
+    // Same exact-rational machinery, same top-40 report
+    "q185_drift_bigrams" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val drift = graft.operators.Corpus.tokenDistributionDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", ngram = 2)
+      val dec = "decimal(38,0)"
+      val tot = drift.agg(
+        sum(col("drift_num")).cast(dec).as("tvd_num"),
+        (sum(col("n_a")).cast(dec) * sum(col("n_b")).cast(dec) * lit(2))
+          .cast(dec).as("tvd_den"))
+      drift.crossJoin(broadcast(tot))
+        .orderBy(col("drift_num").desc, col("token"))
+        .limit(40)
+        .select(col("token"), col("n_a"), col("n_b"),
+          col("drift_num").cast(DoubleType).as("drift_num"),
+          col("tvd_num").cast(DoubleType).as("tvd_num"),
+          col("tvd_den").cast(DoubleType).as("tvd_den"))
+    }),
+
     // curation-audit attribution: every doc labeled with its FIRST
     // rejecting stage through the standard chain — null text → quality
     // heuristics (q79b's gates) → Gopher repetition (q125's integer
@@ -6727,6 +6750,34 @@ object SparkEntry {
            |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
            |      AS text FROM documents),
            |t0 AS (SELECT doc_id, unnest($toksSql) AS token FROM docs2),
+           |cnt AS (SELECT token,
+           |    CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+           |    CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+           |  FROM t0 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_a) AS HUGEINT) AS ta,
+           |    CAST(sum(n_b) AS HUGEINT) AS tb FROM cnt),
+           |d AS (SELECT token, n_a, n_b,
+           |    CAST(abs(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta)
+           |      AS DECIMAL(38,0)) AS drift_num
+           |  FROM cnt, tot),
+           |t2 AS (SELECT CAST(sum(drift_num) AS DECIMAL(38,0)) AS tvd_num,
+           |    (SELECT CAST(2 * ta * tb AS DECIMAL(38,0)) FROM tot)
+           |      AS tvd_den FROM d)
+           |SELECT token, n_a, n_b,
+           |  CAST(drift_num AS DOUBLE) AS drift_num,
+           |  CAST(tvd_num AS DOUBLE) AS tvd_num,
+           |  CAST(tvd_den AS DOUBLE) AS tvd_den
+           |FROM d, t2
+           |ORDER BY drift_num DESC, token LIMIT 40""".stripMargin,
+
+      // q185: q181's machinery over the bigram shingle distribution
+      // (whole-doc shingle for short docs — the established fragment)
+      "q185_drift_bigrams" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |t0 AS (SELECT doc_id, unnest(${shinglesSql("tk", 2)}) AS token
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM docs2)),
            |cnt AS (SELECT token,
            |    CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
            |    CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b

@@ -436,9 +436,18 @@ object Corpus {
     * vocabulary-sized.
     */
   def tokenDistributionDrift(a: DataFrame, b: DataFrame,
-      textCol: String): DataFrame = {
+      textCol: String, ngram: Int = 1): DataFrame = {
+    require(ngram >= 1, "tokenDistributionDrift needs ngram >= 1")
+    // ngram > 1 drifts the SHINGLE distribution (word-order / phrase
+    // shifts a unigram histogram cannot see), under the suite's fixed
+    // shingle semantics: a doc shorter than n contributes its one
+    // whole-doc shingle. The output column stays `token` — it names
+    // the distribution's feature, whatever its arity
+    def feats(c: Column): Column =
+      if (ngram == 1) TextFunctions.tokens(c)
+      else TextFunctions.shingles(c, ngram)
     def side(df: DataFrame, tag: Int): DataFrame = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(explode(feats(col(textCol))).as("token"))
       .withColumn("__side", lit(tag))
     // the counts frame feeds BOTH the totals row and the output — a
     // lazy plan would re-run the corpus-sized explode+shuffle once per

@@ -853,6 +853,16 @@ class CorpusSpec extends SparkSpec {
     // z |0-1*4|=4
     assert(got == Seq(("x", 3L, 1L, 2L), ("y", 1L, 0L, 2L),
       ("z", 0L, 1L, 4L)))
+    // ngram=2 drifts the shingle distribution; a doc shorter than n
+    // contributes its whole-doc shingle (the suite's fixed semantics)
+    val g2 = Corpus.tokenDistributionDrift(
+        Seq("x y z").toDF("text"), Seq("x y", "q").toDF("text"),
+        "text", ngram = 2)
+      .orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // side a grams: "x y","y z" (T_a=2); side b: "x y" + whole-doc "q"
+    assert(g2 == Seq(("q", 0L, 1L), ("x y", 1L, 1L), ("y z", 1L, 0L)))
   }
 
   test("attributeRejections: first stage wins, accepted fills the rest") {
