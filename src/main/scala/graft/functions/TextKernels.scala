@@ -1151,14 +1151,36 @@ final class UnigramTable(pieces: Seq[(String, Int, Long)],
         }
         l += 1
       }
-      if (bestBp < 0 && path(i - 1) != null &&
-          !table.containsKey(w.substring(i - 1, i))) {
-        // UNK: the character is outside the alphabet — one char, id 0
-        bestCost = cost(i - 1) + unkCost
-        bestPath = joinPath(path(i - 1),
-          w.substring(i - 1, i).getBytes("UTF-8"))
-        bestBp = i - 1
-        bestId = 0
+      if (bestBp < 0) {
+        // UNK fallback advances by CODEPOINT, not code unit: the DP
+        // indexes UTF-16, so an out-of-alphabet supplementary-plane
+        // character spans TWO positions — it must emit ONE id-0 with
+        // its real UTF-8 bytes (the vocab builder and the oracle twin
+        // both count codepoints), never two UNKs with lone-surrogate
+        // halves mangled to '?'. A position ending mid-pair stays
+        // unreachable; the pair branch at i+1 spans it. Lone
+        // surrogates (malformed UTF-16) keep the single-unit path.
+        val ch = w.charAt(i - 1)
+        val endsPair = Character.isLowSurrogate(ch) && i >= 2 &&
+          Character.isHighSurrogate(w.charAt(i - 2))
+        val splitsPair = Character.isHighSurrogate(ch) && i < n &&
+          Character.isLowSurrogate(w.charAt(i))
+        if (endsPair && path(i - 2) != null &&
+            !table.containsKey(w.substring(i - 2, i))) {
+          bestCost = cost(i - 2) + unkCost
+          bestPath = joinPath(path(i - 2),
+            w.substring(i - 2, i).getBytes("UTF-8"))
+          bestBp = i - 2
+          bestId = 0
+        } else if (!endsPair && !splitsPair && path(i - 1) != null &&
+            !table.containsKey(w.substring(i - 1, i))) {
+          // UNK: the character is outside the alphabet — one char, id 0
+          bestCost = cost(i - 1) + unkCost
+          bestPath = joinPath(path(i - 1),
+            w.substring(i - 1, i).getBytes("UTF-8"))
+          bestBp = i - 1
+          bestId = 0
+        }
       }
       if (bestBp >= 0) {
         cost(i) = bestCost; path(i) = bestPath; bp(i) = bestBp

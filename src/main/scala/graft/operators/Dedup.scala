@@ -1294,16 +1294,19 @@ object Dedup {
     * cell re-clustering, which can separate true near-duplicates.
     */
   private[graft] def boundedCellPairs(asg: DataFrame, threshold: Double,
-      maxCellRows: Long, idCol: String, vecCol: String): DataFrame = {
+      maxCellRows: Long, idCol: String, vecCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val blocked = withCellBlocks(asg, maxCellRows, idCol)
     val lo = blocked
       .withColumn("__hi", explode(sequence(col("__blk"), col("__nblk") - 1)))
-      .select(col("cell"), col("__blk").as("__lo"), col("__hi"),
-        col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+      .select((Seq(col("cell"), col("__blk").as("__lo"), col("__hi"),
+        col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na")) ++
+        carryCols.map(c => col(c).as(s"__${c}_a"))): _*)
     val hi = blocked
       .withColumn("__lo", explode(sequence(lit(0), col("__blk"))))
-      .select(col("cell"), col("__lo"), col("__blk").as("__hi"),
-        col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+      .select((Seq(col("cell"), col("__lo"), col("__blk").as("__hi"),
+        col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb")) ++
+        carryCols.map(c => col(c).as(s"__${c}_b"))): _*)
     lo.join(hi, Seq("cell", "__lo", "__hi"))
       // cross-block keys pair each row exactly once with roles fixed by
       // block, so the canonical id order is restored AFTER the (symmetric)
@@ -1313,8 +1316,14 @@ object Dedup {
       .withColumn("cos", VectorFunctions.cosineWithNorms(
         VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") > threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      // carried columns swap with their ids when the canonical order flips
+      .select((Seq(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos")) ++
+        carryCols.flatMap(c => Seq(
+          when(col("id_a") < col("id_b"), col(s"__${c}_a"))
+            .otherwise(col(s"__${c}_b")).as(s"${c}_a"),
+          when(col("id_a") < col("id_b"), col(s"__${c}_b"))
+            .otherwise(col(s"__${c}_a")).as(s"${c}_b")))): _*)
       .distinct()
   }
 

@@ -298,14 +298,19 @@ object Similarity {
     * (centroids are driver metadata); the candidate stage shuffles on
     * `cell` and compares ~corpus²/k pairs in expectation — k is the scale
     * knob (the paper runs 50 k clusters at LAION scale), so cells stay
-    * task-sized at any corpus size. Nothing here is all-pairs. Rows with
+    * task-sized at any corpus size — and a cell that overruns
+    * `maxCellRows` anyway (one skewed centroid attracting O(n) vectors)
+    * splits into the bounded hash-block triangle the embedding near-dup
+    * path uses, so no single task goes quadratic even on a clustered
+    * corpus. Nothing here is all-pairs. Rows with
     * a null embedding have no cell and are excluded, the same contract as
     * [[ivfAssign]].
     */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidIdCol: String = "centroid_id",
-      centroidVecCol: String = "cvec"): DataFrame = {
+      centroidVecCol: String = "cvec",
+      maxCellRows: Long = 4096): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol,
       centroidIdCol, centroidVecCol)
     val cents = broadcast(centroids.select(
@@ -318,21 +323,24 @@ object Similarity {
         dot(col(vecCol), col("__cv")), col("__vn"), col("__cn")))
       .select(col(idCol), col(vecCol), col("__vn"), col("cell"),
         col("centroid_sim"))
-    val a = withSim.select(col("cell"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__vn").as("__na"),
-      col("centroid_sim").as("__csa"))
-    val b = withSim.select(col("cell"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__vn").as("__nb"),
-      col("centroid_sim").as("__csb"))
-    val pairs = a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .where(cosineWithNorms(dot(col("__va"), col("__vb")),
-        col("__na"), col("__nb")) > threshold)
+    // the within-cell self-join rides the same hash-block triangle as
+    // the q40 embedding near-dup path: cells at or under `maxCellRows`
+    // behave exactly as a plain cell equi-join (one block), an
+    // oversized cell — one skewed k-means cell holding O(n) vectors —
+    // decomposes into bounded (lo, hi) block tasks instead of going
+    // quadratic on a single straggler. Pair SET is provably the plain
+    // join's (Dedup.boundedCellPairs' contract, SkewSpec-pinned), so
+    // the keep labels cannot change under the cap.
+    val pairs = graft.operators.Dedup.boundedCellPairs(
+      withSim.select(col("cell"), col(idCol), col(vecCol),
+        col("__vn").as("nrm"), col("centroid_sim")),
+      threshold, maxCellRows, idCol, vecCol,
+      carryCols = Seq("centroid_sim"))
     // the pair's lower-priority member drops: priority is (centroid_sim
     // asc, id asc), and id_a < id_b by construction, so an equal-sim
     // pair keeps the smaller id
     val losers = pairs.select(
-        when(col("__csa") <= col("__csb"), col("id_b"))
+        when(col("centroid_sim_a") <= col("centroid_sim_b"), col("id_b"))
           .otherwise(col("id_a")).as(idCol))
       .distinct()
     withSim

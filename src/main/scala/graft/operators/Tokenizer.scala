@@ -240,6 +240,18 @@ object Tokenizer {
             s"unigram artifact: piece '${r.getString(1)}' has a null cost")
           (r.getString(1), r.getInt(2), r.getLong(6))
         }.sortBy(_._2).toSeq
+        // ids key the hard-EM usage merge and id 0 is the reserved UNK:
+        // a duplicate id would silently merge two pieces' counts, an
+        // id <= 0 would collide with (or shadow) UNK — both are
+        // corrupted artifacts, refused like the merge family's rank 1..k
+        val ids = costed.map(_._2)
+        require(ids.distinct.length == ids.length,
+          s"unigram artifact: duplicate piece ids " +
+            ids.diff(ids.distinct).distinct.mkString("[", ",", "]") +
+            " — id-keyed EM usage would merge their counts")
+        require(ids.forall(_ > 0),
+          s"unigram artifact: non-positive piece id " +
+            s"${ids.filter(_ <= 0).head} — id 0 is the reserved UNK")
         UnigramTokenizer(costed)
       case Merge | ByteMerge | ByteMergeGpt2 =>
         val mergeRows = rows.filter(r => r.isNullAt(1) && !r.isNullAt(3))

@@ -519,6 +519,29 @@ class TextKernelsSpec extends SparkSpec {
     assert(uniEnc(cheap, "ab") == (Seq(1, 2), 20L))
   }
 
+  test("unigram UNK advances by codepoint: a supplementary-plane char " +
+      "is ONE UNK, not two surrogate halves") {
+    val t = new UnigramTable(Seq(("a", 1, 10L), ("b", 2, 10L)),
+      unkCost = 1000L)
+    // U+1D11E (musical G clef) is two UTF-16 code units; the vocab
+    // builder and the DuckDB twin both count it as one codepoint, so
+    // the UNK fallback must charge unkCost ONCE and emit one id 0
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(uniEnc(t, s"a${clef}b") == (Seq(1, 0, 2), 1020L))
+    assert(uniEnc(t, clef * 2) == (Seq(0, 0), 2000L))
+    // a supplementary char IN the alphabet rides the normal DP edge
+    val t2 = new UnigramTable(Seq(("a", 1, 10L), (clef, 2, 10L)),
+      unkCost = 1000L)
+    assert(uniEnc(t2, s"a$clef") == (Seq(1, 2), 20L))
+    // malformed UTF-16 (a lone surrogate half) still reaches the end:
+    // one UNK per unpaired unit, never a require failure
+    val loneHi = "\uD834" // high half of U+1D11E, unpaired
+    assert(uniEnc(t, s"a$loneHi") == (Seq(1, 0), 1010L))
+    assert(uniEnc(t, s"${loneHi}a")._1 == Seq(0, 1))
+    val loneLo = "\uDD1E"
+    assert(uniEnc(t, s"a${loneLo}b") == (Seq(1, 0, 2), 1020L))
+  }
+
   test("unigram expressions: encode/count agree and handle nulls") {
     val pieces = Seq(("h", 1, 5L), ("e", 2, 5L), ("l", 3, 5L),
       ("o", 4, 5L), ("he", 5, 6L), ("llo", 6, 7L))

@@ -658,6 +658,20 @@ class CorpusSpec extends SparkSpec {
     // a non-default unkCost cannot ship (no schema column to carry it)
     intercept[IllegalArgumentException] {
       Tokenizer.toArtifact(spark, built.copy(unkCost = 7L)) }
+    // duplicate ids would silently merge hard-EM usage counts keyed by
+    // id — refused like the merge family's rank 1..k check
+    val firstId = built.pieces.head._2
+    val dupId = Tokenizer.toArtifact(spark, built)
+      .withColumn("id", when(col("id") === built.pieces.last._2,
+        lit(firstId)).otherwise(col("id")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(dupId) }.getMessage.contains("duplicate"))
+    // id 0 collides with the reserved UNK; negatives are corruption too
+    val zeroId = Tokenizer.toArtifact(spark, built)
+      .withColumn("id", when(col("id") === firstId, lit(0))
+        .otherwise(col("id")))
+    assert(intercept[IllegalArgumentException] {
+      Tokenizer.fromArtifact(zeroId) }.getMessage.contains("reserved UNK"))
     // pre-cost artifacts (no cost column at all) still load for the
     // older kinds
     val legacy = Tokenizer.toArtifact(spark,

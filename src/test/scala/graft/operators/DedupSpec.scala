@@ -201,13 +201,17 @@ class DedupSpec extends SparkSpec {
       (102L, Some(Seq(1, 2, 3, 1, 2, 3))),
       (103L, Some(Seq(7, 8, 9)))           // clean benchmark: absent
     ).toDF("doc_id", "ids")
-    for (hw <- Seq(false, true)) {
+    for (hw <- Seq(false, true);
+         // broadcastWindows = 0 forces the shuffled-join fallback the
+         // oversized doc-attributed eval relation takes at scale — the
+         // branch must report identically to the broadcast path
+         bw <- Seq(500000L, 0L)) {
       val got = Dedup.contaminationByEvalDoc(train, ev, n = 3,
-          hashWindows = hw)
+          hashWindows = hw, broadcastWindows = bw)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2)))).toMap
       assert(got == Map(100L -> ((2L, 2L)), 101L -> ((1L, 1L)),
-        102L -> ((2L, 4L))))
+        102L -> ((2L, 4L))), s"hashWindows=$hw broadcastWindows=$bw")
     }
   }
 

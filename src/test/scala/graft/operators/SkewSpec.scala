@@ -92,6 +92,20 @@ class SkewSpec extends SparkSpec {
     assert(bounded.nonEmpty)
   }
 
+  test("semanticDedup keep labels are invariant under the hot-cell cap") {
+    val cent = Similarity.kmeans(clusteredEmbeddings, 4, 2)
+    def keeps(cap: Long) = Similarity.semanticDedup(
+      clusteredEmbeddings, cent, threshold = 0.9, maxCellRows = cap)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val capped = keeps(32)        // the 240-row hot cell splits into blocks
+    val unbounded = keeps(1000000) // one block per cell = the plain join
+    assert(capped == unbounded,
+      "block decomposition must not change the keep labels")
+    // the fixture genuinely exercises both outcomes
+    assert(capped.values.exists(identity) && capped.values.exists(!_))
+    assert(capped.size == 300)
+  }
+
   test("salt is deterministic across evaluations") {
     val a = skewed.select(Skew.saltOf($"v", 16).as("s")).collect().map(_.getInt(0))
     val b = skewed.select(Skew.saltOf($"v", 16).as("s")).collect().map(_.getInt(0))
