@@ -2700,6 +2700,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // image near-duplicate pairs for the multimodal family: perceptual
+    // aHash over the stub decoder's 32 integer byte-histogram lanes
+    // (bit j = lane_j·32 > Σ lanes, exact cross-multiplied integers —
+    // q47's hex-exact byte convention extended to bits), paired via the
+    // SAME banded exact-Hamming machinery as the text SimHash path
+    // (pigeonhole over 4 bands, recall exactly 1, shuffle linear in
+    // assets). The twin brute-forces the ≤ maxHamming pair set —
+    // banding is exact, so the sets must be identical — and each pair
+    // also carries its dHash (gradient-sign) distance as a second,
+    // independently-derived lane fingerprint over the same bytes.
+    "q186_image_phash_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val assets = Multimodal.fromDocuments(
+        t(s, dir, "documents").select("doc_id", "text", "source"))
+      val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3,
+        dim = 32, bands = 4)
+      val dh = Multimodal.perceptualHashes(assets, dim = 32, kind = "dhash")
+      pairs
+        .join(dh.select(col("asset_id").as("id_a"), col("phash").as("__da")),
+          "id_a")
+        .join(dh.select(col("asset_id").as("id_b"), col("phash").as("__db")),
+          "id_b")
+        .select(col("id_a"), col("id_b"), col("hamming").as("a_hamming"),
+          bit_count(col("__da").bitwiseXOR(col("__db"))).cast(LongType)
+            .as("d_hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -6874,6 +6902,51 @@ object SparkEntry {
            |    WHEN t.doc_id IN (SELECT doc_id FROM cb) THEN 'contaminated'
            |    ELSE 'accepted' END AS stage
            |FROM tr t ORDER BY doc_id""".stripMargin,
+
+      // q186: perceptual-hash image near-dup — the twin re-derives the
+      // 32 byte-histogram lanes hex-exactly (q47's convention), builds
+      // aHash/dHash bit-for-bit with the same cross-multiplied integer
+      // rule, and BRUTE-FORCES the ≤3-Hamming pair set: banding is
+      // exact (pigeonhole), so the banded Spark pair set must equal
+      // the all-pairs reference
+      "q186_image_phash_neardup" ->
+        """WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+          |  FROM documents),
+          |lv AS (SELECT asset_id, UNNEST(list_transform(
+          |    range(1, octet_length(payload) + 1),
+          |    i -> {'l': (i - 1) % 32,
+          |          'v': ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT}))
+          |    AS s
+          |  FROM b),
+          |lanes AS (SELECT asset_id, s.l AS lane, SUM(s.v) AS v
+          |  FROM lv GROUP BY 1, 2),
+          |dense AS (SELECT b.asset_id, r.lane, COALESCE(l.v, 0) AS v
+          |  FROM b CROSS JOIN (SELECT UNNEST(range(0, 32)) AS lane) r
+          |  LEFT JOIN lanes l
+          |    ON l.asset_id = b.asset_id AND l.lane = r.lane),
+          |tot AS (SELECT asset_id, SUM(v) AS tot FROM dense GROUP BY 1),
+          |ah AS (SELECT d.asset_id,
+          |    CAST(SUM(CASE WHEN d.v * 32 > t.tot
+          |      THEN (CAST(1 AS BIGINT) << d.lane) ELSE 0 END) AS BIGINT)
+          |      AS h
+          |  FROM dense d JOIN tot t USING (asset_id) GROUP BY 1),
+          |dh AS (SELECT x.asset_id,
+          |    CAST(SUM(CASE WHEN x.v > y.v
+          |      THEN (CAST(1 AS BIGINT) << x.lane) ELSE 0 END) AS BIGINT)
+          |      AS h
+          |  FROM dense x JOIN dense y
+          |    ON y.asset_id = x.asset_id AND y.lane = x.lane + 1
+          |  GROUP BY 1),
+          |cand AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+          |    CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS a_hamming
+          |  FROM ah x JOIN ah y ON x.asset_id < y.asset_id
+          |  WHERE bit_count(xor(x.h, y.h)) <= 3)
+          |SELECT c.id_a, c.id_b, c.a_hamming,
+          |  CAST(bit_count(xor(da.h, db.h)) AS BIGINT) AS d_hamming
+          |FROM cand c
+          |JOIN dh da ON da.asset_id = c.id_a
+          |JOIN dh db ON db.asset_id = c.id_b
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

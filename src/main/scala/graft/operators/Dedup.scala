@@ -292,22 +292,40 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 2,
       bits: Int = 32, bands: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming < bands, "banding is only exact when maxHamming < bands")
     require(bits <= 32, "token hashes are 32-bit; higher simhash bits carry " +
       "no signal and would collapse every doc into one band bucket")
+    bandedHammingPairs(simhash(docs, bits, idCol, textCol), idCol, "simhash",
+      bits, bands, maxHamming)
+  }
+
+  /** The banded exact-Hamming pair machinery itself, over ANY integer
+    * signature column — shared by [[simhashNearDupPairs]] and the image
+    * perceptual-hash path ([[Multimodal.imageNearDupPairs]]). Signatures
+    * are cut into `bands` bit-bands; rows sharing any band key become
+    * candidates (pigeonhole: ≤ maxHamming flips leave ≥ bands−maxHamming
+    * bands intact, so recall is exactly 1 while the shuffle stays linear),
+    * and only candidates pay the popcount verify. Bits above
+    * bands·(bits/bands) are never banded, which only ADDS candidates —
+    * exactness is unaffected.
+    */
+  private[graft] def bandedHammingPairs(sig: DataFrame, idCol: String,
+      sigCol: String, bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands, "banding is only exact when maxHamming < bands")
+    require(bands >= 1 && bits >= bands && bits <= 62,
+      "signature bits must cover the bands and fit a positive long")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sig = simhash(docs, bits, idCol, textCol)
-    val banded = sig.select(col(idCol), col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    val banded = sig.select(col(idCol), col(sigCol).as("__sig"))
+      .select(col(idCol), col("__sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bandBits).bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"),
-      col(idCol).as("id_a"), col("simhash").as("sa"))
+      col(idCol).as("id_a"), col("__sig").as("sa"))
     val b = banded.select(col("band"), col("key"),
-      col(idCol).as("id_b"), col("simhash").as("sb"))
+      col(idCol).as("id_b"), col("__sig").as("sb"))
     a.join(b, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
       // popcount verify BEFORE the distinct: the per-candidate bit_count is

@@ -135,6 +135,68 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Perceptual image hash over the decoded feature lanes — aHash /
+    * dHash (public knowledge: average hash and difference hash, the
+    * standard near-duplicate-image fingerprints). A real decoder yields
+    * `dim` grayscale cells; the harness's [[StubDecoder]] yields `dim`
+    * integer byte-histogram lanes — the hash definition is identical
+    * either way, which is exactly the swap-in-a-real-decoder contract:
+    *
+    *  - `ahash`: bit j set iff lane j is above the mean lane — computed
+    *    as `lane_j · dim > Σ lanes` (integer cross-multiply, no float
+    *    division anywhere, so the DuckDB twin reproduces it bit-exactly
+    *    — q47's hex-exact byte convention extended to bits). `dim` bits.
+    *  - `dhash`: bit j set iff lane j > lane j+1 (horizontal gradient
+    *    sign). `dim − 1` bits.
+    *
+    * Lane sums are exact integers (see [[StubDecoder]]), so both hashes
+    * are deterministic pure arithmetic — one narrow pass after decode,
+    * no shuffle, no payload byte leaves its partition. Returns
+    * (asset_id, phash). Null payloads hash the empty lane vector
+    * (phash 0), same contract as decode.
+    */
+  def perceptualHashes(assets: DataFrame, dim: Int = 32,
+      kind: String = "ahash"): DataFrame = {
+    require(dim >= 2 && dim <= 62, "perceptual hash needs 2..62 lanes")
+    require(kind == "ahash" || kind == "dhash",
+      s"unknown perceptual hash kind '$kind' (ahash | dhash)")
+    val lanes = decodeFeatures(assets, dim)
+      .select(col("asset_id"),
+        transform(col("feature"), x => x.cast(LongType)).as("__l"))
+    // bit positions are compile-time constants, so the hash unrolls into
+    // one flat codegen'd expression — element_at on ArrayData is O(1)
+    // indexed access. Σ lanes rides its OWN projection: CollapseProject
+    // never inlines a non-cheap alias referenced by all dim bit terms,
+    // so the aggregate evaluates once per row, not once per bit.
+    val prepared =
+      if (kind == "ahash")
+        lanes.select(col("asset_id"), col("__l"),
+          aggregate(col("__l"), lit(0L), (a, x) => a + x).as("__tot"))
+      else lanes
+    val bit: Int => Column =
+      if (kind == "ahash")
+        j => element_at(col("__l"), j + 1) * dim > col("__tot")
+      else
+        j => element_at(col("__l"), j + 1) > element_at(col("__l"), j + 2)
+    val nBits = if (kind == "ahash") dim else dim - 1
+    prepared.select(col("asset_id"),
+      (0 until nBits).map(j => when(bit(j), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("phash"))
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes within `maxHamming`
+    * bits, via the same banded exact-Hamming machinery as the text
+    * SimHash path ([[Dedup.bandedHammingPairs]]) — candidates shuffle on
+    * (band, key), linear in corpus size, recall exactly 1; never an
+    * all-pairs join. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 2,
+      dim: Int = 32, bands: Int = 4, kind: String = "ahash"): DataFrame = {
+    val nBits = if (kind == "ahash") dim else dim - 1
+    Dedup.bandedHammingPairs(perceptualHashes(assets, dim, kind),
+      "asset_id", "phash", nBits, bands, maxHamming)
+  }
+
   /** Metadata-only projection — must prune the payload column at the scan
     * (verified in tests via the physical plan's ReadSchema).
     */

@@ -41,6 +41,50 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toArray.sameElements(expect))
   }
 
+  test("perceptual hashes: aHash/dHash bits follow the lane arithmetic " +
+      "exactly") {
+    // "abca" -> bytes 97,98,99,97; dim=4 lanes [97,98,99,97], total 391
+    // ahash bit j: lane_j*4 > 391 -> F,T,T,F -> phash 0b0110 = 6
+    // dhash bit j: lane_j > lane_j+1 -> F,F,T  -> phash 0b100  = 4
+    val one = Multimodal.fromDocuments(
+      Seq((1L, "abca", "web")).toDF("doc_id", "text", "source"))
+    assert(Multimodal.perceptualHashes(one, dim = 4, kind = "ahash")
+      .collect()(0).getLong(1) == 6L)
+    assert(Multimodal.perceptualHashes(one, dim = 4, kind = "dhash")
+      .collect()(0).getLong(1) == 4L)
+    // empty payload hashes to 0 under both kinds
+    val empty = Multimodal.fromDocuments(
+      Seq((2L, "", "web")).toDF("doc_id", "text", "source"))
+    assert(Multimodal.perceptualHashes(empty, dim = 4, kind = "ahash")
+      .collect()(0).getLong(1) == 0L)
+    assert(Multimodal.perceptualHashes(empty, dim = 4, kind = "dhash")
+      .collect()(0).getLong(1) == 0L)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.perceptualHashes(one, dim = 4, kind = "md5")
+    }.getMessage.contains("ahash | dhash"))
+  }
+
+  test("imageNearDupPairs: banded Hamming pairs match the hand arithmetic") {
+    // "abca" ahash(4)=6 (above); "abcb" lanes [97,98,99,98] total 392 ->
+    // bits F,F,T,F -> 4; xor(6,4)=2 -> hamming 1. "zzzz" lanes all 122 ->
+    // 488 > 488 false everywhere -> 0; hamming vs 6 is 2 (> 1, excluded)
+    // but vs 4 is 1 (included).
+    val assets = Multimodal.fromDocuments(Seq(
+      (1L, "abca", "web"), (2L, "abcb", "web"), (3L, "zzzz", "web"),
+      (4L, "abca", "web")) // exact dup of 1 -> hamming 0
+      .toDF("doc_id", "text", "source"))
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 1,
+        dim = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L),
+      (2L, 3L, 1L)))
+    // dhash flavor: 1 and 4 are byte-identical -> hamming 0 pair survives
+    val dpairs = Multimodal.imageNearDupPairs(assets, maxHamming = 0,
+        dim = 4, bands = 2, kind = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dpairs.contains((1L, 4L)))
+  }
+
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
     val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
     assert(resized.schema == Multimodal.fromDocuments(docs).schema)
