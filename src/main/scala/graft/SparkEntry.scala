@@ -2728,6 +2728,50 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // unigram ids through the trainer-handoff arc: the q180 Viterbi
+    // encoder feeds the q144 prefix-sum packer, and each pack is
+    // audited q152-style — the flat id stream's digest (the actual
+    // unigram ids, gated against the twin's per-word DP id strings
+    // pushed through the same pack arithmetic), the whole-pack decode
+    // (id→piece concat must equal the member texts minus whitespace —
+    // the unigram alphabet keeps every corpus char, so decode∘encode
+    // is exact with no UNK), and the per-segment boundary audit (a
+    // shifted doc_offsets boundary changes a segment digest even when
+    // the pack digest survives). The one check chain a trainer runs
+    // before trusting unigram packs.
+    "q187_unigram_pack_decode" -> ((s, dir) => {
+      val docs = saltedDocs(s, dir)
+      val pieces = unigramPieces(docs)
+      val vocab = pieces.map(p => (p._1, p._2))
+      val withIds = docs.select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.unigramEncode(col("text"), pieces)
+            .as("__ids"))
+        .withColumn("__n_tokens", size(col("__ids")).cast(LongType))
+      val packed = graft.operators.Corpus.packSequences(withIds, "lang",
+        "doc_id", col("__n_tokens"), tokenBudget = 2048)
+      graft.operators.Corpus.materializeTokenPacks(packed, "lang",
+          "doc_id", "__ids")
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          size(col("pack_ids")).cast(LongType).as("n_ids"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          graft.functions.TextFunctions.bpeDecode(col("pack_ids"), vocab)
+            .as("__txt"),
+          transform(sequence(lit(1), size(col("doc_offsets")) - 1),
+            i => md5(graft.functions.TextFunctions.bpeDecode(
+              slice(col("pack_ids"),
+                element_at(col("doc_offsets"), i) + 1,
+                element_at(col("doc_offsets"), i + 1)
+                  - element_at(col("doc_offsets"), i)),
+              vocab))).as("__segs"))
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("n_ids"),
+          col("ids_md5"),
+          length(col("__txt")).cast(LongType).as("decoded_chars"),
+          md5(col("__txt")).as("decoded_md5"),
+          md5(array_join(col("__segs"), " ")).as("segs_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -6947,6 +6991,49 @@ object SparkEntry {
           |JOIN dh da ON da.asset_id = c.id_a
           |JOIN dh db ON db.asset_id = c.id_b
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // q187: the q180 DP's per-word id strings aggregated to per-doc
+      // streams and pushed through the q144 pack CTEs; the decode side
+      // needs NO tokenizer (unigram decode∘encode = salted text minus
+      // whitespace — the alphabet keeps every corpus char, so no UNK),
+      // exactly q152's regexp-strip rebuild, while ids_md5 gates the
+      // actual id stream digest per pack
+      "q187_unigram_pack_decode" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |${unigramCtes(4, 8L, 120, 1L << 20, 16)},
+           |uids AS (SELECT t.doc_id,
+           |    string_agg(s.ids, ' ' ORDER BY t.ord) AS ids_str,
+           |    CAST(sum(s.n) AS BIGINT) AS n_pieces
+           |  FROM utoks t JOIN useg s ON s.w = t.tok
+           |  GROUP BY 1),
+           |qnt AS (SELECT d.doc_id, doc.lang,
+           |    COALESCE(u.n_pieces, 0) AS n_tokens,
+           |    COALESCE(u.ids_str, '') AS ids_str,
+           |    regexp_replace(d.text, '\\s+', '', 'g') AS dec
+           |  FROM docs2 d JOIN documents doc USING (doc_id)
+           |  LEFT JOIN uids u USING (doc_id)
+           |  WHERE d.text IS NOT NULL),
+           |qcc AS (SELECT doc_id, lang, n_tokens, ids_str, dec,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM qnt),
+           |qpk AS (SELECT lang,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           |  doc_id, n_tokens, ids_str, dec FROM qcc)
+           |SELECT lang, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_ids,
+           |  md5(COALESCE(string_agg(
+           |    CASE WHEN ids_str = '' THEN NULL ELSE ids_str END, ' '
+           |    ORDER BY doc_id), '')) AS ids_md5,
+           |  CAST(length(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
+           |    AS BIGINT) AS decoded_chars,
+           |  md5(COALESCE(string_agg(dec, '' ORDER BY doc_id), ''))
+           |    AS decoded_md5,
+           |  md5(string_agg(md5(dec), ' ' ORDER BY doc_id)) AS segs_md5
+           |FROM qpk GROUP BY lang, pack_id
+           |ORDER BY lang, pack_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -412,6 +412,49 @@ class CorpusSpec extends SparkSpec {
       ("fr", 0L, 1L, 1L, Seq(4), Seq(0, 1))))
   }
 
+  test("unigram ids round-trip through the packer: decode equals the " +
+      "member texts minus whitespace, segment-for-segment") {
+    val docs = Seq(
+      (1L, "en", "low lower low"), (2L, "en", "newest low"),
+      (3L, "en", ""), // zero-token doc: zero-length segment, never lost
+      (4L, "fr", "lowest newest"))
+      .toDF("doc_id", "lang", "text")
+    val pieces = Corpus.collectUnigramPieces(
+      Corpus.buildUnigramVocab(docs, "text", maxPieceLen = 3,
+        minCount = 2, maxSize = 20))
+    val vocab = pieces.map(p => (p._1, p._2))
+    val withIds = docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.unigramEncode(col("text"), pieces)
+          .as("__ids"))
+      .withColumn("nt", size(col("__ids")).cast("long"))
+    val packs = Corpus.materializeTokenPacks(
+      Corpus.packSequences(withIds, "lang", "doc_id", col("nt"), 8),
+      "lang", "doc_id", "__ids")
+    val decoded = packs.select(col("lang"), col("pack_id"),
+        graft.functions.TextFunctions.bpeDecode(col("pack_ids"), vocab)
+          .as("txt"),
+        transform(sequence(lit(1), size(col("doc_offsets")) - 1),
+          i => graft.functions.TextFunctions.bpeDecode(
+            slice(col("pack_ids"),
+              element_at(col("doc_offsets"), i) + 1,
+              element_at(col("doc_offsets"), i + 1)
+                - element_at(col("doc_offsets"), i)), vocab)).as("segs"))
+      .orderBy("lang", "pack_id")
+      .as[(String, Long, String, Seq[String])].collect().toSeq
+    // whole-pack decode = concat of its member segments, and the
+    // segments are the member texts with whitespace removed, in order
+    val expectSegs = Map(
+      1L -> "lowlowerlow", 2L -> "newestlow", 3L -> "", 4L -> "lowestnewest")
+    val allSegs = decoded.flatMap(_._4)
+    assert(allSegs.sorted == expectSegs.values.toSeq.sorted)
+    assert(decoded.forall { case (_, _, txt, segs) => txt == segs.mkString })
+    // every doc's ids landed in exactly one pack (total token accounting)
+    val totalIds = withIds.agg(sum(col("nt"))).collect()(0).getLong(0)
+    assert(decoded.map(_._3.length).sum ==
+      expectSegs.values.map(_.length).sum)
+    assert(totalIds > 0)
+  }
+
   test("learnBpeMerges matches the hand-trained Sennrich toy corpus") {
     // the ACL'16 example dictionary: low×5 lower×2 newest×6 widest×3.
     // Hand-run of count→top→merge under the (count DESC, lhs, rhs)
