@@ -440,6 +440,33 @@ object ScaleSmoke {
             r
           }
         }),
+        // q179's operator at scale: the index half (even ids) is the
+        // lines-ever-seen state (setup, untimed — a deployment carries
+        // it from earlier batches), the odd half arrives as ONE batch;
+        // the timed region is the whole per-batch add — anti-join probe,
+        // within-batch keep-first, doc reassembly, and the fresh-line
+        // fold into the returned index — i.e. O(batch + probe), never a
+        // corpus rescan. Both outputs consumed so neither side of the
+        // returned pair escapes the measurement.
+        "line_index_add" -> (() => {
+          val toks = TextFunctions.tokens(col("text"))
+          val chunks = transform(
+            sequence(lit(0),
+              floor((size(toks) + lit(9)) / lit(10)).cast("int") - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+          val lined = amp.where(col("text").isNotNull && size(toks) > 0)
+            .select(col("doc_id"), array_join(chunks, "\n").as("text"))
+          val idx = lined.where(col("doc_id") % 2 === 0)
+            .select(explode(split(col("text"), "\n")).as("line"))
+            .distinct().localCheckpoint(true)
+          val batch = lined.where(col("doc_id") % 2 === 1)
+            .localCheckpoint(true)
+          () => {
+            val (cleaned, newIdx) = Dedup.lineIndexAddBatch(idx, batch)
+            cleaned.agg(sum(length(col("text"))).cast("long").as("n"))
+              .collect()(0).getLong(0) + newIdx.count()
+          }
+        }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
           // id-range backlog (setup, untimed); the timed region is the
