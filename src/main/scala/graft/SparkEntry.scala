@@ -193,6 +193,38 @@ object SparkEntry {
     require(!maxRow.isNullAt(0),
       "idRangeBacklog needs a non-empty frame (max(doc_id) is null)")
     val maxId = maxRow.getLong(0)
+    // boundary(i) == floor(maxId * i / nFiles) computed without the
+    // maxId * i intermediate, which overflows Long for very large ids
+    def boundary(i: Int): Long =
+      maxId / nFiles * i + maxId % nFiles * i / nFiles
+    slicedBacklog(s, root, (0 until nFiles).map { i =>
+      val lo = boundary(i)
+      val hi = boundary(i + 1)
+      if (i == 0) df.where(col("doc_id") <= hi)
+      else if (i == nFiles - 1) df.where(col("doc_id") > lo)
+      else df.where(col("doc_id") > lo && col("doc_id") <= hi)
+    })
+  }
+
+  /** Two-file backlog split by doc-id PARITY: batch 1 = even ids,
+    * batch 2 = odd. Arrival order deliberately differs from id order,
+    * so a streaming oracle over this backlog gates CROSS-BATCH
+    * ownership (batch 1 owns what it saw even against smaller batch-2
+    * ids), not just a per-batch collapse — q179's arrival-order rule.
+    */
+  private[graft] def parityBacklog(s: SparkSession, root: String,
+      df: DataFrame): (String, StructType) =
+    slicedBacklog(s, root, Seq(
+      df.where(pmod(col("doc_id"), lit(2)) === 0),
+      df.where(pmod(col("doc_id"), lit(2)) === 1)))
+
+  /** Shared backlog writer: each slice becomes one single-part parquet
+    * file under `root/src` with an mtime pinning its arrival rank, so
+    * an AvailableNow file source at maxFilesPerTrigger=1 replays the
+    * slices as micro-batches in exactly this order.
+    */
+  private[graft] def slicedBacklog(s: SparkSession, root: String,
+      slices: Seq[DataFrame]): (String, StructType) = {
     val src = java.nio.file.Paths.get(s"$root/src")
     java.nio.file.Files.createDirectories(src)
     def firstPart(d: String): java.nio.file.Path = {
@@ -201,17 +233,7 @@ object SparkEntry {
           p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     }
-    // boundary(i) == floor(maxId * i / nFiles) computed without the
-    // maxId * i intermediate, which overflows Long for very large ids
-    def boundary(i: Int): Long =
-      maxId / nFiles * i + maxId % nFiles * i / nFiles
-    (0 until nFiles).foreach { i =>
-      val lo = boundary(i)
-      val hi = boundary(i + 1)
-      val slice =
-        if (i == 0) df.where(col("doc_id") <= hi)
-        else if (i == nFiles - 1) df.where(col("doc_id") > lo)
-        else df.where(col("doc_id") > lo && col("doc_id") <= hi)
+    slices.zipWithIndex.foreach { case (slice, i) =>
       slice.coalesce(1).write.parquet(s"$root/b$i")
       val f = src.resolve(f"b$i%02d.parquet")
       java.nio.file.Files.copy(firstPart(s"$root/b$i"), f)
@@ -2528,6 +2550,34 @@ object SparkEntry {
             .otherwise(size(split(col("text"), "\n")))
             .cast(LongType).as("n_lines_kept"),
           md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // q179 as a STREAM: lineIndexAddBatch per micro-batch under the
+    // family's marker-committed versioned state (delta-per-batch +
+    // atomic `_current` rename LAST), replayed off a parity-split
+    // two-file backlog — arrival order ≠ id order, so the green row
+    // proves batch 1 (even ids) OWNS its lines against smaller odd
+    // batch-2 ids, i.e. the state genuinely carried across the
+    // micro-batch boundary. Output is the state itself read back:
+    // cleaned docs + their acceptance batch, collapsed by the twin into
+    // ONE arrival-order keep-first rule (parity, doc_id, pos).
+    "q188_stream_line_dedup" -> ((s, dir) => {
+      val root = scratch("graft_slined_")
+      val lined = linedDocs(s, dir)
+      val (src, schema) = parityBacklog(s, root, lined)
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingLineDedup.runAvailableNow(
+          s, src, schema, s"$root/state", s"$root/ckpt")
+      }
+      val (cleaned, _, _) = graft.streaming.StreamingLineDedup
+        .readState(s, s"$root/state")
+      cleaned.select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"),
+          col("batch"))
         .orderBy("doc_id")
     }),
 
@@ -6735,6 +6785,38 @@ object SparkEntry {
            |SELECT d2.doc_id,
            |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
            |  md5(COALESCE(r.clean, '')) AS clean_md5
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q188: the streamed run must collapse to the SAME arrival-order
+      // rule as q179 (the backlog's parity split IS q179's batch
+      // split), with each doc additionally pinned to its acceptance
+      // batch — evens are batch 1, odds batch 2
+      "q188_stream_line_dedup" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |win AS (SELECT doc_id, lpos, line, row_number() OVER (
+           |    PARTITION BY line ORDER BY doc_id % 2, doc_id, lpos)
+           |    AS rn FROM lnb),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5,
+           |  CAST(CASE WHEN d2.doc_id % 2 = 0 THEN 1 ELSE 2 END
+           |    AS BIGINT) AS batch
            |FROM d2 LEFT JOIN reb r USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
 

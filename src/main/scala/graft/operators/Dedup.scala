@@ -118,6 +118,20 @@ object Dedup {
   def lineIndexAddBatch(index: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       sep: String = "\n"): (DataFrame, DataFrame) = {
+    val (cleaned, freshLines) =
+      lineIndexAddBatchParts(index, batch, idCol, textCol, sep)
+    (cleaned, index.select("line").unionByName(freshLines))
+  }
+
+  /** [[lineIndexAddBatch]] returning the batch's fresh-line DELTA
+    * instead of the folded index — the streaming runner persists
+    * exactly this delta per micro-batch (append-only versioned state),
+    * so the full index never rewrites. Returns (cleaned, freshLines);
+    * both sides share one materialization of the probed batch.
+    */
+  private[graft] def lineIndexAddBatchParts(index: DataFrame,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): (DataFrame, DataFrame) = {
     val lines = batch.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol),
@@ -148,8 +162,7 @@ object Dedup {
       .select(col(idCol),
         when(col("__had"), coalesce(col("__clean"), lit("")))
           .otherwise(lit(null).cast("string")).as(textCol))
-    (cleaned, index.select("line")
-      .unionByName(fresh.select("line").distinct()))
+    (cleaned, fresh.select("line").distinct())
   }
 
   /** The companion boilerplate STRIP: remove every copy of any line

@@ -46,14 +46,14 @@ object StreamingDedupIndex {
       StructField("key", StringType),
       StructField("hashes", ArrayType(LongType)))))
 
-  private def marker(stateRoot: String, name: String): Option[Long] = {
+  private[streaming] def marker(stateRoot: String, name: String): Option[Long] = {
     val p = java.nio.file.Paths.get(stateRoot, name)
     if (java.nio.file.Files.exists(p))
       Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
     else None
   }
 
-  private def commitMarker(stateRoot: String, name: String, v: Long): Unit = {
+  private[streaming] def commitMarker(stateRoot: String, name: String, v: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateRoot)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, s"${name}_", ".tmp")
