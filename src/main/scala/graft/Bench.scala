@@ -61,30 +61,43 @@ object Bench {
       hi - lo > 0.3 && hi > 2.0 * lo
     }
 
-  /** Per-query int-ms medians out of a previously WRITTEN summary
-    * sidecar — the committed closing `bench_summary.json` from the same
-    * tree is the reference vector for [[vsPrevOutliers]]. Hand-rolled
-    * extraction, not a JSON library: the input is this file's own
-    * [[renderJson]] output, whose `queries` object is flat (no nested
-    * braces) with digit-or-letter short keys and integer/null values,
-    * so two regexes parse it exactly; `null` medians simply don't
-    * match the digit group and drop out. Any malformed/foreign file
-    * yields an empty map — the detector then reports `vs_prev: null`
-    * rather than guessing. A reference written at a DIFFERENT scale
-    * factor is rejected the same way (empty): comparing sf0.01 medians
-    * against an sf0.1 closing file would flag (or mask) the whole
-    * suite, so the file's own `sf` label must match `sfLabel`.
+  /** Per-query int-CENTISECOND medians out of a previously WRITTEN
+    * summary sidecar — the committed closing `bench_summary.json` from
+    * the same tree is the reference vector for [[vsPrevOutliers]].
+    * Hand-rolled extraction, not a JSON library: the input is this
+    * file's own [[renderJson]] output, whose `queries` object is flat
+    * (no nested braces) with digit-or-letter short keys and
+    * integer/null values, so two regexes parse it exactly; `null`
+    * medians simply don't match the digit group and drop out. Any
+    * malformed/foreign file yields an empty map — the detector then
+    * reports `vs_prev: null` rather than guessing. A reference written
+    * at a DIFFERENT scale factor is rejected the same way (empty):
+    * comparing sf0.01 medians against an sf0.1 closing file would flag
+    * (or mask) the whole suite, so the file's own `sf` label must match
+    * `sfLabel`. UNIT TRANSITION: files declaring `"unit_queries":"cs"`
+    * (the current format) read as-is; anything else — the r13/r14
+    * closing summaries and every older artifact carried integer
+    * MILLISECONDS — converts ÷10 on read, so the one committed-ms →
+    * fresh-cs round compares correctly instead of silently passing
+    * every query (a 10× deflated reference would mask real stalls).
     */
   private[graft] def parseSummaryQueries(line: String,
       sfLabel: String): Map[String, Long] = {
     val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(line)
       .exists(_.group(1) == sfLabel)
     if (!sfOk) Map.empty
-    else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
-      .fold(Map.empty[String, Long]) { m =>
-        """"([^"]+)":([0-9]+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toLong).toMap
-      }
+    else {
+      val isCs = line.contains("\"unit_queries\":\"cs\"") ||
+        line.contains("\"uq\":\"cs\"")
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
+        .fold(Map.empty[String, Long]) { m =>
+          """"([^"]+)":([0-9]+)""".r.findAllMatchIn(m.group(1))
+            .map { x =>
+              val v = x.group(2).toLong
+              x.group(1) -> (if (isCs) v else Math.round(v / 10.0))
+            }.toMap
+        }
+    }
   }
 
   /** SUSTAINED-window stall detector — the gap the per-rep
@@ -99,7 +112,9 @@ object Bench {
     * lands in the `vs_prev` outlier list. Annotation, not censorship:
     * the median still reports; the list tells the reader which
     * out-of-band numbers to adjudicate against a dedicated band before
-    * calling them regressions. Returns (shortKey, fresh ms, prev ms).
+    * calling them regressions. Returns (shortKey, fresh cs, prev cs) —
+    * centiseconds since the 188-query byte shed; the ≥0.3 s absolute
+    * floor is 30 in this unit.
     */
   private[graft] def vsPrevOutliers(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
@@ -107,11 +122,51 @@ object Bench {
     results.flatMap { case (k, (_, reps)) =>
       val key = shortKey(k)
       for {
-        m <- median(reps).map(s => Math.round(s * 1000))
+        m <- median(reps).map(s => Math.round(s * 100))
         p <- prev.get(key)
-        if m * 10 >= p * 25 && m - p > 300
+        if m * 10 >= p * 25 && m - p > 30
       } yield (key, m, p)
     }
+
+  /** In-run host-window detection off the CANARY series — the r14 gap:
+    * vs_prev adjudicates a polluted run only POST-HOC against the
+    * committed reference, and four r14 closing attempts burned on
+    * windows nobody could see mid-run. The canary is one pinned ~0.1 s
+    * control re-timed between every ~15 suite queries; readings cluster
+    * at the host's quiet floor, and a sustained window lifts them
+    * together. A reading is DEGRADED when it is both ≥2.5× the run's
+    * own canary floor and >0.3 s over it (the suite's stall thresholds;
+    * the floor is this run's minimum reading, so the detector needs no
+    * committed band). Each maximal run of degraded readings becomes a
+    * conservative query-index span: from just after the last clean
+    * canary before it through the next clean canary after it (window
+    * edges can fall anywhere between probes). A run whose EVERY reading
+    * rides one window self-normalizes to an inflated floor and reports
+    * no spans — that whole-run case is exactly what vs_prev catches
+    * against the committed reference; the two detectors are
+    * complementary, not redundant.
+    */
+  private[graft] def canaryWindows(readings: Seq[(Int, Double)],
+      lastPos: Int): Seq[(Int, Int)] = {
+    if (readings.isEmpty) return Seq.empty
+    val floor = readings.map(_._2).min
+    val degraded = readings.map { case (_, s) =>
+      s >= 2.5 * floor && s - floor > 0.3 }
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < readings.length) {
+      if (degraded(i)) {
+        var j = i
+        while (j + 1 < readings.length && degraded(j + 1)) j += 1
+        val start = if (i == 0) 0 else readings(i - 1)._1 + 1
+        val end =
+          if (j + 1 < readings.length) readings(j + 1)._1 else lastPos
+        spans += ((start, end))
+        i = j + 1
+      } else i += 1
+    }
+    spans.toSeq
+  }
 
   /** Driver-short query key: the number of a registered query's
     * `qNN`/`qNNx` prefix (`q118_stream_ann_index` → `118`); names
@@ -139,8 +194,9 @@ object Bench {
     * the FRONT of an overlong line (the opening brace and summary
     * fields), so any overflow at all is `parsed: null` — staying under
     * budget is the only defense. Hence every byte is budgeted:
-    * per-query values are integer MILLISECONDS (the `unit_queries`
-    * marker rides the SIDEcar, not the line, since 185 queries), keys
+    * per-query values are integer CENTISECONDS since 188 queries
+    * (marked "uq":"cs" ON the line — a unit change without a marker
+    * would 10×-confuse any cross-round comparison), keys
     * are the numeric [[shortKey]]s, the sf label is the directory
     * basename, EMPTY failed/spread lists are omitted entirely, and
     * sidecar-resident fields (`cold_total`, per-rep arrays, `stat`)
@@ -152,10 +208,16 @@ object Bench {
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
       sfDir: String, withReps: Boolean = false,
-      prev: Map[String, Long] = Map.empty): String = {
+      prev: Map[String, Long] = Map.empty,
+      canary: Option[(String, Seq[(Int, Double)])] = None): String = {
+    // integer CENTISECONDS since 188 queries (the documented next shed:
+    // int ms ran the healthy-line budget guard past 1900 B at suite
+    // growth +3) — ~1 B/query back, 10 ms resolution, which the stall
+    // thresholds (2.5× AND >0.3 s) never notice; the full sidecar keeps
+    // float seconds for band work
     val qs = results.map { case (k, (_, reps)) =>
       Verify.jsonStr(shortKey(k)) +
-        ":" + median(reps).fold("null")(s => Math.round(s * 1000).toString) }
+        ":" + median(reps).fold("null")(s => Math.round(s * 100).toString) }
       .mkString("{", ",", "}")
     val failed = results.collect {
       case (k, (_, reps)) if median(reps).isEmpty => k }
@@ -203,24 +265,41 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"n_shared":$shared,"outliers":$outliers}"""
       }
+      // the in-run canary series + its host_windows spans (sidecar-only,
+      // like everything else here — the driver line's byte budget is
+      // untouched). `positions` are suite indices the reading followed;
+      // spans are conservative [start, end] query-index bounds. null
+      // when the run was too short to probe (subsets under one stride)
+      val canaryJson = canary.filter(_._2.nonEmpty).fold("null") {
+        case (cname, readings) =>
+          val lastPos = results.length - 1
+          val spans = canaryWindows(readings, lastPos)
+            .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+          s"""{"name":${Verify.jsonStr(cname)},"positions":${
+            readings.map(_._1).mkString("[", ",", "]")},"ms":${
+            readings.map(r => Math.round(r._2 * 1000))
+              .mkString("[", ",", "]")},"host_windows":$spans}"""
+      }
       results.map { case (k, (_, rs)) =>
         Verify.jsonStr(shortKey(k)) + ":" + rs.map(
-          _.fold("null")(s => Math.round(s * 1000).toString))
+          _.fold("null")(s => Math.round(s * 100).toString))
           .mkString("[", ",", "]")
       }.mkString(
-        s""","cold_total":$coldTotal,"vs_prev":$vsPrev,"reps":{""",
+        s""","cold_total":$coldTotal,"vs_prev":$vsPrev,"canary":$canaryJson,"reps":{""",
         ",", "}")
     }
     // "stat":"median_of_3" moved off the line at 181 queries (27 B the
-    // sidecars and SCALE.md already state); per-query medians-of-3 in
-    // integer ms is the documented contract of `unit_queries`
-    // "unit_queries":"ms" moved to the sidecar at 185 queries (19 B):
-    // the queries map stays integer MILLISECONDS — the sidecars, the
-    // spec, and SCALE.md all state the unit, and the 3-vs-6-digit
-    // magnitude gap from the seconds total makes misreading loud.
-    // Next sheds if the suite outgrows this: per-query centiseconds
-    // (~1 B/query), then nothing is left but widening the capture
-    val unitQ = if (withReps) """"unit_queries":"ms",""" else ""
+    // sidecars and SCALE.md already state). At 188 queries the planned
+    // centisecond shed landed: per-query values are integer
+    // CENTISECONDS on the line AND in the summary sidecar's
+    // queries/reps — and BECAUSE the unit changed, the line now spends
+    // 11 B on an explicit "uq":"cs" marker (a cross-round reader
+    // comparing against the ms-era BENCH_r14 numbers must see the unit,
+    // not infer it); the sidecar states it as "unit_queries":"cs" and
+    // parseSummaryQueries converts ms-era references on read. Nothing
+    // is left to shed after this but widening the capture
+    val unitQ =
+      if (withReps) """"unit_queries":"cs",""" else """"uq":"cs","""
     def assemble(f: String, sp: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec",$unitQ$f$sp"queries":$qs,"sf":"$sfLabel"$extras}"""
     val line = assemble(failedJson, spreadJson)
@@ -317,7 +396,29 @@ object Bench {
         names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       case None => SparkEntry.queries.toSeq
     }
-    val results = ordered.map { case (name, fn) =>
+    // the in-run canary (SPARK_GRAFT_CANARY=0 disables; =name overrides
+    // the control): one pinned ~0.1 s query re-timed every `stride`
+    // suite queries and once after the last — the series + its
+    // host_windows spans land in the summary sidecar so a sustained
+    // degradation window is machine-identified mid-run, not
+    // adjudicated post-hoc. Warmed once untimed up front (the reading
+    // must measure the host, not one-shot codegen); skipped entirely
+    // for subsets shorter than one stride, whose solo bands shouldn't
+    // carry even the canary's ~0.1 s of extra work.
+    val canaryEnv = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1")
+    val canaryName =
+      if (canaryEnv == "0") "" else
+      if (canaryEnv == "1") "q10_null_counts" else canaryEnv
+    val canaryStride = 15
+    val canaryFn = SparkEntry.queries.get(canaryName)
+      .filter(_ => ordered.length > canaryStride)
+    val canaryReadings = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    canaryFn.foreach(fn => attempt(spark, sfDir, s"$canaryName[warm]", fn))
+    def probeCanary(pos: Int): Unit = canaryFn.foreach { fn =>
+      attempt(spark, sfDir, s"$canaryName[canary]", fn)
+        .foreach(s => canaryReadings += ((pos, s)))
+    }
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val r = name -> benchOne(spark, sfDir, name, fn)
       if (wipeScratch) sys.props.get("graft.scratch").foreach { root =>
         val d = java.nio.file.Paths.get(root)
@@ -328,6 +429,8 @@ object Bench {
           } finally ls.close()
         }
       }
+      if ((i + 1) % canaryStride == 0 || i == ordered.length - 1)
+        probeCanary(i)
       r
     }
     val summary = renderJson(results, sfDir)
@@ -368,7 +471,8 @@ object Bench {
         else Map.empty[String, Long]
       } catch { case _: Exception => Map.empty[String, Long] }
     try java.nio.file.Files.write(summaryPath,
-      (renderJson(results, sfDir, withReps = true, prev = prev) + "\n")
+      (renderJson(results, sfDir, withReps = true, prev = prev,
+        canary = Some((canaryName, canaryReadings.toSeq))) + "\n")
         .getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")

@@ -69,7 +69,7 @@ class HarnessFailureSpec extends SparkSpec {
     assert(!line.contains("\"reps\"")) // per-rep arrays are file-only
     val file = Bench.renderJson(results, "sfX", withReps = true)
     assert(file.contains("\"reps\":{"))
-    assert(file.contains("\"q_stall\":[500,6000,520]"))
+    assert(file.contains("\"q_stall\":[50,600,52]")) // centiseconds
     val full = Bench.renderJsonFull(results, "sfX")
     assert(full.contains("\"reps\":[0.5,6.0,0.52]"))
     assert(full.contains("\"spread_flag\":true"))
@@ -92,15 +92,17 @@ class HarnessFailureSpec extends SparkSpec {
       // no committed median (suite growth): uncovered, not flagged
       "q999_new" -> ((Option(1.0),
         Seq(Some(9.0), Some(9.0), Some(9.0)): Seq[Option[Double]])))
-    val prev = Map("26" -> 460L, "02" -> 100L, "74" -> 80L)
+    // the reference vector is CENTISECONDS (parseSummaryQueries
+    // normalizes ms-era committed files on read)
+    val prev = Map("26" -> 46L, "02" -> 10L, "74" -> 8L)
     assert(Bench.vsPrevOutliers(results, prev) ==
-      Seq(("26", 5170L, 460L)))
+      Seq(("26", 517L, 46L)))
     // sidecar rendering: vs_prev with shared-coverage count; the driver
     // LINE stays untouched (sidecar-only, like the rep arrays)
     val side = Bench.renderJson(results, "sfX", withReps = true,
       prev = prev)
     assert(side.contains(
-      """"vs_prev":{"n_shared":3,"outliers":{"26":[5170,460]}}"""))
+      """"vs_prev":{"n_shared":3,"outliers":{"26":[517,46]}}"""))
     val line = Bench.renderJson(results, "sfX", prev = prev)
     assert(!line.contains("vs_prev"))
     // no committed reference → null, not a zero-outlier object
@@ -108,11 +110,15 @@ class HarnessFailureSpec extends SparkSpec {
       .contains("\"vs_prev\":null"))
     // the reference vector round-trips out of the sidecar's own format
     val parsed = Bench.parseSummaryQueries(side, "sfX")
-    assert(parsed.get("26").contains(5170L) &&
-      parsed.get("02").contains(100L) && parsed.get("999").contains(9000L))
-    // a null median in the committed file drops out of the reference
+    assert(parsed.get("26").contains(517L) &&
+      parsed.get("02").contains(10L) && parsed.get("999").contains(900L))
+    // a null median in the committed file drops out of the reference;
+    // a file WITHOUT the "cs" marker is ms-era and converts /10 on read
     assert(Bench.parseSummaryQueries(
-      """{"queries":{"1":null,"2":42},"sf":"x"}""", "x") == Map("2" -> 42L))
+      """{"queries":{"1":null,"2":42},"sf":"x"}""", "x") == Map("2" -> 4L))
+    assert(Bench.parseSummaryQueries(
+      """{"unit_queries":"cs","queries":{"2":42},"sf":"x"}""", "x")
+      == Map("2" -> 42L))
     // a reference written at a DIFFERENT scale factor is rejected whole
     // — comparing sf0.01 medians to an sf0.1 file would flag the suite
     assert(Bench.parseSummaryQueries(
@@ -123,7 +129,7 @@ class HarnessFailureSpec extends SparkSpec {
     val withDead = results :+ ("q26b_dead" ->
       ((None: Option[Double], Seq.empty[Option[Double]])))
     val side2 = Bench.renderJson(withDead, "sfX", withReps = true,
-      prev = prev + ("26b" -> 100L))
+      prev = prev + ("26b" -> 10L))
     assert(side2.contains("\"n_shared\":3")) // 26b shared but unevaluable
   }
 
@@ -177,11 +183,12 @@ class HarnessFailureSpec extends SparkSpec {
     // (25 B at 181 queries), as does "stat" — absence means empty
     assert(!line.contains("\"failed\"") && !line.contains("\"spread\""))
     assert(!line.contains("\"stat\""))
-    assert(line.contains(":54321")) // integer milliseconds
+    assert(line.contains(":5432")) // integer centiseconds
+    assert(line.contains("\"uq\":\"cs\"")) // the unit rides the line now
     assert(line.contains("\"sf\":\"sf0.1\"")) // basename label, not path
     assert(!line.contains("cold_total")) // sidecar-only field
-    // the ms-unit marker lives in the sidecar now (19 line bytes);
-    // per-query values stay integer milliseconds regardless
+    // the long-form unit marker lives in the sidecar; the line carries
+    // only the short "uq" form asserted above
     assert(!line.contains("unit_queries"))
     // breakage case: failed/spread lists appear, before the queries map
     val broken = fake.updated(0,
@@ -209,7 +216,21 @@ class HarnessFailureSpec extends SparkSpec {
     }
     val sline = Bench.renderJson(stalled, "/root/testdata/sf0.1")
     assert(sline.length < 1925, s"stalled-host line is ${sline.length} B")
-    assert(!sline.contains("\"spread\""))
+    // since the centisecond shed, the r14-shaped stall FITS with its
+    // spread list intact — shedding is now a deeper-stall-only path
+    assert(sline.contains("\"spread\""))
+    // a catastrophic host (EVERY query spread-flagged) inflates the
+    // line with a full-suite spread list — the shed drops it and the
+    // line stays parseable
+    val wrecked = names.map { k =>
+      k -> ((Some(50.0): Option[Double],
+        Seq(Some(0.5), Some(5.0), Some(5.1))
+          .map(x => x: Option[Double])))
+    }
+    val wline = Bench.renderJson(wrecked, "/root/testdata/sf0.1")
+    assert(wline.length < 1925, s"wrecked-host line is ${wline.length} B")
+    assert(!wline.contains("\"spread\""))
+    assert(wline.contains("\"queries\":")) // contract fields never shed
     // the sidecar line (withReps) never sheds
     val sside = Bench.renderJson(stalled.take(5), "/x/sf0.1",
       withReps = true)
@@ -217,10 +238,48 @@ class HarnessFailureSpec extends SparkSpec {
     // the summary sidecar (no capture cap) keeps cold_total + reps
     val side = Bench.renderJson(fake.take(1), "/x/sf0.1", withReps = true)
     assert(side.contains("cold_total") && side.contains("\"reps\":{"))
-    assert(side.contains("\"unit_queries\":\"ms\"")) // unit marker rides here
+    assert(side.contains("\"unit_queries\":\"cs\"")) // unit marker rides here
     // the full sidecar keeps full names + float seconds
     val full = Bench.renderJsonFull(fake.take(1), "sfX")
     assert(full.contains(fake.head._1) && full.contains("54.321098765") &&
       full.contains("\"cold\":12.345678901"))
+  }
+
+  test("canary series turns a sustained window into a query-index span") {
+    // quiet host: readings cluster at the floor -> no spans
+    val quiet = Seq((14, 0.10), (29, 0.12), (44, 0.11), (59, 0.13))
+    assert(Bench.canaryWindows(quiet, 60) == Seq.empty)
+    // one mid-run window lifting two consecutive probes: the span runs
+    // from just after the last clean probe before it through the next
+    // clean probe after (edges can fall anywhere between probes)
+    val midRun = Seq((14, 0.10), (29, 0.55), (44, 0.60), (59, 0.11))
+    assert(Bench.canaryWindows(midRun, 60) == Seq((15, 59)))
+    // a window still open at run end extends to the last query index
+    val trailing = Seq((14, 0.10), (29, 0.11), (44, 0.70))
+    assert(Bench.canaryWindows(trailing, 52) == Seq((30, 52)))
+    // a window already open at run start begins at query 0
+    val leading = Seq((14, 0.48), (29, 0.10), (44, 0.11))
+    assert(Bench.canaryWindows(leading, 60) == Seq((0, 29)))
+    // sub-threshold wobble (2.5x but under the 0.3 s absolute floor)
+    // never flags — scheduler jitter on a ~0.1 s control
+    assert(Bench.canaryWindows(
+      Seq((14, 0.10), (29, 0.28), (44, 0.11)), 60) == Seq.empty)
+    // the sidecar carries the series + spans under "canary"; the driver
+    // line (withReps = false) never does
+    val fake2 = Seq("q01_x" ->
+      ((Some(1.0): Option[Double], Seq.fill(3)(Some(0.5): Option[Double]))))
+    val side = Bench.renderJson(fake2, "/x/sf0.1", withReps = true,
+      canary = Some(("q10_null_counts", Seq((14, 0.1), (29, 0.55),
+        (44, 0.6), (59, 0.1)))))
+    assert(side.contains("\"canary\":{\"name\":\"q10_null_counts\"") &&
+      side.contains("\"host_windows\":[[15,59]]") &&
+      side.contains("\"positions\":[14,29,44,59]") &&
+      side.contains("\"ms\":[100,550,600,100]"))
+    val line = Bench.renderJson(fake2, "/x/sf0.1")
+    assert(!line.contains("canary"))
+    // an empty series (subset run, no probes) reports null, not []
+    val noProbe = Bench.renderJson(fake2, "/x/sf0.1", withReps = true,
+      canary = Some(("q10_null_counts", Seq.empty)))
+    assert(noProbe.contains("\"canary\":null"))
   }
 }
