@@ -2822,6 +2822,28 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // the multimodal dedup arc CLOSED: q186's perceptual-hash pairs
+    // through the large-star/small-star connected components (the q78
+    // machinery, modality-agnostic by construction) to the standard
+    // keep-one-per-cluster decision — min asset id is the canonical
+    // copy, every other cluster member drops. The twin re-derives the
+    // pairs brute-force and walks the SAME reachability as q78's
+    // recursive CTE, so both the cluster STRUCTURE and the keep rule
+    // are gated cross-engine.
+    "q189_image_dedup_clusters" -> ((s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      val assets = Multimodal.fromDocuments(
+        t(s, dir, "documents").select("doc_id", "text", "source"))
+      val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3,
+        dim = 32, bands = 4)
+      Dedup.nearDupClusters(
+          assets.select(col("asset_id").as("doc_id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("doc_id").as("asset_id"), col("root"),
+          (col("doc_id") === col("root")).as("keep"))
+        .orderBy("asset_id")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -7116,6 +7138,43 @@ object SparkEntry {
            |  md5(string_agg(md5(dec), ' ' ORDER BY doc_id)) AS segs_md5
            |FROM qpk GROUP BY lang, pack_id
            |ORDER BY lang, pack_id""".stripMargin,
+
+      // q189: q186's brute-forced pair set walked to connected
+      // components by the same recursive reachability as q78's twin;
+      // keep = the cluster-min rule stated directly
+      "q189_image_dedup_clusters" ->
+        """WITH RECURSIVE b AS (SELECT doc_id AS asset_id,
+          |    encode(text) AS payload FROM documents),
+          |lv AS (SELECT asset_id, UNNEST(list_transform(
+          |    range(1, octet_length(payload) + 1),
+          |    i -> {'l': (i - 1) % 32,
+          |          'v': ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT}))
+          |    AS s
+          |  FROM b),
+          |lanes AS (SELECT asset_id, s.l AS lane, SUM(s.v) AS v
+          |  FROM lv GROUP BY 1, 2),
+          |dense AS (SELECT b.asset_id, r.lane, COALESCE(l.v, 0) AS v
+          |  FROM b CROSS JOIN (SELECT UNNEST(range(0, 32)) AS lane) r
+          |  LEFT JOIN lanes l
+          |    ON l.asset_id = b.asset_id AND l.lane = r.lane),
+          |tot AS (SELECT asset_id, SUM(v) AS tot FROM dense GROUP BY 1),
+          |ah AS (SELECT d.asset_id,
+          |    CAST(SUM(CASE WHEN d.v * 32 > t.tot
+          |      THEN (CAST(1 AS BIGINT) << d.lane) ELSE 0 END) AS BIGINT)
+          |      AS h
+          |  FROM dense d JOIN tot t USING (asset_id) GROUP BY 1),
+          |cand AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b
+          |  FROM ah x JOIN ah y ON x.asset_id < y.asset_id
+          |  WHERE bit_count(xor(x.h, y.h)) <= 3),
+          |e AS (SELECT id_a AS a, id_b AS bb FROM cand
+          |  UNION SELECT id_b, id_a FROM cand),
+          |reach(src, dst) AS (
+          |  SELECT asset_id, asset_id FROM b
+          |  UNION
+          |  SELECT r.src, e.bb FROM reach r JOIN e ON r.dst = e.a)
+          |SELECT src AS asset_id, min(dst) AS root,
+          |  (src = min(dst)) AS keep
+          |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's
