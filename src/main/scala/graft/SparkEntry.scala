@@ -2581,6 +2581,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q178's frequent-line strip as a STREAM: a per-line distinct-doc
+    // COUNT index absorbs each micro-batch (counts add — globally
+    // unique ids make per-batch distinct sets disjoint), and a line
+    // strips from the batch being processed iff its CUMULATIVE count
+    // reaches minDocs. Arrival-order semantics gated cross-engine: a
+    // line crossing the threshold only once batch 2 arrives strips
+    // from batch-2 docs while batch-1 copies stand (a stream cannot
+    // retract; the batch operator is the retroactive form) — the twin
+    // states exactly that two-regime rule off the parity split.
+    "q190_stream_line_strip" -> ((s, dir) => {
+      val root = scratch("graft_slstrip_")
+      val lined = linedDocs(s, dir)
+      val (src, schema) = parityBacklog(s, root, lined)
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingLineStrip.runAvailableNow(
+          s, src, schema, s"$root/state", s"$root/ckpt", minDocs = 3)
+      }
+      val (cleaned, _, _) = graft.streaming.StreamingLineStrip
+        .readState(s, s"$root/state")
+      cleaned.select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"),
+          col("batch"))
+        .orderBy("doc_id")
+    }),
+
     // the unigram-LM (SentencePiece) member of the tokenizer family —
     // the third inference rule after greedy MaxMatch (q137) and
     // rank-ordered merges (q143): a frequency-seeded substring piece
@@ -6834,6 +6862,46 @@ object SparkEntry {
            |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
            |    count(*) AS nk
            |  FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5,
+           |  CAST(CASE WHEN d2.doc_id % 2 = 0 THEN 1 ELSE 2 END
+           |    AS BIGINT) AS batch
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      // q190: the streamed strip's two-regime rule stated directly —
+      // an even (batch-1) doc loses a line iff batch 1 ALONE has it in
+      // ≥ minDocs distinct docs; an odd (batch-2) doc iff the WHOLE
+      // corpus does (cumulative count at its batch). Batch-1 copies of
+      // a line that only crosses in batch 2 stand — the no-retraction
+      // contract, gated
+      "q190_stream_line_strip" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |c1 AS (SELECT line, count(DISTINCT doc_id) AS n FROM lnb
+           |  WHERE doc_id % 2 = 0 GROUP BY 1),
+           |ct AS (SELECT line, count(DISTINCT doc_id) AS n FROM lnb
+           |  GROUP BY 1),
+           |keepl AS (SELECT l.doc_id, l.lpos, l.line FROM lnb l
+           |  LEFT JOIN c1 ON c1.line = l.line
+           |  LEFT JOIN ct ON ct.line = l.line
+           |  WHERE (CASE WHEN l.doc_id % 2 = 0
+           |    THEN COALESCE(c1.n, 0) ELSE ct.n END) < 3),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM keepl GROUP BY doc_id)
            |SELECT d2.doc_id,
            |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
            |  md5(COALESCE(r.clean, '')) AS clean_md5,

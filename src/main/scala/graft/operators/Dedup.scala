@@ -165,6 +165,65 @@ object Dedup {
     (cleaned, fresh.select("line").distinct())
   }
 
+  /** Incremental [[stripFrequentLines]] — the frequent-line counterpart
+    * of [[lineIndexAddBatch]]: a persistent per-line distinct-doc COUNT
+    * index absorbs arriving batches. Doc ids are globally unique (each
+    * doc arrives in exactly one batch), so per-batch distinct counts ADD
+    * across batches; a batch line strips from the batch's docs iff its
+    * CUMULATIVE count — everything seen so far INCLUDING this batch —
+    * reaches `minDocs`. Arrival-order semantics, stated plainly: a line
+    * crossing the threshold in batch k strips from batch-k-and-later
+    * docs; copies already emitted in earlier batches stand (a stream
+    * cannot retract — a deployment re-runs the batch
+    * [[stripFrequentLines]] over the accumulated corpus when it wants
+    * the retroactive form, exactly like any other lakehouse OPTIMIZE).
+    *
+    * Returns (cleaned, countDelta): the batch's docs with
+    * newly-frequent lines removed, and the batch's per-line distinct-doc
+    * counts — the APPEND-ONLY state delta (the live index is the
+    * per-line SUM of deltas; compaction folds the log, the family
+    * pattern). Per-batch work is O(batch lines + index probe): the
+    * frequent set for a batch is lines IN the batch whose old+delta
+    * count crosses the threshold — a batch-sized join against the
+    * count index, never a corpus rescan.
+    */
+  def lineCountAddBatch(counts: DataFrame, batch: DataFrame, minDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): (DataFrame, DataFrame) = {
+    require(minDocs >= 2, "lineCountAddBatch needs minDocs >= 2 — " +
+      "at 1 it would empty the corpus")
+    val lines = batch.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    // the batch's own distinct-doc count per line — both the state
+    // delta and one side of the threshold test; materialized once
+    val delta = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .localCheckpoint()
+    // a line historically frequent but ABSENT from this batch strips
+    // nothing here, so only batch lines need the old count: a
+    // delta-sized probe join, and old ≥ minDocs alone still crosses
+    // (old + delta ≥ old)
+    val frequent = delta
+      .join(counts.select(col("line"), col("n_docs").as("__old")),
+        Seq("line"), "left")
+      .where(coalesce(col("__old"), lit(0L)) + col("n_docs") >= minDocs)
+      .select("line")
+    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as("__clean"))
+    val cleaned = batch
+      .select(col(idCol), col(textCol).isNotNull.as("__had"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__had"), coalesce(col("__clean"), lit("")))
+          .otherwise(lit(null).cast("string")).as(textCol))
+    (cleaned, delta)
+  }
+
   /** The companion boilerplate STRIP: remove every copy of any line
     * that appears in at least `minDocs` distinct documents (CCNet's
     * dedup mode for shared chrome — when a line is on three pages it
