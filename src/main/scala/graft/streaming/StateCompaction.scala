@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared compaction machinery for the marker-committed append-only
+  * state logs (the [[StreamingDedupIndex]] discipline, reused by the
+  * line family): live state = committed snapshot (if any) + deltas
+  * after it, up to `_current`; [[compact]] folds the log into one
+  * snapshot and commits `_compacted` LAST (atomic rename — a crash
+  * mid-compaction leaves an orphan snapshot readers never see);
+  * [[vacuum]] deletes what the snapshot covers. Run both between
+  * batches, like any lakehouse OPTIMIZE. A `fold` lets a sub-state
+  * compact to its SEMANTIC fold rather than a row union — the
+  * frequent-line count log sums per line, so its snapshot is
+  * index-sized, not log-sized.
+  */
+private[streaming] object StateCompaction {
+
+  /** Union one sub-state's committed snapshot + post-snapshot deltas at
+    * state version `v` (callers read `v` off the `_current` marker).
+    */
+  def readSub(spark: SparkSession, stateRoot: String, sub: String,
+      v: Long): DataFrame = {
+    val c = StreamingDedupIndex.marker(stateRoot, "_compacted")
+      .getOrElse(0L).min(v)
+    val snap = if (c >= 1) Seq(s"$stateRoot/snapshot/s$c/$sub") else Seq.empty
+    val deltas = ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
+    (snap ++ deltas).map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Fold the committed log into `snapshot/s<v>` for every sub-state,
+    * applying each sub's `fold` (identity when absent), then commit
+    * `_compacted = v` LAST. No-op when already compacted at the head
+    * version (re-running would overwrite the snapshot being read).
+    */
+  def compact(spark: SparkSession, stateRoot: String, subs: Seq[String],
+      fold: Map[String, DataFrame => DataFrame] = Map.empty): Unit = {
+    val v = StreamingDedupIndex.marker(stateRoot, "_current").getOrElse(0L)
+    if (v < 1 ||
+        StreamingDedupIndex.marker(stateRoot, "_compacted").contains(v))
+      return
+    subs.foreach { sub =>
+      val folded = fold.getOrElse(sub, identity[DataFrame] _)(
+        readSub(spark, stateRoot, sub, v))
+      folded.write.mode("overwrite").parquet(s"$stateRoot/snapshot/s$v/$sub")
+    }
+    StreamingDedupIndex.commitMarker(stateRoot, "_compacted", v)
+  }
+
+  /** Delete delta directories the committed snapshot covers and
+    * superseded older snapshots — destructive, schedule AFTER
+    * [[compact]]'s marker landed; ≤ `_compacted` is never still read.
+    */
+  def vacuum(stateRoot: String): Unit = {
+    val c = StreamingDedupIndex.marker(stateRoot, "_compacted").getOrElse(0L)
+    (1L to c).foreach { i =>
+      graft.store.UpsertWriter.deleteRecursively(
+        java.nio.file.Paths.get(s"$stateRoot/delta/d$i"))
+    }
+    val snapRoot = java.nio.file.Paths.get(s"$stateRoot/snapshot")
+    if (java.nio.file.Files.isDirectory(snapRoot)) {
+      val ls = java.nio.file.Files.list(snapRoot)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < c)
+          graft.store.UpsertWriter.deleteRecursively(p)
+      } finally ls.close()
+    }
+  }
+}

@@ -39,9 +39,10 @@ object StreamingLineDedup {
       StructField(textCol, StringType), StructField("batch", LongType))),
     StructType(Seq(StructField("line", StringType))))
 
-  /** Read the live cleaned/line-index state — deltas 1..`_current`.
-    * Orphans past the marker are invisible; empty frames before the
-    * first commit.
+  /** Read the live cleaned/line-index state — the committed snapshot
+    * (if one exists) plus deltas after it, up to `_current`. Orphans
+    * past either marker are invisible; empty frames before the first
+    * commit.
     */
   def readState(spark: SparkSession, stateRoot: String,
       idCol: String = "doc_id", textCol: String = "text")
@@ -49,10 +50,8 @@ object StreamingLineDedup {
     val (cleanSchema, lineSchema) = stateSchemas(idCol, textCol)
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        def union(sub: String): DataFrame =
-          (1L to v).map(i => spark.read.parquet(s"$stateRoot/delta/d$i/$sub"))
-            .reduce(_ unionByName _)
-        (union("cleaned"), union("lines"), v)
+        (StateCompaction.readSub(spark, stateRoot, "cleaned", v),
+          StateCompaction.readSub(spark, stateRoot, "lines", v), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], cleanSchema),
@@ -60,6 +59,16 @@ object StreamingLineDedup {
           .emptyRDD[org.apache.spark.sql.Row], lineSchema), 0L)
     }
   }
+
+  /** Fold the committed log into one snapshot ([[StateCompaction]]'s
+    * marker discipline) so [[readState]] stops unioning an ever-growing
+    * delta list; [[vacuum]] deletes what the snapshot covers. Run
+    * between batches, like any lakehouse OPTIMIZE.
+    */
+  def compact(spark: SparkSession, stateRoot: String): Unit =
+    StateCompaction.compact(spark, stateRoot, Seq("cleaned", "lines"))
+
+  def vacuum(stateRoot: String): Unit = StateCompaction.vacuum(stateRoot)
 
   /** Replay a parquet backlog with AvailableNow, one file per
     * micro-batch by default. After the run, [[readState]] yields the

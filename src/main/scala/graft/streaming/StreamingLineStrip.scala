@@ -31,9 +31,11 @@ object StreamingLineStrip {
     StructType(Seq(StructField("line", StringType),
       StructField("n_docs", LongType))))
 
-  /** Read the live cleaned/count state — deltas 1..`_current`, counts
-    * summed per line (the append-only log's fold). Empty frames before
-    * the first commit.
+  /** Read the live cleaned/count state — the committed snapshot (if
+    * one exists) plus deltas after it, counts summed per line (the
+    * append-only log's fold; the count snapshot is ALREADY folded, and
+    * summing is associative, so snapshot + deltas re-fold correctly).
+    * Empty frames before the first commit.
     */
   def readState(spark: SparkSession, stateRoot: String,
       idCol: String = "doc_id", textCol: String = "text")
@@ -41,12 +43,9 @@ object StreamingLineStrip {
     val (cleanSchema, countSchema) = stateSchemas(idCol, textCol)
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        def union(sub: String): DataFrame =
-          (1L to v).map(i => spark.read.parquet(s"$stateRoot/delta/d$i/$sub"))
-            .reduce(_ unionByName _)
-        (union("cleaned"),
-          union("counts").groupBy("line")
-            .agg(sum(col("n_docs")).as("n_docs")), v)
+        (StateCompaction.readSub(spark, stateRoot, "cleaned", v),
+          StateCompaction.readSub(spark, stateRoot, "counts", v)
+            .groupBy("line").agg(sum(col("n_docs")).as("n_docs")), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], cleanSchema),
@@ -54,6 +53,18 @@ object StreamingLineStrip {
           .emptyRDD[org.apache.spark.sql.Row], countSchema), 0L)
     }
   }
+
+  /** Fold the committed log into one snapshot — the count sub-state
+    * compacts to its SEMANTIC fold (per-line sums), so the snapshot is
+    * index-sized rather than log-sized; [[vacuum]] deletes what the
+    * snapshot covers. Run between batches, like any lakehouse OPTIMIZE.
+    */
+  def compact(spark: SparkSession, stateRoot: String): Unit =
+    StateCompaction.compact(spark, stateRoot, Seq("cleaned", "counts"),
+      fold = Map("counts" -> ((d: DataFrame) =>
+        d.groupBy("line").agg(sum(col("n_docs")).as("n_docs")))))
+
+  def vacuum(stateRoot: String): Unit = StateCompaction.vacuum(stateRoot)
 
   /** Replay a parquet backlog with AvailableNow, one file per
     * micro-batch by default. After the run, [[readState]] yields the

@@ -77,6 +77,22 @@ class StreamingLineDedupSpec extends SparkSpec {
     assert(cleaned(s"$root/state") == first)
   }
 
+  test("compact + vacuum preserve the line-index state") {
+    val root = Files.createTempDirectory("graft_sld4_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingLineDedup.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt")
+    val before = cleaned(s"$root/state")
+    StreamingLineDedup.compact(spark, s"$root/state")
+    StreamingLineDedup.vacuum(s"$root/state")
+    assert(!Files.isDirectory(Paths.get(s"$root/state/delta/d1")))
+    assert(cleaned(s"$root/state") == before)
+    val (_, lines, v) = StreamingLineDedup.readState(spark, s"$root/state")
+    assert(v == 2L && lines.as[String].collect().toSet == Set(
+      "alpha one", "beta two", "gamma three", "delta four"))
+  }
+
   test("readState trusts the marker: an orphan delta is invisible") {
     val root = Files.createTempDirectory("graft_sld3_").toString
     val src = writeBacklog(root)

@@ -84,6 +84,44 @@ class StreamingLineStripSpec extends SparkSpec {
     assert(counts.as[(String, Long)].collect().toMap.apply(chrome) == 3L)
   }
 
+  test("compact folds the count log per line; vacuum spares the state") {
+    val root = Files.createTempDirectory("graft_sls4_").toString
+    val src = writeBacklog(root)
+    val schema = spark.read.parquet(src).schema
+    StreamingLineStrip.runAvailableNow(spark, src, schema,
+      s"$root/state", s"$root/ckpt", minDocs = 3)
+    val before = cleaned(s"$root/state")
+    val (_, countsBefore, _) =
+      StreamingLineStrip.readState(spark, s"$root/state")
+    val cb = countsBefore.as[(String, Long)].collect().toMap
+    StreamingLineStrip.compact(spark, s"$root/state")
+    StreamingLineStrip.vacuum(s"$root/state")
+    // deltas are gone, the snapshot serves reads, state is identical —
+    // and the count snapshot is the SEMANTIC fold (one row per line)
+    assert(!Files.isDirectory(Paths.get(s"$root/state/delta/d1")))
+    assert(cleaned(s"$root/state") == before)
+    val (_, countsAfter, _) =
+      StreamingLineStrip.readState(spark, s"$root/state")
+    assert(countsAfter.as[(String, Long)].collect().toMap == cb)
+    val snapRows = spark.read
+      .parquet(s"$root/state/snapshot/s2/counts").count()
+    assert(snapRows == cb.size)
+    // a compacted stream keeps absorbing batches: chrome is frequent
+    // now, so a late doc carrying it arrives pre-stripped
+    val late = s"$root/late"
+    Files.createDirectories(Paths.get(late))
+    Seq((7L, s"$chrome\nlate body")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/stage_late")
+    val ls = Files.list(Paths.get(s"$root/stage_late"))
+    val part = try ls.filter(p => p.getFileName.toString.startsWith("part-")
+        && p.toString.endsWith(".parquet")).findFirst.get
+      finally ls.close()
+    Files.copy(part, Paths.get(late, "c_b3.parquet"))
+    StreamingLineStrip.runAvailableNow(spark, late, schema,
+      s"$root/state", s"$root/ckpt_late", minDocs = 3)
+    assert(cleaned(s"$root/state")(7L) == (("late body", 3L)))
+  }
+
   test("readState trusts the marker: an orphan delta is invisible") {
     val root = Files.createTempDirectory("graft_sls3_").toString
     val src = writeBacklog(root)
