@@ -2872,6 +2872,20 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // frame-level STORAGE dedup — fixed-size chunking over the opaque
+    // payloads (the dedup-filesystem design): 64-byte frames keyed by
+    // content digest, canonical copy = corpus-global minimum packed
+    // (asset ‖ frame) occurrence, ownership joined back on the 8-byte
+    // pack (the line-dedup plan shape). Per asset: frames, canonical
+    // copies it holds, duplicate occurrences, reclaimable bytes. The
+    // twin re-cuts the frames hex-exactly and restates ownership.
+    "q191_frame_storage_dedup" -> ((s, dir) =>
+      graft.operators.Multimodal.frameDedupStats(
+          graft.operators.Multimodal.fromDocuments(
+            t(s, dir, "documents").select("doc_id", "text", "source")),
+          frameBytes = 64)
+        .orderBy("asset_id")),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -7243,6 +7257,41 @@ object SparkEntry {
           |SELECT src AS asset_id, min(dst) AS root,
           |  (src = min(dst)) AS keep
           |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin,
+
+      // q191: frames re-cut from the hex payload (frame i = hex chars
+      // [i·128+1, 128], byte length = hex length / 2), digest-keyed
+      // ownership by the same packed-min rule
+      "q191_frame_storage_dedup" ->
+        """WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+          |  FROM documents),
+          |fr0 AS (SELECT asset_id, UNNEST(list_transform(
+          |    range((octet_length(payload) + 63) // 64),
+          |    i -> {'idx': i,
+          |          'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+          |    AS s
+          |  FROM b WHERE octet_length(payload) > 0),
+          |fr AS (SELECT asset_id, s.idx AS frame_idx, md5(s.h) AS k,
+          |    CAST(length(s.h) // 2 AS BIGINT) AS fb FROM fr0),
+          |own AS (SELECT k, min(asset_id * 16777216 + frame_idx) AS o
+          |  FROM fr GROUP BY 1),
+          |occ AS (SELECT f.asset_id, f.fb,
+          |    (f.asset_id * 16777216 + f.frame_idx = o.o) AS canon
+          |  FROM fr f JOIN own o USING (k)),
+          |per AS (SELECT asset_id,
+          |    CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(count(*) FILTER (WHERE canon) AS BIGINT) AS own_frames,
+          |    CAST(count(*) FILTER (WHERE NOT canon) AS BIGINT)
+          |      AS dup_frames,
+          |    CAST(COALESCE(sum(fb) FILTER (WHERE NOT canon), 0) AS BIGINT)
+          |      AS dup_bytes
+          |  FROM occ GROUP BY 1)
+          |SELECT b.asset_id,
+          |  CAST(COALESCE(p.n_frames, 0) AS BIGINT) AS n_frames,
+          |  CAST(COALESCE(p.own_frames, 0) AS BIGINT) AS own_frames,
+          |  CAST(COALESCE(p.dup_frames, 0) AS BIGINT) AS dup_frames,
+          |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
+          |FROM b LEFT JOIN per p USING (asset_id)
+          |ORDER BY asset_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

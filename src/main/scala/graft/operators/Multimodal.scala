@@ -197,6 +197,58 @@ object Multimodal {
       "asset_id", "phash", nBits, bands, maxHamming)
   }
 
+  /** Frame-level STORAGE dedup across assets — fixed-size chunking
+    * (the classic dedup-store design: cut payloads into fixed blocks,
+    * key each block by a content digest, store one canonical copy per
+    * distinct block — public knowledge from every dedup filesystem /
+    * object store). Each payload cuts into `frameBytes` frames
+    * ([[frameSample]] at everyN = 1, so the cut IS the storage layout);
+    * a frame's canonical copy is its corpus-global minimum occurrence
+    * under the packed (asset_id ‖ frame_idx) order — the line-dedup
+    * packing trick, so the ownership aggregate is a codegen'd
+    * HashAggregate min over one long and the ownership join ships 8
+    * bytes per occurrence, never the digest string. Returns one row
+    * per asset: total frames, frames it canonically owns, duplicate
+    * occurrences, and the bytes dedup would reclaim from it.
+    *
+    * Scale shape: one digest pass (no payload byte leaves its
+    * partition), one shuffle on the digest for ownership, one 8-byte
+    * join back, one per-asset aggregate. Assets with empty/null
+    * payloads report zeros.
+    */
+  def frameDedupStats(assets: DataFrame, frameBytes: Int): DataFrame = {
+    val keyed = frameSample(assets, frameBytes, everyN = 1)
+      .select(col("asset_id"), col("frame_idx"),
+        octet_length(col("frame")).cast(LongType).as("__fb"),
+        md5(lower(hex(col("frame")))).as("__k"))
+      .withColumn("__o", {
+        val id = col("asset_id").cast(LongType)
+        when(id.isNull || id < 0 || id >= lit(1L << 39) ||
+            col("frame_idx") >= lit(1 << 24),
+          raise_error(lit("frameDedupStats: occurrence outside the " +
+            "packable range (numeric asset id in [0, 2^39), frame idx " +
+            "< 2^24)")).cast(LongType))
+          .otherwise(shiftleft(id, 24) + col("frame_idx"))
+      })
+    val owners = keyed.groupBy("__k").agg(min(col("__o")).as("__own"))
+      .select("__own")
+    val occ = keyed
+      .join(owners, keyed("__o") === owners("__own"), "left")
+    val per = occ.groupBy("asset_id").agg(
+      count(lit(1)).as("n_frames"),
+      sum(when(col("__own").isNotNull, 1L).otherwise(0L)).as("own_frames"),
+      sum(when(col("__own").isNull, 1L).otherwise(0L)).as("dup_frames"),
+      sum(when(col("__own").isNull, col("__fb")).otherwise(0L))
+        .as("dup_bytes"))
+    assets.select(col("asset_id"))
+      .join(per, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("own_frames"), lit(0L)).as("own_frames"),
+        coalesce(col("dup_frames"), lit(0L)).as("dup_frames"),
+        coalesce(col("dup_bytes"), lit(0L)).as("dup_bytes"))
+  }
+
   /** Metadata-only projection — must prune the payload column at the scan
     * (verified in tests via the physical plan's ReadSchema).
     */

@@ -85,6 +85,33 @@ class MultimodalSpec extends SparkSpec {
     assert(dpairs.contains((1L, 4L)))
   }
 
+  test("frameDedupStats: ownership by packed minimum, within and across " +
+      "assets; empty payloads report zeros") {
+    val assets = Multimodal.fromDocuments(Seq(
+      (1L, "abcdwxyz", "web"), // frames abcd, wxyz — owns both
+      (2L, "abcdqqqq", "web"), // abcd deduped to asset 1; qqqq owned
+      (3L, "", "web"),         // no frames
+      (4L, "zzzzzzzz", "web")) // zzzz twice: within-asset dedup
+      .toDF("doc_id", "text", "source"))
+    val got = Multimodal.frameDedupStats(assets, frameBytes = 4)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 0L, 0L),
+      (2L, 2L, 1L, 1L, 4L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 2L, 1L, 1L, 4L)))
+    // a short tail frame dedups against an identical short tail only
+    val tails = Multimodal.fromDocuments(Seq(
+      (5L, "abcdef", "web"), (6L, "qqqqef", "web")) // tails "ef" match
+      .toDF("doc_id", "text", "source"))
+    val t = Multimodal.frameDedupStats(tails, frameBytes = 4)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(t == Seq((5L, 0L, 0L), (6L, 1L, 2L))) // 2-byte tail reclaimed
+  }
+
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
     val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
     assert(resized.schema == Multimodal.fromDocuments(docs).schema)
