@@ -467,6 +467,34 @@ object ScaleSmoke {
               .collect()(0).getLong(0) + newIdx.count()
           }
         }),
+        // q190's operator at scale: same fixture split as line_index_add
+        // (even half = the committed count index, odd half = one batch);
+        // timed region = the batch's distinct-count aggregate, the
+        // delta-sized probe join against the index, the strip/reassembly,
+        // and the count delta — O(batch + probe) like the index add, with
+        // a probe JOIN in place of its anti-join
+        "line_strip_add" -> (() => {
+          val toks = TextFunctions.tokens(col("text"))
+          val chunks = transform(
+            sequence(lit(0),
+              floor((size(toks) + lit(9)) / lit(10)).cast("int") - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+          val lined = amp.where(col("text").isNotNull && size(toks) > 0)
+            .select(col("doc_id"), array_join(chunks, "\n").as("text"))
+          val counts = lined.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id"),
+              explode(split(col("text"), "\n")).as("line"))
+            .groupBy("line").agg(count(lit(1)).as("n_docs"))
+            .localCheckpoint(true)
+          val batch = lined.where(col("doc_id") % 2 === 1)
+            .localCheckpoint(true)
+          () => {
+            val (cleaned, delta) = Dedup.lineCountAddBatch(
+              counts, batch, minDocs = 3)
+            cleaned.agg(sum(length(col("text"))).cast("long").as("n"))
+              .collect()(0).getLong(0) + delta.count()
+          }
+        }),
         "stream_pack" -> (() => {
           // q153's operator: the amplified corpus becomes a 4-file
           // id-range backlog (setup, untimed); the timed region is the
