@@ -481,10 +481,15 @@ object ScaleSmoke {
             i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
           val lined = amp.where(col("text").isNotNull && size(toks) > 0)
             .select(col("doc_id"), array_join(chunks, "\n").as("text"))
+          // countDistinct(doc_id), not count(1): the lineCountAddBatch
+          // state contract is per-line DISTINCT-doc counts — a doc
+          // repeating the same 10-token chunk must count once, or the
+          // seeded index's threshold crossings drift from the operator's
+          // real semantics
           val counts = lined.where(col("doc_id") % 2 === 0)
             .select(col("doc_id"),
               explode(split(col("text"), "\n")).as("line"))
-            .groupBy("line").agg(count(lit(1)).as("n_docs"))
+            .groupBy("line").agg(countDistinct(col("doc_id")).as("n_docs"))
             .localCheckpoint(true)
           val batch = lined.where(col("doc_id") % 2 === 1)
             .localCheckpoint(true)

@@ -63,7 +63,10 @@ object Multimodal {
     * round-trip — is the real contract.
     */
   object StubDecoder extends Serializable {
-    def decodeBatch(rows: Iterator[Row], dim: Int): Iterator[Row] =
+    /** The exact integer lane accumulators — the source of truth both
+      * decode surfaces share.
+      */
+    def decodeLaneBatch(rows: Iterator[Row], dim: Int): Iterator[Row] =
       rows.map { r =>
         val id = r.getLong(r.fieldIndex("asset_id"))
         val bytes = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty)
@@ -73,8 +76,12 @@ object Multimodal {
           lanes(i % dim) += (bytes(i) & 0xff)
           i += 1
         }
-        Row(id, lanes.map(_.toFloat).toSeq)
+        Row(id, lanes.toSeq)
       }
+
+    def decodeBatch(rows: Iterator[Row], dim: Int): Iterator[Row] =
+      decodeLaneBatch(rows, dim).map(r =>
+        Row(r.getLong(0), r.getAs[Seq[Long]](1).map(_.toFloat)))
   }
 
   /** Decode assets to features via mapPartitions (partition-local batches,
@@ -85,6 +92,26 @@ object Multimodal {
     val encoder = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "payload")
       .mapPartitions(rows => StubDecoder.decodeBatch(rows, dim))(encoder)
+  }
+
+  /** Integer-exact decoded lanes — [[StubDecoder]]'s Long accumulators
+    * WITHOUT the trip through [[featureSchema]]'s Float element type. The
+    * perceptual-hash path must compare exact integers: a Float lane holds
+    * 24 mantissa bits, so a lane sum past 2²⁴ (≈ a 4–8 MB payload at
+    * dim=32) would round, and a rounded lane can flip an aHash/dHash bit
+    * against the DuckDB twin's exact arithmetic. A real decoder slots in
+    * here by quantizing its grayscale cells to integers (the standard
+    * pHash pipelines hash 8-bit cells anyway).
+    */
+  val laneSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("lane", ArrayType(LongType, containsNull = false)),
+  ))
+
+  def decodeLanes(assets: DataFrame, dim: Int): DataFrame = {
+    val encoder = RowEncoder.encoderFor(laneSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions(rows => StubDecoder.decodeLaneBatch(rows, dim))(encoder)
   }
 
   /** Resize assets to at most `targetBytes` of payload via mapPartitions —
@@ -149,9 +176,12 @@ object Multimodal {
     *  - `dhash`: bit j set iff lane j > lane j+1 (horizontal gradient
     *    sign). `dim − 1` bits.
     *
-    * Lane sums are exact integers (see [[StubDecoder]]), so both hashes
-    * are deterministic pure arithmetic — one narrow pass after decode,
-    * no shuffle, no payload byte leaves its partition. Returns
+    * Lane sums are exact integers end-to-end — the hash path rides
+    * [[decodeLanes]]'s Long lanes, never [[featureSchema]]'s Float
+    * representation (whose 24-bit mantissa would round lane sums on
+    * multi-MB payloads and could flip a bit vs the twin) — so both
+    * hashes are deterministic pure arithmetic: one narrow pass after
+    * decode, no shuffle, no payload byte leaves its partition. Returns
     * (asset_id, phash). Null payloads hash the empty lane vector
     * (phash 0), same contract as decode.
     */
@@ -160,9 +190,8 @@ object Multimodal {
     require(dim >= 2 && dim <= 62, "perceptual hash needs 2..62 lanes")
     require(kind == "ahash" || kind == "dhash",
       s"unknown perceptual hash kind '$kind' (ahash | dhash)")
-    val lanes = decodeFeatures(assets, dim)
-      .select(col("asset_id"),
-        transform(col("feature"), x => x.cast(LongType)).as("__l"))
+    val lanes = decodeLanes(assets, dim)
+      .select(col("asset_id"), col("lane").as("__l"))
     // bit positions are compile-time constants, so the hash unrolls into
     // one flat codegen'd expression — element_at on ArrayData is O(1)
     // indexed access. Σ lanes rides its OWN projection: CollapseProject
@@ -205,16 +234,21 @@ object Multimodal {
     * ([[frameSample]] at everyN = 1, so the cut IS the storage layout);
     * a frame's canonical copy is its corpus-global minimum occurrence
     * under the packed (asset_id ‖ frame_idx) order — the line-dedup
-    * packing trick, so the ownership aggregate is a codegen'd
-    * HashAggregate min over one long and the ownership join ships 8
-    * bytes per occurrence, never the digest string. Returns one row
-    * per asset: total frames, frames it canonically owns, duplicate
-    * occurrences, and the bytes dedup would reclaim from it.
+    * packing trick, so ownership resolves as a plain `min` over one
+    * long INSIDE the digest exchange (a window min partitioned by the
+    * digest: the comparison never leaves the digest group, so a packed
+    * value colliding across DIFFERENT digests — e.g. duplicate asset
+    * ids — can neither mark a wrong row canonical nor multiply rows,
+    * the hazard the earlier join-back-on-the-pack form carried).
+    * Returns one row per asset: total frames, frames it canonically
+    * owns, duplicate occurrences, and the bytes dedup would reclaim
+    * from it.
     *
     * Scale shape: one digest pass (no payload byte leaves its
-    * partition), one shuffle on the digest for ownership, one 8-byte
-    * join back, one per-asset aggregate. Assets with empty/null
-    * payloads report zeros.
+    * partition), ONE corpus-scale exchange — the digest shuffle, whose
+    * sort-within-partition the window pays in place of the old
+    * join-back exchange — then one per-asset aggregate. Assets with
+    * empty/null payloads report zeros.
     */
   def frameDedupStats(assets: DataFrame, frameBytes: Int): DataFrame = {
     val keyed = frameSample(assets, frameBytes, everyN = 1)
@@ -230,10 +264,11 @@ object Multimodal {
             "< 2^24)")).cast(LongType))
           .otherwise(shiftleft(id, 24) + col("frame_idx"))
       })
-    val owners = keyed.groupBy("__k").agg(min(col("__o")).as("__own"))
-      .select("__own")
-    val occ = keyed
-      .join(owners, keyed("__o") === owners("__own"), "left")
+    val occ = keyed.withColumn("__own",
+      min(col("__o")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k"))))
+      .withColumn("__own",
+        when(col("__o") === col("__own"), col("__own")))
     val per = occ.groupBy("asset_id").agg(
       count(lit(1)).as("n_frames"),
       sum(when(col("__own").isNotNull, 1L).otherwise(0L)).as("own_frames"),

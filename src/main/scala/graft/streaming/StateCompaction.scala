@@ -62,8 +62,11 @@ private[streaming] object StateCompaction {
       val ls = java.nio.file.Files.list(snapRoot)
       try ls.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < c)
+        // n.drop(1).nonEmpty: a stray directory named exactly "s" would
+        // otherwise pass the all-digits test vacuously and abort the
+        // whole vacuum on the toLong parse
+        if (n.startsWith("s") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toLong < c)
           graft.store.UpsertWriter.deleteRecursively(p)
       } finally ls.close()
     }
