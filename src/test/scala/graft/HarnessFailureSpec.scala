@@ -245,6 +245,78 @@ class HarnessFailureSpec extends SparkSpec {
       full.contains("\"cold\":12.345678901"))
   }
 
+  test("band roster: per-query adjudication against committed [lo,hi]") {
+    // the r15 closure: the one-shot committed-summary reference failed
+    // two rounds straight (host windows polluted every closing attempt,
+    // in both directions), so the reference is now bench_bands.json —
+    // committed per-query bands, adjudicated per query
+    val results = Seq(
+      // in band: never flagged either way
+      "q01_in_band" -> ((Option(1.0),
+        Seq(Some(0.50), Some(0.52), Some(0.51)): Seq[Option[Double]])),
+      // 3x the band hi AND > 0.3 s over it: an above-band outlier
+      "q02_regressed" -> ((Option(1.0),
+        Seq(Some(1.50), Some(1.52), Some(1.51)): Seq[Option[Double]])),
+      // over hi but under 2x: band headroom absorbs it, no flag
+      "q03_warm" -> ((Option(1.0),
+        Seq(Some(0.80), Some(0.80), Some(0.80)): Seq[Option[Double]])),
+      // under half the band lo and > 0.3 s under: the band itself is
+      // suspect (committed off a degraded host) — a below-band row
+      "q04_band_inflated" -> ((Option(1.0),
+        Seq(Some(0.40), Some(0.40), Some(0.40)): Seq[Option[Double]])),
+      // 2x over hi but only +0.2 s: under the absolute floor, no flag
+      "q05_tiny" -> ((Option(0.1),
+        Seq(Some(0.20), Some(0.20), Some(0.20)): Seq[Option[Double]])),
+      // no band entry (suite growth): uncovered, not flagged
+      "q999_new" -> ((Option(1.0),
+        Seq(Some(9.0), Some(9.0), Some(9.0)): Seq[Option[Double]])))
+    val bands = Map(
+      "01" -> ((40L, 60L)), "02" -> ((40L, 60L)), "03" -> ((40L, 60L)),
+      "04" -> ((100L, 120L)), "05" -> ((5L, 10L)))
+    assert(Bench.vsBandOutliers(results, bands) ==
+      Seq(("02", 151L, 40L, 60L)))
+    assert(Bench.vsBandBelow(results, bands) ==
+      Seq(("04", 40L, 100L, 120L)))
+    // sidecar rendering: vs_band with coverage count, outliers, below;
+    // band-covered queries leave the legacy vs_prev comparison (the
+    // polluted one-shot medians must not re-open the channel), so a
+    // prev entry for q02 is ignored while q999's still applies
+    val side = Bench.renderJson(results, "sfX", withReps = true,
+      prev = Map("02" -> 10L, "999" -> 100L), bands = bands)
+    assert(side.contains(""""vs_band":{"n_covered":5,"outliers":{"02":[151,40,60]},"below":{"04":[40,100,120]}}"""))
+    assert(side.contains(""""vs_prev":{"n_shared":1,"outliers":{"999":[900,100]}}"""))
+    // no roster → null, not a zero-coverage object
+    assert(Bench.renderJson(results, "sfX", withReps = true)
+      .contains("\"vs_band\":null"))
+    // the driver line never carries it
+    assert(!Bench.renderJson(results, "sfX", bands = bands)
+      .contains("vs_band"))
+  }
+
+  test("band roster file parses defensively: sf label, cs triples") {
+    val file = """{"sf":"sf0.1","unit":"cs","note":"x","bands":{""" +
+      """"02":[46,66,"roster"],"79b":[100,120,"history3/4"]}}"""
+    assert(Bench.parseBands(file, "sf0.1") ==
+      Map("02" -> ((46L, 66L)), "79b" -> ((100L, 120L))))
+    // a roster at a different scale factor is rejected whole — sf0.01
+    // medians against sf0.1 bands would flag (or mask) the suite
+    assert(Bench.parseBands(file, "sf0.01").isEmpty)
+    // malformed/foreign content → empty → vs_band: null, never a guess
+    assert(Bench.parseBands("not json", "sf0.1").isEmpty)
+    assert(Bench.parseBands("""{"sf":"sf0.1","bands":{}}""", "sf0.1").isEmpty)
+    // the committed roster itself round-trips: every entry is a
+    // [lo, hi, provenance] triple with lo <= hi at this run's sf label
+    val committed = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/bench_bands.json")), "UTF-8")
+    val parsed = Bench.parseBands(committed, "sf0.1")
+    assert(parsed.nonEmpty)
+    assert(parsed.forall { case (_, (lo, hi)) => lo >= 1 && lo <= hi })
+    // and covers the whole registered suite by short key
+    val keys = SparkEntry.queries.keys.map(Bench.shortKey).toSet
+    assert(keys.forall(parsed.contains),
+      s"uncovered: ${keys.filterNot(parsed.contains).mkString(",")}")
+  }
+
   test("canary series turns a sustained window into a query-index span") {
     // quiet host: readings cluster at the floor -> no spans
     val quiet = Seq((14, 0.10), (29, 0.12), (44, 0.11), (59, 0.13))
@@ -264,6 +336,23 @@ class HarnessFailureSpec extends SparkSpec {
     // never flags — scheduler jitter on a ~0.1 s control
     assert(Bench.canaryWindows(
       Seq((14, 0.10), (29, 0.28), (44, 0.11)), 60) == Seq.empty)
+    // ONE isolated soft-elevated reading (1.5x and +0.15 s, but not
+    // hard) is also jitter: stays quiet
+    assert(Bench.canaryWindows(
+      Seq((8, 0.10), (16, 0.32), (24, 0.11)), 30) == Seq.empty)
+    // the r15 shoulder gap: a hard window whose SHOULDERS read
+    // elevated-but-sub-threshold — hysteresis extends the span over
+    // every soft reading abutting the hard one, so the flagged span
+    // covers the shoulders too, not just the peak
+    assert(Bench.canaryWindows(
+      Seq((8, 0.10), (16, 0.30), (24, 0.60), (32, 0.29), (40, 0.11)),
+      48) == Seq((9, 40)))
+    // a short window STRADDLING two probes lifts each only partially:
+    // neither reading is hard, but two consecutive soft readings are a
+    // sustained window, not jitter — caught
+    assert(Bench.canaryWindows(
+      Seq((8, 0.10), (16, 0.33), (24, 0.34), (32, 0.11)), 40) ==
+      Seq((9, 32)))
     // the sidecar carries the series + spans under "canary"; the driver
     // line (withReps = false) never does
     val fake2 = Seq("q01_x" ->

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Seed/refresh bench_bands.json — the committed per-query timing band
+roster that graft.Bench adjudicates closing runs against (vs_band in the
+summary sidecar).
+
+Why bands instead of a one-shot committed summary: this host shows
+sustained multi-minute degradation windows (SCALE.md, rounds 12-15); a
+single closing suite run rides them, and a committed polluted median then
+poisons the NEXT round's outlier detection in both directions (an
+inflated median masks a real regression; a true reading looks like a
+speedup). A per-query [lo, hi] band distilled from quiet evidence makes
+adjudication per-query: one polluted stretch discards its stretch, not
+the run.
+
+Sources, overlaid:
+ 1. HAND bands — the dedicated-band roster SCALE.md records (solo
+    fresh-JVM, quiet-window readings, hand-adjudicated across rounds)
+    plus the r15 judge's solo probe readings (VERDICT.md). Transcribed
+    here; provenance "roster".
+ 2. HISTORY bands — per-query rep/median readings from the committed
+    bench sidecars and driver BENCH_r*.json lines, floor-filtered:
+    readings above max(2.5x, +0.3s) the query's own cross-round floor
+    are host-window pollution and drop. Provenance "history".
+Where both exist the band is their UNION (the r13 rule: solo and
+in-suite quiet readings are both legitimate — e.g. q84's judge solo
+0.5-0.65s vs builder in-suite 1.6-2.4s, all on healthy hosts).
+
+Usage: python3 tools/make_bands.py [out.json]   (default bench_bands.json)
+Values are integer centiseconds at sf0.1. Bench.parseBands rejects the
+file when its "sf" label doesn't match the run.
+"""
+import json, math, os, re, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# --- source 1: hand-adjudicated bands, seconds (SCALE.md roster +
+# r15 VERDICT judge probes; unions already applied where both spoke) ---
+HAND = {
+    "02": (0.46, 0.66), "26": (1.15, 1.78), "41": (0.23, 0.27),
+    "44": (2.2, 2.3), "51": (0.62, 1.02), "74": (0.29, 0.53),
+    "79": (4.0, 4.7), "81": (0.98, 2.5), "82": (3.0, 8.5),
+    "84": (0.5, 2.4), "104": (3.1, 6.7), "112": (1.7, 2.0),
+    "113": (1.0, 1.2), "115": (3.4, 5.1), "118": (2.7, 4.5),
+    "127": (0.39, 1.5), "133": (2.6, 4.0), "141": (8.8, 12.7),
+    "143": (2.8, 3.0), "145": (4.9, 6.4), "146": (2.3, 2.4),
+    "151": (4.3, 6.9), "152": (1.0, 1.8), "153": (2.4, 2.5),
+    "154": (1.3, 2.0), "155": (2.1, 3.8), "156": (1.5, 2.0),
+    "157": (1.5, 1.9), "158": (15.0, 17.0), "159": (5.4, 6.1),
+    "160": (2.7, 5.2), "161": (5.0, 6.1), "162": (5.4, 6.8),
+    "163": (2.6, 3.4), "164": (2.4, 3.7), "165": (0.99, 1.03),
+    "166": (2.0, 2.7), "167": (1.3, 1.9), "168": (5.7, 7.4),
+    "169": (0.9, 1.3), "170": (3.0, 3.7), "171": (3.3, 4.1),
+    "172": (1.2, 1.6), "173": (1.1, 1.8), "174": (1.3, 2.0),
+    "175": (2.4, 4.5), "176": (1.6, 1.9), "177": (0.5, 0.7),
+    "178": (0.6, 0.8), "179": (2.4, 3.0), "180": (1.0, 1.4),
+    "181": (1.0, 1.6), "182": (0.45, 0.6), "183": (1.4, 2.5),
+    "184": (1.3, 1.6), "185": (0.95, 1.6), "186": (1.2, 2.4),
+    "187": (1.4, 3.6), "188": (5.9, 7.4), "189": (6.0, 11.0),
+    "190": (5.7, 12.3), "191": (0.45, 0.70),
+}
+
+SHORT = re.compile(r"^q([0-9]+[a-z]*)_")
+
+
+def short(name):
+    m = SHORT.match(name)
+    return m.group(1) if m else name
+
+
+def history_readings():
+    """shortkey -> list of centisecond readings across rounds."""
+    out = {}
+
+    def add(key, cs):
+        if cs is not None and cs > 0:
+            out.setdefault(key, []).append(float(cs))
+
+    # the full sidecar of the last driver run: full names, float secs,
+    # three reps each (individual reps, so a single polluted rep drops
+    # in the floor filter instead of polluting a median)
+    full = os.path.join(REPO, "bench_last_full.json")
+    if os.path.isfile(full):
+        d = json.load(open(full))
+        for name, q in d.get("queries", {}).items():
+            for r in q.get("reps", []):
+                if r is not None:
+                    add(short(name), r * 100)
+
+    # driver BENCH lines, r12-r15: per-query medians, short keys;
+    # ms-era lines convert /10 (mirrors Bench.parseSummaryQueries)
+    for rn in ("BENCH_r12", "BENCH_r13", "BENCH_r14", "BENCH_r15"):
+        p = os.path.join(REPO, rn + ".json")
+        if not os.path.isfile(p):
+            continue
+        tail = json.load(open(p)).get("tail", "")
+        m = re.search(r'"queries":\{([^}]*)\}', tail)
+        if not m:
+            continue
+        is_cs = '"uq":"cs"' in tail or '"unit_queries":"cs"' in tail
+        for k, v in re.findall(r'"([^"]+)":([0-9]+)', m.group(1)):
+            add(k, int(v) if is_cs else int(v) / 10.0)
+    return out
+
+
+def current_suite():
+    """Short keys of the CURRENT suite (bench_last_full.json's name set)
+    — history carries keys of retired/renamed queries from old rounds,
+    which would bloat the roster and overstate its coverage."""
+    full = os.path.join(REPO, "bench_last_full.json")
+    if not os.path.isfile(full):
+        return None
+    return {short(n) for n in json.load(open(full)).get("queries", {})}
+
+
+def main():
+    outp = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "bench_bands.json")
+    hist = history_readings()
+    cur = current_suite()
+    universe = set(hist) | set(HAND)
+    if cur:
+        universe &= cur | set(HAND)
+    bands = {}
+    for key in sorted(universe, key=lambda k: (len(k), k)):
+        lo = hi = None
+        prov = []
+        rs = hist.get(key, [])
+        if rs:
+            floor = min(rs)
+            kept = [r for r in rs if r <= max(2.5 * floor, floor + 30)]
+            # 10%/20% margins: the kept set is a finite sample of the
+            # quiet distribution, not its support
+            lo = math.floor(0.9 * min(kept))
+            hi = math.ceil(1.2 * max(kept))
+            prov.append("history%d/%d" % (len(kept), len(rs)))
+        if key in HAND:
+            hlo, hhi = (round(x * 100) for x in HAND[key])
+            lo = hlo if lo is None else min(lo, hlo)
+            hi = hhi if hi is None else max(hi, hhi)
+            prov.insert(0, "roster")
+        lo = max(1, lo)
+        hi = max(hi, lo + 10)  # >=0.1s width: sub-decisecond queries
+        # jitter past any tighter bound on this host
+        bands[key] = [lo, hi, "+".join(prov)]
+    # one band per line: Bench.parseBands scans `"key":[lo,hi` triples,
+    # so each must stay on one line — and per-line entries keep git
+    # diffs per-query when the roster is refreshed
+    entries = ",\n".join('"%s":[%d,%d,"%s"]' % (k, b[0], b[1], b[2])
+                         for k, b in bands.items())
+    with open(outp, "w") as f:
+        f.write('{"sf":"sf0.1","unit":"cs",\n'
+                '"note":"per-query quiet-host timing bands (cs); see '
+                'tools/make_bands.py for derivation and SCALE.md for '
+                'the underlying readings",\n'
+                '"bands":{\n' + entries + "\n}}\n")
+    print("wrote %s: %d bands (%d roster-backed, %d history-only)" % (
+        outp, len(bands),
+        sum(1 for b in bands.values() if "roster" in b[2]),
+        sum(1 for b in bands.values() if b[2].startswith("history"))))
+
+
+if __name__ == "__main__":
+    main()
