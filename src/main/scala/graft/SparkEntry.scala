@@ -2886,6 +2886,30 @@ object SparkEntry {
           frameBytes = 64)
         .orderBy("asset_id")),
 
+    // q179's incremental composition at the CRAWL-SCALE index
+    // representation (hashLines = true): the persistent seen-line
+    // index stores 60-bit md5-prefix fingerprints, so the probe join
+    // ships 8 bytes per seen line instead of the line text, and the
+    // state parquet carries the representation marker (a mismatched
+    // probe fails loudly — DedupSpec). The twin RE-DERIVES membership
+    // and keep-first from the SAME digest, so a fingerprint collision
+    // on the gated corpus would surface as a red row, never a silent
+    // divergence from hashed-mode semantics.
+    "q192_line_dedup_hashed" -> ((s, dir) => {
+      val lined = linedDocs(s, dir)
+      val idx0 = lined.select(lit(0L).as("line")).limit(0)
+      val (c1, idx1) = graft.operators.Dedup.lineIndexAddBatch(
+        idx0, lined.where(col("doc_id") % 2 === 0), hashLines = true)
+      val (c2, _) = graft.operators.Dedup.lineIndexAddBatch(
+        idx1, lined.where(col("doc_id") % 2 === 1), hashLines = true)
+      c1.unionByName(c2).select(col("doc_id"),
+          when(col("text") === "", lit(0))
+            .otherwise(size(split(col("text"), "\n")))
+            .cast(LongType).as("n_lines_kept"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q159 under GPT-2's PUBLISHED pretokenization (Radford et al.
     // 2019 — the gpt2 encoder regex: contractions split, one literal
     // space binds to a word, letter/digit/punct runs split, a
@@ -7292,6 +7316,37 @@ object SparkEntry {
           |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
+
+      // q192: q179's arrival-order keep-first rule with BOTH index
+      // membership and within-batch grouping re-derived from the same
+      // 60-bit md5-prefix digest the hashed index stores — partitioning
+      // the window by the digest instead of the line IS the hashed
+      // semantics, so a collision would diverge here, not hide
+      "q192_line_dedup_hashed" ->
+        s"""WITH d2 AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE text IS NOT NULL AND len($toksSql) > 0),
+           |ln0 AS (SELECT doc_id, u AS lpos,
+           |    array_to_string(list_slice(toks, u*10+1, u*10+10), ' ')
+           |      AS line
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(range((len(toks)+9)//10)) AS u FROM d2)),
+           |lnb AS (SELECT doc_id, lpos, line FROM ln0
+           |  UNION ALL
+           |  SELECT doc_id, (len(toks)+9)//10 AS lpos,
+           |    'nav home about contact subscribe' AS line
+           |  FROM d2 WHERE doc_id % 7 = 0),
+           |win AS (SELECT doc_id, lpos, line, row_number() OVER (
+           |    PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+           |    ORDER BY doc_id % 2, doc_id, lpos) AS rn FROM lnb),
+           |reb AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY lpos) AS clean,
+           |    count(*) AS nk
+           |  FROM win WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d2.doc_id,
+           |  CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+           |  md5(COALESCE(r.clean, '')) AS clean_md5
+           |FROM d2 LEFT JOIN reb r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // q162: byte ids through the packer — pack boundaries replicate
       // from strlen weights (no tokenizer needed), and each pack's

@@ -110,17 +110,78 @@ object Dedup {
     * the corpus is never rescanned; over an id-ordered arrival the
     * composed result equals the batch operator doc-for-doc.
     *
-    * The index carries line STRINGS for exactness (the oracle states
-    * set membership, not hash membership); a deployment at crawl scale
-    * would store 8-byte line hashes instead and accept the collision
-    * rate — the shape is unchanged.
+    * Two index REPRESENTATIONS, the decontamination family's pattern
+    * ([[decontaminateTokenNgrams]]'s `hashWindows`): by default the
+    * index carries line STRINGS for exactness; `hashLines = true` is
+    * the crawl-scale representation — each index entry is the line's
+    * 60-bit portable fingerprint ([[lineHash]]: an md5 prefix, so the
+    * DuckDB twin replicates membership with the very same digest), 8
+    * bytes ride the probe join instead of the line text, and a
+    * collision can only remove a line COPY early (Bloom-style
+    * one-sidedness for a dedup stage — never a kept duplicate). The
+    * index's `line` column is stamped with a representation marker
+    * ([[lineReprKey]] metadata, parquet-persistent); probing a
+    * mismatched index fails loudly instead of silently probing strings
+    * against hashes.
     */
   def lineIndexAddBatch(index: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      sep: String = "\n"): (DataFrame, DataFrame) = {
+      sep: String = "\n", hashLines: Boolean = false)
+      : (DataFrame, DataFrame) = {
     val (cleaned, freshLines) =
-      lineIndexAddBatchParts(index, batch, idCol, textCol, sep)
-    (cleaned, index.select("line").unionByName(freshLines))
+      lineIndexAddBatchParts(index, batch, idCol, textCol, sep, hashLines)
+    (cleaned,
+      markLineRepr(index.select("line").unionByName(freshLines), hashLines))
+  }
+
+  /** 60-bit portable line fingerprint: the first 15 hex digits of md5,
+    * parsed as a (always-positive) long — the [[graft.functions
+    * .TextFunctions.portableHash]] convention widened to 60 bits so the
+    * crawl-scale index entry is one long on BOTH engines.
+    * Spark: conv(substr(md5(x),1,15),16,10)::long
+    * DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT
+    */
+  def lineHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Column-metadata key recording a line index's representation
+    * ("hashed" 60-bit fingerprints vs exact "string" lines) — the
+    * [[reprKey]] discipline applied to the line family. Producers stamp
+    * it; consumers REQUIRE a stamped marker to match and, marker or
+    * not, the column TYPE to match the mode (long vs string) — a
+    * string index probed at hashed mode would silently drop nothing.
+    * An unstamped index of the right type is accepted (caller-seeded
+    * empty indexes and pre-marker state).
+    */
+  private[graft] val lineReprKey = "graft.lineRepr"
+  private def lineReprName(hashLines: Boolean): String =
+    if (hashLines) "hashed" else "string"
+  private[graft] def markLineRepr(index: DataFrame,
+      hashLines: Boolean): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(lineReprKey, lineReprName(hashLines)).build()
+    index.withColumn("line", col("line").as("line", m))
+  }
+  private[graft] def requireLineRepr(index: DataFrame, hashLines: Boolean,
+      what: String): Unit = {
+    val f = index.schema.fields.find(_.name == "line").getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: line index has no 'line' column"))
+    if (f.metadata.contains(lineReprKey)) {
+      val got = f.metadata.getString(lineReprKey)
+      require(got == lineReprName(hashLines),
+        s"$what: line index carries representation '$got' but this " +
+          s"call runs at '${lineReprName(hashLines)}' — probing strings " +
+          "against hashes (or vice versa) matches nothing and silently " +
+          "re-admits every seen line; recount or flip hashLines")
+    }
+    val want: org.apache.spark.sql.types.DataType =
+      if (hashLines) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    require(f.dataType == want,
+      s"$what: line index 'line' column is ${f.dataType.simpleString} " +
+        s"but representation '${lineReprName(hashLines)}' stores " +
+        s"${want.simpleString}")
   }
 
   /** [[lineIndexAddBatch]] returning the batch's fresh-line DELTA
@@ -131,11 +192,20 @@ object Dedup {
     */
   private[graft] def lineIndexAddBatchParts(index: DataFrame,
       batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      sep: String = "\n"): (DataFrame, DataFrame) = {
+      sep: String = "\n", hashLines: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    requireLineRepr(index, hashLines, "lineIndexAddBatch")
+    // the probe key: the line itself, or its 60-bit fingerprint — the
+    // within-batch keep-first groups on the SAME key, so hashed mode's
+    // collision behavior is uniform (a colliding pair collapses to one
+    // canonical copy, never a kept duplicate)
+    val keyOf: Column => Column =
+      if (hashLines) lineHash(_) else identity
     val lines = batch.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("__lk", keyOf(col("line")))
       .withColumn("__k", {
         val id = col(idCol).cast("long")
         when(id.isNull || id < 0 || id >= lit(1L << 39) ||
@@ -147,9 +217,10 @@ object Dedup {
       })
     // seen lines drop wholesale; the anti-join build side is the index,
     // which a deployment partitions/buckets on the line key
-    val fresh = lines.join(index.select("line"), Seq("line"), "left_anti")
+    val fresh = lines.join(index.select(col("line").as("__lk")),
+        Seq("__lk"), "left_anti")
       .localCheckpoint()
-    val winners = fresh.groupBy("line").agg(min(col("__k")).as("__k"))
+    val winners = fresh.groupBy("__lk").agg(min(col("__k")).as("__k"))
       .select("__k")
     val rebuilt = fresh.join(winners, Seq("__k"), "left_semi")
       .groupBy(idCol)
@@ -162,7 +233,9 @@ object Dedup {
       .select(col(idCol),
         when(col("__had"), coalesce(col("__clean"), lit("")))
           .otherwise(lit(null).cast("string")).as(textCol))
-    (cleaned, fresh.select("line").distinct())
+    (cleaned,
+      markLineRepr(fresh.select(col("__lk").as("line")).distinct(),
+        hashLines))
   }
 
   /** Incremental [[stripFrequentLines]] — the frequent-line counterpart

@@ -34,20 +34,27 @@ import graft.operators.Dedup
   */
 object StreamingLineDedup {
 
-  private def stateSchemas(idCol: String, textCol: String) = (
+  private def stateSchemas(idCol: String, textCol: String,
+      hashLines: Boolean) = (
     StructType(Seq(StructField(idCol, LongType),
       StructField(textCol, StringType), StructField("batch", LongType))),
-    StructType(Seq(StructField("line", StringType))))
+    StructType(Seq(StructField("line",
+      if (hashLines) LongType else StringType))))
 
   /** Read the live cleaned/line-index state — the committed snapshot
     * (if one exists) plus deltas after it, up to `_current`. Orphans
     * past either marker are invisible; empty frames before the first
-    * commit.
+    * commit. `hashLines` picks the index representation (see
+    * [[Dedup.lineIndexAddBatch]]) — it only shapes the
+    * before-first-commit empty frame; a PERSISTED index carries its
+    * own representation marker in the parquet footer, and a
+    * mismatched replay fails loudly at the next probe.
     */
   def readState(spark: SparkSession, stateRoot: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      hashLines: Boolean = false)
       : (DataFrame, DataFrame, Long) = {
-    val (cleanSchema, lineSchema) = stateSchemas(idCol, textCol)
+    val (cleanSchema, lineSchema) = stateSchemas(idCol, textCol, hashLines)
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
         (StateCompaction.readSub(spark, stateRoot, "cleaned", v),
@@ -89,16 +96,18 @@ object StreamingLineDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       sep: String = "\n",
+      hashLines: Boolean = false,
   ): Unit = {
     StreamingUpsert.runBatches(spark, sourceDir, schema, checkpointDir,
         maxFilesPerTrigger) { batch =>
       val s = batch.sparkSession
-      val (cleanedAll, lines, v) = readState(s, stateRoot, idCol, textCol)
+      val (cleanedAll, lines, v) =
+        readState(s, stateRoot, idCol, textCol, hashLines)
       // replay guard: an id already cleaned is by definition a replay
       val fresh = batch.select(col(idCol), col(textCol))
         .join(cleanedAll.select(col(idCol)), Seq(idCol), "left_anti")
       val (cleaned, freshLines) = Dedup.lineIndexAddBatchParts(
-        lines, fresh, idCol, textCol, sep)
+        lines, fresh, idCol, textCol, sep, hashLines)
       val next = v + 1
       // both writes read the ONE materialization lineIndexAddBatchParts
       // made of the probed batch; marker LAST — see crash note above

@@ -649,6 +649,52 @@ class DedupSpec extends SparkSpec {
     assert(composed == batch)
   }
 
+  test("lineIndexAddBatch hashed mode: 8-byte index, marker-guarded") {
+    // hashed mode composes to the same cleaned output as string mode
+    // (no 60-bit md5-prefix collisions on a hand corpus)
+    val b1 = Seq((2L, "a\nb")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "a\nc"), (3L, "b\nc\nd")).toDF("doc_id", "text")
+    val idx0 = Seq.empty[Long].toDF("line")
+    val (c1, idx1) = Dedup.lineIndexAddBatch(idx0, b1, hashLines = true)
+    assert(c1.as[(Long, String)].collect().toMap == Map(2L -> "a\nb"))
+    // the index stores LONG fingerprints, stamped with the repr marker
+    assert(idx1.schema("line").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(idx1.schema("line").metadata.getString(Dedup.lineReprKey)
+      == "hashed")
+    val (c2, idx2) = Dedup.lineIndexAddBatch(idx1, b2, hashLines = true)
+    assert(c2.as[(Long, String)].collect().toMap
+      == Map(1L -> "c", 3L -> "d"))
+    assert(idx2.as[Long].collect().toSet.size == 4)
+    // the fingerprint is the portable md5-prefix digest (the DuckDB
+    // twin re-derives membership from the same 15 hex chars)
+    val expected = Seq("a", "b", "c", "d").toDF("l")
+      .select(Dedup.lineHash($"l")).as[Long].collect().toSet
+    assert(idx2.as[Long].collect().toSet == expected)
+    // representation mismatches fail loudly, both directions: a hashed
+    // index probed at string mode...
+    assert(intercept[IllegalArgumentException] {
+      Dedup.lineIndexAddBatch(idx2, b1)
+    }.getMessage.contains("representation"))
+    // ...and a string index probed at hashed mode (legacy unmarked
+    // string indexes are caught by the TYPE check)
+    val strIdx = Seq("a").toDF("line")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.lineIndexAddBatch(strIdx, b1, hashLines = true)
+    }.getMessage.contains("string"))
+    // the marker survives a parquet round-trip (footer metadata), so a
+    // persisted crawl-scale index keeps its guard
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lhidx_").toString
+    idx2.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    assert(reread.schema("line").metadata.getString(Dedup.lineReprKey)
+      == "hashed")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.lineIndexAddBatch(reread, b1)
+    }.getMessage.contains("representation"))
+  }
+
   test("stripFrequentLines removes >=minDocs lines from ALL docs, counts distinct docs") {
     val docs = Seq(
       (1L, "a\nb\nc"),
