@@ -29,8 +29,16 @@ object ScaleSmoke {
       transform(words, w =>
         when(pmod(xxhash64(w, col("rep")), lit(10)) < 5,
           concat(w, lit("_"), col("rep"))).otherwise(w)), " ")
+    // repartition BETWEEN the replica fan-out and the perturbation: the
+    // base corpus is one small parquet file (one scan partition), and
+    // Spark broadcasts the tiny range side of the cross join — without
+    // the exchange the whole amplified corpus materializes (and every
+    // timed op's narrow prefix runs) in a SINGLE task. A real corpus
+    // arrives in thousands of scan partitions; the fixture should too.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.crossJoin(
         docs.sparkSession.range(mult).select(col("id").cast("int").as("rep")))
+      .repartition(par)
       .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("lang"),
         when(col("rep") === 0 || col("text").isNull, col("text"))
           .otherwise(perturbed).as("text"))
@@ -50,8 +58,10 @@ object ScaleSmoke {
     val flipped = transform(col("embedding"),
       (x, i) => when(pmod(xxhash64(i.cast("long"), col("rep")), lit(2)) === 1,
         -x).otherwise(x))
+    // same single-task hazard as amplify: exchange before the flip
     emb.crossJoin(
         emb.sparkSession.range(mult).select(col("id").cast("int").as("rep")))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select((col("vec_id") * mult + col("rep")).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(flipped)
           .as("embedding"))
@@ -465,6 +475,25 @@ object ScaleSmoke {
             val (cleaned, newIdx) = Dedup.lineIndexAddBatch(idx, batch)
             cleaned.agg(sum(length(col("text"))).cast("long").as("n"))
               .collect()(0).getLong(0) + newIdx.count()
+          }
+        }),
+        // q191's operator at scale: the amplified corpus's UTF-8 bytes
+        // become opaque payloads (setup, untimed); the timed region is
+        // the whole storage-dedup pass — the in-partition 64-byte cut +
+        // digest, the ONE digest exchange (ownership resolves inside it
+        // as a window min; no join back), and the per-asset aggregate.
+        // The scale claim under test: the digest shuffle is the only
+        // corpus-scale exchange, so shuffle bytes grow linearly with
+        // payload bytes
+        "frame_dedup" -> (() => {
+          val assets = graft.operators.Multimodal.fromDocuments(
+            amp.where(col("text").isNotNull)
+              .withColumn("source", col("lang"))).localCheckpoint(true)
+          () => {
+            graft.operators.Multimodal
+              .frameDedupStats(assets, frameBytes = 64)
+              .agg(sum(col("dup_bytes")).cast("long").as("n"))
+              .collect()(0).getLong(0)
           }
         }),
         // q190's operator at scale: same fixture split as line_index_add

@@ -2886,6 +2886,20 @@ object SparkEntry {
           frameBytes = 64)
         .orderBy("asset_id")),
 
+    // frame-SEQUENCE near-dup (the video-shaped gap in the multimodal
+    // family): per-frame integer phashes (dim=8 lanes over 64-byte
+    // frames), shingled k=3 along time, MinHash/LSH-banded — two
+    // assets pair when they share a 3-consecutive-frame run, the
+    // video-copy-detection shape. Pure reuse of the q32 machinery over
+    // the rendered phash stream; the twin re-derives frames, lanes,
+    // hash bits, stream, shingles, and bands from the hex payload
+    "q193_frame_seq_neardup" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSequenceNearDupPairs(
+          graft.operators.Multimodal.fromDocuments(
+            t(s, dir, "documents").select("doc_id", "text", "source")),
+          frameBytes = 64, k = 3, dim = 8)
+        .orderBy("id_a", "id_b")),
+
     // q179's incremental composition at the CRAWL-SCALE index
     // representation (hashLines = true): the persistent seen-line
     // index stores 60-bit md5-prefix fingerprints, so the probe join
@@ -7316,6 +7330,58 @@ object SparkEntry {
           |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
+
+      // q193: frames re-cut from hex (the q191 convention), per-frame
+      // lanes = byte sums at positions ≡ j mod 8, aHash bits by the
+      // integer cross-multiply, stream in frame order, then exactly
+      // the q32 shingle→minhash→band pipeline over the stream tokens
+      "q193_frame_seq_neardup" -> {
+        val mh = graft.operators.Dedup.minhashCoeffs(8).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"min((hv * $a + $b) % ${graft.operators.Dedup.MinhashP}) AS mh$i"
+          }.mkString(", ")
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT asset_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) " +
+            s"|| '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+           |  FROM documents),
+           |fr AS (SELECT asset_id, s.idx AS frame_idx, s.h AS h FROM (
+           |    SELECT asset_id, UNNEST(list_transform(
+           |      range((octet_length(payload) + 63) // 64),
+           |      i -> {'idx': i,
+           |            'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+           |      AS s
+           |    FROM b WHERE octet_length(payload) > 0)),
+           |lane AS (SELECT asset_id, frame_idx, list_transform(range(8),
+           |    j -> coalesce(list_sum(list_transform(range(len(h) // 2),
+           |      p -> CASE WHEN p % 8 = j
+           |           THEN ('0x' || substr(h, p*2 + 1, 2))::BIGINT
+           |           ELSE 0 END)), 0)) AS l
+           |  FROM fr),
+           |ph AS (SELECT asset_id, frame_idx,
+           |    list_sum(list_transform(range(8), j ->
+           |      CASE WHEN l[j+1] * 8 > list_sum(l)
+           |           THEN (1::BIGINT << j) ELSE 0 END)) AS phash
+           |  FROM lane),
+           |stream AS (SELECT asset_id,
+           |    string_agg(CAST(phash AS VARCHAR), ' ' ORDER BY frame_idx)
+           |      AS t
+           |  FROM ph GROUP BY asset_id),
+           |tk0 AS (SELECT asset_id,
+           |    list_filter(string_split_regex(t, '\\s+'),
+           |      x -> strlen(x) > 0) AS tk FROM stream),
+           |sh AS (SELECT asset_id,
+           |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM tk0),
+           |h AS (SELECT asset_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT asset_id, $mh FROM h GROUP BY asset_id),
+           |banded AS ($bandKeys)
+           |SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key
+           |  AND a.asset_id < b.asset_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       // q192: q179's arrival-order keep-first rule with BOTH index
       // membership and within-batch grouping re-derived from the same

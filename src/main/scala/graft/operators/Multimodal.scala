@@ -186,21 +186,29 @@ object Multimodal {
     * (phash 0), same contract as decode.
     */
   def perceptualHashes(assets: DataFrame, dim: Int = 32,
-      kind: String = "ahash"): DataFrame = {
+      kind: String = "ahash"): DataFrame =
+    withPhash(decodeLanes(assets, dim)
+      .select(col("asset_id"), col("lane").as("__l")), dim, kind)
+      .select("asset_id", "phash")
+
+  /** The aHash/dHash bit arithmetic over a `__l` integer-lane column —
+    * shared by the whole-asset hash and the per-frame hash. Bit
+    * positions are compile-time constants, so the hash unrolls into
+    * one flat codegen'd expression — element_at on ArrayData is O(1)
+    * indexed access. Σ lanes rides its OWN projection: CollapseProject
+    * never inlines a non-cheap alias referenced by all dim bit terms,
+    * so the aggregate evaluates once per row, not once per bit.
+    * Adds `phash`, drops the working columns, keeps everything else.
+    */
+  private def withPhash(lanes: DataFrame, dim: Int,
+      kind: String): DataFrame = {
     require(dim >= 2 && dim <= 62, "perceptual hash needs 2..62 lanes")
     require(kind == "ahash" || kind == "dhash",
       s"unknown perceptual hash kind '$kind' (ahash | dhash)")
-    val lanes = decodeLanes(assets, dim)
-      .select(col("asset_id"), col("lane").as("__l"))
-    // bit positions are compile-time constants, so the hash unrolls into
-    // one flat codegen'd expression — element_at on ArrayData is O(1)
-    // indexed access. Σ lanes rides its OWN projection: CollapseProject
-    // never inlines a non-cheap alias referenced by all dim bit terms,
-    // so the aggregate evaluates once per row, not once per bit.
     val prepared =
       if (kind == "ahash")
-        lanes.select(col("asset_id"), col("__l"),
-          aggregate(col("__l"), lit(0L), (a, x) => a + x).as("__tot"))
+        lanes.withColumn("__tot",
+          aggregate(col("__l"), lit(0L), (a, x) => a + x))
       else lanes
     val bit: Int => Column =
       if (kind == "ahash")
@@ -208,10 +216,67 @@ object Multimodal {
       else
         j => element_at(col("__l"), j + 1) > element_at(col("__l"), j + 2)
     val nBits = if (kind == "ahash") dim else dim - 1
-    prepared.select(col("asset_id"),
-      (0 until nBits).map(j => when(bit(j), lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("phash"))
+    prepared.withColumn("phash",
+        (0 until nBits).map(j =>
+          when(bit(j), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .drop("__l", "__tot")
   }
+
+  /** Per-FRAME perceptual hashes: every [[frameSample]] frame through
+    * the same integer lane arithmetic as [[perceptualHashes]] — the
+    * frame stream a video-sequence fingerprint builds on. Frames ride
+    * the decode pass under the packed (asset ‖ idx) long (the
+    * [[frameDedupStats]]/line-dedup 39/24 pack, unpacked after), so the
+    * batch decoder contract is untouched. Returns
+    * (asset_id, frame_idx, phash); assets with empty/null payloads
+    * yield no rows (no frames to hash).
+    */
+  def framePerceptualHashes(assets: DataFrame, frameBytes: Int,
+      dim: Int = 8, kind: String = "ahash", everyN: Int = 1): DataFrame = {
+    val packed = frameSample(assets, frameBytes, everyN)
+      .select({
+        val id = col("asset_id")
+        when(id.isNull || id < 0 || id >= lit(1L << 39) ||
+            col("frame_idx") >= lit(1 << 24),
+          raise_error(lit("framePerceptualHashes: frame outside the " +
+            "packable range (numeric asset id in [0, 2^39), frame idx " +
+            "< 2^24)")).cast(LongType))
+          .otherwise(shiftleft(id, 24) + col("frame_idx")).as("asset_id")
+      }, col("frame").as("payload"))
+    withPhash(decodeLanes(packed, dim)
+        .select(col("asset_id"), col("lane").as("__l")), dim, kind)
+      .select(shiftrightunsigned(col("asset_id"), 24).as("asset_id"),
+        (col("asset_id") % lit(1 << 24)).as("frame_idx"), col("phash"))
+  }
+
+  /** FRAME-SEQUENCE near-duplicate pairs — the video-shaped member of
+    * the multimodal dedup family: two clips pair when they share a run
+    * of `k` consecutive near-identical frames, even inside otherwise
+    * different footage (the standard video-copy-detection shape:
+    * per-frame perceptual hashes, shingled along time, MinHash/LSH over
+    * the shingle sets). Implementation is pure reuse: the per-frame
+    * hash stream renders as a space-joined decimal string in frame
+    * order ([[frameSequenceDocs]]) and feeds
+    * [[Dedup.minhashLshPairs]] verbatim — a k-frame window IS a k-token
+    * shingle, so the banded candidate generation, its linear scale
+    * shape, and the q32 oracle conventions all carry over unchanged.
+    * Candidates shuffle on (band, key); never all-pairs.
+    */
+  def frameSequenceDocs(assets: DataFrame, frameBytes: Int,
+      dim: Int = 8, kind: String = "ahash"): DataFrame =
+    framePerceptualHashes(assets, frameBytes, dim, kind)
+      .groupBy("asset_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("phash")))),
+        x => x.getField("phash").cast(StringType)), " ")
+        .as("phash_stream"))
+
+  def frameSequenceNearDupPairs(assets: DataFrame, frameBytes: Int,
+      k: Int = 3, dim: Int = 8, kind: String = "ahash",
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    Dedup.minhashLshPairs(frameSequenceDocs(assets, frameBytes, dim, kind),
+      bands, rowsPerBand, shingleN = k,
+      idCol = "asset_id", textCol = "phash_stream")
 
   /** Image near-duplicate pairs: perceptual hashes within `maxHamming`
     * bits, via the same banded exact-Hamming machinery as the text

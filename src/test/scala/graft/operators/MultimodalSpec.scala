@@ -112,6 +112,37 @@ class MultimodalSpec extends SparkSpec {
     assert(t == Seq((5L, 0L, 0L), (6L, 1L, 2L))) // 2-byte tail reclaimed
   }
 
+  test("frameSequenceNearDupPairs pairs clips sharing a k-frame run") {
+    // 4-char frames at dim=4: each frame's lanes are its byte values,
+    // so single-'z' frames hash to one distinct ahash bit each —
+    // "zaaa"->1, "azaa"->2, "aaza"->4, "aaaz"->8, "zzaa"->3, "azza"->6
+    val P = "zaaa"; val Q = "azaa"; val R = "aaza"; val S = "aaaz"
+    val assets = Multimodal.fromDocuments(Seq(
+      // 1 and 2 differ in their FIRST frame but share the 4-frame run
+      // P,Q,R,S — a 3-frame shingle window lands inside it
+      (1L, "zzaa" + P + Q + R + S, "web"),
+      (2L, "azza" + P + Q + R + S, "web"),
+      // 3 shares no frames at all with 1/2 (negative control)
+      (3L, "zaza" + "azaz" + "zaza" + "azaz" + "zaza", "web"))
+      .toDF("doc_id", "text", "source"))
+    // the per-frame hash stream, in frame order
+    val streams = Multimodal.frameSequenceDocs(assets, frameBytes = 4,
+        dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streams == Map(
+      1L -> "3 1 2 4 8", 2L -> "6 1 2 4 8", 3L -> "5 10 5 10 5"))
+    // the shared run pairs 1-2; the disjoint clip 3 pairs with nothing
+    val pairs = Multimodal.frameSequenceNearDupPairs(assets,
+        frameBytes = 4, k = 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // per-frame hashes themselves: packed ids unpack to (asset, idx)
+    val ph = Multimodal.framePerceptualHashes(assets, frameBytes = 4,
+        dim = 4).where($"asset_id" === 1L).orderBy("frame_idx")
+      .collect().map(_.getLong(2)).toSeq
+    assert(ph == Seq(3L, 1L, 2L, 4L, 8L))
+  }
+
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
     val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
     assert(resized.schema == Multimodal.fromDocuments(docs).schema)
