@@ -2886,6 +2886,31 @@ object SparkEntry {
           frameBytes = 64)
         .orderBy("asset_id")),
 
+    // the unigram LEARN LOOP closed as a driver arc (q184 gates ONE
+    // hard-EM iteration; this runs Corpus.learnUnigram — seed → 2×
+    // (E → M → shrink-to-target) at the q180-family constants, target
+    // 100) and ships the result through the unified tokenizer
+    // artifact: the gated table is what save→load returns, so the
+    // round-trip is load-bearing. The twin unrolls both rounds — two
+    // chained Viterbi DP passes, the usage/recost/prune algebra in
+    // HUGEINT, and the identical shrink arithmetic
+    "q194_learn_unigram" -> ((s, dir) => {
+      import graft.operators.{Tokenizer, UnigramTokenizer}
+      val learned = graft.operators.Corpus.learnUnigram(
+        saltedDocs(s, dir), "text", vocabSize = 100, rounds = 2,
+        maxPieceLen = 4, minCount = 8, seedSize = 120)
+      val root = scratch("graft_unilearn_")
+      Tokenizer.save(s, UnigramTokenizer(learned), s"$root/uni")
+      val back = Tokenizer.load(s, s"$root/uni")
+        .asInstanceOf[UnigramTokenizer].pieces
+      val sess = s
+      import sess.implicits._
+      back.toDF("piece", "id", "cost")
+        .select(col("piece"), col("id").cast(LongType).as("id"),
+          col("cost"))
+        .orderBy("id")
+    }),
+
     // frame-SEQUENCE near-dup (the video-shaped gap in the multimodal
     // family): per-frame integer phashes (dim=8 lanes over 64-byte
     // frames), shingled k=3 along time, MinHash/LSH-banded — two
@@ -7037,6 +7062,70 @@ object SparkEntry {
            |    AS BIGINT) AS n_pruned
            |FROM docs2 d LEFT JOIN venc v USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      // q194: the 2-round learn loop unrolled — q184's EM algebra run
+      // twice with the shrink-to-target prune between rounds: after
+      // each recost, singles stay and multis keep the top
+      // greatest(100 − |singles|, (3·|multis|)//4) by (usage desc,
+      // piece) — the exact integer arithmetic of Corpus.learnUnigram.
+      // The second DP pass reads the round-1 survivor table (vsel)
+      // through the same generator; the output is the FINAL table
+      "q194_learn_unigram" ->
+        s"""WITH docs2 AS (SELECT doc_id,
+           |    text || ' ' || regexp_replace(substr(text, 1, 16), ' ', '', 'g')
+           |      AS text FROM documents),
+           |${unigramCtes(4, 8L, 120, 1L << 20, 16)},
+           |vuse AS (SELECT CAST(unnest(string_split(s.ids, ' '))
+           |      AS INTEGER) AS id, c.wc
+           |  FROM useg s JOIN utc c ON c.tok = s.w),
+           |vcnt AS (SELECT id, CAST(sum(wc) AS BIGINT) AS u
+           |  FROM vuse GROUP BY 1),
+           |vkept AS (SELECT p.piece, p.id, p.plen, coalesce(v.u, 0) AS u
+           |  FROM upc p LEFT JOIN vcnt v USING (id)
+           |  WHERE p.plen = 1 OR coalesce(v.u, 0) > 0),
+           |vtot AS (SELECT CAST(sum(u) AS HUGEINT) AS t FROM vkept),
+           |vpc0 AS MATERIALIZED (SELECT k.piece, k.id, k.plen, k.u,
+           |    CAST(1 + (CAST(${1L << 20} AS HUGEINT) * (vt.t - k.u)) // vt.t
+           |      AS BIGINT) AS cost
+           |  FROM vkept k, vtot vt),
+           |vkm AS (SELECT greatest(
+           |    100 - (SELECT count(*) FROM vpc0 WHERE plen = 1),
+           |    (3 * (SELECT count(*) FROM vpc0 WHERE plen > 1)) // 4) AS k),
+           |vsel AS MATERIALIZED (
+           |  SELECT piece, id, plen, cost FROM vpc0 WHERE plen = 1
+           |  UNION ALL
+           |  SELECT piece, id, plen, cost FROM (
+           |    SELECT piece, id, plen, cost,
+           |      row_number() OVER (ORDER BY u DESC, piece) AS rn
+           |    FROM vpc0 WHERE plen > 1)
+           |  WHERE rn <= (SELECT k FROM vkm)),
+           |${unigramDpCtes("w", "vsel", 4, 16)},
+           |wuse AS (SELECT CAST(unnest(string_split(s.ids, ' '))
+           |      AS INTEGER) AS id, c.wc
+           |  FROM wseg s JOIN utc c ON c.tok = s.w),
+           |wcnt AS (SELECT id, CAST(sum(wc) AS BIGINT) AS u
+           |  FROM wuse GROUP BY 1),
+           |wkept AS (SELECT p.piece, p.id, p.plen, coalesce(v.u, 0) AS u
+           |  FROM vsel p LEFT JOIN wcnt v USING (id)
+           |  WHERE p.plen = 1 OR coalesce(v.u, 0) > 0),
+           |wtot AS (SELECT CAST(sum(u) AS HUGEINT) AS t FROM wkept),
+           |wpc0 AS MATERIALIZED (SELECT k.piece, k.id, k.plen, k.u,
+           |    CAST(1 + (CAST(${1L << 20} AS HUGEINT) * (wt.t - k.u)) // wt.t
+           |      AS BIGINT) AS cost
+           |  FROM wkept k, wtot wt),
+           |wkm AS (SELECT greatest(
+           |    100 - (SELECT count(*) FROM wpc0 WHERE plen = 1),
+           |    (3 * (SELECT count(*) FROM wpc0 WHERE plen > 1)) // 4) AS k),
+           |wsel AS (
+           |  SELECT piece, id, cost FROM wpc0 WHERE plen = 1
+           |  UNION ALL
+           |  SELECT piece, id, cost FROM (
+           |    SELECT piece, id, cost,
+           |      row_number() OVER (ORDER BY u DESC, piece) AS rn
+           |    FROM wpc0 WHERE plen > 1)
+           |  WHERE rn <= (SELECT k FROM wkm))
+           |SELECT piece, CAST(id AS BIGINT) AS id, cost
+           |FROM wsel ORDER BY id""".stripMargin,
 
       // q181: exact-rational TVD — identical integers via HUGEINT
       // cross-multiplication, DECIMAL(38,0) on the wire for dtype

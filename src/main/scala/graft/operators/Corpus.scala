@@ -416,6 +416,68 @@ object Corpus {
     }
   }
 
+  /** SentencePiece's unigram TRAINING LOOP (Kudo ACL'18 §3.2, the
+    * hard-EM variant [[unigramHardEmStep]] is one iteration of), run to
+    * a target vocabulary size as a driver arc mirroring
+    * [[learnBpeMerges]]' shape: seed → repeat (E → M → prune) → final
+    * piece table, artifact-ready for [[UnigramTokenizer]].
+    *
+    * The corpus is scanned exactly TWICE regardless of `rounds` — once
+    * by the seed build, once into the word-frequency dictionary the EM
+    * loop re-segments (document encoding concatenates per-token
+    * segmentations, so per-word Viterbi ids weighted by word
+    * multiplicity equal the corpus-wide usage EXACTLY; this is also
+    * SentencePiece's own layout, which trains on the sentence/word
+    * frequency table). Each round: (E) one dictionary-sized
+    * `explode(unigramEncode)` aggregate under the current table; (M)
+    * [[unigramHardEmStep]] — usage-based integer re-costing + the
+    * zero-usage multi-piece drop, ids stable; then the SHRINK step:
+    * single characters are never pruned (coverage), multi-character
+    * pieces keep the top max(vocabSize − |singles|, ⌊¾·|multis|⌋) by
+    * (usage desc, piece asc) — SentencePiece's default shrink factor,
+    * floored at the target so the last round lands ON vocabSize when
+    * reachable. Survivor costs are the M-step's (computed over the
+    * pre-shrink total); the next E-step renormalizes.
+    *
+    * Scale shape: after the two corpus passes every round is
+    * dictionary-sized work plus a vocab-sized collect — at 100 TB the
+    * loop cost is the E-step's dictionary aggregate per round, never a
+    * corpus rescan.
+    */
+  def learnUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
+      rounds: Int, maxPieceLen: Int = 4, minCount: Long = 2,
+      seedSize: Int = 4096,
+      scale: Long = graft.functions.UnigramDefaults.costScale,
+      probe: Option[(Int, Int) => Unit] = None)
+      : Seq[(String, Int, Long)] = {
+    require(rounds >= 1, "learnUnigram needs at least one EM round")
+    require(vocabSize >= 1, "learnUnigram needs a positive target size")
+    val dict = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    var pieces = collectUnigramPieces(
+      buildUnigramVocab(docs, textCol, maxPieceLen, minCount, seedSize),
+      scale)
+    var r = 0
+    while (r < rounds) {
+      val usage = dict
+        .select(col("wc"),
+          explode(TextFunctions.unigramEncode(col("tok"), pieces)).as("id"))
+        .groupBy("id").agg(sum(col("wc")).as("u"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      val em = unigramHardEmStep(pieces, usage, scale)
+      val (singles, multis) = em.partition(_._1.length == 1)
+      val kMult = math.max(vocabSize - singles.size, multis.size * 3 / 4)
+      val kept = multis.sortBy { case (p, id, _) =>
+        (-usage.getOrElse(id, 0L), p) }.take(kMult)
+      pieces = (singles ++ kept).sortBy(_._2)
+      r += 1
+      probe.foreach(_(r, pieces.size))
+    }
+    pieces
+  }
+
   /** Corpus-drift monitor: per-token occurrence counts of two corpus
     * snapshots side by side, with the EXACT total-variation-distance
     * contribution of each token — the pipeline-health check a

@@ -674,6 +674,44 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tokenizer.fromArtifact(mixed) }
   }
 
+  test("learnUnigram shrinks to the target vocab, keeps coverage, and " +
+      "its result is a working tokenizer") {
+    val docs = Seq(
+      (1L, "low lower low low lowest"),
+      (2L, "newest widest lowest low lower"),
+      (3L, "low lowest newest newest wide")).toDF("doc_id", "text")
+    val seed = Corpus.collectUnigramPieces(
+      Corpus.buildUnigramVocab(docs, "text", maxPieceLen = 3,
+        minCount = 2, maxSize = 50))
+    val singles = seed.count(_._1.length == 1)
+    // target between |singles| and the seed size so the shrink bites
+    val target = singles + 3
+    val learned = Corpus.learnUnigram(docs, "text", vocabSize = target,
+      rounds = 8, maxPieceLen = 3, minCount = 2, seedSize = 50)
+    // every single character survives (coverage is never pruned) and
+    // the multi-piece count landed exactly on the target's budget
+    assert(seed.filter(_._1.length == 1).map(_._1).toSet
+      .subsetOf(learned.map(_._1).toSet))
+    assert(learned.count(_._1.length > 1) == 3)
+    // ids are stable: every learned piece keeps its seed id
+    val seedIds = seed.map(p => p._1 -> p._2).toMap
+    assert(learned.forall(p => seedIds(p._1) == p._2))
+    // the learned table drives the Viterbi kernel: encode covers the
+    // build corpus with no UNK (id 0)
+    val ids = docs.select(explode(
+        graft.functions.TextFunctions.unigramEncode(col("text"), learned))
+        .as("id")).collect().map(_.getInt(0))
+    assert(ids.nonEmpty && !ids.contains(0))
+    // deterministic: a second run reproduces the table exactly
+    assert(Corpus.learnUnigram(docs, "text", vocabSize = target,
+      rounds = 8, maxPieceLen = 3, minCount = 2, seedSize = 50) == learned)
+    // guards
+    intercept[IllegalArgumentException] {
+      Corpus.learnUnigram(docs, "text", vocabSize = 0, rounds = 2) }
+    intercept[IllegalArgumentException] {
+      Corpus.learnUnigram(docs, "text", vocabSize = 10, rounds = 0) }
+  }
+
   test("unigram tokenizer persists costs in the unified artifact and " +
       "refuses corruption loudly") {
     val docs = Seq((1L, "low lower low low"), (2L, "newest widest lowest"))

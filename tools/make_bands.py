@@ -58,7 +58,7 @@ HAND = {
     "187": (1.4, 3.6), "188": (5.9, 7.4), "189": (6.0, 11.0),
     "190": (5.7, 12.3), "191": (0.45, 0.70),
     # r16 additions (solo fresh-JVM, quiet probes this session)
-    "192": (2.2, 3.2), "193": (1.7, 3.3),
+    "192": (2.2, 3.2), "193": (1.7, 3.3), "194": (2.4, 4.1),
 }
 
 SHORT = re.compile(r"^q([0-9]+[a-z]*)_")
