@@ -89,12 +89,16 @@ object Bench {
     else {
       val isCs = line.contains("\"unit_queries\":\"cs\"") ||
         line.contains("\"uq\":\"cs\"")
+      // the deep-shed DECISECOND tier (see renderJson's shed ladder):
+      // values read ×10 back to centiseconds
+      val isDs = line.contains("\"uq\":\"ds\"")
       """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
         .fold(Map.empty[String, Long]) { m =>
           """"([^"]+)":([0-9]+)""".r.findAllMatchIn(m.group(1))
             .map { x =>
               val v = x.group(2).toLong
-              x.group(1) -> (if (isCs) v else Math.round(v / 10.0))
+              x.group(1) -> (if (isDs) v * 10
+                else if (isCs) v else Math.round(v / 10.0))
             }.toMap
         }
     }
@@ -407,11 +411,29 @@ object Bench {
     // `parsed: null`. The diagnostic lists are recoverable from the
     // sidecars (bench_last_full's per-query spread_flag, the summary's
     // uncapped lists), so shed spread first, then failed; the contract
-    // fields and the queries map never shed
+    // fields and the queries map never shed. FINAL tier (suite growth
+    // past ~193 queries made a catastrophic-host line overflow even
+    // with both lists gone): re-render the per-query values in
+    // DECISECONDS, marked "uq":"ds" on the line — ~1 B back per
+    // ≥1 s entry, and the 100 ms resolution is invisible to every
+    // stall threshold (the absolute floor is 0.3 s). The summary
+    // sidecar always keeps centiseconds; parseSummaryQueries converts
+    // ds-era lines ×10 on read.
     if (withReps || line.length < 1920) line
     else {
       val noSpread = assemble(failedJson, "")
-      if (noSpread.length < 1920) noSpread else assemble("", "")
+      if (noSpread.length < 1920) noSpread
+      else {
+        val noLists = assemble("", "")
+        if (noLists.length < 1920) noLists
+        else {
+          val qsDs = results.map { case (k, (_, reps)) =>
+            Verify.jsonStr(shortKey(k)) + ":" +
+              median(reps).fold("null")(s => Math.round(s * 10).toString)
+          }.mkString("{", ",", "}")
+          s"""{"metric":"total","value":$total,"unit":"sec","uq":"ds","queries":$qsDs,"sf":"$sfLabel"}"""
+        }
+      }
     }
   }
 

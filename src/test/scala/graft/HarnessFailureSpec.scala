@@ -219,9 +219,13 @@ class HarnessFailureSpec extends SparkSpec {
     // since the centisecond shed, the r14-shaped stall FITS with its
     // spread list intact — shedding is now a deeper-stall-only path
     assert(sline.contains("\"spread\""))
-    // a catastrophic host (EVERY query spread-flagged) inflates the
-    // line with a full-suite spread list — the shed drops it and the
-    // line stays parseable
+    // a catastrophic host (EVERY query spread-flagged, every median in
+    // whole seconds) inflates the line with a full-suite spread list
+    // AND 3-digit centisecond values — the shed drops the lists and,
+    // when that still overflows (suite growth past ~193 queries made
+    // it so), re-renders the values in DECISECONDS under an explicit
+    // "uq":"ds" marker; the line stays parseable and a cross-round
+    // reader converts on the marker, never by guessing
     val wrecked = names.map { k =>
       k -> ((Some(50.0): Option[Double],
         Seq(Some(0.5), Some(5.0), Some(5.1))
@@ -231,6 +235,10 @@ class HarnessFailureSpec extends SparkSpec {
     assert(wline.length < 1925, s"wrecked-host line is ${wline.length} B")
     assert(!wline.contains("\"spread\""))
     assert(wline.contains("\"queries\":")) // contract fields never shed
+    assert(wline.contains("\"uq\":\"ds\"")) // the deep-shed unit marker
+    // a ds-era line round-trips back to centiseconds on the marker
+    val wparsed = Bench.parseSummaryQueries(wline, "sf0.1")
+    assert(wparsed.values.forall(_ == 500L))
     // the sidecar line (withReps) never sheds
     val sside = Bench.renderJson(stalled.take(5), "/x/sf0.1",
       withReps = true)

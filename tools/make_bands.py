@@ -99,8 +99,10 @@ def history_readings():
         if not m:
             continue
         is_cs = '"uq":"cs"' in tail or '"unit_queries":"cs"' in tail
+        is_ds = '"uq":"ds"' in tail  # the deep-shed decisecond tier
         for k, v in re.findall(r'"([^"]+)":([0-9]+)', m.group(1)):
-            add(k, int(v) if is_cs else int(v) / 10.0)
+            add(k, int(v) * 10 if is_ds else
+                int(v) if is_cs else int(v) / 10.0)
     return out
 
 
