@@ -2886,6 +2886,48 @@ object SparkEntry {
           frameBytes = 64)
         .orderBy("asset_id")),
 
+    // the full two-stage MinHash pipeline on TEXT: banded candidates +
+    // EXACT Jaccard verification restricted to the candidate set (the
+    // 10 TB design: quadratic verify cost only where bands collided).
+    // q32 gates the candidate stage and q34 the all-pairs ground truth;
+    // this row gates the composition — candidate ∩ (jaccard >= 0.3),
+    // each pair carrying its true similarity
+    "q197_minhash_verified_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLshVerifiedPairs(
+          t(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // q193's candidates through the exact verify stage: per surviving
+    // pair the TRUE fraction of shared k-frame windows (candidate-
+    // restricted shingle Jaccard over the phash streams) — precision
+    // the raw band collisions can't promise
+    "q195_frame_seq_verified" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSequenceNearDupVerified(
+          graft.operators.Multimodal.fromDocuments(
+            t(s, dir, "documents").select("doc_id", "text", "source")),
+          frameBytes = 64, threshold = 0.35, k = 3, dim = 8)
+        .orderBy("id_a", "id_b")),
+
+    // INCREMENTAL frame-level storage dedup (the store's ingest path,
+    // q191's stat made batch-absorbing): even assets arrive first and
+    // seed the digest index, odd assets probe it — a frame already
+    // digested stores nothing, fresh frames keep-first within their
+    // batch. The twin collapses the composition to ONE arrival-order
+    // rule: stored iff the occurrence is its digest's minimum under
+    // (parity, asset, idx)
+    "q196_frame_index_add" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val assets = graft.operators.Multimodal.fromDocuments(
+        t(s, dir, "documents").select("doc_id", "text", "source"))
+      val idx0 = Seq.empty[String].toDF("digest")
+      val (st1, d1) = graft.operators.Multimodal.frameIndexAddBatch(
+        idx0, assets.where(col("asset_id") % 2 === 0), frameBytes = 64)
+      val (st2, _) = graft.operators.Multimodal.frameIndexAddBatch(
+        d1, assets.where(col("asset_id") % 2 === 1), frameBytes = 64)
+      st1.unionByName(st2).orderBy("asset_id")
+    }),
+
     // the unigram LEARN LOOP closed as a driver arc (q184 gates ONE
     // hard-EM iteration; this runs Corpus.learnUnigram — seed → 2×
     // (E → M → shrink-to-target) at the q180-family constants, target
@@ -7469,6 +7511,134 @@ object SparkEntry {
            |FROM banded a JOIN banded b
            |  ON a.band = b.band AND a.key = b.key
            |  AND a.asset_id < b.asset_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q195: q193's pipeline + the exact verify — candidate pairs
+      // joined back to both sides' distinct k-frame shingle sets; the
+      // double division is the q34 convention
+      "q195_frame_seq_verified" -> {
+        val mh = graft.operators.Dedup.minhashCoeffs(8).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"min((hv * $a + $b) % ${graft.operators.Dedup.MinhashP}) AS mh$i"
+          }.mkString(", ")
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT asset_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) " +
+            s"|| '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+           |  FROM documents),
+           |fr AS (SELECT asset_id, s.idx AS frame_idx, s.h AS h FROM (
+           |    SELECT asset_id, UNNEST(list_transform(
+           |      range((octet_length(payload) + 63) // 64),
+           |      i -> {'idx': i,
+           |            'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+           |      AS s
+           |    FROM b WHERE octet_length(payload) > 0)),
+           |lane AS (SELECT asset_id, frame_idx, list_transform(range(8),
+           |    j -> coalesce(list_sum(list_transform(range(len(h) // 2),
+           |      p -> CASE WHEN p % 8 = j
+           |           THEN ('0x' || substr(h, p*2 + 1, 2))::BIGINT
+           |           ELSE 0 END)), 0)) AS l
+           |  FROM fr),
+           |ph AS (SELECT asset_id, frame_idx,
+           |    list_sum(list_transform(range(8), j ->
+           |      CASE WHEN l[j+1] * 8 > list_sum(l)
+           |           THEN (1::BIGINT << j) ELSE 0 END)) AS phash
+           |  FROM lane),
+           |stream AS (SELECT asset_id,
+           |    string_agg(CAST(phash AS VARCHAR), ' ' ORDER BY frame_idx)
+           |      AS t
+           |  FROM ph GROUP BY asset_id),
+           |tk0 AS (SELECT asset_id,
+           |    list_filter(string_split_regex(t, '\\s+'),
+           |      x -> strlen(x) > 0) AS tk FROM stream),
+           |sh AS (SELECT asset_id,
+           |    unnest(list_distinct(${shinglesSql("tk")})) AS s FROM tk0),
+           |h AS (SELECT asset_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT asset_id, $mh FROM h GROUP BY asset_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.asset_id AS id_a,
+           |    b.asset_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key
+           |  AND a.asset_id < b.asset_id),
+           |sz AS (SELECT asset_id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM pairs p
+           |  JOIN sh a ON a.asset_id = p.id_a
+           |  JOIN sh b2 ON b2.asset_id = p.id_b AND b2.s = a.s
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.asset_id = id_a
+           |JOIN sz sb ON sb.asset_id = id_b
+           |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q196: q191's frame cut with the two-batch composition stated
+      // as one arrival-order rule — stored iff the occurrence is its
+      // digest's minimum under (parity, asset, idx)
+      "q196_frame_index_add" ->
+        """WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+          |  FROM documents),
+          |fr0 AS (SELECT asset_id, UNNEST(list_transform(
+          |    range((octet_length(payload) + 63) // 64),
+          |    i -> {'idx': i,
+          |          'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+          |    AS s
+          |  FROM b WHERE octet_length(payload) > 0),
+          |fr AS (SELECT asset_id, s.idx AS frame_idx, md5(s.h) AS k,
+          |    CAST(length(s.h) // 2 AS BIGINT) AS fb FROM fr0),
+          |occ AS (SELECT asset_id, fb, row_number() OVER (
+          |    PARTITION BY k
+          |    ORDER BY asset_id % 2, asset_id, frame_idx) = 1 AS stored
+          |  FROM fr),
+          |per AS (SELECT asset_id,
+          |    CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(count(*) FILTER (WHERE stored) AS BIGINT)
+          |      AS stored_frames,
+          |    CAST(count(*) FILTER (WHERE NOT stored) AS BIGINT)
+          |      AS dup_frames,
+          |    CAST(COALESCE(sum(fb) FILTER (WHERE NOT stored), 0)
+          |      AS BIGINT) AS dup_bytes
+          |  FROM occ GROUP BY 1)
+          |SELECT b.asset_id,
+          |  CAST(COALESCE(p.n_frames, 0) AS BIGINT) AS n_frames,
+          |  CAST(COALESCE(p.stored_frames, 0) AS BIGINT) AS stored_frames,
+          |  CAST(COALESCE(p.dup_frames, 0) AS BIGINT) AS dup_frames,
+          |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
+          |FROM b LEFT JOIN per p USING (asset_id)
+          |ORDER BY asset_id""".stripMargin,
+
+      // q197: the text two-stage composition — q32's banded candidates
+      // intersected with q34's exact Jaccard, restricted to candidates
+      "q197_minhash_verified_pairs" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.id_a
+           |  JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
            |ORDER BY id_a, id_b""".stripMargin
       },
 

@@ -372,6 +372,48 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The FULL MinHash near-dup pipeline in one operator: banded LSH
+    * candidate generation ([[minhashLshPairs]]) followed by EXACT
+    * Jaccard verification restricted to the candidate set — the
+    * classic two-stage design (candidates are linear via the band
+    * shuffle; the exact shingle intersection runs per CANDIDATE pair
+    * only, never all-pairs, so a 10⁹-doc corpus pays the quadratic
+    * verify cost only where the bands already collided). Returns
+    * (id_a, id_b, jaccard) for candidates at or above `threshold`;
+    * a candidate pair sharing no shingle at all (a pure minhash
+    * collision) has jaccard 0 and drops with the rest.
+    *
+    * Shuffle shape: the band exchange (candidates), one exchange on
+    * id_a and one on (id_b, shingle) to count intersections, per-doc
+    * size sides broadcast only under the row cap ([[Sizing]]), hash
+    * joins otherwise.
+    */
+  def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
+    val cand = minhashLshPairs(docs, bands, rowsPerBand, shingleN,
+      idCol, textCol)
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(graft.functions.TextExpressions
+        .shingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
+    val inter = cand
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val bc = Sizing.countAtMost(docs, broadcastRowLimit)
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    inter
+      .join(side(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(side(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** (id, band, key) LSH band keys for every doc — ONE definition of the
     * banding rule, shared by [[minhashLshPairs]] and
     * [[decontaminateNearDup]] so the two can never drift apart (the

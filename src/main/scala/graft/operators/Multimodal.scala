@@ -278,6 +278,85 @@ object Multimodal {
       bands, rowsPerBand, shingleN = k,
       idCol = "asset_id", textCol = "phash_stream")
 
+  /** [[frameSequenceNearDupPairs]] with the exact verify stage: the
+    * banded candidates pass through [[Dedup.minhashLshVerifiedPairs]]'
+    * candidate-restricted Jaccard over the k-frame shingle sets, so
+    * each surviving pair carries its TRUE shared-window fraction —
+    * precision the raw band collisions can't promise, at verify cost
+    * bounded by the candidate set, never all-pairs. Returns
+    * (id_a, id_b, jaccard ≥ threshold).
+    */
+  def frameSequenceNearDupVerified(assets: DataFrame, frameBytes: Int,
+      threshold: Double, k: Int = 3, dim: Int = 8, kind: String = "ahash",
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    Dedup.minhashLshVerifiedPairs(
+      frameSequenceDocs(assets, frameBytes, dim, kind), threshold,
+      bands, rowsPerBand, shingleN = k,
+      idCol = "asset_id", textCol = "phash_stream")
+
+  /** INCREMENTAL frame-level storage dedup — the ingest path of the
+    * dedup store ([[frameDedupStats]] is the retrospective corpus
+    * stat; this absorbs an arriving batch against the store's
+    * persistent DIGEST INDEX, the [[Dedup.lineIndexAddBatch]] shape on
+    * frames): a batch frame whose digest the index already holds is a
+    * duplicate (its canonical copy is stored); the fresh remainder
+    * dedups within the batch by the packed (asset ‖ idx) window min
+    * (first occurrence stores, later copies dedup), and ALL fresh
+    * digests fold into the returned delta — append-only state, the
+    * family pattern. Returns (stats, freshDigests): per-asset
+    * (n_frames, stored_frames, dup_frames, dup_bytes) and the batch's
+    * distinct new digests.
+    *
+    * Scale shape per batch: one in-partition cut+digest pass, a
+    * batch-sized anti-join probe against the index (a deployment
+    * buckets the index on the digest), ONE digest exchange for the
+    * within-batch window, a per-asset aggregate. The index never
+    * rewrites; work is O(batch frames + probe), the store is never
+    * rescanned.
+    */
+  def frameIndexAddBatch(index: DataFrame, assets: DataFrame,
+      frameBytes: Int): (DataFrame, DataFrame) = {
+    val keyed = frameSample(assets, frameBytes, everyN = 1)
+      .select(col("asset_id"), col("frame_idx"),
+        octet_length(col("frame")).cast(LongType).as("__fb"),
+        md5(lower(hex(col("frame")))).as("__k"))
+      .withColumn("__o", {
+        val id = col("asset_id").cast(LongType)
+        when(id.isNull || id < 0 || id >= lit(1L << 39) ||
+            col("frame_idx") >= lit(1 << 24),
+          raise_error(lit("frameIndexAddBatch: occurrence outside the " +
+            "packable range (numeric asset id in [0, 2^39), frame idx " +
+            "< 2^24)")).cast(LongType))
+          .otherwise(shiftleft(id, 24) + col("frame_idx"))
+      })
+      // seen digests are duplicates wholesale; fresh frames resolve
+      // ownership inside the one digest exchange, like frameDedupStats
+      .join(index.select(col("digest").as("__k"), lit(1).as("__seen")),
+        Seq("__k"), "left")
+    val occ = keyed.withColumn("__own",
+        min(when(col("__seen").isNull, col("__o")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__k"))))
+      .withColumn("__stored",
+        col("__seen").isNull && col("__o") === col("__own"))
+    val per = occ.groupBy("asset_id").agg(
+      count(lit(1)).as("n_frames"),
+      sum(when(col("__stored"), 1L).otherwise(0L)).as("stored_frames"),
+      sum(when(!col("__stored"), 1L).otherwise(0L)).as("dup_frames"),
+      sum(when(!col("__stored"), col("__fb")).otherwise(0L))
+        .as("dup_bytes"))
+    val stats = assets.select(col("asset_id"))
+      .join(per, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("stored_frames"), lit(0L)).as("stored_frames"),
+        coalesce(col("dup_frames"), lit(0L)).as("dup_frames"),
+        coalesce(col("dup_bytes"), lit(0L)).as("dup_bytes"))
+    val fresh = occ.where(col("__seen").isNull)
+      .select(col("__k").as("digest")).distinct()
+    (stats, fresh)
+  }
+
   /** Image near-duplicate pairs: perceptual hashes within `maxHamming`
     * bits, via the same banded exact-Hamming machinery as the text
     * SimHash path ([[Dedup.bandedHammingPairs]]) — candidates shuffle on

@@ -695,6 +695,33 @@ class DedupSpec extends SparkSpec {
     }.getMessage.contains("representation"))
   }
 
+  test("minhashLshVerifiedPairs = candidates gated by exact Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashLshVerifiedPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // every verified pair is a candidate carrying its TRUE jaccard,
+    // which must equal the exact all-pairs operator's value
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(verified.keySet.subsetOf(cand))
+    verified.foreach { case (k, j) => assert(exact(k) == j) }
+    // docs 1-2 share 7 of their 8+8 distinct 3-shingles each:
+    // jaccard 7/9 -- present; doc 3 pairs with nothing
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // a threshold above the true fraction empties the result
+    assert(Dedup.minhashLshVerifiedPairs(docs, threshold = 0.9)
+      .count() == 0)
+  }
+
   test("stripFrequentLines removes >=minDocs lines from ALL docs, counts distinct docs") {
     val docs = Seq(
       (1L, "a\nb\nc"),

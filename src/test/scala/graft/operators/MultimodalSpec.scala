@@ -143,6 +143,49 @@ class MultimodalSpec extends SparkSpec {
     assert(ph == Seq(3L, 1L, 2L, 4L, 8L))
   }
 
+  test("frameSequenceNearDupVerified carries the true shared-window " +
+      "fraction; frameIndexAddBatch remembers digests across batches") {
+    val P = "zaaa"; val Q = "azaa"; val R = "aaza"; val S = "aaaz"
+    val assets = Multimodal.fromDocuments(Seq(
+      (1L, "zzaa" + P + Q + R + S, "web"),
+      (2L, "azza" + P + Q + R + S, "web"),
+      (3L, "zaza" + "azaz" + "zaza" + "azaz" + "zaza", "web"))
+      .toDF("doc_id", "text", "source"))
+    // streams "3 1 2 4 8" / "6 1 2 4 8": shingle sets {312,124,248} /
+    // {612,124,248} -> intersection 2, union 4 -> jaccard 0.5
+    val v = Multimodal.frameSequenceNearDupVerified(assets,
+        frameBytes = 4, threshold = 0.4, k = 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(v.toSeq == Seq((1L, 2L, 0.5)))
+    // a threshold above the true fraction kills the candidate
+    assert(Multimodal.frameSequenceNearDupVerified(assets,
+      frameBytes = 4, threshold = 0.6, k = 3, dim = 4).count() == 0)
+
+    // incremental digest index: batch 1 = asset 1 seeds; batch 2 =
+    // assets 2 and 4 probe it (frames P,Q,R,S already stored; "azza"
+    // fresh; asset 4 repeats "azza" twice -> within-batch keep-first)
+    val sess = spark
+    import sess.implicits._
+    val b2 = Multimodal.fromDocuments(Seq(
+      (2L, "azza" + P + Q + R + S, "web"),
+      (4L, "azza" + "azza", "web")).toDF("doc_id", "text", "source"))
+    val idx0 = Seq.empty[String].toDF("digest")
+    val (st1, d1) = Multimodal.frameIndexAddBatch(idx0,
+      assets.where($"asset_id" === 1L), frameBytes = 4)
+    assert(st1.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq == Seq((1L, 5L, 5L, 0L)))
+    assert(d1.count() == 5)
+    val (st2, d2) = Multimodal.frameIndexAddBatch(d1, b2, frameBytes = 4)
+    val m = st2.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // asset 2: 5 frames, only "azza" fresh (P..S seen in batch 1)
+    assert(m(2L) == ((5L, 1L, 4L, 16L)))
+    // asset 4: "azza" seen within THIS batch at asset 2's earlier
+    // occurrence -> both copies dup
+    assert(m(4L) == ((2L, 0L, 2L, 8L)))
+    assert(d2.as[String].collect().toSeq.length == 1) // one new digest
+  }
+
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
     val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
     assert(resized.schema == Multimodal.fromDocuments(docs).schema)

@@ -59,6 +59,7 @@ HAND = {
     "190": (5.7, 12.3), "191": (0.45, 0.70),
     # r16 additions (solo fresh-JVM, quiet probes this session)
     "192": (2.2, 3.2), "193": (1.7, 3.3), "194": (2.4, 4.1),
+    "195": (1.2, 2.7), "196": (0.35, 0.65), "197": (0.9, 1.1),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
