@@ -209,10 +209,18 @@ object Bench {
     val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(content)
       .exists(_.group(1) == sfLabel)
     if (!sfOk) Map.empty
-    else """"([0-9]+[a-z]*)":\[([0-9]+),([0-9]+)""".r
-      .findAllMatchIn(content)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
-      .toMap
+    else
+      // scope the key/triple regex to the `"bands":{...}` block (the
+      // entries hold no nested `{`, so the non-greedy body is exact) —
+      // a future numeric-keyed [int,int,...] section elsewhere in the
+      // file must not be absorbed as timing bands
+      """"bands":\{([^}]*)\}""".r.findFirstMatchIn(content)
+        .fold(Map.empty[String, (Long, Long)]) { blk =>
+          """"([0-9]+[a-z]*)":\[([0-9]+),([0-9]+)""".r
+            .findAllMatchIn(blk.group(1))
+            .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
+            .toMap
+        }
   }
 
   /** Band adjudication, ABOVE side: a fresh median is an outlier when
@@ -555,8 +563,15 @@ object Bench {
       r
     }
     val summary = renderJson(results, sfDir)
+    // a filtered builder probe (SPARK_GRAFT_ONLY) must NEVER default
+    // onto the repo's full-suite sidecar: bench_last_full.json is
+    // make_bands.py's per-rep history AND its current-suite key set,
+    // both gitignored — a 6-query probe overwriting it silently
+    // destroys the band-regen inputs (r17 incident). Probes default to
+    // a tmp path; an explicit SPARK_GRAFT_BENCH_FULL still wins.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/bench_last_full.json")
+      if (only.isDefined) "/tmp/bench_probe_full.json"
+      else "/root/repo/bench_last_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         renderJsonFull(results, sfDir).getBytes("UTF-8"))
@@ -577,9 +592,12 @@ object Bench {
     // pin the reference explicitly with SPARK_GRAFT_BENCH_REF or
     // git-restore the summary first. A reference at a different scale
     // factor is ignored (parse guard), not compared.
+    // same probe guard as the full sidecar: a filtered run must not
+    // replace the committed closing summary (vs_prev's reference)
     val summaryPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
-        "/root/repo/bench_summary.json"))
+        if (only.isDefined) "/tmp/bench_probe_summary.json"
+        else "/root/repo/bench_summary.json"))
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
       .map(java.nio.file.Paths.get(_)).getOrElse(summaryPath)
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption

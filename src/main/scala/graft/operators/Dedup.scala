@@ -383,27 +383,46 @@ object Dedup {
     * a candidate pair sharing no shingle at all (a pure minhash
     * collision) has jaccard 0 and drops with the rest.
     *
-    * Shuffle shape: the band exchange (candidates), one exchange on
-    * id_a and one on (id_b, shingle) to count intersections, per-doc
-    * size sides broadcast only under the row cap ([[Sizing]]), hash
-    * joins otherwise.
+    * Shuffle shape: the band exchange (candidates), then — after a
+    * left-semi prune of the shingle explosion down to CANDIDATE docs
+    * only — one exchange on id_a and one on (id_b, shingle) to count
+    * intersections, both candidate-bounded rather than corpus-bounded
+    * (without the prune, every shingle of every doc would ride the
+    * verify exchanges even when bands collided for a tiny fraction of
+    * the corpus — the exact cost the two-stage design exists to avoid).
+    * The candidate pairs and the pruned shingle set are each
+    * materialized ONCE (`localCheckpoint`, the
+    * [[lineIndexAddBatchParts]] pattern): `cand` feeds the id prune,
+    * both intersection sides and the size probe; `sh` feeds both
+    * intersection sides plus the per-doc sizes. Size/id sides
+    * broadcast only under the row cap ([[Sizing]]), hash joins
+    * otherwise.
     */
   def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastRowLimit: Long = Sizing.DefaultBroadcastRows): DataFrame = {
     val cand = minhashLshPairs(docs, bands, rowsPerBand, shingleN,
-      idCol, textCol)
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(graft.functions.TextExpressions
-        .shingles(col(textCol), shingleN))).as("sh"))
+      idCol, textCol).localCheckpoint()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+      .localCheckpoint()
+    // broadcast decisions probe the materialized candidate ids — at scale
+    // candidates are small even when the corpus is not, so the verify
+    // stage usually gets the broadcast fast path regardless of corpus size
+    val bc = Sizing.countAtMost(candIds, broadcastRowLimit)
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    val sh = docs
+      .join(side(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(array_distinct(graft.functions.TextExpressions
+          .shingles(col(textCol), shingleN))).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
     val inter = cand
       .join(sh.toDF("id_a", "sh"), "id_a")
       .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val bc = Sizing.countAtMost(docs, broadcastRowLimit)
-    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     inter
       .join(side(sizes.toDF("id_a", "sz_a")), "id_a")
       .join(side(sizes.toDF("id_b", "sz_b")), "id_b")

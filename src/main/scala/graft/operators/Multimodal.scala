@@ -330,8 +330,13 @@ object Multimodal {
           .otherwise(shiftleft(id, 24) + col("frame_idx"))
       })
       // seen digests are duplicates wholesale; fresh frames resolve
-      // ownership inside the one digest exchange, like frameDedupStats
-      .join(index.select(col("digest").as("__k"), lit(1).as("__seen")),
+      // ownership inside the one digest exchange, like frameDedupStats.
+      // The index projection is distinct()ed before the probe join: an
+      // index carrying duplicate digests (overlapping replay deltas
+      // unioned without distinct) must mark rows seen, not multiply
+      // them — the same immunity the line family's anti-join probe has
+      .join(index.select(col("digest").as("__k")).distinct()
+          .withColumn("__seen", lit(1)),
         Seq("__k"), "left")
     val occ = keyed.withColumn("__own",
         min(when(col("__seen").isNull, col("__o")))

@@ -184,6 +184,19 @@ class MultimodalSpec extends SparkSpec {
     // occurrence -> both copies dup
     assert(m(4L) == ((2L, 0L, 2L, 8L)))
     assert(d2.as[String].collect().toSeq.length == 1) // one new digest
+
+    // index duplicates are harmless: a caller unioning overlapping
+    // replay deltas without distinct must mark frames seen, not
+    // multiply their occurrence rows (the probe distinct()s its index
+    // projection — the line family's anti-join immunity, here on the
+    // left-join shape)
+    val (st2d, d2d) = Multimodal.frameIndexAddBatch(
+      d1.union(d1).union(d1), b2, frameBytes = 4)
+    assert(st2d.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      == m)
+    assert(d2d.as[String].collect().toSeq ==
+      d2.as[String].collect().toSeq)
   }
 
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
