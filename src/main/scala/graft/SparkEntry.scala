@@ -2928,6 +2928,28 @@ object SparkEntry {
       st1.unionByName(st2).orderBy("asset_id")
     }),
 
+    // q196's ingest path lifted under the marker-committed versioned
+    // state family (the q188 pattern on frames): the parity backlog
+    // replays as two micro-batches, each probing the persistent digest
+    // index and appending its stats + fresh-digest delta; the gated
+    // output is the full stats state with each asset's ingest batch.
+    // Arrival order ≠ id order (odd ids arrive second), so the twin's
+    // parity-major ownership window states exactly the batch-chain
+    // rule: a frame digest belongs to the batch that saw it first — a
+    // later batch's smaller asset id never wins retroactively
+    "q198_stream_frame_index" -> ((s, dir) => {
+      val root = scratch("graft_sframes_")
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val (src, schema) = parityBacklog(s, root, docs)
+      withShufflePartitions(s, 2) {
+        graft.streaming.StreamingFrameIndex.runAvailableNow(
+          s, src, schema, s"$root/state", s"$root/ckpt", frameBytes = 64)
+      }
+      val (stats, _, _) = graft.streaming.StreamingFrameIndex
+        .readState(s, s"$root/state")
+      stats.orderBy("asset_id")
+    }),
+
     // the unigram LEARN LOOP closed as a driver arc (q184 gates ONE
     // hard-EM iteration; this runs Corpus.learnUnigram — seed → 2×
     // (E → M → shrink-to-target) at the q180-family constants, target
@@ -7610,6 +7632,42 @@ object SparkEntry {
           |  CAST(COALESCE(p.stored_frames, 0) AS BIGINT) AS stored_frames,
           |  CAST(COALESCE(p.dup_frames, 0) AS BIGINT) AS dup_frames,
           |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
+          |FROM b LEFT JOIN per p USING (asset_id)
+          |ORDER BY asset_id""".stripMargin,
+
+      // q198: q196's algebra with the streaming batch stamp — the
+      // parity-major window IS the two-micro-batch arrival order, and
+      // batch = parity + 1 restates the replay's ingest schedule
+      "q198_stream_frame_index" ->
+        """WITH b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+          |  FROM documents),
+          |fr0 AS (SELECT asset_id, UNNEST(list_transform(
+          |    range((octet_length(payload) + 63) // 64),
+          |    i -> {'idx': i,
+          |          'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+          |    AS s
+          |  FROM b WHERE octet_length(payload) > 0),
+          |fr AS (SELECT asset_id, s.idx AS frame_idx, md5(s.h) AS k,
+          |    CAST(length(s.h) // 2 AS BIGINT) AS fb FROM fr0),
+          |occ AS (SELECT asset_id, fb, row_number() OVER (
+          |    PARTITION BY k
+          |    ORDER BY asset_id % 2, asset_id, frame_idx) = 1 AS stored
+          |  FROM fr),
+          |per AS (SELECT asset_id,
+          |    CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(count(*) FILTER (WHERE stored) AS BIGINT)
+          |      AS stored_frames,
+          |    CAST(count(*) FILTER (WHERE NOT stored) AS BIGINT)
+          |      AS dup_frames,
+          |    CAST(COALESCE(sum(fb) FILTER (WHERE NOT stored), 0)
+          |      AS BIGINT) AS dup_bytes
+          |  FROM occ GROUP BY 1)
+          |SELECT b.asset_id,
+          |  CAST(COALESCE(p.n_frames, 0) AS BIGINT) AS n_frames,
+          |  CAST(COALESCE(p.stored_frames, 0) AS BIGINT) AS stored_frames,
+          |  CAST(COALESCE(p.dup_frames, 0) AS BIGINT) AS dup_frames,
+          |  CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes,
+          |  CAST(b.asset_id % 2 + 1 AS BIGINT) AS batch
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
 

@@ -65,6 +65,11 @@ HAND = {
     # corpus-bounded→candidate-bounded verify exchanges; at sf0.1 that
     # constant lifts the quiet reading to ~1.5 s (in-band controls)
     "197": (0.9, 1.7),
+    # r17 additions (solo fresh-JVM, in-band-controls probes): q198 =
+    # the streaming frame-store ingest replay (backlog write + two
+    # AvailableNow micro-batches per rep, q188-class cost; reps decay
+    # 7.7 -> 4.6 s as the scratch warms)
+    "198": (4.2, 8.0),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
