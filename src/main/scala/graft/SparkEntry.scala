@@ -2950,6 +2950,27 @@ object SparkEntry {
       stats.orderBy("asset_id")
     }),
 
+    // CROSS-MODAL (image-text) pair dedup — the LAION-shaped
+    // composition: a pair drops only when BOTH channels agree, caption
+    // near-dup (q197's verified Jaccard >= 0.3) AND image
+    // phash-near-dup (q186's banded Hamming <= 3), walked to keep-one
+    // through the q78 CC machinery on the conjunction pair graph. The
+    // harness pair dataset is documents with caption = text and
+    // payload = the UTF-8 bytes (the stand-in image); the channels
+    // still measure DIFFERENT similarity structures — shingle Jaccard
+    // vs byte-histogram phash — so at sf0.01 the conjunction (21
+    // pairs) is a proper subset of both (4 caption-only + 2 image-only
+    // decoy pairs drop). The twin re-derives both channels' pair CTEs
+    // and the same recursive reachability as q189
+    "q199_crossmodal_dedup" -> ((s, dir) => {
+      val pairsIn = t(s, dir, "documents")
+        .select(col("doc_id").as("asset_id"), col("text").as("caption"),
+          encode(col("text"), "UTF-8").cast("binary").as("payload"))
+      graft.operators.Multimodal.crossModalDedupClusters(pairsIn,
+          threshold = 0.3, maxHamming = 3, dim = 32)
+        .orderBy("asset_id")
+    }),
+
     // the unigram LEARN LOOP closed as a driver arc (q184 gates ONE
     // hard-EM iteration; this runs Corpus.learnUnigram — seed → 2×
     // (E → M → shrink-to-target) at the q180-family constants, target
@@ -7670,6 +7691,69 @@ object SparkEntry {
           |  CAST(b.asset_id % 2 + 1 AS BIGINT) AS batch
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
+
+      // q199: the conjunction of the q197 caption CTEs (verified
+      // Jaccard >= 0.3) and the q186 image CTEs (ahash Hamming <= 3),
+      // then q189's recursive min-root reachability over the
+      // conjunction edges; keep = the cluster-min rule
+      "q199_crossmodal_dedup" -> {
+        val bandKeys = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || " +
+            s"CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $shingleCtes,
+           |h AS (SELECT doc_id, ${pHashSql("s")} AS hv FROM sh),
+           |sig AS (SELECT doc_id, $mhTerms FROM h GROUP BY doc_id),
+           |banded AS ($bandKeys),
+           |cpairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM banded a JOIN banded b2
+           |  ON a.band = b2.band AND a.key = b2.key
+           |    AND a.doc_id < b2.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+           |  FROM cpairs p
+           |  JOIN sh a ON a.doc_id = p.id_a
+           |  JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
+           |  GROUP BY 1, 2),
+           |cap AS (SELECT id_a, id_b FROM inter
+           |  JOIN sz sa ON sa.doc_id = id_a
+           |  JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3),
+           |b AS (SELECT doc_id AS asset_id, encode(text) AS payload
+           |  FROM documents),
+           |lv AS (SELECT asset_id, UNNEST(list_transform(
+           |    range(1, octet_length(payload) + 1),
+           |    i -> {'l': (i - 1) % 32,
+           |          'v': ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT}))
+           |    AS s
+           |  FROM b),
+           |lanes AS (SELECT asset_id, s.l AS lane, SUM(s.v) AS v
+           |  FROM lv GROUP BY 1, 2),
+           |dense AS (SELECT b.asset_id, r.lane, COALESCE(l.v, 0) AS v
+           |  FROM b CROSS JOIN (SELECT UNNEST(range(0, 32)) AS lane) r
+           |  LEFT JOIN lanes l
+           |    ON l.asset_id = b.asset_id AND l.lane = r.lane),
+           |tot AS (SELECT asset_id, SUM(v) AS tot FROM dense GROUP BY 1),
+           |ah AS (SELECT d.asset_id,
+           |    CAST(SUM(CASE WHEN d.v * 32 > t.tot
+           |      THEN (CAST(1 AS BIGINT) << d.lane) ELSE 0 END) AS BIGINT)
+           |      AS h
+           |  FROM dense d JOIN tot t USING (asset_id) GROUP BY 1),
+           |icand AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b
+           |  FROM ah x JOIN ah y ON x.asset_id < y.asset_id
+           |  WHERE bit_count(xor(x.h, y.h)) <= 3),
+           |conj AS (SELECT c.id_a, c.id_b
+           |  FROM cap c JOIN icand i2 USING (id_a, id_b)),
+           |e AS (SELECT id_a AS a, id_b AS bb FROM conj
+           |  UNION SELECT id_b, id_a FROM conj),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.src, e.bb FROM reach r JOIN e ON r.dst = e.a)
+           |SELECT src AS asset_id, min(dst) AS root,
+           |  (src = min(dst)) AS keep
+           |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin
+      },
 
       // q197: the text two-stage composition — q32's banded candidates
       // intersected with q34's exact Jaccard, restricted to candidates

@@ -362,6 +362,59 @@ object Multimodal {
     (stats, fresh)
   }
 
+  /** CROSS-MODAL pair dedup — the image-text (LAION-style) member of
+    * the dedup family: a row is an (image, caption) PAIR, and two rows
+    * duplicate each other only when BOTH channels agree — captions are
+    * near-dup (two-stage MinHash with exact-Jaccard verification,
+    * [[Dedup.minhashLshVerifiedPairs]]) AND images are
+    * perceptual-hash-near-dup ([[imageNearDupPairs]], banded exact
+    * Hamming). The conjunction is what pair-dataset curation needs:
+    * the same stock photo under different captions is NOT a dup (the
+    * captions carry the training signal), and the same boilerplate
+    * caption on different images is NOT a dup either — only a
+    * both-channels match is redundant. Returns
+    * (id_a, id_b, jaccard, hamming), id_a < id_b.
+    *
+    * `pairs` carries (`asset_id`, `caption` string, `payload` binary).
+    * Scale shape: each channel is its own banded/verified linear
+    * pipeline (never all-pairs; the caption verify stage is
+    * candidate-bounded); the conjunction is one equi-join of two
+    * candidate-sized pair sets on (id_a, id_b).
+    */
+  def crossModalDupPairs(pairs: DataFrame, threshold: Double,
+      maxHamming: Int = 3, dim: Int = 32, kind: String = "ahash",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      hamBands: Int = 4): DataFrame = {
+    val cap = Dedup.minhashLshVerifiedPairs(
+      pairs.select(col("asset_id"), col("caption")), threshold,
+      bands, rowsPerBand, shingleN,
+      idCol = "asset_id", textCol = "caption")
+    val img = imageNearDupPairs(pairs, maxHamming, dim, hamBands, kind)
+    cap.join(img.select(col("id_a"), col("id_b"), col("hamming")),
+        Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("hamming"))
+  }
+
+  /** [[crossModalDupPairs]] closed to the keep-one decision: the
+    * conjunction pair graph walks to connected components via the
+    * modality-agnostic large-star/small-star machinery
+    * ([[Dedup.nearDupClusters]], O(log n) rounds), min asset id per
+    * component is the canonical pair, every other member drops —
+    * exactly the q189 image arc with the cross-modal edge rule.
+    * Returns one row per input pair row: (asset_id, root, keep).
+    */
+  def crossModalDedupClusters(pairs: DataFrame, threshold: Double,
+      maxHamming: Int = 3, dim: Int = 32, kind: String = "ahash",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      hamBands: Int = 4): DataFrame =
+    Dedup.nearDupClusters(
+        pairs.select(col("asset_id").as("doc_id")),
+        crossModalDupPairs(pairs, threshold, maxHamming, dim, kind,
+          bands, rowsPerBand, shingleN, hamBands)
+          .select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("asset_id"), col("root"),
+        (col("doc_id") === col("root")).as("keep"))
+
   /** Image near-duplicate pairs: perceptual hashes within `maxHamming`
     * bits, via the same banded exact-Hamming machinery as the text
     * SimHash path ([[Dedup.bandedHammingPairs]]) — candidates shuffle on

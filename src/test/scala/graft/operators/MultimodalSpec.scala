@@ -199,6 +199,38 @@ class MultimodalSpec extends SparkSpec {
       d2.as[String].collect().toSeq)
   }
 
+  test("crossModalDupPairs demands BOTH channels: a planted image-text " +
+      "dup survives, text-only and image-only decoys drop") {
+    val cm = "alpha beta gamma delta epsilon"
+    val c34 = "lambda mu nu xi omicron"
+    val p12 = Array.fill[Byte](16)(0x02) // identical images for 1/2
+    // 3 vs 4: ahash differs in bit 0 (lane-0 loaded vs uniform), so
+    // maxHamming = 0 rejects the image channel while captions match
+    val p3 = Array.tabulate[Byte](16)(i =>
+      if (i % 8 == 0) 0xFF.toByte else 0x01)
+    val p4 = Array.fill[Byte](16)(0x01)
+    val p56 = Array.fill[Byte](16)(0x03) // identical images for 5/6
+    val pairs = Seq(
+      (1L, cm, p12), (2L, cm, p12),         // cross-modal dup
+      (3L, c34, p3), (4L, c34, p4),         // caption-only decoy
+      (5L, "one two three four five", p56), // image-only decoy
+      (6L, "six seven eight nine ten", p56))
+      .toDF("asset_id", "caption", "payload")
+    val dup = Multimodal.crossModalDupPairs(pairs, threshold = 0.9,
+        maxHamming = 0, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(dup.toSeq == Seq((1L, 2L, 1.0, 0L)))
+    // keep-one: only the planted dup collapses; every decoy row stands
+    val kept = Multimodal.crossModalDedupClusters(pairs, threshold = 0.9,
+        maxHamming = 0, dim = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(kept == Map(1L -> ((1L, true)), 2L -> ((1L, false)),
+      3L -> ((3L, true)), 4L -> ((4L, true)),
+      5L -> ((5L, true)), 6L -> ((6L, true))))
+  }
+
   test("resizeStub truncates payloads and updates metadata, keeping schema") {
     val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 5)
     assert(resized.schema == Multimodal.fromDocuments(docs).schema)

@@ -70,6 +70,11 @@ HAND = {
     # AvailableNow micro-batches per rep, q188-class cost; reps decay
     # 7.7 -> 4.6 s as the scratch warms)
     "198": (4.2, 8.0),
+    # q199 composes the q197 caption verify + q186 phash pairs + the
+    # q189-class CC walk (CC dominates, cf. q189's 6.0-11.0 band);
+    # first probe rode a flagged window (controls 1.5-2.6x over), reps
+    # 10.7-15.9 s — provisional generous band, quiet re-read to follow
+    "199": (8.0, 16.0),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
