@@ -2950,6 +2950,51 @@ object SparkEntry {
       stats.orderBy("asset_id")
     }),
 
+    // the unigram family's SOFT (lattice) E-step gated cross-engine:
+    // SentencePiece's published forward-backward expected counts
+    // (q184/q194 gate the hard/Viterbi variant; CorpusSpec pins where
+    // the two provably diverge). The dictionary is the corpus tokens
+    // TRUNCATED TO 4 CHARS — that bounds every lattice value by
+    // L·Z^4·expScale, inside DuckDB's HUGEINT, so the twin can replay
+    // the exact Z-homogenized integer forward-backward (α̃/β̃ unrolled
+    // over 4 positions) instead of trusting floats; pieces are all
+    // 1-2-char substrings with occurrence-count numerators, ids by
+    // piece order. Output: per kept piece (singles + soft-used multis)
+    // the seed count, the E-step's expected usage on the 2^20 grid,
+    // and the M-step's re-cost — the full soft E→M round, bit-exact
+    "q200_unigram_soft_estep" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val sess = s
+      import sess.implicits._
+      val expScale = 1L << 20
+      val dict = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok0"))
+        .select(substring(col("tok0"), 1, 4).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("wc"))
+        .localCheckpoint() // feeds the seed scan AND the E-step
+      val occ = dict.select(col("tok"), col("wc"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"))
+      val ps = occ
+        .select(col("tok").substr(col("i"), lit(1)).as("piece"), col("wc"))
+        .unionByName(occ.where(col("i") + 1 <= length(col("tok")))
+          .select(col("tok").substr(col("i"), lit(2)).as("piece"),
+            col("wc")))
+        .groupBy("piece").agg(sum("wc").as("n_seed"))
+        .orderBy("piece").collect().zipWithIndex
+        .map { case (r, ix) => (r.getString(0), ix + 1, r.getLong(1)) }
+        .toSeq
+      val usage = Corpus.unigramSoftUsage(dict, "tok", "wc", ps, expScale)
+        .collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1).longValueExact()).toMap
+      val nSeed = ps.map(p => p._2 -> p._3).toMap
+      Corpus.unigramHardEmStep(ps, usage) // recost + zero-usage drop
+        .map { case (p, id, c) =>
+          (p, id.toLong, nSeed(id), usage.getOrElse(id, 0L), c) }
+        .toDF("piece", "id", "n_seed", "soft_u", "cost")
+        .orderBy("id")
+    }),
+
     // CROSS-MODAL (image-text) pair dedup — the LAION-shaped
     // composition: a pair drops only when BOTH channels agree, caption
     // near-dup (q197's verified Jaccard >= 0.3) AND image
@@ -7691,6 +7736,92 @@ object SparkEntry {
           |  CAST(b.asset_id % 2 + 1 AS BIGINT) AS batch
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
+
+      // q200: the exact-integer lattice forward-backward replayed in
+      // HUGEINT — words are <= 4 chars by construction, so α̃ (a0..a4)
+      // and β̃ (B1..B4) unroll as guarded CASE columns over the seven
+      // per-word piece weights; Z-homogenization (double pieces weigh
+      // n·Z) keeps every marginal an integer ratio, one floor division
+      // per (word, piece) onto the 2^20 grid, then the same M-step
+      // floor arithmetic as the hard-EM twins
+      "q200_unigram_soft_estep" ->
+        s"""WITH d0 AS (SELECT unnest($toksSql) AS tok0 FROM documents
+           |  WHERE text IS NOT NULL),
+           |d AS (SELECT substr(tok0, 1, 4) AS tok,
+           |    CAST(count(*) AS HUGEINT) AS wc FROM d0 GROUP BY 1),
+           |pos AS (SELECT tok, wc,
+           |    unnest(range(1, length(tok) + 1)) AS i FROM d),
+           |sub AS (SELECT substr(tok, i, 1) AS piece, wc FROM pos
+           |  UNION ALL
+           |  SELECT substr(tok, i, 2), wc FROM pos
+           |  WHERE i + 1 <= length(tok)),
+           |seed AS (SELECT piece, CAST(sum(wc) AS HUGEINT) AS n_seed
+           |  FROM sub GROUP BY 1),
+           |p AS (SELECT piece,
+           |    CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id,
+           |    n_seed FROM seed),
+           |zz AS (SELECT CAST(sum(n_seed) AS HUGEINT) AS z FROM p),
+           |lat AS (SELECT tok, wc, length(tok) AS n, z.z,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,1,1)) AS w11,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,2,1)) AS w12,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,3,1)) AS w13,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,4,1)) AS w14,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,1,2)
+           |     AND length(tok) >= 2) AS w21,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,2,2)
+           |     AND length(tok) >= 3) AS w22,
+           |  (SELECT n_seed FROM p WHERE p.piece = substr(tok,3,2)
+           |     AND length(tok) >= 4) AS w23
+           |  FROM d, zz z),
+           |ab AS (SELECT *,
+           |  CAST(1 AS HUGEINT) AS a0,
+           |  w11 AS a1,
+           |  CASE WHEN n >= 2 THEN w11*w12 + w21*z END AS a2,
+           |  CASE WHEN n >= 3 THEN (w11*w12 + w21*z)*w13 + w11*w22*z
+           |    END AS a3,
+           |  CASE WHEN n >= 4 THEN
+           |    ((w11*w12 + w21*z)*w13 + w11*w22*z)*w14
+           |      + (w11*w12 + w21*z)*w23*z END AS a4,
+           |  CASE WHEN n = 4 THEN 1 END AS b4,
+           |  CASE WHEN n = 3 THEN 1 WHEN n = 4 THEN w14 END AS b3,
+           |  CASE WHEN n = 2 THEN 1 WHEN n = 3 THEN w13
+           |    WHEN n = 4 THEN w13*w14 + w23*z END AS b2,
+           |  CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN w12
+           |    WHEN n = 3 THEN w12*w13 + w22*z
+           |    WHEN n = 4 THEN w12*(w13*w14 + w23*z) + w22*z*w14
+           |    END AS b1
+           |  FROM lat),
+           |aa AS (SELECT *, CASE n WHEN 1 THEN a1 WHEN 2 THEN a2
+           |    WHEN 3 THEN a3 ELSE a4 END AS tot FROM ab),
+           |occn AS (
+           |  SELECT tok, wc, tot, substr(tok,1,1) AS piece,
+           |    a0*w11*b1 AS num FROM aa
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,2,1),
+           |    a1*w12*b2 FROM aa WHERE n >= 2
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,3,1),
+           |    a2*w13*b3 FROM aa WHERE n >= 3
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,4,1),
+           |    a3*w14*b4 FROM aa WHERE n >= 4
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,1,2),
+           |    a0*w21*z*b2 FROM aa WHERE n >= 2
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,2,2),
+           |    a1*w22*z*b3 FROM aa WHERE n >= 3
+           |  UNION ALL SELECT tok, wc, tot, substr(tok,3,2),
+           |    a2*w23*z*b4 FROM aa WHERE n >= 4),
+           |ew AS (SELECT tok, wc, piece,
+           |    (CAST(1048576 AS HUGEINT) * sum(num)) // tot AS e
+           |  FROM occn GROUP BY tok, wc, piece, tot),
+           |su AS (SELECT piece, sum(wc * e) AS soft_u FROM ew GROUP BY 1),
+           |kept AS (SELECT p.piece, p.id, p.n_seed,
+           |    COALESCE(su.soft_u, 0) AS soft_u
+           |  FROM p LEFT JOIN su USING (piece)
+           |  WHERE length(p.piece) = 1 OR COALESCE(su.soft_u, 0) > 0),
+           |t2 AS (SELECT CAST(sum(soft_u) AS HUGEINT) AS t2 FROM kept)
+           |SELECT piece, id, CAST(n_seed AS BIGINT) AS n_seed,
+           |  CAST(soft_u AS BIGINT) AS soft_u,
+           |  CAST(1 + (CAST(1048576 AS HUGEINT) * (t.t2 - soft_u)) // t.t2
+           |    AS BIGINT) AS cost
+           |FROM kept, t2 t ORDER BY id""".stripMargin,
 
       // q199: the conjunction of the q197 caption CTEs (verified
       // Jaccard >= 0.3) and the q186 image CTEs (ahash Hamming <= 3),

@@ -178,6 +178,18 @@ object TextFunctions {
       unkCost: Long = UnigramDefaults.unkCost): Column =
     TextExpressions.unigramCost(text, pieces, unkCost)
 
+  /** `array<struct<id:int, e:bigint>>` — expected piece counts under
+    * the lattice forward-backward marginals
+    * ([[graft.functions.UnigramSoftCountsExpr]]): SentencePiece's soft
+    * E-step, exact-integer via the Z-homogenized weights, quantized
+    * once per row onto the `expScale` grid. `pieces` carries
+    * probability NUMERATORS (usage counts, or `scale + 1 − cost` to
+    * read the costScale grid back as probabilities), not costs.
+    */
+  def unigramSoftCounts(text: Column, pieces: Seq[(String, Int, Long)],
+      expScale: Long = UnigramDefaults.costScale): Column =
+    TextExpressions.unigramSoftCounts(text, pieces, expScale)
+
   /** Feature-hashing text embedding (`array<long>` signed token-count
     * histogram — [[TextKernels.hashEmbedOf]]): the model-free featurizer
     * that closes the text → vector → near-dup/ANN pipeline. Integer-exact

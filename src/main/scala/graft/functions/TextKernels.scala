@@ -1321,6 +1321,195 @@ case class UnigramCountExpr(child: Expression,
     copy(child = c)
 }
 
+/** The LATTICE (soft-EM) side of the unigram family: exact-integer
+  * forward-backward marginals over a word's segmentation lattice —
+  * SentencePiece's published E-step (Kudo ACL'18 §3.2 uses expected
+  * piece counts over ALL segmentations, not just the Viterbi path;
+  * [[UnigramTable.encodeWord]] is the hard variant).
+  *
+  * Probability model: piece p has probability n(p)/Z where n(p) is the
+  * caller-supplied integer numerator (a usage count, or `scale+1-cost`
+  * to read probabilities back off the costScale grid) and
+  * Z = Σ n(p) over the WHOLE table. A path's probability is the
+  * product of its pieces'. Exactness trick: since a path through an
+  * L-char word has Σ len(piece) = L, homogenize by Z^L — define the
+  * integer weight W(p) = n(p) · Z^(len(p)−1); then
+  * α̃[i] = Z^i · α[i] satisfies the SAME recurrence in plain integer
+  * arithmetic (BigInt here, HUGEINT in the DuckDB twin), and every
+  * marginal is the exact rational (α̃[i]·W(p)·β̃[i+ℓ]) / α̃[L].
+  *
+  * The per-word output is quantized ONCE onto the `expScale` grid —
+  * e(id) = ⌊expScale · Σ_occ α̃Wβ̃ / α̃[L]⌋, numerators summed per id
+  * BEFORE the one floor division — so cross-word aggregation is plain
+  * integer addition, associative and engine-portable (floats would
+  * sum in partition order and hash-desync any twin).
+  *
+  * UNK: a character covered by no single-char piece crosses on an
+  * ε-weight edge (W = 1, id 0) — the same "reachable only outside the
+  * alphabet" contract as the Viterbi kernel, so on a coverage-complete
+  * table the lattices agree on reachability. A word whose every
+  * tiling has weight zero (all its pieces carry n = 0) throws: the
+  * model assigns it probability 0, and silently emitting zeros would
+  * let the M-step drop its coverage.
+  */
+final class UnigramLattice(pieces: Seq[(String, Int, Long)])
+    extends Serializable {
+  require(pieces.nonEmpty, "unigram lattice needs at least one piece")
+  pieces.foreach { case (p, _, n) =>
+    require(p.nonEmpty, "unigram lattice: empty piece")
+    require(n >= 0, s"unigram lattice: negative numerator for '$p'")
+  }
+  /** piece → (id, numerator); a duplicated piece string keeps the
+    * smaller id (the family-wide min(id) rule), and with it that
+    * row's numerator. */
+  private val table: java.util.HashMap[String, (Int, Long)] = {
+    val m = new java.util.HashMap[String, (Int, Long)](pieces.size * 2)
+    pieces.foreach { case (p, id, n) =>
+      val prev = m.get(p)
+      if (prev == null || id < prev._1) m.put(p, (id, n))
+    }
+    m
+  }
+  val maxPieceLen: Int = pieces.iterator.map(_._1.length).max
+  private val z: BigInt =
+    pieces.iterator.map(x => BigInt(x._3)).sum
+  /** Z^0 .. Z^(maxPieceLen-1), the homogenization factors. */
+  private val zPow: Array[BigInt] = {
+    val a = new Array[BigInt](maxPieceLen)
+    a(0) = BigInt(1)
+    var i = 1
+    while (i < maxPieceLen) { a(i) = a(i - 1) * z; i += 1 }
+    a
+  }
+
+  /** Accumulate one word's expected piece counts (id → e on the
+    * `expScale` grid) into `acc`. O(len × maxPieceLen) table probes
+    * and BigInt multiplies.
+    */
+  def accumulateWord(w: String, expScale: Long,
+      acc: java.util.HashMap[Integer, Long]): Unit = {
+    val n = w.length
+    if (n == 0) return
+    require(n <= 8192, "unigram lattice: token longer than 8192 chars " +
+      "— pre-chunk unbroken runs before tokenizing")
+    val alpha = new Array[BigInt](n + 1)
+    val beta = new Array[BigInt](n + 1)
+    java.util.Arrays.fill(alpha.asInstanceOf[Array[AnyRef]], BigInt(0))
+    java.util.Arrays.fill(beta.asInstanceOf[Array[AnyRef]], BigInt(0))
+    alpha(0) = BigInt(1); beta(n) = BigInt(1)
+    // the UNK edge at position i exists iff no piece covers w[i,i+1)
+    def unkAt(i: Int): Boolean = table.get(w.substring(i, i + 1)) == null
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val e = table.get(w.substring(i - l, i))
+        if (e != null && e._2 > 0L)
+          alpha(i) += alpha(i - l) * BigInt(e._2) * zPow(l - 1)
+        l += 1
+      }
+      if (unkAt(i - 1)) alpha(i) += alpha(i - 1)
+      i += 1
+    }
+    require(alpha(n).signum > 0,
+      s"unigram lattice: word '$w' has no positive-probability " +
+        "segmentation — every tiling uses a zero-numerator piece")
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        val e = table.get(w.substring(i, i + l))
+        if (e != null && e._2 > 0L)
+          beta(i) += beta(i + l) * BigInt(e._2) * zPow(l - 1)
+        l += 1
+      }
+      if (unkAt(i)) beta(i) += beta(i + 1)
+      i -= 1
+    }
+    // numerators summed per id FIRST, one floor division per id after
+    val num = new java.util.HashMap[Integer, BigInt]()
+    def add(id: Int, v: BigInt): Unit = {
+      val prev = num.get(id)
+      num.put(id, if (prev == null) v else prev + v)
+    }
+    i = 0
+    while (i < n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        val e = table.get(w.substring(i, i + l))
+        if (e != null && e._2 > 0L)
+          add(e._1, alpha(i) * BigInt(e._2) * zPow(l - 1) * beta(i + l))
+        l += 1
+      }
+      if (unkAt(i)) add(0, alpha(i) * beta(i + 1))
+      i += 1
+    }
+    val it = num.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      val e = (BigInt(expScale) * kv.getValue / alpha(n)).toLong
+      if (e > 0L) {
+        val prev = acc.get(kv.getKey)
+        acc.put(kv.getKey, if (prev == null) e else prev + e)
+      }
+    }
+  }
+}
+
+/** unigram_soft_counts(text, pieces, expScale):
+  * array<struct<id:int, e:bigint>> — per-row expected piece counts
+  * under the [[UnigramLattice]] forward-backward marginals, summed
+  * over the row's words, sorted by id. The soft E-step's map side:
+  * `explode` + a sum weighted by word multiplicity is the whole
+  * corpus-wide E-step, one dictionary-sized aggregate.
+  */
+case class UnigramSoftCountsExpr(child: Expression,
+    pieces: Seq[(String, Int, Long)], expScale: Long)
+    extends UnaryExpression {
+  require(expScale >= 1, "unigram_soft_counts: expScale must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("e", LongType,
+        nullable = false))), containsNull = false)
+  @transient private lazy val lattice = new UnigramLattice(pieces)
+  def softCounts(t: UTF8String): ArrayData = {
+    val words = TextKernels.tokenize(t)
+    val acc = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    while (i < words.length) {
+      lattice.accumulateWord(words(i), expScale, acc)
+      i += 1
+    }
+    val ids = new java.util.ArrayList[Integer](acc.keySet())
+    java.util.Collections.sort(ids)
+    val arr = new Array[Any](ids.size)
+    var j = 0
+    while (j < arr.length) {
+      val id = ids.get(j)
+      arr(j) = org.apache.spark.sql.catalyst.InternalRow(
+        id.intValue(), acc.get(id).longValue())
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    softCounts(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniSoft", this,
+      classOf[UnigramSoftCountsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.softCounts($c)")
+  }
+  override def toString: String =
+    s"unigram_soft_counts($child, pieces=${pieces.length})"
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramSoftCountsExpr = copy(child = c)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
@@ -1379,4 +1568,9 @@ object TextExpressions {
       unkCost: Long): Column =
     GraftColumnBridge.column(
       UnigramCostExpr(GraftColumnBridge.expression(text), pieces, unkCost))
+  def unigramSoftCounts(text: Column, pieces: Seq[(String, Int, Long)],
+      expScale: Long): Column =
+    GraftColumnBridge.column(
+      UnigramSoftCountsExpr(GraftColumnBridge.expression(text), pieces,
+        expScale))
 }

@@ -401,6 +401,27 @@ object Corpus {
     * moves. Driver-side BigInt arithmetic on a vocab-sized table —
     * model metadata, like the collect it follows.
     */
+  /** The corpus-wide SOFT (lattice) E-step: expected piece usage under
+    * the forward-backward marginals ([[graft.functions.UnigramLattice]]
+    * — SentencePiece's published E-step; the Viterbi usage aggregate in
+    * [[learnUnigram]] is the hard variant). `piecesProb` carries
+    * probability NUMERATORS (usage counts, or `scale + 1 − cost` to
+    * read the costScale grid back as probabilities). Returns (id, u)
+    * with u = Σ_words wc · e_word(id) on the `expScale` grid — every
+    * value an exact integer (DECIMAL(38,0) aggregation), so the E-step
+    * is associative, engine-portable, and oracle-twinnable. One
+    * dictionary-sized explode + aggregate, never a corpus rescan.
+    */
+  def unigramSoftUsage(dict: DataFrame, tokCol: String, wcCol: String,
+      piecesProb: Seq[(String, Int, Long)],
+      expScale: Long = graft.functions.UnigramDefaults.costScale)
+      : DataFrame =
+    dict.select(col(wcCol).cast("decimal(38,0)").as("__wc"),
+        explode(TextFunctions.unigramSoftCounts(col(tokCol), piecesProb,
+          expScale)).as("__s"))
+      .groupBy(col("__s.id").as("id"))
+      .agg(sum(col("__s.e").cast("decimal(38,0)") * col("__wc")).as("u"))
+
   def unigramHardEmStep(pieces: Seq[(String, Int, Long)],
       usage: Map[Int, Long],
       scale: Long = graft.functions.UnigramDefaults.costScale)
@@ -443,12 +464,22 @@ object Corpus {
     * dictionary-sized work plus a vocab-sized collect — at 100 TB the
     * loop cost is the E-step's dictionary aggregate per round, never a
     * corpus rescan.
+    *
+    * `softEm = true` swaps the E-step for the LATTICE marginals
+    * ([[unigramSoftUsage]] — SentencePiece's published forward-backward
+    * E-step; on ambiguous dictionaries the two provably diverge,
+    * CorpusSpec pins a hand case): expected counts over ALL
+    * segmentations on the exact `expScale` integer grid, same
+    * dictionary-sized aggregate per round, hard-EM kept as the fast
+    * default.
     */
   def learnUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
       rounds: Int, maxPieceLen: Int = 4, minCount: Long = 2,
       seedSize: Int = 4096,
       scale: Long = graft.functions.UnigramDefaults.costScale,
-      probe: Option[(Int, Int) => Unit] = None)
+      probe: Option[(Int, Int) => Unit] = None,
+      softEm: Boolean = false,
+      expScale: Long = graft.functions.UnigramDefaults.costScale)
       : Seq[(String, Int, Long)] = {
     require(rounds >= 1, "learnUnigram needs at least one EM round")
     require(vocabSize >= 1, "learnUnigram needs a positive target size")
@@ -461,11 +492,33 @@ object Corpus {
       scale)
     var r = 0
     while (r < rounds) {
-      val usage = dict
-        .select(col("wc"),
-          explode(TextFunctions.unigramEncode(col("tok"), pieces)).as("id"))
-        .groupBy("id").agg(sum(col("wc")).as("u"))
-        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      // E-step, either variant one dictionary-sized aggregate:
+      //  - hard (default): Viterbi-path id counts — fast, codegen'd;
+      //  - soft: lattice forward-backward expected counts
+      //    (SentencePiece's published E-step), probabilities read back
+      //    off the cost grid as numerators scale + 1 − cost; soft
+      //    usages live on the wc × expScale grid, and the ratio-based
+      //    M-step is grid-invariant. Single-char numerators floor at 1
+      //    (coverage smoothing): a single whose usage quantized to
+      //    zero must stay REACHABLE, or a word it alone covers would
+      //    have probability 0 and the lattice would rightly throw.
+      val usage: Map[Int, Long] =
+        if (!softEm)
+          dict.select(col("wc"),
+              explode(TextFunctions.unigramEncode(col("tok"), pieces))
+                .as("id"))
+            .groupBy("id").agg(sum(col("wc")).as("u"))
+            .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+        else {
+          val probs = pieces.map { case (p, id, c) =>
+            val n = math.max(scale + 1 - c, 0L)
+            (p, id, if (p.length == 1) math.max(n, 1L) else n)
+          }
+          unigramSoftUsage(dict, "tok", "wc", probs, expScale)
+            .collect().map { x =>
+              x.getInt(0) -> x.getDecimal(1).longValueExact()
+            }.toMap
+        }
       val em = unigramHardEmStep(pieces, usage, scale)
       val (singles, multis) = em.partition(_._1.length == 1)
       val kMult = math.max(vocabSize - singles.size, multis.size * 3 / 4)

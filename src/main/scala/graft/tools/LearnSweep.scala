@@ -39,9 +39,12 @@ object LearnSweep {
     else base
     val t0 = System.nanoTime()
     var last = t0
-    if (mode == "unigram") {
+    if (mode == "unigram" || mode == "unigram-soft") {
       // enough rounds for the ¾ shrink schedule to reach k from any
-      // seed this sweep uses; the loop stops moving once it lands
+      // seed this sweep uses; the loop stops moving once it lands.
+      // `unigram-soft` swaps the E-step for the lattice forward-
+      // backward marginals (Corpus.unigramSoftUsage) — same
+      // dictionary-sized per-round claim, graded on the same output
       val rounds = 16
       val pieces = graft.operators.Corpus.learnUnigram(docs, "text",
         vocabSize = k, rounds = rounds, maxPieceLen = 4, minCount = 8,
@@ -50,7 +53,7 @@ object LearnSweep {
           println(f"[learn] round $r%4d vocab=$size%8d " +
             f"${(now - last) / 1e9}%6.3f s")
           last = now
-        })
+        }, softEm = mode == "unigram-soft")
       val total = (System.nanoTime() - t0) / 1e9
       println(f"[learn] TOTAL target=$k mult=$mult vocab=${pieces.size} " +
         f"wall=$total%.2f s")

@@ -712,6 +712,105 @@ class CorpusSpec extends SparkSpec {
       Corpus.learnUnigram(docs, "text", vocabSize = 10, rounds = 0) }
   }
 
+  test("unigramSoftCounts: exact lattice marginals, and soft-EM " +
+      "provably diverges from hard-EM on an ambiguous dictionary") {
+    // the hand lattice: word "ab", pieces a(3) ab(2) b(3), Z = 8.
+    // Two segmentations: [ab] with homogenized weight 2·8 = 16 and
+    // [a][b] with 3·3 = 9 → A = 25. Lattice marginals (exact):
+    // e(ab) = 16/25 = 0.64, e(a) = e(b) = 9/25 = 0.36. Viterbi takes
+    // [ab] alone — hard usage (ab → 1, a/b → 0). The divergence the
+    // soft E-step exists for: mass on the runner-up path.
+    val pieces = Seq(("a", 1, 3L), ("ab", 2, 2L), ("b", 3, 3L))
+    val soft = Seq("ab").toDF("tok")
+      .select(explode(graft.functions.TextFunctions.unigramSoftCounts(
+        col("tok"), pieces, expScale = 1000000L)).as("s"))
+      .select(col("s.id"), col("s.e"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(soft == Seq((1, 360000L), (2, 640000L), (3, 360000L)))
+    // hard E-step on the same model (smaller numerator = higher cost):
+    // Viterbi usage puts EVERYTHING on [ab] — ids a/b never appear
+    val costs = pieces.map { case (p, id, n) => (p, id, 10L - n) }
+    val hardIds = Seq("ab").toDF("tok")
+      .select(explode(graft.functions.TextFunctions.unigramEncode(
+        col("tok"), costs)).as("id"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(hardIds == Seq(2))
+    // quantization floors, never rounds (thirds on a 4-grid)
+    val third = Seq(("x", 1, 1L), ("xx", 2, 1L), ("xxx", 3, 0L))
+    // Z = 2; word "xx": [xx] weight 1·2 = 2, [x][x] 1·1 = 1, A = 3
+    val q = Seq("xx").toDF("tok")
+      .select(explode(graft.functions.TextFunctions.unigramSoftCounts(
+        col("tok"), third, expScale = 4L)).as("s"))
+      .select(col("s.id"), col("s.e"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    // e(x) = ⌊4·(1+1)/3⌋ = 2 (both occurrences ride the [x][x] path),
+    // e(xx) = ⌊4·2/3⌋ = 2 — the exact 8/3 and 8/3 floor identically
+    assert(q == Seq((1, 2L), (2, 2L)))
+    // a word whose only tilings use zero-numerator pieces throws
+    intercept[Exception] {
+      Seq("xxx").toDF("tok")
+        .select(explode(graft.functions.TextFunctions.unigramSoftCounts(
+          col("tok"), Seq(("x", 1, 0L), ("xxx", 3, 0L)), 10L)).as("s"))
+        .collect()
+    }
+  }
+
+  test("learnUnigram softEm mode: lattice E-step keeps runner-up mass " +
+      "and diverges from the hard loop where ambiguity persists") {
+    // "ab" dominates, so every round the lattice splits mass between
+    // [ab] and [a][b] while Viterbi puts everything on [ab] — the
+    // single-char usages (and so the cost table) stay apart at the
+    // fixed point, not just mid-trajectory
+    val docs = Seq(
+      (1L, "ab ab ab ab"),
+      (2L, "ab ab cd cd"),
+      (3L, "cd ab ab ef")).toDF("doc_id", "text")
+    val seed = Corpus.collectUnigramPieces(
+      Corpus.buildUnigramVocab(docs, "text", maxPieceLen = 2,
+        minCount = 2, maxSize = 50))
+    val singles = seed.count(_._1.length == 1)
+    val target = singles + 2 // keeps both "ab" and "cd"
+    val hard = Corpus.learnUnigram(docs, "text", vocabSize = target,
+      rounds = 1, maxPieceLen = 2, minCount = 2, seedSize = 50)
+    val soft = Corpus.learnUnigram(docs, "text", vocabSize = target,
+      rounds = 1, maxPieceLen = 2, minCount = 2, seedSize = 50,
+      softEm = true)
+    // the E-steps diverge: under Viterbi the letters a/b carry ZERO
+    // usage (every "ab" token encodes as the one piece), so hard-EM
+    // maxes their costs after one round; the lattice assigns the
+    // [a][b] segmentation its true probability mass (~23% of the seed
+    // model), so soft-EM costs them strictly cheaper. (Further rounds
+    // show EM's rich-get-richer dynamic: the runner-up mass decays
+    // geometrically and the two modes meet at the same local optimum —
+    // the divergence is the E-step's, pinned here at one round.)
+    def cost(t: Seq[(String, Int, Long)], p: String): Long =
+      t.find(_._1 == p).get._3
+    val maxCost = graft.functions.UnigramDefaults.costScale + 1
+    assert(cost(hard, "a") == maxCost && cost(hard, "b") == maxCost)
+    assert(cost(soft, "a") < maxCost && cost(soft, "b") < maxCost)
+    assert(hard != soft)
+    // both modes keep the budget, coverage, and stable ids
+    assert(hard.count(_._1.length > 1) == 2)
+    assert(soft.count(_._1.length > 1) == 2)
+    assert(soft.filter(_._1.length == 1).map(_._1).toSet ==
+      hard.filter(_._1.length == 1).map(_._1).toSet)
+    // soft mode is deterministic, at one round and at its fixed point
+    assert(Corpus.learnUnigram(docs, "text", vocabSize = target,
+      rounds = 1, maxPieceLen = 2, minCount = 2, seedSize = 50,
+      softEm = true) == soft)
+    assert(Corpus.learnUnigram(docs, "text", vocabSize = target,
+        rounds = 4, maxPieceLen = 2, minCount = 2, seedSize = 50,
+        softEm = true) ==
+      Corpus.learnUnigram(docs, "text", vocabSize = target,
+        rounds = 4, maxPieceLen = 2, minCount = 2, seedSize = 50,
+        softEm = true))
+    // and its table still drives the Viterbi kernel UNK-free
+    val ids = docs.select(explode(
+        graft.functions.TextFunctions.unigramEncode(col("text"), soft))
+        .as("id")).collect().map(_.getInt(0))
+    assert(ids.nonEmpty && !ids.contains(0))
+  }
+
   test("unigram tokenizer persists costs in the unified artifact and " +
       "refuses corruption loudly") {
     val docs = Seq((1L, "low lower low low"), (2L, "newest widest lowest"))

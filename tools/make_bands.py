@@ -75,6 +75,11 @@ HAND = {
     # first probe rode a flagged window (controls 1.5-2.6x over), reps
     # 10.7-15.9 s — provisional generous band, quiet re-read to follow
     "199": (8.0, 16.0),
+    # q200 = the soft-EM lattice E-step on the 4-char-truncated
+    # dictionary (two dictionary aggregates + a vocab collect); probe
+    # rode the same flagged window (q74 control 5x over), reps
+    # 1.6-2.4 s — provisional, quiet re-read to follow
+    "200": (1.0, 2.8),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
