@@ -296,12 +296,31 @@ object Bench {
     * Full names + float seconds + cold + reps live in the sidecar
     * files `main` writes.
     */
+  /** Cumulative hypervisor-steal ticks off `/proc/stat`'s aggregate cpu
+    * line (field 9; USER_HZ = 100, so ticks ARE centiseconds). The r17
+    * q112 investigation measured the "host degradation windows" as
+    * steal BURSTS — up to ~19 cpu-seconds stolen per 5 s of wall on a
+    * 32-thread run with in-band controls minutes earlier — so the
+    * canary now samples this counter too: a closing run's outliers
+    * carry direct hypervisor evidence instead of inference from probe
+    * timings alone. None off-Linux or when unreadable.
+    */
+  private[graft] def stealTicks(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).flatMap { l =>
+        val f = l.trim.split("\\s+")
+        if (f.length > 8) Some(f(8).toLong) else None
+      } finally src.close()
+    } catch { case _: Exception => None }
+
   private[graft] def renderJson(
       results: Seq[(String, (Option[Double], Seq[Option[Double]]))],
       sfDir: String, withReps: Boolean = false,
       prev: Map[String, Long] = Map.empty,
       canary: Option[(String, Seq[(Int, Double)])] = None,
-      bands: Map[String, (Long, Long)] = Map.empty): String = {
+      bands: Map[String, (Long, Long)] = Map.empty,
+      steal: Seq[(Int, Long)] = Nil): String = {
     // integer CENTISECONDS since 188 queries (the documented next shed:
     // int ms ran the healthy-line budget guard past 1900 B at suite
     // growth +3) — ~1 B/query back, 10 ms resolution, which the stall
@@ -388,12 +407,20 @@ object Bench {
             readings.map(r => Math.round(r._2 * 1000))
               .mkString("[", ",", "]")},"host_windows":$spans}"""
       }
+      // hypervisor-steal deltas sampled at the canary points (sidecar
+      // only): each entry is the steal accrued across the span ENDING
+      // at that suite index, in centisecond ticks — the direct
+      // host-window evidence the r17 q112 adjudication measured
+      val stealJson =
+        if (steal.isEmpty) "null"
+        else s"""{"positions":${steal.map(_._1).mkString("[", ",", "]")
+          },"cs":${steal.map(_._2).mkString("[", ",", "]")}}"""
       results.map { case (k, (_, rs)) =>
         Verify.jsonStr(shortKey(k)) + ":" + rs.map(
           _.fold("null")(s => Math.round(s * 100).toString))
           .mkString("[", ",", "]")
       }.mkString(
-        s""","cold_total":$coldTotal,"vs_band":$vsBand,"vs_prev":$vsPrev,"canary":$canaryJson,"reps":{""",
+        s""","cold_total":$coldTotal,"vs_band":$vsBand,"vs_prev":$vsPrev,"canary":$canaryJson,"steal":$stealJson,"reps":{""",
         ",", "}")
     }
     // "stat":"median_of_3" moved off the line at 181 queries (27 B the
@@ -542,10 +569,20 @@ object Bench {
     val canaryFn = SparkEntry.queries.get(canaryName)
       .filter(_ => ordered.length > canaryStride)
     val canaryReadings = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    // hypervisor-steal deltas at the same probe points (r17: the host
+    // windows ARE steal bursts — see stealTicks). Sampled independently
+    // of the canary query's success; absent off-Linux.
+    val stealReadings = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var lastSteal: Option[Long] = stealTicks()
     canaryFn.foreach(fn => attempt(spark, sfDir, s"$canaryName[warm]", fn))
-    def probeCanary(pos: Int): Unit = canaryFn.foreach { fn =>
-      attempt(spark, sfDir, s"$canaryName[canary]", fn)
-        .foreach(s => canaryReadings += ((pos, s)))
+    def probeCanary(pos: Int): Unit = {
+      for (cur <- stealTicks(); prev <- lastSteal)
+        stealReadings += ((pos, cur - prev))
+      lastSteal = stealTicks()
+      canaryFn.foreach { fn =>
+        attempt(spark, sfDir, s"$canaryName[canary]", fn)
+          .foreach(s => canaryReadings += ((pos, s)))
+      }
     }
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val r = name -> benchOne(spark, sfDir, name, fn)
@@ -625,7 +662,7 @@ object Bench {
     try java.nio.file.Files.write(summaryPath,
       (renderJson(results, sfDir, withReps = true, prev = prev,
         canary = Some((canaryName, canaryReadings.toSeq)),
-        bands = bands) + "\n")
+        bands = bands, steal = stealReadings.toSeq) + "\n")
         .getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")

@@ -2950,6 +2950,64 @@ object SparkEntry {
       stats.orderBy("asset_id")
     }),
 
+    // the MULTIMODAL CAPSTONE — the whole asset chain under ONE twin
+    // (the q141 text-capstone rule applied to the image side): decode
+    // (payloads → perceptual hashes), q186/q189 phash near-dup
+    // keep-one (non-root assets DROP), then the kept universe flows
+    // into BOTH the q191 frame-store stats (ownership resolved within
+    // the post-dedup corpus — what the store would actually hold) and
+    // the q169 multimodal packer, with the per-pack storage rollup
+    // computed IN the one pack shuffle (materializeTokenPacks
+    // extraAggs). Every number in a row crosses at least two stages,
+    // so a drift in any composition seam flips a digest; component
+    // gates (q169/q186/q189/q191) stay untouched
+    "q201_multimodal_capstone" -> ((s, dir) => {
+      import graft.operators.{Corpus, Dedup, Multimodal}
+      val base = t(s, dir, "documents")
+      val assets = Multimodal.fromDocuments(
+        base.select("doc_id", "text", "source"))
+      val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3,
+        dim = 32, bands = 4)
+      val kept = Dedup.nearDupClusters(
+          assets.select(col("asset_id").as("doc_id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .where(col("doc_id") === col("root")).select("doc_id")
+        .localCheckpoint() // feeds the pack chain AND the frame stats
+      val mm = multimodalDocs(base.select("doc_id", "lang", "text"))
+        .join(kept, Seq("doc_id"), "left_semi")
+      val packed = Corpus.packSequences(mm, "lang", "doc_id",
+        size(col("__ids")).cast(LongType), tokenBudget = 2048)
+      val fr = Multimodal.frameDedupStats(
+        assets.join(mm.select(col("doc_id").as("asset_id")),
+          Seq("asset_id"), "left_semi"),
+        frameBytes = 64)
+      val withFr = packed.join(
+        fr.withColumnRenamed("asset_id", "doc_id"), Seq("doc_id"), "left")
+      Corpus.materializeTokenPacks(withFr, "lang", "doc_id", "__ids",
+          extraAggs = Seq(
+            sum(when(col("modality") === "text", lit(1L)).otherwise(0L))
+              .as("n_text_docs"),
+            sum(when(col("modality") === "image", lit(1L)).otherwise(0L))
+              .as("n_image_docs"),
+            sum(when(col("modality") === "text", col("n_tokens"))
+              .otherwise(0L)).as("text_tokens"),
+            sum(when(col("modality") === "image", col("n_tokens"))
+              .otherwise(0L)).as("image_patches"),
+            sum(coalesce(col("n_frames"), lit(0L))).as("frames"),
+            sum(coalesce(col("own_frames"), lit(0L))).as("own_frames"),
+            sum(coalesce(col("dup_frames"), lit(0L))).as("dup_frames"),
+            sum(coalesce(col("dup_bytes"), lit(0L))).as("dup_bytes")))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), col("n_text_docs"), col("n_image_docs"),
+          col("text_tokens"), col("image_patches"), col("frames"),
+          col("own_frames"), col("dup_frames"), col("dup_bytes"),
+          md5(array_join(transform(col("pack_ids"),
+            i => i.cast(StringType)), " ")).as("ids_md5"),
+          md5(array_join(transform(col("doc_offsets"),
+            i => i.cast(StringType)), " ")).as("offsets_md5"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // the unigram family's SOFT (lattice) E-step gated cross-engine:
     // SentencePiece's published forward-backward expected counts
     // (q184/q194 gate the hard/Viterbi variant; CorpusSpec pins where
@@ -7736,6 +7794,123 @@ object SparkEntry {
           |  CAST(b.asset_id % 2 + 1 AS BIGINT) AS batch
           |FROM b LEFT JOIN per p USING (asset_id)
           |ORDER BY asset_id""".stripMargin,
+
+      // q201: the q189 reachability (keep = cluster-min root) feeding
+      // the q169 pack arithmetic over the kept universe, with the q191
+      // frame-cut/ownership CTEs (f-prefixed to avoid collisions)
+      // computed over the SAME universe and rolled up per pack in the
+      // final aggregate — one twin spanning every composition seam
+      "q201_multimodal_capstone" ->
+        """WITH RECURSIVE b AS (SELECT doc_id AS asset_id,
+          |    encode(text) AS payload FROM documents),
+          |lv AS (SELECT asset_id, UNNEST(list_transform(
+          |    range(1, octet_length(payload) + 1),
+          |    i -> {'l': (i - 1) % 32,
+          |          'v': ('0x' || substr(hex(payload), 2*i-1, 2))::BIGINT}))
+          |    AS s
+          |  FROM b),
+          |lanes AS (SELECT asset_id, s.l AS lane, SUM(s.v) AS v
+          |  FROM lv GROUP BY 1, 2),
+          |dense AS (SELECT b.asset_id, r.lane, COALESCE(l.v, 0) AS v
+          |  FROM b CROSS JOIN (SELECT UNNEST(range(0, 32)) AS lane) r
+          |  LEFT JOIN lanes l
+          |    ON l.asset_id = b.asset_id AND l.lane = r.lane),
+          |tot AS (SELECT asset_id, SUM(v) AS tot FROM dense GROUP BY 1),
+          |ah AS (SELECT d.asset_id,
+          |    CAST(SUM(CASE WHEN d.v * 32 > t.tot
+          |      THEN (CAST(1 AS BIGINT) << d.lane) ELSE 0 END) AS BIGINT)
+          |      AS h
+          |  FROM dense d JOIN tot t USING (asset_id) GROUP BY 1),
+          |cand AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b
+          |  FROM ah x JOIN ah y ON x.asset_id < y.asset_id
+          |  WHERE bit_count(xor(x.h, y.h)) <= 3),
+          |e AS (SELECT id_a AS a, id_b AS bb FROM cand
+          |  UNION SELECT id_b, id_a FROM cand),
+          |reach(src, dst) AS (
+          |  SELECT asset_id, asset_id FROM b
+          |  UNION
+          |  SELECT r.src, e.bb FROM reach r JOIN e ON r.dst = e.a),
+          |keep AS (SELECT src AS doc_id FROM reach GROUP BY src
+          |  HAVING src = min(dst)),
+          |mm AS MATERIALIZED (
+          |  SELECT doc_id, lang, 'image' AS modality,
+          |    CAST(16 * (1 + doc_id % 5) * (1 + doc_id % 4) AS BIGINT)
+          |      AS n_tokens,
+          |    CAST(NULL AS VARCHAR) AS hx
+          |  FROM documents WHERE doc_id % 3 = 0
+          |    AND doc_id IN (SELECT doc_id FROM keep)
+          |  UNION ALL
+          |  SELECT doc_id, lang, 'text' AS modality,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens,
+          |    hex(encode(text)) AS hx
+          |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+          |    AND doc_id IN (SELECT doc_id FROM keep)),
+          |mi AS (SELECT doc_id, lang, modality, n_tokens,
+          |  CASE WHEN modality = 'image'
+          |    THEN array_to_string(list_transform(
+          |      range(1, CAST(n_tokens AS INTEGER) + 1), i -> '0'), ' ')
+          |    ELSE array_to_string(list_transform(
+          |      range(1, CAST(n_tokens AS INTEGER) + 1),
+          |      i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INTEGER), 2))
+          |        ::BIGINT + 1 AS VARCHAR)), ' ')
+          |  END AS ids_str FROM mm),
+          |mc AS (SELECT doc_id, lang, modality, n_tokens, ids_str,
+          |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM mi),
+          |mp AS (SELECT lang,
+          |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+          |  doc_id, modality, n_tokens, ids_str FROM mc),
+          |mo AS (SELECT lang, pack_id, doc_id, modality, n_tokens,
+          |  ids_str,
+          |  sum(n_tokens) OVER (PARTITION BY lang, pack_id
+          |    ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+          |  FROM mp),
+          |ffr0 AS (SELECT b.asset_id, UNNEST(list_transform(
+          |    range((octet_length(payload) + 63) // 64),
+          |    i -> {'idx': i,
+          |          'h': lower(substr(hex(payload), i*128 + 1, 128))}))
+          |    AS s
+          |  FROM b JOIN mm ON mm.doc_id = b.asset_id
+          |  WHERE octet_length(payload) > 0),
+          |ffr AS (SELECT asset_id, s.idx AS frame_idx, md5(s.h) AS k,
+          |    CAST(length(s.h) // 2 AS BIGINT) AS fb FROM ffr0),
+          |fown AS (SELECT k, min(asset_id * 16777216 + frame_idx) AS o
+          |  FROM ffr GROUP BY 1),
+          |focc AS (SELECT f.asset_id, f.fb,
+          |    (f.asset_id * 16777216 + f.frame_idx = o.o) AS canon
+          |  FROM ffr f JOIN fown o USING (k)),
+          |fper AS (SELECT asset_id,
+          |    CAST(count(*) AS BIGINT) AS n_frames,
+          |    CAST(count(*) FILTER (WHERE canon) AS BIGINT) AS own_frames,
+          |    CAST(count(*) FILTER (WHERE NOT canon) AS BIGINT)
+          |      AS dup_frames,
+          |    CAST(COALESCE(sum(fb) FILTER (WHERE NOT canon), 0) AS BIGINT)
+          |      AS dup_bytes
+          |  FROM focc GROUP BY 1)
+          |SELECT mo.lang, mo.pack_id, count(*) AS n_docs,
+          |  CAST(sum(mo.n_tokens) AS BIGINT) AS pack_tokens,
+          |  CAST(sum(CASE WHEN mo.modality = 'text' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_text_docs,
+          |  CAST(sum(CASE WHEN mo.modality = 'image' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_image_docs,
+          |  CAST(sum(CASE WHEN mo.modality = 'text' THEN mo.n_tokens
+          |    ELSE 0 END) AS BIGINT) AS text_tokens,
+          |  CAST(sum(CASE WHEN mo.modality = 'image' THEN mo.n_tokens
+          |    ELSE 0 END) AS BIGINT) AS image_patches,
+          |  CAST(sum(COALESCE(fp.n_frames, 0)) AS BIGINT) AS frames,
+          |  CAST(sum(COALESCE(fp.own_frames, 0)) AS BIGINT) AS own_frames,
+          |  CAST(sum(COALESCE(fp.dup_frames, 0)) AS BIGINT) AS dup_frames,
+          |  CAST(sum(COALESCE(fp.dup_bytes, 0)) AS BIGINT) AS dup_bytes,
+          |  md5(COALESCE(string_agg(
+          |    CASE WHEN mo.ids_str = '' THEN NULL ELSE mo.ids_str END, ' '
+          |    ORDER BY mo.doc_id), '')) AS ids_md5,
+          |  md5('0' || string_agg(' ' || CAST(mo.e AS VARCHAR), ''
+          |    ORDER BY mo.doc_id)) AS offsets_md5
+          |FROM mo LEFT JOIN fper fp ON fp.asset_id = mo.doc_id
+          |GROUP BY mo.lang, mo.pack_id
+          |ORDER BY mo.lang, mo.pack_id""".stripMargin,
 
       // q200: the exact-integer lattice forward-backward replayed in
       // HUGEINT — words are <= 4 chars by construction, so α̃ (a0..a4)

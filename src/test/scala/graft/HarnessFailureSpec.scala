@@ -412,6 +412,19 @@ class HarnessFailureSpec extends SparkSpec {
       side.contains("\"ms\":[100,550,600,100]"))
     val line = Bench.renderJson(fake2, "/x/sf0.1")
     assert(!line.contains("canary"))
+    // the hypervisor-steal series (r17: host windows measured as steal
+    // bursts) rides the sidecar next to the canary; absent series →
+    // null; the driver line never carries it either
+    val sideSteal = Bench.renderJson(fake2, "/x/sf0.1", withReps = true,
+      steal = Seq((14, 3L), (29, 1905L)))
+    assert(sideSteal.contains(
+      """"steal":{"positions":[14,29],"cs":[3,1905]}"""))
+    assert(side.contains("\"steal\":null"))
+    assert(!line.contains("steal"))
+    // the counter itself parses on this host (Linux): monotone
+    // non-negative
+    val s1 = Bench.stealTicks()
+    assert(s1.exists(_ >= 0L))
     // an empty series (subset run, no probes) reports null, not []
     val noProbe = Bench.renderJson(fake2, "/x/sf0.1", withReps = true,
       canary = Some(("q10_null_counts", Seq.empty)))

@@ -74,12 +74,16 @@ HAND = {
     # q189-class CC walk (CC dominates, cf. q189's 6.0-11.0 band);
     # first probe rode a flagged window (controls 1.5-2.6x over), reps
     # 10.7-15.9 s — provisional generous band, quiet re-read to follow
-    "199": (8.0, 16.0),
-    # q200 = the soft-EM lattice E-step on the 4-char-truncated
-    # dictionary (two dictionary aggregates + a vocab collect); probe
-    # rode the same flagged window (q74 control 5x over), reps
-    # 1.6-2.4 s — provisional, quiet re-read to follow
-    "200": (1.0, 2.8),
+    # q199/q200 re-based from the quiet re-read (controls q02 0.49 /
+    # q74 0.46 in band): q199 reps 5.03-6.45 s, q200 0.66-0.72 s — the
+    # first probes rode flagged steal windows (SCALE.md r17) and the
+    # provisional bands were never quiet evidence, so this regen ran
+    # --allow-narrow deliberately
+    "199": (4.5, 8.0),
+    "200": (0.6, 1.4),
+    # q201 = the multimodal capstone (phash keep-one CC dominates, the
+    # q189/q199 class); quiet probe reps 12.2-14.0 s
+    "201": (10.5, 15.5),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
@@ -178,8 +182,22 @@ def existing_bands(path):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--allow-narrow"]
-    allow_narrow = "--allow-narrow" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:]
+            if not a.startswith("--allow-narrow")]
+    # --allow-narrow=199,200 lifts the union guard for EXACTLY those
+    # keys (a deliberate per-query re-base from quiet evidence); the
+    # bare flag is refused — an all-keys narrow is the q107-class
+    # hazard the guard exists for (history sidecars rotate, so a
+    # history-only regen silently narrows dozens of bands at once)
+    allow_narrow = set()
+    for a in sys.argv[1:]:
+        if a == "--allow-narrow":
+            print("REFUSE: bare --allow-narrow would drop the union "
+                  "guard for every band; name the keys, e.g. "
+                  "--allow-narrow=199,200", file=sys.stderr)
+            sys.exit(1)
+        if a.startswith("--allow-narrow="):
+            allow_narrow |= set(a.split("=", 1)[1].split(","))
     outp = argv[0] if argv else os.path.join(REPO, "bench_bands.json")
     hist = history_readings()
     cur = current_suite()
@@ -216,15 +234,14 @@ def main():
     # committed band, so a refresh may widen or keep but never narrow;
     # provenance gains "+kept" where the old band extended the new.
     # Deliberate re-basing (a below-band adjudication showed a band was
-    # committed off a degraded host) passes --allow-narrow to drop the
-    # union for that run.
-    if not allow_narrow:
-        for key, old in existing_bands(outp).items():
-            if key in bands:
-                b = bands[key]
-                if b[1] < old[1] or b[0] > old[0]:
-                    bands[key] = [min(b[0], old[0]), max(b[1], old[1]),
-                                  b[2] + "+kept"]
+    # committed off a degraded host) passes --allow-narrow=<keys> to
+    # drop the union for exactly those keys.
+    for key, old in existing_bands(outp).items():
+        if key in bands and key not in allow_narrow:
+            b = bands[key]
+            if b[1] < old[1] or b[0] > old[0]:
+                bands[key] = [min(b[0], old[0]), max(b[1], old[1]),
+                              b[2] + "+kept"]
     # one band per line: Bench.parseBands scans `"key":[lo,hi` triples,
     # so each must stay on one line — and per-line entries keep git
     # diffs per-query when the roster is refreshed
