@@ -44,6 +44,24 @@ object SparkEntry {
     *    and `to_date`/`unix_micros` keep the UTC semantics the oracles
     *    assume; DuckDB reads the same column as its naive TIMESTAMP).
     */
+  /** Scale-adaptive input widening (optimization guide §2.5 "input
+    * skew: one huge unsplittable file ... otherwise repartition
+    * immediately after the read"): the harness fixtures are single
+    * one-row-group parquet files, so every scan plans AT MOST ONE task
+    * and the CPU-heavy text/hash kernels downstream run serially while
+    * the other cores idle. When the frame's planned parallelism is
+    * below the session's, repartition it up; when the input is already
+    * split (every real deployment — a 100 TB table is tens of
+    * thousands of row groups), this is a NO-OP and no shuffle is added.
+    * Only worth it in front of kernel-heavy pipelines: the round-robin
+    * exchange moves the payload once, which a plain columnar scan
+    * would not survive profitably.
+    */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val want = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = rawTable(s, dir, name)
     if (name == "events")

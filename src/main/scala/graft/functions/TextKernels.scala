@@ -215,6 +215,32 @@ object TextKernels {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** Distinct-shingle xxhash64 witness set (seed 42 — Spark's xxhash64
+    * builtin applied to the same UTF-8 bytes), first-occurrence order:
+    * the fused form of `transform(array_distinct(shingles(text, n)),
+    * xxhash64)`. Higher-order functions evaluate interpreted — one
+    * boxed lambda dispatch per element — so the HOF chain was the
+    * dominant per-row cost of the dedup-index state build; this is one
+    * primitive pass sharing [[shingleStrings]]' dedup set.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val sh = shingleStrings(text, n)
+    val seen = new java.util.HashSet[String](sh.length * 2)
+    val out = new Array[Any](sh.length)
+    var m = 0
+    var i = 0
+    while (i < sh.length) {
+      if (seen.add(sh(i))) {
+        out(m) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromString(sh(i)), StringType, 42L)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == sh.length) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m))
+  }
+
   /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
   def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = shingleStrings(text, n)
@@ -290,6 +316,23 @@ case class MinhashSigExpr(child: Expression, k: Int, n: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernels.minhashLanes($c, $k, $n)")
   override protected def withNewChildInternal(c: Expression): MinhashSigExpr =
+    copy(child = c)
+}
+
+/** shingle_hashes(text, n): array<long> — codegen'd fused
+  * distinct-shingle xxhash64 witness set (see
+  * [[TextKernels.shingleHashes]]); value-identical to
+  * `transform(array_distinct(shingles(text, n)), xxhash64)`.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
 }
 
@@ -1515,6 +1558,9 @@ object TextExpressions {
     GraftColumnBridge.column(TokensExpr(GraftColumnBridge.expression(text)))
   def shingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(text), n))
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashesExpr(GraftColumnBridge.expression(text), n))
   def minhashSig(text: Column, k: Int, n: Int): Column =
     GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, n))
   def simhash(text: Column, bits: Int): Column =

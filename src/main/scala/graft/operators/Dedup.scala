@@ -448,11 +448,11 @@ object Dedup {
     // every band, so band 0 is a canonical representative) and null on the
     // others — the persisted witness sets that let [[dedupIndexAddBatch]]
     // verify jaccard by hash intersection without re-reading accepted text
+    // fused codegen kernel — value-identical to the former
+    // transform(array_distinct(shingles(text, n)), xxhash64) HOF chain,
+    // which evaluated interpreted (one boxed lambda call per shingle)
     val hashesCol =
-      if (withHashes)
-        transform(
-          array_distinct(TextExpressions.shingles(col(textCol), shingleN)),
-          s => xxhash64(s))
+      if (withHashes) TextExpressions.shingleHashes(col(textCol), shingleN)
       else lit(null).cast("array<long>")
     val banded = docs
       .select(col(idCol).as(outIdCol),
@@ -1798,37 +1798,60 @@ object Dedup {
       threshold: Double = 0.3, bands: Int = 4,
       rowsPerBand: Int = 2, shingleN: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (accepted, batchKeys) = dedupIndexAddBatchParts(indexKeys, batch,
+      threshold, bands, rowsPerBand, shingleN, idCol, textCol)
+    // survivors fold into the state as their slice of the materialized
+    // batch keys — row-identical to a dedupIndexKeys(accepted) rebuild
+    // (accepted ⊆ batch by id and bandedKeys is per-row), minus the
+    // second minhash/shingle kernel pass over the accepted text
+    val newIndex = indexKeys.unionByName(
+      batchKeys.join(accepted.select(col(idCol)), Seq(idCol), "left_semi"))
+    (accepted, newIndex)
+  }
+
+  /** [[dedupIndexAddBatch]] with the batch's key state exposed: returns
+    * (accepted batch docs, the batch's full [[dedupIndexKeys]]-shaped
+    * frame, MATERIALIZED). ONE kernel pass over the batch text computes
+    * band keys and band-0 witness hash sets, `localCheckpoint`ed so
+    * candidate generation (three lineage uses: the index probe and both
+    * sides of the within-batch self-join), both verify sides, and the
+    * state fold read materialized rows instead of re-running the
+    * minhash/shingle kernels per lineage use — the round-17 profile
+    * measured the old hash-free-keys shape at ~6 kernel passes per
+    * batch, the dominant cost of the whole dedup-index family. Callers
+    * persisting per-batch state deltas (StreamingDedupIndex) semi-join
+    * this frame to the accepted ids instead of re-keying accepted text.
+    */
+  private[graft] def dedupIndexAddBatchParts(indexKeys: DataFrame,
+      batch: DataFrame, threshold: Double = 0.3, bands: Int = 4,
+      rowsPerBand: Int = 2, shingleN: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     require(threshold > 0, "dedupIndexAddBatch needs threshold > 0 — a " +
       "zero-overlap banded candidate produces no intersection row")
-    // candidate generation runs on hash-free band keys: the fat witness
-    // sets would otherwise be recomputed in every lineage use of the
-    // batch keys, and the candidate equi-joins never look at them
     val batchKeys = bandedKeys(batch, bands, rowsPerBand, shingleN,
-      idCol, textCol, idCol)
-    val candIdx = batchKeys
+      idCol, textCol, idCol, withHashes = true).localCheckpoint()
+    val bk = batchKeys.select(col("band"), col("key"), col(idCol))
+    val candIdx = bk
       .select(col("band"), col("key"), col(idCol).as("bid"))
       .join(indexKeys.select(col("band"), col("key"), col(idCol).as("aid")),
         Seq("band", "key"))
       .select("bid", "aid")
-    val candIn = batchKeys
+    val candIn = bk
       .select(col("band"), col("key"), col(idCol).as("aid"))
-      .join(batchKeys.select(col("band"), col("key"), col(idCol).as("bid")),
+      .join(bk.select(col("band"), col("key"), col(idCol).as("bid")),
         Seq("band", "key"))
       .where(col("aid") < col("bid"))
       .select("bid", "aid")
     val cand = candIdx.union(candIn).distinct()
-    // batch-side hash sets are computed ONLY for candidate-involved docs:
-    // the semi-join gate runs on the raw (id, text) pairs BEFORE the
-    // shingle-hash transform, so non-candidates never pay it. A null
-    // text yields a null hash array — no rows on explode, exactly like
-    // the former string-shingle explode of a null text
-    def gatedBatchHashes(ids: DataFrame, out: String) = batch
-      .select(col(idCol).as(out), col(textCol))
+    // batch-side hash sets come from the materialized band-0 witness
+    // rows, semi-join gated to candidate-involved ids — non-candidates
+    // never explode. A null text has a null hashes array — no rows on
+    // explode, exactly like the former string-shingle explode
+    def batchHashes(ids: DataFrame, out: String) = batchKeys
+      .where(col("band") === 0)
+      .select(col(idCol).as(out), col("hashes"))
       .join(ids, Seq(out), "left_semi")
-      .select(col(out), explode(transform(
-        array_distinct(graft.functions.TextExpressions
-          .shingles(col(textCol), shingleN)),
-        s => xxhash64(s))).as("sh"))
+      .select(col(out), explode(col("hashes")).as("sh"))
     // witness hash sets: the index's PERSISTED band-0 sets for rule 1
     // (accepted text is never touched), the batch's own for rule 2 —
     // each id lives on exactly one side (ids are globally unique)
@@ -1837,8 +1860,8 @@ object Dedup {
       .select(col(idCol).as("aid"), col("hashes"))
       .join(cand.select("aid").distinct(), Seq("aid"), "left_semi")
       .select(col("aid"), explode(col("hashes")).as("sh"))
-      .unionByName(gatedBatchHashes(cand.select("aid").distinct(), "aid"))
-    val bs = gatedBatchHashes(cand.select("bid").distinct(), "bid")
+      .unionByName(batchHashes(cand.select("aid").distinct(), "aid"))
+    val bs = batchHashes(cand.select("bid").distinct(), "bid")
     val inter = cand.join(bs, Seq("bid")).join(ws, Seq("aid", "sh"))
       .groupBy("bid", "aid").agg(count(lit(1)).as("i"))
     val szB = bs.groupBy("bid").agg(count(lit(1)).as("szb"))
@@ -1848,11 +1871,7 @@ object Dedup {
         lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
       .select(col("bid").as(idCol)).distinct()
     val accepted = batch.join(rejected, Seq(idCol), "left_anti")
-    // survivors fold in through dedupIndexKeys so their witness sets are
-    // computed (once, batch-sized) and persisted with their band keys
-    val newIndex = indexKeys.unionByName(
-      dedupIndexKeys(accepted, bands, rowsPerBand, shingleN, idCol, textCol))
-    (accepted, newIndex)
+    (accepted, batchKeys)
   }
 
   /** Unlearn docs from the dedup index (the GDPR-erasure path the

@@ -141,20 +141,22 @@ object StreamingDedupIndex {
     * of the accepted state is the id-column replay guard; the near-dup
     * verify runs on the keys state's persisted `hashes` sets). Returns
     * the accepted subset of `batch` judged against the committed state,
-    * plus the state version it read.
+    * the batch's materialized [[graft.operators.Dedup.dedupIndexKeys]]
+    * frame (slice it to accepted ids for the keys delta — no re-keying),
+    * and the state version it read.
     */
   def batchAccepted(spark: SparkSession, stateRoot: String, batch: DataFrame,
       threshold: Double = 0.3, idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, Long) = {
+      textCol: String = "text"): (DataFrame, DataFrame, Long) = {
     val (accepted0, keys0, v) = readState(spark, stateRoot, idCol, textCol)
     // replay guard: an id already accepted is by definition a replay
     // (ids are globally unique) — covers null-text docs, which have no
     // band keys and could never self-reject through the verify
     val fresh = batch.select(col(idCol), col(textCol))
       .join(accepted0.select(col(idCol)), Seq(idCol), "left_anti")
-    val (acc, _) = Dedup.dedupIndexAddBatch(keys0, fresh, threshold,
-      idCol = idCol, textCol = textCol)
-    (acc, v)
+    val (acc, batchKeys) = Dedup.dedupIndexAddBatchParts(keys0, fresh,
+      threshold, idCol = idCol, textCol = textCol)
+    (acc, batchKeys, v)
   }
 
   /** Replay a parquet backlog with AvailableNow, one file per micro-batch
@@ -185,15 +187,20 @@ object StreamingDedupIndex {
     StreamingUpsert.runBatches(spark, sourceDir, schema, checkpointDir,
         maxFilesPerTrigger) { batch =>
       val s = batch.sparkSession
-      val (accL, v) = batchAccepted(s, stateRoot, prepare(batch), threshold,
-        idCol, textCol)
-      // the accepted set feeds BOTH delta files — materialize once
-      val acc = accL.localCheckpoint()
+      val (accL, batchKeys, v) = batchAccepted(s, stateRoot, prepare(batch),
+        threshold, idCol, textCol)
       val next = v + 1
-      acc.withColumn("batch", lit(next))
+      // the accepted write computes the judgment ONCE; the keys delta is
+      // the batch's already-materialized key frame sliced to the ids just
+      // written (read back from the delta — the parquet IS the
+      // materialization), so accepted text is never re-keyed and no extra
+      // localCheckpoint pass runs
+      accL.withColumn("batch", lit(next))
         .write.mode("overwrite")
         .parquet(s"$stateRoot/delta/d$next/accepted")
-      Dedup.dedupIndexKeys(acc, idCol = idCol, textCol = textCol)
+      val accIds = s.read.parquet(s"$stateRoot/delta/d$next/accepted")
+        .select(col(idCol))
+      batchKeys.join(accIds, Seq(idCol), "left_semi")
         .write.mode("overwrite").parquet(s"$stateRoot/delta/d$next/keys")
       commitMarker(stateRoot, "_current", next) // marker LAST: see crash note
     }

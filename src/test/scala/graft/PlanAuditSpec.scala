@@ -509,7 +509,7 @@ class PlanAuditSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val (acc2, v) = graft.streaming.StreamingDedupIndex.batchAccepted(
+      val (acc2, _, v) = graft.streaming.StreamingDedupIndex.batchAccepted(
         spark, root, docs.where(col("doc_id") % 2 === 1))
       assert(v == 1L)
       val scans = acc2.queryExecution.executedPlan.collect {
