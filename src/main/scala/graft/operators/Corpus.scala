@@ -830,6 +830,37 @@ object Corpus {
     * code points. All scale notes on [[learnBpeMerges]] apply — the
     * loop never touches anything but dict-sized state.
     */
+  /** The exact total order of the learn loop's old DataFrame
+    * `orderBy(c desc, lhs, rhs)`: count DESC, then lhs/rhs ASC compared
+    * as UNSIGNED UTF-8 BYTES — Catalyst strings are UTF8String, whose
+    * binary comparison differs from java.lang.String's UTF-16 order
+    * once supplementary-plane symbols are in play (the emoji salts).
+    * Self-contained and Serializable: takeOrdered ships it to the
+    * partition-local top-1 tasks.
+    */
+  private final class PairTopOrdering
+      extends Ordering[((String, String), Long)] with Serializable {
+    private def utf8Compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    def compare(a: ((String, String), Long),
+        b: ((String, String), Long)): Int = {
+      if (a._2 != b._2) return java.lang.Long.compare(b._2, a._2)
+      val dl = utf8Compare(a._1._1, b._1._1)
+      if (dl != 0) return dl
+      utf8Compare(a._1._2, b._1._2)
+    }
+  }
+
   private def learnMergesFromDict(dict: DataFrame, numMerges: Int,
       minPairCount: Long,
       probe: Option[(Int, Long) => Unit]): DataFrame = {
@@ -837,57 +868,83 @@ object Corpus {
       s"numMerges must be in [1, 4096], got $numMerges — the driver " +
         "loop is k-bounded by design")
     val spark = dict.sparkSession
-    // free a superseded checkpoint's blocks: localCheckpoint RDDs are
-    // not cacheManager entries, so df.unpersist() won't release them —
-    // unpersist the backing RDD off the LogicalRDD leaf. Without this,
-    // k iterations retain k dict-sized block sets for the session.
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.optimizedPlan match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    var state = dict
+    // The SEED stays a Catalyst projection (split-to-code-points is the
+    // one corpus-derived, codegen-worthy pass, and its split("")
+    // semantics — surrogate pairs are ONE symbol — must match the apply
+    // kernels exactly); the ITERATIONS run on its RDD. Rationale (r17
+    // optimization): each loop round is two tiny dict-sized actions, and
+    // the DataFrame form re-analyzed/re-optimized a FRESH plan per round
+    // (the merge constants change), costing ~35 ms of driver planning
+    // per job — ~60% of a 16-round learn's wall clock, and minutes of
+    // pure driver time at the k=4096 bound. The RDD loop submits the
+    // same row work with microseconds of driver overhead per job. The
+    // row work itself was never codegen-bound: the old apply step was a
+    // fold-left `aggregate` HOF, which Catalyst interprets per row just
+    // like a closure.
+    var state: org.apache.spark.rdd.RDD[(Array[String], Long)] = dict
       .select(col("cnt"),
         filter(split(col("word"), ""), c => c =!= "").as("syms"))
       .where(size(col("syms")) >= 2)
-      .localCheckpoint()
+      .select("syms", "cnt").rdd
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    state.count() // eager, like the localCheckpoint it replaces
+    val topOrd = new PairTopOrdering
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var i = 0
     var exhausted = false
     while (i < numMerges && !exhausted) {
-      val top = state
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          j => struct(element_at(col("syms"), j).as("lhs"),
-            element_at(col("syms"), j + 1).as("rhs")))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("cnt").as("c"))
-        .where(col("c") >= minPairCount)
-        .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
+      val minC = minPairCount
+      val top = state.mapPartitions { it =>
+          // partition-local pair pre-aggregation (the map-side combine
+          // the old groupBy had)
+          val m = new java.util.HashMap[(String, String), Long]()
+          it.foreach { case (syms, cnt) =>
+            var j = 0
+            while (j < syms.length - 1) {
+              val k = (syms(j), syms(j + 1))
+              val old = m.get(k)
+              m.put(k, (if (old == null) 0L else old.longValue()) + cnt)
+              j += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+        }
+        .reduceByKey(_ + _)
+        .filter(_._2 >= minC)
+        .takeOrdered(1)(topOrd)
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ((l, r), c) = top(0)
         merges += ((i + 1, l, r, c))
-        val applied = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-        val next = state.select(col("cnt"), applied.as("syms"))
-          .where(size(col("syms")) >= 2)
-          .localCheckpoint() // eager: next materializes before prev frees
-        freeCheckpoint(state)
+        val merged = l + r
+        // greedy left-to-right non-overlapping apply — element-equal to
+        // the old fold-left `aggregate` HOF (append unless the running
+        // tail is lhs and the current symbol rhs, then fuse)
+        val next = state.mapPartitions(_.map { case (syms, cnt) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](
+              syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (out.nonEmpty && out(out.length - 1) == l && syms(j) == r)
+                out(out.length - 1) = merged
+              else out += syms(j)
+              j += 1
+            }
+            (out.toArray, cnt)
+          }, preservesPartitioning = true)
+          .filter(_._1.length >= 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = next.count() // eager: next materializes before prev frees
+        state.unpersist(blocking = false)
         state = next
         i += 1
-        probe.foreach(_(i, state.count()))
+        probe.foreach(_(i, n))
       }
     }
-    freeCheckpoint(state)
+    state.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
