@@ -730,6 +730,13 @@ object Dedup {
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 30): DataFrame = {
+    require(ids.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"nearDupClusters needs a LongType $idCol — the alternating-star " +
+        "rounds run on RDD[(Long, Long)] (every id in this library is a " +
+        "64-bit doc/asset id)")
+    val spark = ids.sparkSession
+    import spark.implicits._
     // restrict the pair graph to the given universe: a pair endpoint
     // absent from `ids` (stale pair table, superset corpus) must not
     // become a cluster root, or the standard keep-one-per-cluster
@@ -738,56 +745,70 @@ object Dedup {
     val scoped = pairs
       .join(universe.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
       .join(universe.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
-    // canonical undirected edges, u < v
-    var edges = scoped
+    // canonical undirected edges, u < v — the one pair-table-scale
+    // Catalyst pass; the ROUNDS run on its RDD (r17 optimization: every
+    // round re-planned ~6 fresh dict-of-edges queries plus an except
+    // set-compare, and the measured cost of the CC compositions was
+    // ~70% driver planning/AQE-stage latency on tiny jobs — the RDD
+    // loop submits the identical shuffles with no per-round planning.
+    // The tail rounds of the contraction are overhead-bound at ANY
+    // corpus scale: the edge set shrinks geometrically, so late rounds
+    // are metadata-sized however big the dup graph started)
+    var edges: org.apache.spark.rdd.RDD[(Long, Long)] = scoped
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIters) {
       // ---- large-star: for each center u, every neighbor v > u links to
       // min(Γ(u) ∪ {u}) — splits high-degree hubs without losing
-      // connectivity
-      val sym = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val afterLs = sym.join(mins, "u")
-        .where(col("v") > col("u"))
-        .select(col("m").as("u"), col("v"))
-        .where(col("u") =!= col("v"))
-        .distinct()
+      // connectivity. m = min(minNeighbor(u), u) ≤ u < v, so the emitted
+      // (m, v) can never be a self-loop
+      val sym = edges.flatMap { e => Iterator(e, e.swap) }
+      val minNbr = sym.reduceByKey(math.min(_, _))
+      val afterLs = sym.join(minNbr).flatMap { case (u, (v, mn)) =>
+        if (v > u) Iterator((math.min(mn, u), v)) else Iterator.empty
+      }.distinct()
       // ---- small-star: orient edges large→small; the center and all its
-      // smaller neighbors link to the minimum among them
-      val sym2 = afterLs.select(col("v").as("u"), col("u").as("v"))
-      val mins2 = sym2.groupBy("u").agg(min(col("v")).as("m"))
-      val joined = sym2.join(mins2, "u")
-      val next = joined
-        .select(col("m").as("u"), col("v")).where(col("u") =!= col("v"))
-        .union(joined.select(col("m").as("u"), col("u").as("v")))
-        .distinct()
-        .localCheckpoint(true)
+      // smaller neighbors link to the minimum among them (the center's
+      // own link (m, center) is emitted once per neighbor row and
+      // deduped, exactly like the old union+distinct form)
+      val sym2 = afterLs.map(_.swap)
+      val mins2 = sym2.reduceByKey(math.min(_, _))
+      val next = sym2.join(mins2).flatMap { case (u, (v, m)) =>
+          (if (m != v) Iterator((m, v)) else Iterator.empty) ++
+            Iterator((m, u))
+        }.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // both sides are distinct sets, so equal counts + (next \ edges) = ∅
-      // ⇒ set equality — one count on the checkpointed RDD (the previous
-      // round's is carried over) plus one except replaces two
-      // except-distinct shuffles
+      // ⇒ set equality — the subtract runs only when the counts already
+      // agree (&& short-circuit, as the old except form did)
       val nextCount = next.count()
       converged = nextCount == edgeCount &&
-        next.except(edges).head(1).isEmpty
+        next.subtract(edges).take(1).isEmpty
+      edges.unpersist(blocking = false)
       edges = next
       edgeCount = nextCount
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge within $maxIters rounds — " +
-        "alternating-star contraction is O(log n) rounds, so this means a " +
-        "pathological edge set; raise maxIters")
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIters rounds — " +
+          "alternating-star contraction is O(log n) rounds, so this means a " +
+          "pathological edge set; raise maxIters")
+    }
     // fixpoint = star forest: roots only ever appear as u, every non-root
-    // appears as v with its root as u
-    val rootOf = edges.groupBy(col("v").as(idCol)).agg(min("u").as("root"))
+    // appears as v with its root as u. The final round's persisted blocks
+    // stay live — the returned frame reads them lazily (the ContextCleaner
+    // reclaims them once the frame is unreachable, the same lifetime the
+    // old localCheckpoint gave)
+    val rootOf = edges.map(_.swap).reduceByKey(math.min(_, _))
+      .toDF(idCol, "root")
     ids.select(col(idCol))
       .join(rootOf, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("root"), col(idCol)).as("root"))
