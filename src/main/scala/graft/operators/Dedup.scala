@@ -479,8 +479,9 @@ object Dedup {
     * explode + per-bit-sum groupBy formulation (pinned in tests).
     */
   def simhash(docs: DataFrame, bits: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+      idCol: String = "doc_id", textCol: String = "text",
+      fanOut: Boolean = false): DataFrame =
+    (if (fanOut) Sizing.fanOut(docs) else docs)
       // token-less docs have no signature (the aggregate/SQL formulations
       // produce no row for them) — keep that contract
       .where(size(graft.functions.TextExpressions.tokens(col(textCol))) > 0)
@@ -500,8 +501,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bits <= 32, "token hashes are 32-bit; higher simhash bits carry " +
       "no signal and would collapse every doc into one band bucket")
-    bandedHammingPairs(simhash(docs, bits, idCol, textCol), idCol, "simhash",
-      bits, bands, maxHamming)
+    // fanOut: the signature+banding kernel is this operator's dominant
+    // cost and a single-file/one-partition input would run it on one
+    // core (measured r17: 1.43 s single-task stage, 2.2x the whole
+    // query after the fan-out); Sizing.fanOut is a strict no-op when
+    // the scan already parallelizes, so nothing changes at scale
+    bandedHammingPairs(simhash(docs, bits, idCol, textCol, fanOut = true),
+      idCol, "simhash", bits, bands, maxHamming)
   }
 
   /** The banded exact-Hamming pair machinery itself, over ANY integer

@@ -98,4 +98,44 @@ object Sizing {
   def maybeBroadcast(df: DataFrame, rowLimit: Long,
       byteLimit: Long = DefaultBroadcastBytes): DataFrame =
     if (fitsBroadcast(df, rowLimit, byteLimit)) broadcast(df) else df
+
+  /** Conditionally RAISE a frame's parallelism ahead of a compute-heavy
+    * per-row kernel (minhash/shingle signatures, simhash, payload
+    * decode): when the planned partition count is far below the
+    * session's parallelism — a single-file scan, a one-partition
+    * micro-batch — the kernel would burn its whole budget on one core
+    * while the rest of the machine idles, so ONE cheap round-robin
+    * exchange of the raw rows buys kernel parallelism (the guide's
+    * "repartition immediately after the read" for unsplittable inputs).
+    * When the input is already parallel — every real corpus-scale scan —
+    * this is a strict NO-OP: no exchange is added, so the operators'
+    * pinned shuffle counts at scale are untouched. Streaming plans pass
+    * through untouched (their partition count isn't knowable pre-run;
+    * the per-micro-batch frames inside foreachBatch ARE batch plans and
+    * do get fanned out).
+    */
+  def fanOut(df: DataFrame, factor: Int = 4): DataFrame = {
+    if (df.isStreaming) return df
+    // Probe ONLY narrow-from-leaf plans (scans/local frames under
+    // projections, filters, unions): (1) anything downstream of a
+    // shuffle already arrives at the session's shuffle parallelism, so
+    // fan-out could only add cost; (2) the partition probe plans the
+    // frame via queryExecution.toRdd, which on an AQE plan WITH
+    // exchanges would materialize its query stages eagerly — running
+    // real jobs at probe time. A narrow plan has no exchanges, so its
+    // toRdd is plan-only.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val narrow = df.queryExecution.analyzed.collect { case p => p }.forall {
+      case _: logical.LeafNode => true
+      case _: logical.Project | _: logical.Filter |
+           _: logical.SubqueryAlias | _: logical.Union => true
+      case _ => false
+    }
+    if (!narrow) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.queryExecution.toRdd.getNumPartitions
+      catch { case _: Exception => target } // unplannable => leave as-is
+    if (parts * factor <= target) df.repartition(target) else df
+  }
 }
