@@ -32,4 +32,41 @@ class SizingSpec extends SparkSpec {
     assert(Sizing.fitsBroadcast(nested, rowLimit = 10, byteLimit = 1 << 20))
     assert(!Sizing.fitsBroadcast(nested, rowLimit = 10, byteLimit = 10))
   }
+
+  test("fanOut raises an under-partitioned narrow frame to the session " +
+      "parallelism and leaves everything else untouched") {
+    val target = spark.sparkContext.defaultParallelism
+    // the real under-partitioned case: a SINGLE-FILE parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout")
+    (1 to 100).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+      .coalesce(1).write.parquet(s"$dir/t")
+    val one = spark.read.parquet(s"$dir/t")
+    val fanned = Sizing.fanOut(one)
+    assert(fanned.rdd.getNumPartitions == target)
+    assert(fanned.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 100L))
+    // explicitly repartitioned frame: the plan is not narrow-from-leaf
+    // (a RepartitionOperation is the caller's own choice) -> untouched
+    val wide = one.repartition(target)
+    assert(Sizing.fanOut(wide) eq wide)
+    // non-narrow plan (aggregate): input arrives via a shuffle at the
+    // session's shuffle parallelism already -> untouched (and the
+    // narrow gate means the probe never plans-and-runs the aggregate)
+    val agg = one.groupBy("t").count()
+    assert(Sizing.fanOut(agg) eq agg)
+    graft.store.UpsertWriter.deleteRecursively(dir)
+  }
+
+  test("fanOut leaves simhashNearDupPairs' rows identical") {
+    // the one fanned operator: pair set must not depend on partitioning
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) "alpha beta gamma delta" + i
+        else "alpha beta gamma delta")) // odd ids are exact dups
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashNearDupPairs(df, maxHamming = 2)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(docs.coalesce(1)) == pairs(docs.repartition(8)))
+    assert(pairs(docs.coalesce(1)).nonEmpty)
+  }
 }
