@@ -314,12 +314,34 @@ object Corpus {
     */
   def buildPieceVocab(docs: DataFrame, textCol: String, minCount: Long,
       maxSize: Int): DataFrame = {
-    val words = buildVocab(docs, textCol, minCount, maxSize)
-      .select(col("token").as("piece"), col("token_id").as("id"))
-    val alpha = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .distinct()
-      .select(explode(filter(split(col("tok"), ""), c => c =!= "")).as("ch"))
+    // ONE corpus-wide word-count aggregate feeds BOTH halves (r17
+    // optimization): the frequent-word vocabulary (buildVocab's exact
+    // algebra) and the character alphabet, whose source set — the
+    // corpus's DISTINCT tokens — is precisely the count's keys, so the
+    // old second corpus scan + explode + distinct is now a
+    // dictionary-sized projection. Within the one action that collects
+    // the vocab the physical planner reuses the count's exchange
+    // (ReusedExchange in the plan), so the corpus is read and
+    // tokenized ONCE instead of twice — at 100 TB this halves the
+    // operator's corpus passes.
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(col("cnt").desc, col("word"))
+    val words = counts.where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word")).limit(maxSize)
+      .withColumn("id", row_number().over(wv).cast("int"))
+      .select(col("word").as("piece"), col("id"))
+    // the cnt >= 1 predicate is vacuously true (every counted word was
+    // seen) but LOAD-BEARING: it keeps the count column alive in this
+    // branch, so column pruning cannot specialize the branch's partial
+    // aggregate away from the vocab branch's — the two word-count
+    // exchanges then CANONICALIZE EQUAL and AQE's runtime stage cache
+    // executes the map side once, both branches reading its shuffle
+    // output (measured: the q137 job inventory drops from two
+    // scan+tokenize map stages to one — see OPTIMIZATION_r17.md)
+    val alpha = counts.where(col("cnt") >= 1)
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("ch"))
       .distinct()
     val w = Window.orderBy(col("ch"))
     val chars = alpha

@@ -36,9 +36,19 @@ object PlanSnap {
     graft.GraftExtensions.install(spark)
     val outDir = java.nio.file.Paths.get("/root/repo/plans/r17")
     java.nio.file.Files.createDirectories(outDir)
+    // INTERNAL frames whose plans never surface in a registered query's
+    // gated explain (the vocab is collected driver-side and baked into
+    // the encode kernel as literals) — snapshot them by pseudo-name
+    val internal: Map[String, (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame] = Map(
+      "piece_vocab_build" -> ((s, dir) =>
+        graft.operators.Corpus.buildPieceVocab(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "text", minCount = 5, maxSize = 200)))
     for (name <- names) {
-      val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query $name"))
+      val fn = internal.getOrElse(name,
+        graft.SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query $name")))
       val df = fn(spark, sfDir)
       df.count() // force the AQE final plan
       val txt = df.queryExecution.explainString(

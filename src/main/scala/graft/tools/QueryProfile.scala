@@ -114,8 +114,9 @@ object QueryProfile {
         rows.sortBy(-_.wallMs).take(30).foreach { r =>
           println(f"[profile]   job ${r.id}%4d ${r.wallMs}%6d ms " +
             f"tasks=${r.tasks}%4d exec=${r.execMs}%5d ms " +
-            f"sw=${r.shufWriteB / 1024}%6d KiB sr=${r.shufReadB / 1024}%6d KiB" +
-            f"  ${r.stages.mkString("|").take(110)}")
+            f"sw=${r.shufWriteB / 1024}%6d KiB sr=${r.shufReadB / 1024}%6d KiB " +
+            f"in=${r.inputB / 1024}%6d KiB" +
+            f"  ${r.stages.mkString("|").take(100)}")
         }
       }
       // per-query scratch hygiene, as Bench does between queries
