@@ -55,7 +55,9 @@ HAND = {
     "178": (0.6, 0.8), "179": (2.4, 3.0), "180": (1.0, 1.4),
     "181": (1.0, 1.6), "182": (0.45, 0.6), "183": (1.4, 2.5),
     "184": (1.3, 1.6), "185": (0.95, 1.6), "186": (1.2, 2.4),
-    "187": (1.4, 3.6), "188": (5.9, 7.4), "189": (6.0, 11.0),
+    # q189 lo re-based 6.0 -> 1.5 with the r17 CC-round RDD rewrite
+    # (same evidence note as q199/q201 below)
+    "187": (1.4, 3.6), "188": (5.9, 7.4), "189": (1.5, 11.0),
     "190": (5.7, 12.3), "191": (0.45, 0.70),
     # r16 additions (solo fresh-JVM, quiet probes this session)
     "192": (2.2, 3.2), "193": (1.7, 3.3), "194": (2.4, 4.1),
@@ -79,11 +81,20 @@ HAND = {
     # first probes rode flagged steal windows (SCALE.md r17) and the
     # provisional bands were never quiet evidence, so this regen ran
     # --allow-narrow deliberately
-    "199": (4.5, 8.0),
+    # r17 OPTIMIZATION re-base, LOW SIDE ONLY (his keep their pre-change
+    # quiet evidence until post-change quiet readings accumulate): the
+    # CC-round RDD rewrite (commit eefc18f) makes the CC-dominated
+    # queries 2-6x faster — q199 read 1.62 s and q201 1.74 s inside the
+    # r17 closing run (a run whose steal series shows heavy pollution,
+    # so the TRUE quiet values are at or below these readings — safe as
+    # lo anchors), q189 1.75 s in the same run. Extending lo keeps a
+    # legitimate fast reading from flagging as below-band; the next
+    # quiet roster pass can narrow the his with --allow-narrow.
+    "199": (1.3, 8.0),
     "200": (0.6, 1.4),
-    # q201 = the multimodal capstone (phash keep-one CC dominates, the
-    # q189/q199 class); quiet probe reps 12.2-14.0 s
-    "201": (10.5, 15.5),
+    # q201 = the multimodal capstone (phash keep-one CC dominated
+    # pre-rewrite; post-rewrite the CC rounds are RDD jobs)
+    "201": (1.4, 15.5),
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
