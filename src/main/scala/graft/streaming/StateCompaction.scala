@@ -25,7 +25,12 @@ private[streaming] object StateCompaction {
       .getOrElse(0L).min(v)
     val snap = if (c >= 1) Seq(s"$stateRoot/snapshot/s$c/$sub") else Seq.empty
     val deltas = ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
-    (snap ++ deltas).map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // ONE multi-path scan, not a reduce of per-delta reads: the union
+    // form grew the state plan by one scan subtree per committed batch
+    // (linear plan size, quadratic planning over a stream's life). A
+    // sub-state's deltas are all written by the same runner with one
+    // layout, so the single relation is row-identical to the union.
+    spark.read.parquet(snap ++ deltas: _*)
   }
 
   /** Fold the committed log into `snapshot/s<v>` for every sub-state,

@@ -75,13 +75,21 @@ object StreamingDedupIndex {
     marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
         val c = marker(stateRoot, "_compacted").getOrElse(0L).min(v)
-        def union(sub: String): DataFrame = {
+        // ONE multi-path scan with the declared schema, not a reduce of
+        // per-delta reads (r17 optimization): the union form re-planned
+        // batch N's state as N-1 unioned scan subtrees, so a
+        // long-running stream's per-batch planning cost grew linearly
+        // with its age (quadratic over the stream's life) and each read
+        // paid a footer-inference listing. Every delta is written by
+        // this file's own runner with exactly stateSchemas' layout, so
+        // one schema-pinned relation is row-identical to the union.
+        def union(sub: String, schema: StructType): DataFrame = {
           val snap =
             if (c >= 1) Seq(s"$stateRoot/snapshot/s$c/$sub") else Seq.empty
           val deltas = ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
-          (snap ++ deltas).map(spark.read.parquet(_)).reduce(_ unionByName _)
+          spark.read.schema(schema).parquet(snap ++ deltas: _*)
         }
-        (union("accepted"), union("keys"), v)
+        (union("accepted", accSchema), union("keys", keySchema), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], accSchema),
