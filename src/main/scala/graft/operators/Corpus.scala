@@ -921,7 +921,11 @@ object Corpus {
       val top = state.mapPartitions { it =>
           // partition-local pair pre-aggregation (the map-side combine
           // the old groupBy had)
-          val m = new java.util.HashMap[(String, String), Long]()
+          // values boxed explicitly: with a scala.Long value type the
+          // compiler auto-unboxes m.get(k), turning the null (absent-key)
+          // check into dead code that only works because unboxToLong(null)
+          // happens to be 0L
+          val m = new java.util.HashMap[(String, String), java.lang.Long]()
           it.foreach { case (syms, cnt) =>
             var j = 0
             while (j < syms.length - 1) {
@@ -932,7 +936,8 @@ object Corpus {
             }
           }
           import scala.jdk.CollectionConverters._
-          m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+          m.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue.longValue()))
         }
         .reduceByKey(_ + _)
         .filter(_._2 >= minC)

@@ -733,6 +733,12 @@ object Dedup {
     * flat. Convergence is verified with an exact set comparison (both
     * `except` directions), never a fingerprint, and a non-converged
     * result throws rather than returning partial labels.
+    *
+    * CONTRACT: `idCol` (in `ids` and both pair endpoints) must be
+    * LongType — the rounds run on `RDD[(Long, Long)]`, matching the
+    * library-wide 64-bit doc/asset id convention. A caller with
+    * non-long ids must map them to a long surrogate (e.g. `xxhash64`)
+    * before calling; the require below fails loudly otherwise.
     */
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 30): DataFrame = {

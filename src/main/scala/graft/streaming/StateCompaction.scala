@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Shared compaction machinery for the marker-committed append-only
   * state logs (the [[StreamingDedupIndex]] discipline, reused by the
@@ -17,20 +18,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[streaming] object StateCompaction {
 
   /** Union one sub-state's committed snapshot + post-snapshot deltas at
-    * state version `v` (callers read `v` off the `_current` marker).
+    * state version `v` (callers read `v` off the `_current` marker),
+    * SCHEMA-PINNED to the runner's declared sub-state layout (mirrors
+    * the StreamingDedupIndex reader): inferring from an arbitrary
+    * file's footer would silently project nulls for a column a
+    * divergent delta dropped, where the old per-delta unionByName
+    * failed loudly. A delta whose physical types contradict the pin
+    * still fails loudly at scan time.
     */
   def readSub(spark: SparkSession, stateRoot: String, sub: String,
-      v: Long): DataFrame = {
+      v: Long, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(subPaths(stateRoot, sub, v): _*)
+
+  /** [[readSub]] with footer-inferred schema — ONLY for [[compact]],
+    * which must rewrite exactly the representation that is on disk
+    * (e.g. the line index persists hashed OR string lines; the
+    * compacted snapshot has to preserve whichever one the stream
+    * wrote, not what a caller currently believes).
+    */
+  private def readSubInferred(spark: SparkSession, stateRoot: String,
+      sub: String, v: Long): DataFrame =
+    spark.read.parquet(subPaths(stateRoot, sub, v): _*)
+
+  // ONE multi-path scan, not a reduce of per-delta reads: the union
+  // form grew the state plan by one scan subtree per committed batch
+  // (linear plan size, quadratic planning over a stream's life). A
+  // sub-state's deltas are all written by the same runner with one
+  // layout, so the single relation is row-identical to the union.
+  private def subPaths(stateRoot: String, sub: String, v: Long)
+      : Seq[String] = {
     val c = StreamingDedupIndex.marker(stateRoot, "_compacted")
       .getOrElse(0L).min(v)
     val snap = if (c >= 1) Seq(s"$stateRoot/snapshot/s$c/$sub") else Seq.empty
-    val deltas = ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
-    // ONE multi-path scan, not a reduce of per-delta reads: the union
-    // form grew the state plan by one scan subtree per committed batch
-    // (linear plan size, quadratic planning over a stream's life). A
-    // sub-state's deltas are all written by the same runner with one
-    // layout, so the single relation is row-identical to the union.
-    spark.read.parquet(snap ++ deltas: _*)
+    snap ++ ((c + 1) to v).map(i => s"$stateRoot/delta/d$i/$sub")
   }
 
   /** Fold the committed log into `snapshot/s<v>` for every sub-state,
@@ -46,7 +66,7 @@ private[streaming] object StateCompaction {
       return
     subs.foreach { sub =>
       val folded = fold.getOrElse(sub, identity[DataFrame] _)(
-        readSub(spark, stateRoot, sub, v))
+        readSubInferred(spark, stateRoot, sub, v))
       folded.write.mode("overwrite").parquet(s"$stateRoot/snapshot/s$v/$sub")
     }
     StreamingDedupIndex.commitMarker(stateRoot, "_compacted", v)

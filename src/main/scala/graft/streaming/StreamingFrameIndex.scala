@@ -60,8 +60,9 @@ object StreamingFrameIndex {
       : (DataFrame, DataFrame, Long) =
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        (StateCompaction.readSub(spark, stateRoot, "stats", v),
-          StateCompaction.readSub(spark, stateRoot, "digests", v), v)
+        (StateCompaction.readSub(spark, stateRoot, "stats", v, statsSchema),
+          StateCompaction.readSub(spark, stateRoot, "digests", v,
+            digestSchema), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], statsSchema),

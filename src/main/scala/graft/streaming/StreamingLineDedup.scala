@@ -45,10 +45,10 @@ object StreamingLineDedup {
     * (if one exists) plus deltas after it, up to `_current`. Orphans
     * past either marker are invisible; empty frames before the first
     * commit. `hashLines` picks the index representation (see
-    * [[Dedup.lineIndexAddBatch]]) — it only shapes the
-    * before-first-commit empty frame; a PERSISTED index carries its
-    * own representation marker in the parquet footer, and a
-    * mismatched replay fails loudly at the next probe.
+    * [[Dedup.lineIndexAddBatch]]) and pins the scan schema; a
+    * PERSISTED index whose parquet representation contradicts the
+    * declared one fails loudly at scan time (the long/string physical
+    * types are not convertible).
     */
   def readState(spark: SparkSession, stateRoot: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -57,8 +57,9 @@ object StreamingLineDedup {
     val (cleanSchema, lineSchema) = stateSchemas(idCol, textCol, hashLines)
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        (StateCompaction.readSub(spark, stateRoot, "cleaned", v),
-          StateCompaction.readSub(spark, stateRoot, "lines", v), v)
+        (StateCompaction.readSub(spark, stateRoot, "cleaned", v, cleanSchema),
+          StateCompaction.readSub(spark, stateRoot, "lines", v, lineSchema),
+          v)
       case _ => (
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], cleanSchema),

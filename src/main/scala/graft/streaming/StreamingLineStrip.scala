@@ -43,8 +43,8 @@ object StreamingLineStrip {
     val (cleanSchema, countSchema) = stateSchemas(idCol, textCol)
     StreamingDedupIndex.marker(stateRoot, "_current") match {
       case Some(v) if v >= 1 =>
-        (StateCompaction.readSub(spark, stateRoot, "cleaned", v),
-          StateCompaction.readSub(spark, stateRoot, "counts", v)
+        (StateCompaction.readSub(spark, stateRoot, "cleaned", v, cleanSchema),
+          StateCompaction.readSub(spark, stateRoot, "counts", v, countSchema)
             .groupBy("line").agg(sum(col("n_docs")).as("n_docs")), v)
       case _ => (
         spark.createDataFrame(spark.sparkContext

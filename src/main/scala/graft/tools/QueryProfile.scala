@@ -94,6 +94,28 @@ object QueryProfile {
     graft.GraftExtensions.install(spark)
     val rec = new Recorder
     spark.sparkContext.addSparkListener(rec)
+    // SPARK_GRAFT_PROF_STREAM=1: additionally dump every micro-batch's
+    // StreamingQueryProgress durationMs breakdown (triggerExecution,
+    // queryPlanning, walCommit, commitOffsets, addBatch, getBatch,
+    // latestOffset) — the "where does the per-batch constant go"
+    // answer the job listener can't give. Diagnostic only.
+    if (sys.env.get("SPARK_GRAFT_PROF_STREAM").contains("1"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            println(s"[stream] started ${e.id}")
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            import scala.jdk.CollectionConverters._
+            val dur = p.durationMs.asScala.toSeq.sortBy(-_._2)
+              .map { case (k, v) => s"$k=$v" }.mkString(" ")
+            println(s"[stream] batch ${p.batchId} rows=${p.numInputRows} " +
+              s"$dur")
+          }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            println(s"[stream] terminated ${e.id}")
+        })
     for (name <- names) {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))

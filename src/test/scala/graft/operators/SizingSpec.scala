@@ -58,15 +58,28 @@ class SizingSpec extends SparkSpec {
   }
 
   test("fanOut leaves simhashNearDupPairs' rows identical") {
-    // the one fanned operator: pair set must not depend on partitioning
+    // the one fanned operator: pair set must not depend on partitioning.
+    // The single-file parquet read-back is the side that actually goes
+    // THROUGH fanOut's injected repartition (narrow-from-leaf, 1
+    // partition); coalesce/repartition inputs fail the narrow gate, so
+    // comparing only those two would leave the fanned path untested
+    // (r17 ADVICE)
     val docs = (1L to 40L).map(i =>
         (i, if (i % 2 == 0) "alpha beta gamma delta" + i
         else "alpha beta gamma delta")) // odd ids are exact dups
       .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout_pairs")
+    docs.coalesce(1).write.parquet(s"$dir/docs")
+    val one = spark.read.parquet(s"$dir/docs")
+    // precondition of the comparison: the scan side IS fanned
+    assert(Sizing.fanOut(one).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       Dedup.simhashNearDupPairs(df, maxHamming = 2)
         .as[(Long, Long, Long)].collect().toSet
-    assert(pairs(docs.coalesce(1)) == pairs(docs.repartition(8)))
-    assert(pairs(docs.coalesce(1)).nonEmpty)
+    val fanned = pairs(one)
+    assert(fanned == pairs(docs.repartition(8)))
+    assert(fanned.nonEmpty)
+    graft.store.UpsertWriter.deleteRecursively(dir)
   }
 }

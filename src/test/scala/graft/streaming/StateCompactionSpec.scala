@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.SparkSpec
 
@@ -30,9 +31,12 @@ class StateCompactionSpec extends SparkSpec {
     StreamingDedupIndex.commitMarker(root, "_current", v)
   }
 
+  private val countSchema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
   private def readCounts(root: String): Map[String, Long] = {
     val v = StreamingDedupIndex.marker(root, "_current").getOrElse(0L)
-    StateCompaction.readSub(spark, root, "counts", v)
+    StateCompaction.readSub(spark, root, "counts", v, countSchema)
       .groupBy("k").agg(sum(col("n")).as("n"))
       .as[(String, Long)].collect().toMap
   }
@@ -115,5 +119,31 @@ class StateCompactionSpec extends SparkSpec {
     StateCompaction.vacuum(root)
     assert(!Files.isDirectory(Paths.get(s"$root/delta/d3")))
     assert(readCounts(root) == Map("a" -> 4L, "b" -> 9L, "c" -> 3L))
+  }
+
+  test("readSub pins the declared schema: a reordered-column delta reads " +
+      "by NAME into the declared order, an extra column can't leak into " +
+      "the state schema, and a type-divergent delta fails loudly") {
+    val root = Files.createTempDirectory("graft_scmp4_").toString
+    writeDelta(root, 1, Seq(("a", 1L)))
+    // delta 2 written with the columns REORDERED (n, k) plus an EXTRA
+    // column: parquet fields resolve by name under the pinned schema,
+    // so the read is value-identical whichever physical order a writer
+    // used, and the stray column never reaches readers (under footer
+    // inference, WHICH file got sampled decided the visible schema)
+    Seq((5L, "b", true)).toDF("n", "k", "stray").write.mode("overwrite")
+      .parquet(s"$root/delta/d2/counts")
+    StreamingDedupIndex.commitMarker(root, "_current", 2L)
+    assert(readCounts(root) == Map("a" -> 1L, "b" -> 5L))
+    assert(StateCompaction.readSub(spark, root, "counts", 2L, countSchema)
+      .columns.toSeq == Seq("k", "n"))
+    // delta 3 writes n with a DIVERGENT physical type — the pin makes
+    // this fail loudly at scan (string is not convertible to long),
+    // instead of the whole state silently adopting whichever layout
+    // the inferred footer happened to come from
+    Seq(("c", "oops")).toDF("k", "n").write.mode("overwrite")
+      .parquet(s"$root/delta/d3/counts")
+    StreamingDedupIndex.commitMarker(root, "_current", 3L)
+    intercept[Exception] { readCounts(root) }
   }
 }
