@@ -2,11 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Round-17 optimization deliverable helper: writes the
+/** Optimization-round deliverable helper: writes the
   * `.explain("formatted")` output of named registered queries to
-  * `plans/r17/<query>_<tag>.txt` (tag = before/after), with the final
-  * AQE plan forced by running the query once first. Diagnostic only —
-  * not part of the gated surface.
+  * `plans/<round>/<query>_<tag>.txt` (tag = before/after; round from
+  * SPARK_GRAFT_PLANS_DIR, default plans/r18), with the final AQE plan
+  * forced by running the query once first. Diagnostic only — not part
+  * of the gated surface.
   *
   * Usage: sbt "runMain graft.tools.PlanSnap before q141_corpus_to_packs[,...]"
   *   (SPARK_GRAFT_SF_DIR overrides the default sf0.1 data dir)
@@ -34,7 +35,8 @@ object PlanSnap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.install(spark)
-    val outDir = java.nio.file.Paths.get("/root/repo/plans/r17")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r18"))
     java.nio.file.Files.createDirectories(outDir)
     // INTERNAL frames whose plans never surface in a registered query's
     // gated explain (the vocab is collected driver-side and baked into

@@ -472,7 +472,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window "), s"window rank must be gone:\n$p")
   }
 
-  test("dedup index add-batch: banded candidates only, semi-gated explodes") {
+  test("dedup index add-batch: banded candidates only, array-set verify") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
     val none = docs.limit(0)
@@ -483,9 +483,14 @@ class PlanAuditSpec extends SparkSpec {
     // product anywhere makes the batch quadratic
     assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$p")
-    // only candidate-involved docs may explode shingles for the verify
-    assert(p.contains("LeftSemi"),
-      s"shingle explode must be semi-join gated:\n$p")
+    // the jaccard verify runs on the persisted witness ARRAYS with one
+    // codegen array_intersect per candidate pair (r18) — a Generate in
+    // the plan means the explode → join → three-aggregations shape (and
+    // its ~6 extra exchanges per batch) crept back
+    assert(p.contains("array_intersect"),
+      s"verify must intersect the witness hash arrays:\n$p")
+    assert(!p.contains("Generate"),
+      s"no shingle explode may survive the array-set verify:\n$p")
     assert(accepted.count() > 0)
   }
 

@@ -116,12 +116,19 @@ class StreamingLineDedupSpec extends SparkSpec {
         .toDF("l").select(graft.operators.Dedup.lineHash($"l"))
         .as[Long].collect().toSet)
     // a string-mode replay against the hashed state fails loudly at the
-    // first probe (the persisted marker travels in the parquet footer)
+    // state SCAN: readState pins the declared (string) schema, and the
+    // persisted long fingerprints are not convertible to it (pre-pin,
+    // footer inference deferred the failure to lineIndexAddBatch's
+    // representation check — same loud outcome, earlier site)
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamingLineDedup.runAvailableNow(spark, src, schema,
         s"$root/state", s"$root/ckpt_mismatch")
     }
-    assert(String.valueOf(ex.getCause).contains("representation"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => String.valueOf(c.getMessage)
+        .contains("PARQUET_COLUMN_DATA_TYPE_MISMATCH")),
+      s"expected a loud scan-time type mismatch, got: $ex")
   }
 
   test("readState trusts the marker: an orphan delta is invisible") {
