@@ -3,10 +3,10 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused, codegen'd text kernels for the dedup/minhash pipeline.
@@ -241,6 +241,36 @@ object TextKernels {
       else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m))
   }
 
+  /** Exact jaccard THRESHOLD test over two DISTINCT long hash sets in
+    * one fused pass — arithmetic identical to the SQL form
+    * `i >= 1 AND CAST(i AS DOUBLE) >= threshold *
+    * CAST(|a| + |b| - i AS DOUBLE)` with `i = size(array_intersect)`:
+    * same long intersection count, same IEEE double multiply/compare.
+    * One hash-set probe per pair instead of the 3 array_intersect
+    * evaluations the optimizer produces when the SQL filter is pushed
+    * into a join condition (each reference re-evaluates). The `i >= 1`
+    * leg means empty sets can never reject (the historical
+    * explode-form contract: no intersection row, no rejection).
+    */
+  def jaccardMeets(a: ArrayData, b: ArrayData, threshold: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return false
+    val (small, big, ns, nbig) =
+      if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0L
+    var j = 0
+    while (j < nbig) {
+      if (set.contains(big.getLong(j))) inter += 1
+      j += 1
+    }
+    inter >= 1L &&
+      inter.toDouble >= threshold * (na.toLong + nb.toLong - inter).toDouble
+  }
+
   /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
   def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = shingleStrings(text, n)
@@ -334,6 +364,27 @@ case class ShingleHashesExpr(child: Expression, n: Int)
       s"graft.functions.TextKernels.shingleHashes($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
+}
+
+/** jaccard_meets(a, b, threshold): boolean — codegen'd fused exact
+  * jaccard threshold test over two distinct long hash sets (see
+  * [[TextKernels.jaccardMeets]]); value-identical to
+  * `size(array_intersect(a, b)) >= 1 AND
+  * CAST(size(array_intersect(a, b)) AS DOUBLE) >= threshold *
+  * CAST(size(a) + size(b) - size(array_intersect(a, b)) AS DOUBLE)`.
+  */
+case class JaccardMeetsExpr(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardMeets(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.jaccardMeets($a, $b, ${threshold}D)")
+  override def toString: String = s"jaccard_meets($left, $right, $threshold)"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): JaccardMeetsExpr = copy(left = l, right = r)
 }
 
 /** hash_embed(text, dim): array<long> — codegen'd one-pass
@@ -1563,6 +1614,10 @@ object TextExpressions {
       ShingleHashesExpr(GraftColumnBridge.expression(text), n))
   def minhashSig(text: Column, k: Int, n: Int): Column =
     GraftColumnBridge.column(MinhashSigExpr(GraftColumnBridge.expression(text), k, n))
+  def jaccardMeets(a: Column, b: Column, threshold: Double): Column =
+    GraftColumnBridge.column(JaccardMeetsExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      threshold))
   def simhash(text: Column, bits: Int): Column =
     GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text), bits))
   def hashEmbed(text: Column, dim: Int): Column =

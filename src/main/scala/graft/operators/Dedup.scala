@@ -1906,12 +1906,16 @@ object Dedup {
       .select(col(idCol).as("aid"), col("hashes").as("__ah"))
       .unionByName(batchKeys.where(col("band") === 0)
         .select(col(idCol).as("aid"), col("hashes").as("__ah")))
+    // jaccard_meets is the fused form of `size(array_intersect) >= 1 &&
+    // size(array_intersect).cast(double) >= threshold * (size(a) +
+    // size(b) - size(array_intersect)).cast(double)` — as a plain SQL
+    // filter the optimizer pushes it into the join condition and
+    // re-evaluates the intersect for every reference (3× per pair, the
+    // top per-batch exec cost in the r18 profile); the kernel probes
+    // one hash set once (TextKernelsSpec pins value-equality)
     val rejected = cand.join(bh, Seq("bid")).join(ah, Seq("aid"))
-      .withColumn("__i",
-        size(array_intersect(col("__bh"), col("__ah"))).cast("long"))
-      .where(col("__i") >= 1 && col("__i").cast("double") >=
-        lit(threshold) * (size(col("__ah")).cast("long") +
-          size(col("__bh")).cast("long") - col("__i")).cast("double"))
+      .where(graft.functions.TextExpressions.jaccardMeets(
+        col("__bh"), col("__ah"), threshold))
       .select(col("bid").as(idCol)).distinct()
     val accepted = batch.join(rejected, Seq(idCol), "left_anti")
     (accepted, batchKeys)

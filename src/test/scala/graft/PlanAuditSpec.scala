@@ -483,12 +483,12 @@ class PlanAuditSpec extends SparkSpec {
     // product anywhere makes the batch quadratic
     assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$p")
-    // the jaccard verify runs on the persisted witness ARRAYS with one
-    // codegen array_intersect per candidate pair (r18) — a Generate in
-    // the plan means the explode → join → three-aggregations shape (and
-    // its ~6 extra exchanges per batch) crept back
-    assert(p.contains("array_intersect"),
-      s"verify must intersect the witness hash arrays:\n$p")
+    // the jaccard verify runs on the persisted witness ARRAYS with ONE
+    // fused jaccard_meets kernel per candidate pair (r18) — a Generate
+    // in the plan means the explode → join → three-aggregations shape
+    // (and its ~6 extra exchanges per batch) crept back
+    assert(p.contains("jaccard_meets"),
+      s"verify must run the fused witness-array kernel:\n$p")
     assert(!p.contains("Generate"),
       s"no shingle explode may survive the array-set verify:\n$p")
     assert(accepted.count() > 0)

@@ -611,6 +611,43 @@ class TextKernelsSpec extends SparkSpec {
       ("ab", 3, 74L), ("c", 4, 94L), ("d", 5, 94L)))
   }
 
+  test("jaccardMeets equals the SQL array_intersect threshold form, " +
+      "empty/disjoint/null sets never reject") {
+    import org.apache.spark.sql.functions.{array_intersect, size, lit, expr}
+    // mixed overlaps, asymmetric sizes, empties — per-row comparison of
+    // the fused kernel against the exact SQL arithmetic it replaces,
+    // across a threshold grid including values that land exactly ON a
+    // pair's jaccard (the >= boundary)
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(7L, 8L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(-9223372036854775808L, 0L, 9223372036854775807L),
+        Seq(9223372036854775807L, -9223372036854775808L)),
+      ((1L to 100L).toSeq, (51L to 160L).toSeq))
+      .toDF("a", "b")
+    for (t <- Seq(0.001, 0.2, 2.0 / 5.0, 0.5, 2.0 / 3.0, 1.0)) {
+      val got = rows.select(
+        TextExpressions.jaccardMeets(col("a"), col("b"), t).as("k"),
+        (size(array_intersect(col("a"), col("b"))) >= 1 &&
+          size(array_intersect(col("a"), col("b"))).cast("double") >=
+            lit(t) * (size(col("a")).cast("long") +
+              size(col("b")).cast("long") -
+              size(array_intersect(col("a"), col("b"))).cast("long"))
+              .cast("double")).as("s"))
+        .collect()
+      got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1),
+        s"threshold $t: kernel ${r.getBoolean(0)} != sql ${r.getBoolean(1)}"))
+    }
+    // null on either side propagates null (a filter drops it), never true
+    val nulls = rows.select(TextExpressions.jaccardMeets(
+      expr("CAST(NULL AS ARRAY<BIGINT>)"), col("b"), 0.3).as("k"))
+      .collect()
+    nulls.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
