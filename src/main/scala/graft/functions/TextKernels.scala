@@ -271,6 +271,48 @@ object TextKernels {
       inter.toDouble >= threshold * (na.toLong + nb.toLong - inter).toDouble
   }
 
+  /** [[jaccardMeets]] over distinct STRING sets (raw shingle arrays —
+    * the decontamination operators verify string-exact, not hashed).
+    */
+  def jaccardMeetsStr(a: ArrayData, b: ArrayData, threshold: Double)
+      : Boolean = {
+    val inter = interStr(a, b)
+    inter >= 1L && inter.toDouble >= threshold *
+      (a.numElements().toLong + b.numElements().toLong - inter).toDouble
+  }
+
+  /** Exact jaccard VALUE over two distinct string sets, or null when
+    * the sets share nothing (or either is empty) — the "no intersection
+    * row" contract of the historical explode-form verify, so a filter
+    * on `jaccard >= threshold` drops exactly the pairs the old shape
+    * never emitted. Arithmetic identical to the SQL form
+    * `CAST(i AS DOUBLE) / CAST(|a| + |b| - i AS DOUBLE)`.
+    */
+  def jaccardValueStr(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val inter = interStr(a, b)
+    if (inter == 0L) null
+    else java.lang.Double.valueOf(inter.toDouble /
+      (a.numElements().toLong + b.numElements().toLong - inter).toDouble)
+  }
+
+  private def interStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val (small, big, ns, nbig) =
+      if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    var j = 0
+    while (j < nbig) {
+      if (set.contains(big.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    inter
+  }
+
   /** All k minhash lanes over distinct shingles, one pass, no shuffle. */
   def minhashLanes(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = shingleStrings(text, n)
@@ -376,15 +418,54 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 case class JaccardMeetsExpr(left: Expression, right: Expression,
     threshold: Double) extends BinaryExpression {
   override def dataType: DataType = BooleanType
+  // dispatch on the element type: long arrays are the persisted witness
+  // hash sets (dedup index), string arrays the raw shingle sets
+  // (decontamination) — one expression, two kernels, same arithmetic
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextKernels.jaccardMeets(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], threshold)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isLong)
+      TextKernels.jaccardMeets(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], threshold)
+    else
+      TextKernels.jaccardMeetsStr(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLong) "jaccardMeets" else "jaccardMeetsStr"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextKernels.jaccardMeets($a, $b, ${threshold}D)")
+      s"graft.functions.TextKernels.$m($a, $b, ${threshold}D)")
+  }
   override def toString: String = s"jaccard_meets($left, $right, $threshold)"
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): JaccardMeetsExpr = copy(left = l, right = r)
+}
+
+/** jaccard_value(a, b): double — codegen'd exact jaccard over two
+  * distinct string sets, NULL when they share nothing (see
+  * [[TextKernels.jaccardValueStr]]); value-identical to the historical
+  * explode → intersection-count → size-join form, which emitted no row
+  * for zero-overlap pairs.
+  */
+case class JaccardValueExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // null for zero-overlap pairs
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardValueStr(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.TextKernels.jaccardValueStr($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  override def toString: String = s"jaccard_value($left, $right)"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): JaccardValueExpr = copy(left = l, right = r)
 }
 
 /** hash_embed(text, dim): array<long> — codegen'd one-pass
@@ -1618,6 +1699,9 @@ object TextExpressions {
     GraftColumnBridge.column(JaccardMeetsExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
       threshold))
+  def jaccardValue(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaccardValueExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def simhash(text: Column, bits: Int): Column =
     GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text), bits))
   def hashEmbed(text: Column, dim: Int): Column =

@@ -412,23 +412,30 @@ object Dedup {
     // stage usually gets the broadcast fast path regardless of corpus size
     val bc = Sizing.countAtMost(candIds, broadcastRowLimit)
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    // candidate docs keep their distinct shingle set as ONE array row
+    // (r18): the verify joins each candidate pair to its two arrays and
+    // computes the exact jaccard with one fused kernel — replacing the
+    // explode → (id, sh) intersection join → count aggregate → two
+    // size-join steps (4 extra candidate-bounded exchanges per call).
+    // jaccard_value returns NULL for zero-overlap pairs, reproducing
+    // "no intersection row" (a pure minhash collision never surfaces,
+    // whatever the threshold); null-text docs carry a null array, which
+    // nulls the kernel — the explode form likewise never emitted them
     val sh = docs
       .join(side(candIds), Seq(idCol), "left_semi")
       .select(col(idCol),
-        explode(array_distinct(graft.functions.TextExpressions
-          .shingles(col(textCol), shingleN))).as("sh"))
+        array_distinct(graft.functions.TextExpressions
+          .shingles(col(textCol), shingleN)).as("shs"))
       .localCheckpoint()
-    val sizes = sh.groupBy(col(idCol)).agg(count("*").as("sz"))
-    val inter = cand
-      .join(sh.toDF("id_a", "sh"), "id_a")
-      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(side(sizes.toDF("id_a", "sz_a")), "id_a")
-      .join(side(sizes.toDF("id_b", "sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")))
+    // the verify side carries per-doc ARRAYS, so its broadcast decision
+    // is byte-aware (the prefix-filter twin's rule), not row-capped
+    val bcArr = Sizing.fitsBroadcast(sh, broadcastRowLimit)
+    def arrSide(df: DataFrame): DataFrame = if (bcArr) broadcast(df) else df
+    cand
+      .join(arrSide(sh.toDF("id_a", "__sa")), "id_a")
+      .join(arrSide(sh.toDF("id_b", "__sb")), "id_b")
+      .withColumn("jaccard", graft.functions.TextExpressions
+        .jaccardValue(col("__sa"), col("__sb")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -1470,23 +1477,23 @@ object Dedup {
       .join(bandedKeys(eval, bands, rowsPerBand, shingleN, idCol,
         textCol, "eid"), Seq("band", "key"))
       .select("tid", "eid").distinct()
-    def shingleSet(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(array_distinct(
-        graft.functions.TextExpressions.shingles(col(textCol), shingleN)))
-        .as("sh"))
-    // only candidate train docs explode their shingles for the verify —
-    // sizes derive from the same semi-joined frame, so non-candidate
-    // train docs are never exploded at all
-    val ts = shingleSet(train, "tid")
+    def shingleSet(df: DataFrame, out: String, arr: String) =
+      df.select(col(idCol).as(out),
+        array_distinct(graft.functions.TextExpressions
+          .shingles(col(textCol), shingleN)).as(arr))
+    // only candidate train docs carry their shingle set into the verify
+    // (semi-gated, as the explode form was); the jaccard test runs as
+    // ONE fused kernel per candidate pair on the two distinct-shingle
+    // ARRAYS (r18) — replacing the explode → intersection join → count
+    // aggregate → two size aggregates shape (~5 exchanges). The kernel's
+    // i >= 1 leg reproduces "no intersection row, no drop": zero-overlap
+    // candidates (and null-text docs, whose array is null) never match
+    val ts = shingleSet(train, "tid", "__ta")
       .join(cand.select("tid").distinct(), Seq("tid"), "left_semi")
-    val es = shingleSet(eval, "eid")
-    val inter = cand.join(ts, Seq("tid")).join(es, Seq("eid", "sh"))
-      .groupBy("tid", "eid").agg(count(lit(1)).as("i"))
-    val szT = ts.groupBy("tid").agg(count(lit(1)).as("sza"))
-    val szE = es.groupBy("eid").agg(count(lit(1)).as("szb"))
-    val bad = inter.join(szT, Seq("tid")).join(szE, Seq("eid"))
-      .where(col("i").cast("double") >=
-        lit(threshold) * (col("sza") + col("szb") - col("i")).cast("double"))
+    val es = shingleSet(eval, "eid", "__ea")
+    val bad = cand.join(ts, Seq("tid")).join(es, Seq("eid"))
+      .where(graft.functions.TextExpressions.jaccardMeets(
+        col("__ta"), col("__ea"), threshold))
       .select(col("tid").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
   }

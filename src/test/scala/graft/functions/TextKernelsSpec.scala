@@ -648,6 +648,43 @@ class TextKernelsSpec extends SparkSpec {
     nulls.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("string jaccardMeets/jaccardValue match the SQL form; value is " +
+      "null exactly when the explode form emitted no intersection row") {
+    import org.apache.spark.sql.functions.{array_intersect, size, lit}
+    val rows = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("c d e", "x y z")),
+      (Seq("a b c"), Seq("a b c")),
+      (Seq("a b c", "q r s"), Seq("x y z")),
+      (Seq.empty[String], Seq("a b c")),
+      (Seq.empty[String], Seq.empty[String]),
+      ((1 to 40).map(i => s"sh$i"), (30 to 90).map(i => s"sh$i")))
+      .toDF("a", "b")
+    for (t <- Seq(0.001, 1.0 / 3.0, 0.5, 1.0)) {
+      val got = rows.select(
+        TextExpressions.jaccardMeets(col("a"), col("b"), t).as("k"),
+        (size(array_intersect(col("a"), col("b"))) >= 1 &&
+          size(array_intersect(col("a"), col("b"))).cast("double") >=
+            lit(t) * (size(col("a")).cast("long") +
+              size(col("b")).cast("long") -
+              size(array_intersect(col("a"), col("b"))).cast("long"))
+              .cast("double")).as("s"))
+        .collect()
+      got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1),
+        s"threshold $t: kernel ${r.getBoolean(0)} != sql ${r.getBoolean(1)}"))
+    }
+    val vals = rows.select(
+      TextExpressions.jaccardValue(col("a"), col("b")).as("v"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("i"),
+      size(col("a")).cast("long").as("na"),
+      size(col("b")).cast("long").as("nb")).collect()
+    vals.foreach { r =>
+      val i = r.getLong(1)
+      if (i == 0L) assert(r.isNullAt(0), "zero overlap must be null")
+      else assert(r.getDouble(0) ==
+        i.toDouble / (r.getLong(2) + r.getLong(3) - i).toDouble)
+    }
+  }
+
   test("hashEmbed feeds the vector stack end to end (cast to float)") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here"))
