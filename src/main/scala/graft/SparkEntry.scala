@@ -251,14 +251,22 @@ object SparkEntry {
           p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     }
-    slices.zipWithIndex.foreach { case (slice, i) =>
+    // the slice writes are independent single-partition jobs over
+    // disjoint output paths — run them concurrently (guide §2.6: the
+    // next job's task back-fills the core the previous one's tail would
+    // idle); each file's content and pinned mtime are per-slice, so the
+    // backlog is byte-identical to the serial form
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    slices.zipWithIndex.map { case (slice, i) => Future {
       slice.coalesce(1).write.parquet(s"$root/b$i")
       val f = src.resolve(f"b$i%02d.parquet")
       java.nio.file.Files.copy(firstPart(s"$root/b$i"), f)
       java.nio.file.Files.setLastModifiedTime(f,
         java.nio.file.attribute.FileTime.fromMillis(
           1000000000000L + i * 600000L))
-    }
+    } }.foreach(Await.result(_, Duration.Inf))
     (src.toString, s.read.parquet(s"$root/b0").schema)
   }
 
@@ -915,9 +923,16 @@ object SparkEntry {
       : (DataFrame, DataFrame) = {
     val root = scratch("graft_scd_")
     val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-    val model = graft.operators.Classify.centroidModel(
-      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
-      col("lang") === "en").localCheckpoint()
+    // the model build and the two backlog writes below are independent
+    // jobs — overlap them (guide §2.6); Await sites before first use
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val modelF = Future {
+      graft.operators.Classify.centroidModel(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("lang") === "en").localCheckpoint()
+    }
     // q135's deterministic PII salt
     val salted = docs.withColumn("text", concat(col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0,
@@ -934,24 +949,25 @@ object SparkEntry {
       .select("doc_id", "text")
     val src = java.nio.file.Paths.get(s"$root/src")
     java.nio.file.Files.createDirectories(src)
-    salted.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
-      .write.parquet(s"$root/b1")
-    salted.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
-      .write.parquet(s"$root/b2")
     def firstPart(d: String): java.nio.file.Path = {
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
       try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
           p.toString.endsWith(".parquet")).findFirst.get
       finally ls.close()
     }
-    val f1 = src.resolve("a_even.parquet")
-    val f2 = src.resolve("b_odd.parquet")
-    java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
-    java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
-    java.nio.file.Files.setLastModifiedTime(f1,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-    java.nio.file.Files.setLastModifiedTime(f2,
-      java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
+    val writes = Seq(
+      (pmod(col("doc_id"), lit(2)) === 0, "b1", "a_even.parquet",
+        1000000000000L),
+      (pmod(col("doc_id"), lit(2)) === 1, "b2", "b_odd.parquet",
+        1000000600000L)).map { case (cond, b, name, mtime) => Future {
+      salted.where(cond).coalesce(1).write.parquet(s"$root/$b")
+      val f = src.resolve(name)
+      java.nio.file.Files.copy(firstPart(s"$root/$b"), f)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    } }
+    writes.foreach(Await.result(_, Duration.Inf))
+    val model = Await.result(modelF, Duration.Inf)
     val schema = s.read.parquet(s"$root/b1").schema
     // the per-batch curation: scrub, score the SCRUBBED text, keep
     // quality_pred — per-row and deterministic (the prepare contract)
@@ -1594,32 +1610,15 @@ object SparkEntry {
     // marker-committed versioned state — backlog replay == batch result
     "q129_stream_dedup_index" -> ((s, dir) => {
       val root = scratch("graft_sdidx_")
-      val src = java.nio.file.Paths.get(s"$root/src")
-      java.nio.file.Files.createDirectories(src)
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      docs.where(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
-        .write.parquet(s"$root/b1")
-      docs.where(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
-        .write.parquet(s"$root/b2")
-      def firstPart(d: String): java.nio.file.Path = {
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
-        try ls.filter(p => p.getFileName.toString.startsWith("part-") &&
-            p.toString.endsWith(".parquet")).findFirst.get
-        finally ls.close()
-      }
-      // one file per micro-batch; arrival order pinned by mtime AND name
-      val f1 = src.resolve("a_even.parquet")
-      val f2 = src.resolve("b_odd.parquet")
-      java.nio.file.Files.copy(firstPart(s"$root/b1"), f1)
-      java.nio.file.Files.copy(firstPart(s"$root/b2"), f2)
-      java.nio.file.Files.setLastModifiedTime(f1,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-      java.nio.file.Files.setLastModifiedTime(f2,
-        java.nio.file.attribute.FileTime.fromMillis(1000000600000L))
-      val schema = s.read.parquet(s"$root/b1").schema
+      // even ids arrive as batch 1, odd as batch 2 (parityBacklog's
+      // slice order; arrival order pinned by mtime AND name) — the
+      // shared writer replaces the hand-rolled even/odd fixture this
+      // query carried, byte-identical backlog, concurrent slice writes
+      val (src, schema) = parityBacklog(s, root, docs)
       withShufflePartitions(s, 2) {
         graft.streaming.StreamingDedupIndex.runAvailableNow(
-          s, src.toString, schema, s"$root/state", s"$root/ckpt")
+          s, src, schema, s"$root/state", s"$root/ckpt")
       }
       val (accepted, _, _) =
         graft.streaming.StreamingDedupIndex.readState(s, s"$root/state")
