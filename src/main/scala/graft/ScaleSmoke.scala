@@ -174,6 +174,25 @@ object ScaleSmoke {
         (Corpus.collectMerges(mt), Corpus.byteMergeVocab(mt))
       }
       lazy val decontamFix: (DataFrame, DataFrame) = decontamFixture(amp, base)
+      // r18 skew posture (VERDICT #8): ONE mega dup-component — every
+      // pmod(doc_id, 9) == 0 doc carries the SAME constant text, so all
+      // of them share every band key (one hot key per band) and form a
+      // single clique in the pair graph. Pair space is quadratic in the
+      // clique BY DESIGN (h ≈ rows/9 members → ~h²/2 candidate pairs):
+      // the measured claim is that the banded LSH self-join, the
+      // witness-array verify and the CC rounds SURVIVE the hot key with
+      // cost linear in the (quadratic) pair count — not linearity in
+      // rows, which no dup-clique corpus can give. Modulus 9, not 8:
+      // multiples of 9 ALTERNATE parity, so the index op's even/odd
+      // split below lands half the clique in the index and half in the
+      // arriving batch (a %8 clique is all-even — the whole clique
+      // would sit index-side and the arriving batch would carry no hot
+      // key at all).
+      lazy val skewedCorpus: DataFrame = amp.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(Seq.fill(8)("hot boilerplate chrome nav footer subscribe")
+            .mkString(" ")))
+          .otherwise(col("text")).as("text")).localCheckpoint(true)
       val ops: Seq[(String, () => (() => Long))] = Seq(
         "exact_dedup" -> (() => () => Dedup.exact(amp).count()),
         "minhash_lsh_pairs" ->
@@ -304,6 +323,22 @@ object ScaleSmoke {
         "dedup_index_batch" -> (() => () => Dedup.dedupIndexAddBatch(
           Dedup.dedupIndexKeys(amp.where(col("doc_id") % 2 === 0)),
           amp.where(col("doc_id") % 2 === 1))._1.count()),
+        // skew rows (see skewedCorpus): the mega-clique through the CC
+        // contraction and through the incremental index's one-batch add
+        // (half the clique already accepted as index witnesses, half
+        // arriving). Shuffle tallies (SPARK_GRAFT_SCALE_SHUFFLE=1) are
+        // the SCALE.md evidence that the hot key's pair blowup rides
+        // the candidate exchanges, not a corpus rescan.
+        "skewed_neardup_clusters" -> (() => {
+          val sk = skewedCorpus
+          () => Dedup.nearDupClusters(sk, Dedup.minhashLshPairs(sk)).count()
+        }),
+        "skewed_dedup_index_batch" -> (() => {
+          val sk = skewedCorpus
+          () => Dedup.dedupIndexAddBatch(
+            Dedup.dedupIndexKeys(sk.where(col("doc_id") % 2 === 0)),
+            sk.where(col("doc_id") % 2 === 1))._1.count()
+        }),
         // q154/q156 at scale, the REALISTIC shape: the eval side is
         // FIXED (the unamplified ×1 corpus's id%50=0 slice — a
         // benchmark does not grow with the training corpus) while the
